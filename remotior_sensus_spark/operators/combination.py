@@ -1,0 +1,146 @@
+"""band_combination + cross_classification.
+
+Reference: tools/band_combination.py:54-452 (distinct -> collision-free
+linear encode -> rank -> reclass -> counts), kernel
+core/processor_functions.py:1468-1513 (cross_rasters);
+tools/cross_classification.py:57-684 (cross matrix, error matrix,
+regression).
+
+Spark-first: the distinct pass is ``groupBy(bands).count()`` (Catalyst
+partial+final agg), the encode+rank is a window over the (small)
+combination table, and the per-pixel reclass is a broadcast join — no
+randomness needed. Output ids match the reference's deterministic
+first-attempt (t=1) encoding: k_0=1, k_{y+1}=k_y*(max_v[y+1]+1),
+encoded = sum((f_y + add_y)*k_y), add_y = 1-min_y if min_y<0 else 0,
+id = ascending rank of encoded (band_combination.py:228-250,316-334).
+The reference retries with random coefficients only when that encoding
+collides; we assert injectivity instead (SURVEY.md §7.3 risk 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark.grid import PIXEL_SIZE
+
+PIXEL_AREA = PIXEL_SIZE * PIXEL_SIZE
+
+
+def combination_table(px_wide: DataFrame, band_cols: list[str]) -> DataFrame:
+    """Distinct combinations + deterministic t=1 ids.
+
+    `px_wide`: one row per pixel with integer band columns (already
+    nodata-filtered). Returns (raster_value, <band_cols>, pixel_sum,
+    area_m2) with raster_value = the reference's rank id.
+    """
+    combos = px_wide.groupBy(*band_cols).agg(F.count("*").alias("pixel_sum"))
+    stats = combos.agg(
+        *[F.max(c).alias(f"max_{c}") for c in band_cols],
+        *[F.min(c).alias(f"min_{c}") for c in band_cols],
+    )
+    combos = combos.crossJoin(F.broadcast(stats))
+    # mixed-radix coefficients k_y (band_combination.py:232-238)
+    encoded = None
+    k = F.lit(1).cast("long")
+    for y, c in enumerate(band_cols):
+        add = F.when(F.col(f"min_{c}") < 0, -F.col(f"min_{c}") + 1).otherwise(F.lit(0))
+        term = (F.col(c).cast("long") + add.cast("long")) * k
+        encoded = term if encoded is None else encoded + term
+        if y + 1 < len(band_cols):
+            nxt = band_cols[y + 1]
+            k = k * (F.col(f"max_{nxt}").cast("long") + 1)
+    w = Window.partitionBy().orderBy("encoded")
+    out = (
+        combos.withColumn("encoded", encoded)
+        .withColumn("raster_value", F.row_number().over(w).cast("long"))
+        .select(
+            "raster_value", *band_cols, "pixel_sum",
+            (F.col("pixel_sum") * F.lit(PIXEL_AREA)).alias("area_m2"),
+        )
+    )
+    return out
+
+
+def apply_combination(px_wide: DataFrame, combo: DataFrame, band_cols: list[str]) -> DataFrame:
+    """Per-pixel combination raster: broadcast-join pixels to the id map."""
+    ids = combo.select("raster_value", *band_cols)
+    return px_wide.join(F.broadcast(ids), band_cols, "left")
+
+
+def cross_matrix(px_wide: DataFrame, ref_col: str, cls_col: str) -> DataFrame:
+    """Pivot zone x class of pixel counts (cross_classification.py:300-430)."""
+    counts = px_wide.groupBy(ref_col, cls_col).agg(F.count("*").alias("cnt"))
+    return counts.groupBy(ref_col).pivot(cls_col).sum("cnt").na.fill(0)
+
+
+def error_matrix_metrics(px_wide: DataFrame, ref_col: str, cls_col: str) -> DataFrame:
+    """Overall accuracy, kappa, per-class PA/UA from the confusion counts
+    (cross_classification.py:431-560). All ratios are single double
+    divisions over exact BIGINT counts -> oracle-exact."""
+    counts = px_wide.groupBy(ref_col, cls_col).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n")).select("n")
+    diag = counts.filter(F.col(ref_col) == F.col(cls_col)).agg(
+        F.sum("cnt").alias("diag")
+    )
+    row_tot = counts.groupBy(ref_col).agg(F.sum("cnt").alias("row_cnt"))
+    col_tot = counts.groupBy(cls_col).agg(F.sum("cnt").alias("col_cnt"))
+    chance = (
+        row_tot.join(col_tot, row_tot[ref_col] == col_tot[cls_col])
+        .agg(F.sum(F.col("row_cnt") * F.col("col_cnt")).alias("chance_sum"))
+    )
+    per_class = (
+        counts.filter(F.col(ref_col) == F.col(cls_col))
+        .select(F.col(ref_col).alias("klass"), F.col("cnt").alias("diag_cnt"))
+        .join(row_tot.select(F.col(ref_col).alias("klass"), "row_cnt"), "klass", "outer")
+        .join(col_tot.select(F.col(cls_col).alias("klass"), "col_cnt"), "klass", "outer")
+        .na.fill(0)
+    )
+    per_class = per_class.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(diag)
+    ).crossJoin(F.broadcast(chance))
+    return per_class.select(
+        "klass",
+        "diag_cnt",
+        "row_cnt",
+        "col_cnt",
+        (F.col("diag_cnt") / F.col("row_cnt")).alias("producer_accuracy"),
+        (F.col("diag_cnt") / F.col("col_cnt")).alias("user_accuracy"),
+        (F.col("diag") / F.col("n")).alias("overall_accuracy"),
+        (
+            (F.col("n") * F.col("diag") - F.col("chance_sum"))
+            / (F.col("n") * F.col("n") - F.col("chance_sum"))
+        ).alias("kappa"),
+    )
+
+
+def regression_between(px_pairs: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Least-squares y = b0 + b1*x + R^2 over aligned pixel pairs
+    (cross_classification.py regression path). Integer-exact sums."""
+    xi = F.col(x_col).cast("long")
+    yi = F.col(y_col).cast("long")
+    s = px_pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").alias("n_pixels"),
+        b1.alias("slope"),
+        b0.alias("intercept"),
+        r2.alias("r_squared"),
+    )

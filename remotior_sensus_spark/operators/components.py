@@ -1,0 +1,310 @@
+"""Connected components (raster_label) + sieve.
+
+Reference: core/processor_functions.py:2628-2686 (per-strip
+scipy.ndimage.label with 1-px halo), tools/raster_label.py:94-402
+(driver merges boundary equivalences to a fixed point; output value =
+patch pixel count); tools/band_sieve.py + core/processor.py:1757-1914
+(gdal SieveFilter: patches smaller than N merge into the neighboring
+patch value).
+
+Spark-first:
+  1. per-tile two-pass union-find labeling in one Arrow batch
+     (mapInPandas; 4-connectivity, foreground = nonzero, matching
+     scipy.ndimage.label's default structure)
+  2. boundary pairs: each tile's right column / bottom row joined to the
+     neighbor's left column / top row — pure JVM (slice + explode)
+  3. global equivalence: iterative hash-to-min label propagation over
+     the edge DataFrame (converges in O(log(diameter)) rounds;
+     localCheckpoint cuts lineage each round — SURVEY §7.3 risk 3)
+  4. component size = groupBy(root).sum(local counts); the output raster
+     value is the size, exactly the reference's semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import TILE_PX
+
+T = TILE_PX
+
+
+def _label_tile(a: np.ndarray, same_value: bool) -> tuple[np.ndarray, int]:
+    """Two-pass 4-connectivity labeling. a: (T,T) with 0 = background.
+    same_value=True splits components at value changes (sieve mode)."""
+    labels = np.zeros((T, T), dtype=np.int32)
+    parent = [0]
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nxt = 1
+    for y in range(T):
+        for x in range(T):
+            v = a[y, x]
+            if v == 0:
+                continue
+            up = labels[y - 1, x] if y > 0 and a[y - 1, x] != 0 and (not same_value or a[y - 1, x] == v) else 0
+            left = labels[y, x - 1] if x > 0 and a[y, x - 1] != 0 and (not same_value or a[y, x - 1] == v) else 0
+            if up and left:
+                labels[y, x] = min(find(up), find(left))
+                ru, rl = find(up), find(left)
+                if ru != rl:
+                    parent[max(ru, rl)] = min(ru, rl)
+            elif up or left:
+                labels[y, x] = find(up or left)
+            else:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+    # flatten
+    flat = np.array([find(i) for i in range(nxt)], dtype=np.int32)
+    # compact to 1..k
+    uniq = np.unique(flat[1:nxt]) if nxt > 1 else np.array([], dtype=np.int32)
+    remap = np.zeros(nxt, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    labels = remap[flat[labels]]
+    return labels, len(uniq)
+
+
+def label_tiles(band_tiles: DataFrame, *, same_value: bool = False,
+                nodata: float = NODATA) -> DataFrame:
+    """Per-tile local labels. Output: (tile_x, tile_y, labels array<int>,
+    values array<double>, n_labels)."""
+
+    def run(it):
+        for pdf in it:
+            out = {"tile_x": [], "tile_y": [], "labels": [], "values": [], "n_labels": []}
+            for _, r in pdf.iterrows():
+                a = np.asarray(r["pixels"], dtype=np.float64).reshape(T, T)
+                a = np.where(a == nodata, 0.0, a)
+                lab, n = _label_tile(a, same_value)
+                out["tile_x"].append(r["tile_x"])
+                out["tile_y"].append(r["tile_y"])
+                out["labels"].append(lab.ravel().tolist())
+                out["values"].append(a.ravel().tolist())
+                out["n_labels"].append(n)
+            yield pd.DataFrame(out)
+
+    return band_tiles.select("tile_x", "tile_y", "pixels").mapInPandas(
+        run,
+        schema="tile_x int, tile_y int, labels array<int>, values array<double>, n_labels int",
+    )
+
+
+def _gid(tx, ty, local):
+    """Globally unique 64-bit component id."""
+    return ((tx.cast("long") * 65536 + ty.cast("long")) * 4096) + local.cast("long")
+
+
+def boundary_edges(labeled: DataFrame, *, same_value: bool = False) -> DataFrame:
+    """Cross-tile equivalence edges from touching boundary pixels —
+    JVM-only slicing (right column vs left column, bottom row vs top row)."""
+    idx_right = F.array(*[F.lit(i * T + (T - 1) + 1) for i in range(T)])
+    idx_left = F.array(*[F.lit(i * T + 0 + 1) for i in range(T)])
+
+    def pick(col, idxs):
+        return F.transform(idxs, lambda i: F.element_at(F.col(col), i))
+
+    base = labeled.select(
+        "tile_x", "tile_y",
+        pick("labels", idx_right).alias("lab_r"),
+        pick("values", idx_right).alias("val_r"),
+        pick("labels", idx_left).alias("lab_l"),
+        pick("values", idx_left).alias("val_l"),
+        F.slice("labels", (T - 1) * T + 1, T).alias("lab_b"),
+        F.slice("values", (T - 1) * T + 1, T).alias("val_b"),
+        F.slice("labels", 1, T).alias("lab_t"),
+        F.slice("values", 1, T).alias("val_t"),
+    )
+    right = base.alias("a").join(
+        base.alias("b"),
+        (F.col("a.tile_x") + 1 == F.col("b.tile_x"))
+        & (F.col("a.tile_y") == F.col("b.tile_y")),
+    ).select(
+        F.col("a.tile_x").alias("atx"), F.col("a.tile_y").alias("aty"),
+        F.col("b.tile_x").alias("btx"), F.col("b.tile_y").alias("bty"),
+        F.explode(
+            F.arrays_zip(
+                F.col("a.lab_r"), F.col("a.val_r"), F.col("b.lab_l"), F.col("b.val_l")
+            )
+        ).alias("z"),
+    ).select(
+        "atx", "aty", "btx", "bty",
+        F.col("z.lab_r").alias("la"), F.col("z.val_r").alias("va"),
+        F.col("z.lab_l").alias("lb"), F.col("z.val_l").alias("vb"),
+    )
+    down = base.alias("a").join(
+        base.alias("b"),
+        (F.col("a.tile_x") == F.col("b.tile_x"))
+        & (F.col("a.tile_y") + 1 == F.col("b.tile_y")),
+    ).select(
+        F.col("a.tile_x").alias("atx"), F.col("a.tile_y").alias("aty"),
+        F.col("b.tile_x").alias("btx"), F.col("b.tile_y").alias("bty"),
+        F.explode(
+            F.arrays_zip(
+                F.col("a.lab_b"), F.col("a.val_b"), F.col("b.lab_t"), F.col("b.val_t")
+            )
+        ).alias("z"),
+    ).select(
+        "atx", "aty", "btx", "bty",
+        F.col("z.lab_b").alias("la"), F.col("z.val_b").alias("va"),
+        F.col("z.lab_t").alias("lb"), F.col("z.val_t").alias("vb"),
+    )
+    edges = right.unionByName(down).filter((F.col("la") > 0) & (F.col("lb") > 0))
+    if same_value:
+        edges = edges.filter(F.col("va") == F.col("vb"))
+    return edges.select(
+        _gid(F.col("atx"), F.col("aty"), F.col("la")).alias("src"),
+        _gid(F.col("btx"), F.col("bty"), F.col("lb")).alias("dst"),
+    ).distinct()
+
+
+def resolve_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Hash-to-min connected components over the equivalence edges.
+    Returns (gid, root). Only gids that appear in edges are returned
+    (isolated components are their own root)."""
+    spark = edges.sparkSession
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lab = (
+        und.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("root"))
+        .select(F.col("src").alias("gid"), F.least(F.col("root"), F.col("src")).alias("root"))
+    ).localCheckpoint()
+    und = und.localCheckpoint()
+    for _ in range(max_iter):
+        # propagate: new_root = min(root, min over neighbors' roots)
+        nbr = (
+            und.join(lab, und["dst"] == lab["gid"])
+            .groupBy("src")
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        new_lab = (
+            lab.join(nbr, lab["gid"] == nbr["src"], "left")
+            .select(
+                "gid",
+                F.least(F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))).alias("root"),
+            )
+        )
+        # pointer jumping: root = root's root
+        r2 = new_lab.select(F.col("gid").alias("g2"), F.col("root").alias("r2"))
+        new_lab = (
+            new_lab.join(r2, new_lab["root"] == r2["g2"], "left")
+            .select("gid", F.coalesce(F.col("r2"), F.col("root")).alias("root"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "gid")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab
+
+
+def raster_label(band_tiles: DataFrame, *, same_value: bool = False) -> DataFrame:
+    """Full CC: returns (gid, root, tile_x, tile_y, local_label,
+    component_size). Output raster value = component_size
+    (tools/raster_label.py:27-29)."""
+    labeled = label_tiles(band_tiles, same_value=same_value).cache()
+    edges = boundary_edges(labeled, same_value=same_value)
+    roots = resolve_components(edges)
+
+    locals_df = labeled.select(
+        "tile_x", "tile_y",
+        F.explode(F.array_distinct(F.filter("labels", lambda x: x > 0))).alias("local_label"),
+        F.col("labels"),
+    ).select(
+        "tile_x", "tile_y", "local_label",
+        F.size(F.filter("labels", lambda x: x == F.col("local_label"))).alias("pixel_count"),
+        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+    )
+    with_roots = locals_df.join(roots, "gid", "left").withColumn(
+        "root", F.coalesce(F.col("root"), F.col("gid"))
+    )
+    sizes = with_roots.groupBy("root").agg(F.sum("pixel_count").alias("component_size"))
+    return with_roots.join(sizes, "root")
+
+
+def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False) -> DataFrame:
+    """(component_size, n_components) — relabeling-invariant check output
+    (FIXTURES.md §7.7)."""
+    cc = raster_label(band_tiles, same_value=same_value)
+    comp = cc.select("root", "component_size").distinct()
+    return comp.groupBy("component_size").agg(F.count("*").alias("n_components"))
+
+
+def sieve(band_tiles: DataFrame, min_size: int) -> DataFrame:
+    """Remove same-value patches smaller than min_size: their pixels take
+    the adjacent patch value with the largest pixel count (ties -> smaller
+    value), like gdal.SieveFilter (core/processor.py:1757-1914). Returns
+    per-patch reclass decisions (root, old_value, new_value)."""
+    labeled = label_tiles(band_tiles, same_value=True).cache()
+    edges_v = boundary_edges(labeled, same_value=False)  # adjacency incl. diff values
+    roots = resolve_components(boundary_edges(labeled, same_value=True))
+
+    locals_df = labeled.select(
+        "tile_x", "tile_y",
+        F.explode(F.array_distinct(F.filter("labels", lambda x: x > 0))).alias("local_label"),
+        "labels", "values",
+    ).select(
+        "tile_x", "tile_y", "local_label",
+        F.size(F.filter("labels", lambda x: x == F.col("local_label"))).alias("pixel_count"),
+        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+        F.element_at(
+            F.col("values"), F.array_position(F.col("labels"), F.col("local_label")).cast("int")
+        ).alias("value"),
+    )
+    with_roots = locals_df.join(roots, "gid", "left").withColumn(
+        "root", F.coalesce(F.col("root"), F.col("gid"))
+    )
+    sizes = with_roots.groupBy("root").agg(
+        F.sum("pixel_count").alias("component_size"), F.first("value").alias("value")
+    )
+    # patch adjacency at component level (via any-value boundary edges
+    # between locals, mapped to roots)
+    g2r = with_roots.select("gid", "root")
+    e = (
+        edges_v.join(g2r.withColumnRenamed("root", "ra"), edges_v["src"] == g2r["gid"])
+        .drop("gid")
+        .join(
+            g2r.withColumnRenamed("root", "rb").withColumnRenamed("gid", "gid2"),
+            F.col("dst") == F.col("gid2"),
+        )
+        .select("ra", "rb")
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    e = e.union(e.select(F.col("rb").alias("ra"), F.col("ra").alias("rb"))).distinct()
+    small = sizes.filter(F.col("component_size") < min_size)
+    nbrs = (
+        small.join(e, small["root"] == e["ra"])
+        .join(
+            sizes.select(
+                F.col("root").alias("rb"),
+                F.col("component_size").alias("nbr_size"),
+                F.col("value").alias("nbr_value"),
+            ),
+            "rb",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("root").orderBy(F.desc("nbr_size"), F.asc("nbr_value"))
+    best = (
+        nbrs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("root", F.col("value").alias("old_value"), F.col("nbr_value").alias("new_value"))
+    )
+    return best

@@ -1,0 +1,240 @@
+"""Focal (moving-window) family: neighbor statistics, dilation, erosion,
+mode resampling.
+
+Reference: core/processor_functions.py:1354-1464 (raster_neighbor — FFT
+convolution for sum/mean, scipy filters for max/min/median/percentile/
+std), :1202-1238 (raster_dilation), :1242-1307 (raster_erosion),
+:1312-1349 (raster_resample mode); halo plumbing
+core/multiprocess_manager.py:3316-3353 (boundary_size).
+
+Spark-first halo exchange: every tile emits itself + 8 shifted copies
+keyed by the NEIGHBOR tile (a map-side explode — the cost is 9x tile
+rows into one shuffle, the exact analogue of the reference's duplicated
+halo reads). The receiving group assembles a (3*16)^2 padded array in
+one Arrow batch and runs the vectorized numpy kernel; only the center
+tile is emitted. Results are tile-size-invariant (halo covers any
+window radius <= 16).
+
+Mode resampling needs no Python at all: re-key pixels to the coarse
+grid and take the group mode (count-desc, value-asc tie-break — the
+scipy_mode tie rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import TILE_PX
+
+N_PX = TILE_PX * TILE_PX
+
+
+def structure_mask(size: int, circular: bool = False) -> np.ndarray:
+    """(2*size+1)^2 footprint; circular keeps x^2+y^2 <= size^2
+    (util/shared_tools.py:304-340)."""
+    r = np.arange(-size, size + 1)
+    yy, xx = np.meshgrid(r, r, indexing="ij")
+    if circular:
+        return (xx * xx + yy * yy) <= size * size
+    return np.ones((2 * size + 1, 2 * size + 1), dtype=bool)
+
+
+def _with_halo_groups(band_tiles: DataFrame) -> DataFrame:
+    """Emit (target_tx, target_ty, dx, dy, pixels) — each tile shipped to
+    itself and its 8 neighbors."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    return band_tiles.select(
+        "tile_x", "tile_y", "pixels", F.explode(offsets).alias("o")
+    ).select(
+        (F.col("tile_x") + F.col("o.dx")).alias("target_tx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("target_ty"),
+        F.col("o.dx").alias("dx"),
+        F.col("o.dy").alias("dy"),
+        "pixels",
+    )
+
+
+def _assemble_padded(pdf: pd.DataFrame) -> np.ndarray:
+    """3Tx3T array (nan outside provided tiles); center tile at [T:2T, T:2T]."""
+    T = TILE_PX
+    pad = np.full((3 * T, 3 * T), np.nan)
+    for _, r in pdf.iterrows():
+        a = np.asarray(r["pixels"], dtype=np.float64).reshape(T, T)
+        a = np.where(a == NODATA, np.nan, a)
+        # dx,dy is the SOURCE offset relative to target: source tile
+        # (target - dx? ) — source tx = target_tx - dx  => its pixels sit
+        # at block offset (-dx, -dy) from the center
+        pad[(1 - r["dy"]) * T:(2 - r["dy"]) * T,
+            (1 - r["dx"]) * T:(2 - r["dx"]) * T] = a
+    return pad
+
+
+def _window_views(pad: np.ndarray, size: int):
+    """All (2s+1)^2 windows centered on the middle tile, via stride views."""
+    T = TILE_PX
+    k = 2 * size + 1
+    sub = pad[T - size:2 * T + size, T - size:2 * T + size]
+    return np.lib.stride_tricks.sliding_window_view(sub, (k, k))  # (T,T,k,k)
+
+
+def neighbor_stats(band_tiles: DataFrame, stat: str = "sum", size: int = 1,
+                   circular: bool = False, percentile: float | None = None) -> DataFrame:
+    """Focal statistic per pixel over the structuring element.
+    stat in {sum, mean, count, max, min, median, std, percentile}.
+    nodata centers stay nodata (reference writes nan back over centers)."""
+    struct = structure_mask(size, circular)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["target_tx"].iloc[0])
+        ty = int(pdf["target_ty"].iloc[0])
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame(
+                {"tile_x": pd.Series(dtype="int32"),
+                 "tile_y": pd.Series(dtype="int32"),
+                 "pixels": pd.Series(dtype=object)}
+            )
+        pad = _assemble_padded(pdf)
+        wins = _window_views(pad, size)  # (T,T,k,k)
+        m = struct[None, None, :, :]
+        vals = np.where(m, wins, np.nan)
+        with np.errstate(all="ignore"):
+            if stat == "sum":
+                out = np.nansum(vals, axis=(2, 3))
+            elif stat == "count":
+                out = (~np.isnan(vals)).sum(axis=(2, 3)).astype(np.float64)
+            elif stat == "mean":
+                out = np.nansum(vals, axis=(2, 3)) / (~np.isnan(vals)).sum(axis=(2, 3))
+            elif stat == "max":
+                out = np.nanmax(vals, axis=(2, 3))
+            elif stat == "min":
+                out = np.nanmin(vals, axis=(2, 3))
+            elif stat == "median":
+                out = np.nanmedian(vals, axis=(2, 3))
+            elif stat == "std":
+                out = np.nanstd(vals, axis=(2, 3))
+            elif stat == "percentile":
+                out = np.nanpercentile(vals, percentile, axis=(2, 3))
+            else:
+                raise ValueError(stat)
+        center = pad[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX]
+        out = np.where(np.isnan(center), NODATA, out)
+        out = np.where(np.isnan(out), NODATA, out)
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty], "pixels": [out.ravel().tolist()]}
+        )
+
+    halo = _with_halo_groups(band_tiles)
+    return halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="tile_x int, tile_y int, pixels array<double>"
+    )
+
+
+def dilation(band_tiles: DataFrame, values: list[float], size: int = 1,
+             circular: bool = True) -> DataFrame:
+    """Expand each value in `values` (in order) onto neighboring non-value
+    pixels (processor_functions.py:1202-1238)."""
+    struct = structure_mask(size, circular)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame(
+                {"tile_x": pd.Series(dtype="int32"),
+                 "tile_y": pd.Series(dtype="int32"),
+                 "pixels": pd.Series(dtype=object)}
+            )
+        tx = int(pdf["target_tx"].iloc[0])
+        ty = int(pdf["target_ty"].iloc[0])
+        pad = _assemble_padded(pdf)
+        a = np.nan_to_num(pad)  # reference: nan->0 before matching
+        wins = _window_views(a, size)
+        m = struct[None, None, :, :]
+        center = a[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX]
+        core = ~np.isin(center, np.array(values))
+        o = center.copy()
+        for v in values:
+            near = ((wins == v) & m).any(axis=(2, 3))
+            o[core & near] = v
+        o[np.isnan(pad[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX])] = NODATA
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty], "pixels": [o.ravel().tolist()]}
+        )
+
+    halo = _with_halo_groups(band_tiles)
+    return halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="tile_x int, tile_y int, pixels array<double>"
+    )
+
+
+def erosion(band_tiles: DataFrame, values: list[float], size: int = 1,
+            circular: bool = True) -> DataFrame:
+    """Erode `values` pixels whose neighborhood isn't uniform; fill with
+    the most frequent non-value neighbor (ties -> smallest value), else
+    nodata (processor_functions.py:1242-1307, single iteration —
+    multi-iteration = repeated calls like the reference's loop)."""
+    struct = structure_mask(size, circular)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame(
+                {"tile_x": pd.Series(dtype="int32"),
+                 "tile_y": pd.Series(dtype="int32"),
+                 "pixels": pd.Series(dtype=object)}
+            )
+        tx = int(pdf["target_tx"].iloc[0])
+        ty = int(pdf["target_ty"].iloc[0])
+        pad = _assemble_padded(pdf)
+        a = np.where(np.isnan(pad), NODATA, pad)
+        uniq = [u for u in np.unique(a) if u != NODATA]
+        wins = _window_views(a, size)
+        m = struct[None, None, :, :]
+        center = a[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX]
+        n_struct = struct.sum()
+        fill = np.full(center.shape, float(NODATA))
+        max_cnt = np.zeros(center.shape)
+        erode = np.zeros(center.shape, dtype=bool)
+        for v in uniq:
+            cnt = ((wins == v) & m).sum(axis=(2, 3)).astype(np.float64)
+            if v not in values:
+                sel = cnt > max_cnt
+                fill[sel] = v
+                max_cnt[sel] = cnt[sel]
+            else:
+                erode |= ((n_struct - cnt) > 0.01) & (center == v)
+        o = center.copy()
+        o[erode] = fill[erode]
+        o[np.isnan(pad[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX])] = NODATA
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty], "pixels": [o.ravel().tolist()]}
+        )
+
+    halo = _with_halo_groups(band_tiles)
+    return halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="tile_x int, tile_y int, pixels array<double>"
+    )
+
+
+def resample_mode(band_px: DataFrame, factor: int = 2) -> DataFrame:
+    """Mode down-scale: re-key pixels to the coarse grid, group mode with
+    scipy_mode's tie rule (smallest value wins) — pure Catalyst, no UDF
+    (processor_functions.py:1312-1349)."""
+    coarse = band_px.filter(F.col("value") != NODATA).select(
+        F.floor((F.col("tile_x") * TILE_PX + F.col("pos") % TILE_PX) / factor)
+        .alias("cgx"),
+        F.floor((F.col("tile_y") * TILE_PX + (F.col("pos") / TILE_PX).cast("int")) / factor)
+        .alias("cgy"),
+        "value",
+    )
+    counts = coarse.groupBy("cgx", "cgy", "value").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cgx", "cgy").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cgx", "cgy", F.col("value").alias("mode_value"), F.col("cnt").alias("mode_count"))
+    )

@@ -1,0 +1,114 @@
+"""Reclassification + mosaic + band stack/split.
+
+Reference: core/processor_functions.py:970-1082 (reclassify_raster:
+LUT / searchsorted / eval'd condition strategies),
+tools/raster_reclassification.py:171; tools/mosaic.py:45-267
+(BuildVRT first-wins overlap); tools/band_stack.py / raster_split.py.
+
+Spark-first: the three reclass strategies collapse into one chained
+``CASE WHEN`` applied in rule order (Catalyst folds the constants; a
+broadcast map join would be the path for huge rule tables). Mosaic's
+first-wins overlap is ``row_number() over (partition by tile order by
+source_priority) = 1`` — identical semantics to VRT layer order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+
+_COND_RE = re.compile(r"^\s*raster\s*(>=|<=|>|<|==|!=)\s*(-?\d+(?:\.\d+)?)\s*$")
+_OPS = {
+    ">": lambda c, v: c > v, "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v, "<=": lambda c, v: c <= v,
+    "==": lambda c, v: c == v, "!=": lambda c, v: c != v,
+}
+
+
+def reclass_expr(value: Column, rules: list[tuple[str, str]],
+                 nodata: float = NODATA) -> Column:
+    """rules: [(old_value, new_value)] in table order; old_value is an
+    int/float literal, 'nan' (matches input nodata), or a condition
+    'raster > 500'. new_value 'Null'/'nan' -> output nodata. First
+    matching rule wins; unmatched pixels pass through unchanged."""
+    out = None
+    for old, new in rules:
+        new_lit = (
+            F.lit(float(nodata))
+            if str(new).strip().lower() in ("null", "nan")
+            else F.lit(float(new))
+        )
+        old_s = str(old).strip()
+        if old_s.lower() == "nan":
+            cond = value == F.lit(float(nodata))
+        else:
+            m = _COND_RE.match(old_s)
+            if m:
+                cond = _OPS[m.group(1)](value, F.lit(float(m.group(2))))
+            else:
+                cond = value == F.lit(float(old_s))
+        out = F.when(cond, new_lit) if out is None else out.when(cond, new_lit)
+    return out.otherwise(value) if out is not None else value
+
+
+def reclassify_pixels(px: DataFrame, rules: list[tuple[str, str]],
+                      value_col: str = "value", out_col: str = "new_value",
+                      nodata: float = NODATA) -> DataFrame:
+    return px.withColumn(out_col, reclass_expr(F.col(value_col), rules, nodata))
+
+
+def reclassify_tiles(tiles: DataFrame, rules: list[tuple[str, str]],
+                     nodata: float = NODATA) -> DataFrame:
+    """Array-level variant: reclass inside F.transform (no explode)."""
+    return tiles.withColumn(
+        "pixels",
+        F.transform("pixels", lambda x: reclass_expr(x.cast("double"), rules, nodata)),
+    )
+
+
+def mosaic_first_wins(tiles: DataFrame, bandset_priority: list[str]) -> DataFrame:
+    """Merge corresponding bands of multiple bandsets; overlapping tiles
+    resolved first-wins by priority order (tools/mosaic.py VRT order)."""
+    prio = F.when(F.col("bandset") == bandset_priority[0], 0)
+    for i, bs in enumerate(bandset_priority[1:], start=1):
+        prio = prio.when(F.col("bandset") == bs, i)
+    t = tiles.filter(F.col("bandset").isin(bandset_priority)).withColumn(
+        "__prio", prio
+    )
+    w = Window.partitionBy("band", "tile_x", "tile_y").orderBy("__prio")
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+        .withColumnRenamed("bandset", "src_bandset")
+    )
+
+
+def band_stack(tiles: DataFrame, bandset: str, bands: list[str]) -> DataFrame:
+    """N single-band tile rows -> one multiband row per tile
+    (tools/band_stack.py): struct of arrays keyed by band name."""
+    t = tiles.filter((F.col("bandset") == bandset) & F.col("band").isin(bands))
+    return (
+        t.groupBy("tile_x", "tile_y", "cell_key", "cell_prefix")
+        .pivot("band", bands)
+        .agg(F.first("pixels"))
+    )
+
+
+def band_split(stacked: DataFrame, bands: list[str]) -> DataFrame:
+    """Inverse of band_stack (tools/raster_split.py)."""
+    parts = [
+        stacked.select(
+            "tile_x", "tile_y", "cell_key", "cell_prefix",
+            F.lit(b).alias("band"), F.col(b).alias("pixels"),
+        )
+        for b in bands
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,99 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Brute-force cosine top-k as the exactness baseline; LSH-bucketed
+(random-hyperplane signs) variant as the scale path — candidates only
+form within matching sign-buckets, then exact re-rank.
+
+All vector math is JVM higher-order functions (zip_with/aggregate);
+the hyperplanes are deterministic literals (splitmix-derived), so the
+bucketing reproduces run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark.synth.generate import splitmix64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query vec_ids.
+    Query side is tiny -> broadcast; one pass over the corpus."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    j = embeddings.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        j.select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from splitmix64 -> N(0,1)-ish
+    via sum of uniforms (CLT); pure function of (dim, n_planes)."""
+    idx = np.arange(dim * n_planes * 4, dtype=np.uint64)
+    u = (splitmix64(idx + np.uint64(0xABCD)) % np.uint64(10**9)).astype(np.float64) / 1e9
+    g = u.reshape(n_planes, dim, 4).sum(axis=2) - 2.0
+    return [[float(x) for x in row] for row in g]
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
+    planes = _hyperplanes(dim, n_planes)
+    sig = None
+    for i, p in enumerate(planes):
+        d = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in p]))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return embeddings.withColumn("bucket", sig)
+
+
+def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                    n_planes: int = 12) -> DataFrame:
+    """ANN: candidates share the sign-bucket (or differ in <=1 probe bit
+    via multi-probe), exact cosine re-rank inside buckets."""
+    b = lsh_sign_buckets(embeddings, n_planes)
+    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("bucket")),
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ]),
+            )
+        ).alias("bucket"),
+    )
+    j = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        j.select("query_id", "vec_id", cos.alias("cos_sim"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,384 @@
+"""Spatial join family — the engine's flagship (north_rule).
+
+geometry -> cell cover -> equi-join on cell keys -> point-in-polygon
+refinement; kNN via cell-ring expansion; explicit hot-key salting.
+
+Re-expresses the reference's vector<->raster machinery
+(util/raster_vector.py:1937-2312 rasterize/extract,
+tools/raster_zonal_stats.py:226-278, core/processor_functions.py:1651-1731)
+as DataFrame joins. Rasterization-by-pixel-center becomes a PIP predicate
+on pixel centers; the per-feature fan-out becomes a cover-cell equi-join.
+
+Scale design:
+  * cell cover is computed with JVM ``sequence``/``explode`` — no Python
+  * the cover join is broadcast when the geometry side is small, else a
+    salted hash join on cell keys (adaptive hot-cell salting below)
+  * PIP refinement runs only on cover-matched tiles, vectorized in one
+    Arrow-batched pandas UDF (the only Python in the pipeline)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.functions.cols import (
+    morton_col,
+    pixel_cx,
+    pixel_cy,
+    pos_px,
+    pos_py,
+)
+from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, TILE_SIZE_M
+
+# ---------------------------------------------------------------------------
+# WKT parsing + vectorized ray casting (pure numpy, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def parse_wkt(wkt: str) -> list[np.ndarray]:
+    """POLYGON/MULTIPOLYGON (outer rings, no holes) -> list of (N,2) arrays."""
+    s = wkt.strip()
+    if s.startswith("MULTIPOLYGON"):
+        body = s[s.find("(") + 1:s.rfind(")")]
+        rings = []
+        depth, start = 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rings.append(body[start + 1:i].strip("() "))
+        out = []
+        for r in rings:
+            pts = [p.strip() for p in r.split(",")]
+            out.append(np.array([[float(a) for a in p.split()] for p in pts]))
+        return out
+    if s.startswith("POLYGON"):
+        body = s[s.find("((") + 2:s.rfind("))")]
+        pts = [p.strip() for p in body.split(",")]
+        return [np.array([[float(a) for a in p.split()] for p in pts])]
+    raise ValueError(f"unsupported WKT: {s[:40]}")
+
+
+def _pip_ring(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized ray casting; inputs never on edges (grid construction)."""
+    xi, yi = ring[:-1, 0], ring[:-1, 1]
+    xj, yj = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(len(x), dtype=bool)
+    for k in range(len(xi)):
+        cond = (yi[k] > y) != (yj[k] > y)
+        if not cond.any():
+            continue
+        xint = (xj[k] - xi[k]) * (y - yi[k]) / (yj[k] - yi[k]) + xi[k]
+        inside ^= cond & (x < xint)
+    return inside
+
+
+def point_in_wkt(wkt: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    xs, ys = x.to_numpy(np.float64), y.to_numpy(np.float64)
+    out = np.zeros(len(xs), dtype=bool)
+    for w in wkt.unique():
+        sel = (wkt == w).to_numpy()
+        rings = parse_wkt(w)
+        ins = np.zeros(sel.sum(), dtype=bool)
+        for ring in rings:  # disjoint polygons -> OR
+            ins |= _pip_ring(ring, xs[sel], ys[sel])
+        out[sel] = ins
+    return pd.Series(out)
+
+
+pip_udf = F.pandas_udf(point_in_wkt, T.BooleanType())
+
+
+# ---------------------------------------------------------------------------
+# cell cover
+# ---------------------------------------------------------------------------
+
+
+def _t0(col, origin, size):
+    return F.greatest(F.floor((col - F.lit(origin)) / F.lit(size)), F.lit(0)).cast("int")
+
+
+def geometry_cell_cover(rects: DataFrame, extra_cols: tuple[str, ...] = ("class",)) -> DataFrame:
+    """Rectangle-decomposed geometries -> covering tile cells.
+
+    (roi_id, <extra>, tile_x, tile_y, cell_key) — distinct per roi/tile.
+    JVM-only: floor math + sequence + explode.
+    """
+    eps = 1e-9
+    tx0 = _t0(F.col("xmin"), ORIGIN_X, TILE_SIZE_M)
+    tx1 = F.floor((F.col("xmax") - F.lit(ORIGIN_X + eps)) / F.lit(TILE_SIZE_M)).cast("int")
+    ty0 = F.greatest(
+        F.floor((F.lit(ORIGIN_Y) - F.col("ymax")) / F.lit(TILE_SIZE_M)), F.lit(0)
+    ).cast("int")
+    ty1 = F.floor((F.lit(ORIGIN_Y - eps) - F.col("ymin")) / F.lit(TILE_SIZE_M)).cast("int")
+    cov = (
+        rects.select(
+            "roi_id", *extra_cols,
+            F.explode(F.sequence(tx0, F.greatest(tx1, tx0))).alias("tile_x"),
+            ty0.alias("__ty0"), F.greatest(ty1, ty0).alias("__ty1"),
+        )
+        .select(
+            "roi_id", *extra_cols, "tile_x",
+            F.explode(F.sequence(F.col("__ty0"), F.col("__ty1"))).alias("tile_y"),
+        )
+        .distinct()
+    )
+    return cov.withColumn("cell_key", morton_col(F.col("tile_x"), F.col("tile_y")))
+
+
+# ---------------------------------------------------------------------------
+# salting (explicit, north_rule) — adaptive on a hot-key histogram
+# ---------------------------------------------------------------------------
+
+
+def salted_equi_join(
+    big: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    *,
+    salt_factor: int = 8,
+    hot_threshold: int = 100_000,
+    big_uid: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `big` may be skewed on `keys`.
+
+    Pre-pass histogram on the big side finds hot keys (a cheap partial
+    agg); only those are salted: the big side gets a deterministic salt
+    from its uid, the dim side fans out x salt_factor for hot keys and
+    x1 otherwise (reference analogue: cluster-by-proximity pre-join,
+    multiprocess_manager.py:2941; AQE skew join stays on as backstop).
+    """
+    hist = big.groupBy(*keys).count().filter(F.col("count") > hot_threshold)
+    hot = hist.select(*keys, F.lit(True).alias("__hot"))
+
+    uid = F.col(big_uid) if big_uid else F.monotonically_increasing_id()
+    big_s = (
+        big.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64(uid), F.lit(salt_factor)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("__hot")
+    )
+    dim_s = (
+        dim.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "__n", F.when(F.col("__hot").isNotNull(), F.lit(salt_factor - 1)).otherwise(F.lit(0))
+        )
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.col("__n"))))
+        .drop("__hot", "__n")
+    )
+    return big_s.join(dim_s, keys + ["__salt"], how).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# interleaved-document span joins (input_hint root table)
+# ---------------------------------------------------------------------------
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def media_span_tiles(docs: DataFrame, tiles: DataFrame, *, salt_factor: int = 8,
+                     hot_threshold: int = 50_000) -> DataFrame:
+    """media spans -> tile assignments. media_ref format
+    'tile/{bandset}/{band}/{tx}/{ty}' (FIXTURES.md §1)."""
+    spans = explode_spans(docs).filter(F.col("kind") == "media")
+    parts = F.split(F.col("media_ref"), "/")
+    spans = spans.select(
+        "doc_id", "span_idx", "offset",
+        parts.getItem(1).alias("bandset"),
+        parts.getItem(2).alias("band"),
+        parts.getItem(3).cast("int").alias("tile_x"),
+        parts.getItem(4).cast("int").alias("tile_y"),
+    )
+    tile_side = tiles.select(
+        "bandset", "band", "tile_x", "tile_y", "cell_key", "cell_prefix", "pixels"
+    )
+    joined = salted_equi_join(
+        spans,
+        tile_side,
+        ["bandset", "band", "tile_x", "tile_y"],
+        salt_factor=salt_factor,
+        hot_threshold=hot_threshold,
+        big_uid="doc_id",
+    )
+    return joined
+
+
+def geom_span_rois(docs: DataFrame, geoms: DataFrame) -> DataFrame:
+    """geom spans -> ROI rows (media_ref = 'roi/{roi_id}')."""
+    spans = explode_spans(docs).filter(F.col("kind") == "geom")
+    spans = spans.withColumn("roi_id", F.substring_index("media_ref", "/", -1))
+    return spans.join(F.broadcast(geoms), "roi_id")
+
+
+def span_seq_hash(docs: DataFrame) -> DataFrame:
+    """Per-document span-sequence fingerprint (the input_hint invariant):
+    md5 of '|'-joined 'kind§text§media_ref§offset' ordered by offset."""
+    ordered = F.array_sort(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s.getField("offset").alias("offset"),
+                s.getField("kind").alias("kind"),
+                s.getField("text").alias("text"),
+                s.getField("media_ref").alias("media_ref"),
+            ),
+        )
+    )
+    parts = F.transform(
+        ordered,
+        lambda s: F.concat_ws(
+            "§",
+            s.getField("kind"),
+            s.getField("text"),
+            s.getField("media_ref"),
+            s.getField("offset").cast("string"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(F.concat_ws("|", parts)).alias("span_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pixel-level PIP refinement + clip
+# ---------------------------------------------------------------------------
+
+
+def cover_pixels(tiles: DataFrame, geoms: DataFrame, rects: DataFrame,
+                 *, bandset: str = "S2_2020-01-01", band: str = "B04") -> DataFrame:
+    """geometries -> cover join on cell key -> posexplode matched tiles ->
+    PIP refine pixel centers. Output: one row per (roi, pixel-inside).
+    """
+    cov = geometry_cell_cover(rects, extra_cols=())
+    t = tiles.filter((F.col("bandset") == bandset) & (F.col("band") == band))
+    cand = t.join(F.broadcast(cov), ["tile_x", "tile_y"]).select(
+        "roi_id", "tile_x", "tile_y", t["cell_key"].alias("cell_key"), "pixels"
+    )
+    px = cand.select(
+        "roi_id", "tile_x", "tile_y", "cell_key",
+        F.posexplode("pixels").alias("pos", "value"),
+    )
+    px = px.withColumn("cx", pixel_cx(F.col("tile_x"), pos_px(F.col("pos")))) \
+           .withColumn("cy", pixel_cy(F.col("tile_y"), pos_py(F.col("pos"))))
+    geo_sel = geoms.select("roi_id", "class", "macroclass", "wkt")
+    px = px.join(F.broadcast(geo_sel), "roi_id")
+    return px.filter(pip_udf(F.col("wkt"), F.col("cx"), F.col("cy")))
+
+
+def clip_extent(tiles: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float) -> DataFrame:
+    """Extent clip at tile granularity — a pure key-range filter, prunable
+    by partition/file stats (tools/band_clip.py:45-173 extent path)."""
+    tx0 = int(np.floor((xmin - ORIGIN_X) / TILE_SIZE_M))
+    tx1 = int(np.floor((xmax - ORIGIN_X - 1e-9) / TILE_SIZE_M))
+    ty0 = int(np.floor((ORIGIN_Y - ymax) / TILE_SIZE_M))
+    ty1 = int(np.floor((ORIGIN_Y - ymin - 1e-9) / TILE_SIZE_M))
+    return tiles.filter(
+        (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+        & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+    )
+
+
+def clip_vector(tiles: DataFrame, geoms: DataFrame, rects: DataFrame,
+                klass: int | None = None, **kw) -> DataFrame:
+    """Vector clip: pixels under the (optionally class-filtered) geometry,
+    nodata outside (band_clip vector path). Returns pixel rows."""
+    g = geoms if klass is None else geoms.filter(F.col("class") == klass)
+    r = rects if klass is None else rects.filter(F.col("class") == klass)
+    return cover_pixels(tiles, g, r, **kw)
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion (new surface per north_rule; no reference op)
+# ---------------------------------------------------------------------------
+
+
+def knn_tiles(geoms: DataFrame, tiles: DataFrame, k: int,
+              *, bandset: str = "S2_2020-01-01", band: str = "B04") -> DataFrame:
+    """k nearest tiles (center-to-centroid Euclidean) per geometry.
+
+    Two-phase ring expansion: (1) candidates within Chebyshev radius
+    r0 = ceil(sqrt(k))+1 tiles; (2) re-expand to ceil(d_k) to guarantee no
+    closer tile outside the first ring was missed; final top-k by
+    (dist_sq, tile_x, tile_y) — integer dist_sq, fully deterministic.
+    """
+    t = tiles.filter((F.col("bandset") == bandset) & (F.col("band") == band)) \
+             .select("tile_x", "tile_y", "cell_key")
+    # bbox centroid in 5 m units relative to the grid origin — all
+    # geometry coords are multiples of 10 m, so centroids are multiples
+    # of 5 m and distances below are EXACT integers (no float ties).
+    g = geoms.select(
+        "roi_id",
+        F.round((F.col("xmin") + F.col("xmax")) / 2 / 5 - F.lit(ORIGIN_X / 5))
+        .cast("long").alias("gx5"),
+        F.round(F.lit(ORIGIN_Y / 5) - (F.col("ymin") + F.col("ymax")) / 2 / 5)
+        .cast("long").alias("gy5"),
+    )
+    upt = int(TILE_SIZE_M / 5)  # 5m units per tile = 32
+
+    def candidates(gdf: DataFrame, radius_col) -> DataFrame:
+        tx_c = F.floor(F.col("gx5") / upt).cast("int")
+        ty_c = F.floor(F.col("gy5") / upt).cast("int")
+        c = gdf.select(
+            "roi_id", "gx5", "gy5",
+            F.explode(
+                F.sequence((tx_c - radius_col).cast("int"), (tx_c + radius_col).cast("int"))
+            ).alias("tile_x"),
+            radius_col.cast("int").alias("__r"),
+            ty_c.alias("__tyc"),
+        ).select(
+            "roi_id", "gx5", "gy5", "tile_x",
+            F.explode(
+                F.sequence(F.col("__tyc") - F.col("__r"), F.col("__tyc") + F.col("__r"))
+            ).alias("tile_y"),
+        )
+        cand = c.join(t, ["tile_x", "tile_y"])
+        dx = F.col("tile_x").cast("long") * upt + upt // 2 - F.col("gx5")
+        dy = F.col("tile_y").cast("long") * upt + upt // 2 - F.col("gy5")
+        return cand.withColumn("dist_sq", dx * dx + dy * dy)
+
+    from pyspark.sql import Window
+
+    r0 = F.lit(int(np.ceil(np.sqrt(k))) + 1)
+    w = Window.partitionBy("roi_id").orderBy("dist_sq", "tile_x", "tile_y")
+    first = candidates(g, r0).withColumn("rn", F.row_number().over(w))
+    dk = first.filter(F.col("rn") == k).select(
+        "roi_id",
+        (F.ceil(F.sqrt(F.col("dist_sq").cast("double")) / upt) + 1).alias("__r2"),
+    )
+    g2 = g.join(dk, "roi_id", "left").withColumn(
+        "__r2", F.coalesce(F.col("__r2"), r0.cast("long")).cast("int")
+    )
+    second = candidates(g2.select("roi_id", "gx5", "gy5", "__r2"), F.col("__r2"))
+    return (
+        second.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("roi_id", "tile_x", "tile_y", "dist_sq", F.col("rn").alias("rank"))
+    )

@@ -1,0 +1,251 @@
+"""Training-data-pipeline text operators over the ``documents`` table.
+
+Beyond the reference's surface (per the build brief): deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Scale design notes (100 TB):
+  * exact dedup: hash-groupBy — one shuffle on a 16-byte digest
+  * MinHash: one pass computing signatures JVM-side (xxhash64 over
+    shingles via transform/aggregate — no Python), LSH banding =
+    explode(bands) + groupBy(band_hash) so candidate pairs only form
+    within buckets (never the O(n^2) cross join)
+  * SimHash: 64-bit fingerprint from token hashes, bucket by prefix
+  * all token/shingle machinery is built-ins: split/transform/filter
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def tokens_col(text="text"):
+    return F.filter(F.split(F.trim(F.col(text)), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features (heuristic
+    quality classifier inputs a la C4/Gopher rules)."""
+    toks = tokens_col()
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.length("text").cast("double") / n_tok).alias("mean_token_len"),
+        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
+            .cast("double") / F.length("text")
+        ).alias("punct_ratio"),
+    )
+
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic; deterministic argmax with
+    alphabetical tie-break (greatest over (score, lang) structs)."""
+    toks = tokens_col()
+    structs = []
+    for lang, markers in sorted(LANG_MARKERS.items(), reverse=True):
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        structs.append(F.struct(score.alias("s"),
+                                F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*structs))
+    return docs.select(
+        "doc_id",
+        F.when(best.getField("s") > 0, best.getField("lang"))
+        .otherwise(F.lit("unknown")).alias("pred_lang"),
+        best.getField("s").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 + xxhash64 of normalized text
+    (whitespace-collapsed, lowercased)."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.xxhash64(norm).alias("fingerprint64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized content hash: keep min doc_id per group."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    h = docs.select("doc_id", F.md5(norm).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("content_hash"), "group_size")
+    )
+
+
+def shingles_col(n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokens_col()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers + offsets for the universal-hash
+    family h_i(x) = a_i*x + b_i (64-bit wraparound)."""
+    from remotior_sensus_spark.synth.generate import splitmix64
+    import numpy as np
+
+    a = splitmix64(np.arange(num_hashes, dtype=np.uint64) + np.uint64(101))
+    b = splitmix64(np.arange(num_hashes, dtype=np.uint64) + np.uint64(907))
+    # 31-bit coefficients: a*h'+b stays < 2^62 (ANSI mode errors on
+    # long overflow, so the hash family must be overflow-free)
+    return [
+        (int((int(x) | 1) & 0x7FFFFFFF), int(int(y) & 0x7FFFFFFF))
+        for x, y in zip(a, b)
+    ]
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures at scale: shingles explode to flat rows (one
+    xxhash64 per shingle — whole-stage codegen), then num_hashes min
+    aggregates over the universal-hash family in ONE hash aggregation.
+    No interpreted higher-order functions in the hot path."""
+    sh = shingles_col(shingle_n)
+    flat = docs.select("doc_id", F.explode(sh).alias("shingle")).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(2_147_483_647)).alias("h")
+    )
+    aggs = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    wide = flat.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via LSH banding + exact signature-Jaccard filter.
+    Pairs only form inside band buckets (self-join on band hash)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, shingle_n).cache()
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[
+                    F.element_at("signature", b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # dedupe candidate ids FIRST (cheap 2-long rows through the shuffle);
+    # signatures join back once per unique pair
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = (
+        pairs.join(sig.select(F.col("doc_id").alias("doc_a"),
+                              F.col("signature").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("signature").alias("sig_b")), "doc_b")
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double") / F.lit(float(num_hashes))
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.3, prefix_tokens: int = 2) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing a cheap blocking key (first
+    tokens) — the exact-verify companion to the LSH path."""
+    sh = shingles_col(shingle_n)
+    toks = tokens_col()
+    d = docs.select(
+        "doc_id", sh.alias("sh"),
+        F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
+    ).filter(F.size("sh") > 0)
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter / uni).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: token hashes computed JVM-side (xxhash64), per-bit
+    majority vote folded in one Arrow-batched pandas UDF (vectorized
+    numpy unpackbits — no per-row Python)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = tokens_col()
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _fold(hashes):
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            a = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = bits.sum(axis=0) * 2 > len(a)
+            out[i] = np.packbits(votes.astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        return pd.Series(out.view(np.int64))
+
+    fold = F.pandas_udf(_fold, T.LongType())
+    return docs.select("doc_id", fold(th).alias("simhash"))

@@ -1,0 +1,1119 @@
+"""Query registry: every implemented operator exposed as
+(spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+
+The oracle SQL runs in DuckDB over the SAME deterministic parquet
+(driver tables by registered view name; geo tables by absolute path —
+DuckDB reads parquet paths directly). Column names and value
+representations are aligned on both sides; float outputs are either
+(a) single final double divisions over exact BIGINT sums, or (b)
+fixed-point ``floor(x*1e6+0.5)`` BIGINT sums — both bit-deterministic
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.functions.cols import fixed1e6
+from remotior_sensus_spark.operators import aggregates as agg
+from remotior_sensus_spark.operators import classification as cls_ops
+from remotior_sensus_spark.operators import combination as comb
+from remotior_sensus_spark.operators import reclass as rc
+from remotior_sensus_spark.operators import similarity as sim
+from remotior_sensus_spark.operators import spatial_join as sj
+from remotior_sensus_spark.operators import textops as tx
+from remotior_sensus_spark.operators.band_calc import band_calc, tile_checksum
+from remotior_sensus_spark.sources import catalog as cat
+
+GEO01 = "/root/repo/data/geo/sf0.01"  # oracle runs at sf=0.01 (driver contract)
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _tiles(spark, sf_dir):
+    return cat.load_geo(spark, sf_dir, "tiles")
+
+
+def _b01(spark, sf_dir, band):
+    t = _tiles(spark, sf_dir)
+    return t.filter((F.col("bandset") == "S2_2020-01-01") & (F.col("band") == band))
+
+
+# ---------------------------------------------------------------------------
+# band_calc family (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@q("ndvi", f"""
+with px as (
+  select tile_x, tile_y,
+    max(case when band='B08' then value end) as nir,
+    max(case when band='B04' then value end) as red
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B08','B04')
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when nir=-32768 or red=-32768 then null else (nir-red)/(nir+red) end as ndvi
+  from px)
+select tile_x, tile_y,
+  coalesce(sum(cast(floor(ndvi*1000000.0+0.5) as bigint)),0) as checksum,
+  count(ndvi) as valid_count,
+  256-count(ndvi) as nodata_count
+from v group by tile_x, tile_y
+""")
+def ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_checksum(band_calc(_tiles(spark, sf_dir), "#NDVI#"))
+
+
+@q("band_calc_clip", f"""
+with v as (
+  select tile_x, tile_y,
+    case when value=-32768 then null
+         else least(greatest((value-100.0)/4900.0, 0.0), 1.0) end as x
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B02')
+select tile_x, tile_y,
+  coalesce(sum(cast(floor(x*1000000.0+0.5) as bigint)),0) as checksum,
+  count(x) as valid_count, 256-count(x) as nodata_count
+from v group by tile_x, tile_y
+""")
+def band_calc_clip(spark, sf_dir):
+    return tile_checksum(
+        band_calc(_tiles(spark, sf_dir), 'clip(("B02" - 100) / 4900, 0, 1)')
+    )
+
+
+@q("band_where", f"""
+select case when value=-32768 then -32768.0
+            when value > 2500 then 1.0 else 0.0 end as value,
+       count(*) as pixel_count
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and band='B04'
+group by 1
+""")
+def band_where(spark, sf_dir):
+    c = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 1, 0)')
+    return (
+        c.select(F.explode("pixels").alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").alias("pixel_count"))
+    )
+
+
+@q("band_percentile", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when b02=-32768 or b03=-32768 or b04=-32768 or b08=-32768 then null
+    -- closest-observation percentile(80) of 4 values: idx=round(3*0.8)=2
+    else (list_sort([b02,b03,b04,b08]))[3] end as p
+  from px)
+select tile_x, tile_y,
+  coalesce(sum(cast(floor(p*1000000.0+0.5) as bigint)),0) as checksum,
+  count(p) as valid_count, 256-count(p) as nodata_count
+from v group by tile_x, tile_y
+""")
+def band_percentile(spark, sf_dir):
+    return tile_checksum(
+        band_calc(_tiles(spark, sf_dir),
+                  'percentile([ "B02", "B03", "B04", "B08" ], 80)')
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation family (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@q("raster_report", f"""
+with v as (
+  select cast(floor(value/1000) as int) as value
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768)
+select value, count(*) as pixel_count,
+  count(*) * 100.0 / (select count(*) from v) as percentage,
+  count(*) * 100.0 as area_m2
+from v group by value
+""")
+def raster_report(spark, sf_dir):
+    px = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
+    px = px.filter(F.col("value") != NODATA).withColumn(
+        "value", agg.quantize(F.col("value"))
+    )
+    return agg.raster_report(px)
+
+
+@q("unique_combinations", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B03' then value end) as v3,
+    max(case when band='B04' then value end) as v4
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B03','B04')
+  group by tile_x, tile_y, px, py)
+select cast(floor(v3/1000) as int) as b03_q, cast(floor(v4/1000) as int) as b04_q,
+       count(*) as pixel_count
+from px where v3 <> -32768 and v4 <> -32768
+group by 1, 2
+""")
+def unique_combinations(spark, sf_dir):
+    w = _quantized_pair(spark, sf_dir)
+    return agg.unique_combinations(w, ["b03_q", "b04_q"])
+
+
+def _quantized_pair(spark, sf_dir):
+    from remotior_sensus_spark.operators.band_calc import pivot_bands
+    wide = pivot_bands(
+        _tiles(spark, sf_dir),
+        {"b03": ("S2_2020-01-01", "B03"), "b04": ("S2_2020-01-01", "B04")},
+    )
+    px = wide.select(
+        "tile_x", "tile_y",
+        F.posexplode(F.arrays_zip("b03", "b04")).alias("pos", "z"),
+    ).select(
+        "tile_x", "tile_y", "pos",
+        F.col("z.b03").alias("v3"), F.col("z.b04").alias("v4"),
+    )
+    px = px.filter((F.col("v3") != NODATA) & (F.col("v4") != NODATA))
+    return px.select(
+        "tile_x", "tile_y", "pos",
+        agg.quantize(F.col("v3")).alias("b03_q"),
+        agg.quantize(F.col("v4")).alias("b04_q"),
+    )
+
+
+@q("band_min_max", f"""
+select band, min(value) as min_value, max(value) as max_value
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and value <> -32768
+group by band
+""")
+def band_min_max(spark, sf_dir):
+    t = _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
+    return agg.band_min_max(agg.explode_pixels(t))
+
+
+@q("cumulative_dn", f"""
+with h as (
+  select band, value, count(*) as cnt
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and value <> -32768
+  group by band, value),
+c as (
+  select band, value,
+    sum(cnt) over (partition by band order by value) as cum,
+    sum(cnt) over (partition by band) as total
+  from h)
+select band, min(value) as min_dn from c
+where cum >= total * 0.0001 group by band
+""")
+def cumulative_dn(spark, sf_dir):
+    t = _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
+    return agg.cumulative_min_dn(agg.explode_pixels(t))
+
+
+@q("histogram_2d", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B04' then value end) as vx,
+    max(case when band='B08' then value end) as vy
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B04','B08')
+  group by tile_x, tile_y, px, py)
+select cast(floor(vx/500) as int) as bin_x, cast(floor(vy/500) as int) as bin_y,
+       count(*) as cnt
+from px where vx <> -32768 and vy <> -32768
+group by 1, 2
+""")
+def histogram_2d(spark, sf_dir):
+    a = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
+    b = agg.explode_pixels(_b01(spark, sf_dir, "B08"))
+    return agg.histogram_2d(a, b)
+
+
+_PCT_IDX = """cast(floor(q) + case when q-floor(q) > 0.5 then 1
+  when q-floor(q) < 0.5 then 0 else cast(floor(q) as bigint)%2 end as bigint)"""
+
+@q("zonal_stats", f"""
+with m as (
+  select distinct r.class, p.gx, p.gy, p.value
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04'
+), v as (select * from m where value <> -32768),
+base as (
+  select class, count(*) as pixel_count,
+    cast(sum(cast(value as bigint)) as double) as sum_value,
+    cast(sum(cast(value as bigint)) as double)/count(*) as mean_value,
+    sqrt(cast(sum(cast(value as bigint)*cast(value as bigint)) as double)/count(*)
+       - (cast(sum(cast(value as bigint)) as double)/count(*))
+       * (cast(sum(cast(value as bigint)) as double)/count(*))) as std_value,
+    min(value) as min_value, max(value) as max_value
+  from v group by class),
+ranked as (
+  select class, value,
+    row_number() over (partition by class order by value) - 1 as rn,
+    count(*) over (partition by class) as cnt
+  from v),
+idx as (select class, value, rn, (cnt-1)*1.0/100 as q from ranked),
+idx99 as (select class, value, rn, (cnt-1)*99.0/100 as q from ranked)
+select b.*, p1.value as p1, p99.value as p99
+from base b
+left join (select class, value from idx where rn = {_PCT_IDX}) p1 using (class)
+left join (select class, value from idx99 where rn = {_PCT_IDX}) p99 using (class)
+""")
+def zonal_stats(spark, sf_dir):
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    px = sj.cover_pixels(tiles, geoms, rects)
+    zone_px = px.select("class", "tile_x", "tile_y", "pos", "value").distinct()
+    return agg.zonal_stats(zone_px, "class", "value", percentiles=(1, 99))
+
+
+# ---------------------------------------------------------------------------
+# spatial join family (SURVEY §2.3, north_rule flagship)
+# ---------------------------------------------------------------------------
+
+@q("spatial_doc_tiles", f"""
+with m as (
+  select doc_id,
+    string_split(media_ref, '/')[2] as bandset,
+    string_split(media_ref, '/')[3] as band,
+    cast(string_split(media_ref, '/')[4] as int) as tile_x,
+    cast(string_split(media_ref, '/')[5] as int) as tile_y
+  from '{GEO01}/doc_spans.parquet' where kind='media')
+select m.bandset, m.band, count(*) as n_spans, count(distinct m.doc_id) as n_docs
+from m join (select distinct bandset, band, tile_x, tile_y
+             from '{GEO01}/tiles.parquet') t
+  on m.bandset=t.bandset and m.band=t.band
+ and m.tile_x=t.tile_x and m.tile_y=t.tile_y
+group by m.bandset, m.band
+""")
+def spatial_doc_tiles(spark, sf_dir):
+    docs = cat.load_geo(spark, sf_dir, "documents")
+    tiles = _tiles(spark, sf_dir)
+    j = sj.media_span_tiles(docs, tiles, hot_threshold=1000)
+    return j.groupBy("bandset", "band").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@q("span_invariant", f"""
+select doc_id, count(*) as n_spans,
+  md5(string_agg(kind || '§' || text || '§' || media_ref || '§' || "offset",
+                 '|' order by "offset")) as span_hash
+from '{GEO01}/doc_spans.parquet'
+group by doc_id
+""")
+def span_invariant(spark, sf_dir):
+    docs = cat.load_geo(spark, sf_dir, "documents")
+    return sj.span_seq_hash(docs)
+
+
+@q("knn_tiles", f"""
+with g as (select roi_id,
+  cast(round((xmin+xmax)/2/5 - 230250.0/5) as bigint) gx5,
+  cast(round(4674550.0/5 - (ymin+ymax)/2/5) as bigint) gy5
+  from '{GEO01}/geometries.parquet'),
+t as (select distinct tile_x, tile_y from '{GEO01}/tiles.parquet'
+      where bandset='S2_2020-01-01' and band='B04'),
+d as (select roi_id, tile_x, tile_y,
+  (tile_x*32+16-gx5)*(tile_x*32+16-gx5) + (tile_y*32+16-gy5)*(tile_y*32+16-gy5) as dist_sq
+  from g cross join t)
+select roi_id, tile_x, tile_y, dist_sq,
+  row_number() over (partition by roi_id order by dist_sq, tile_x, tile_y) as rank
+from d qualify rank <= 5
+""")
+def knn_tiles_q(spark, sf_dir):
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    return sj.knn_tiles(geoms, _tiles(spark, sf_dir), 5)
+
+
+@q("clip_extent", f"""
+select band, tile_x, tile_y, cell_key
+from '{GEO01}/tiles.parquet'
+where bandset='S2_2020-01-01'
+  and tile_x >= 5 and tile_x <= 19 and tile_y >= 3 and tile_y <= 11
+""")
+def clip_extent(spark, sf_dir):
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, TILE_SIZE_M
+    t = _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
+    out = sj.clip_extent(
+        t,
+        ORIGIN_X + 5 * TILE_SIZE_M, ORIGIN_Y - 12 * TILE_SIZE_M,
+        ORIGIN_X + 20 * TILE_SIZE_M, ORIGIN_Y - 3 * TILE_SIZE_M,
+    )
+    return out.select("band", "tile_x", "tile_y", "cell_key")
+
+
+@q("clip_vector", f"""
+select p.tile_x, p.tile_y, count(*) as n_pixels,
+  sum(case when p.value <> -32768 then cast(p.value as bigint) else 0 end) as sum_value
+from (
+  select distinct p.tile_x, p.tile_y, p.gx, p.gy, p.value
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04' and r.class = 3
+) p group by p.tile_x, p.tile_y
+""")
+def clip_vector(spark, sf_dir):
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    px = sj.clip_vector(tiles, geoms, rects, klass=3)
+    ded = px.select("tile_x", "tile_y", "pos", "value").distinct()
+    return ded.groupBy("tile_x", "tile_y").agg(
+        F.count("*").alias("n_pixels"),
+        F.sum(
+            F.when(F.col("value") != NODATA, F.col("value").cast("long")).otherwise(0)
+        ).alias("sum_value"),
+    )
+
+
+@q("mosaic_first_wins", f"""
+select band, tile_x, tile_y, src_bandset from (
+  select band, tile_x, tile_y, bandset as src_bandset,
+    row_number() over (partition by band, tile_x, tile_y
+                       order by case bandset when 'S2_2020-01-01' then 0 else 1 end) as rn
+  from '{GEO01}/tiles.parquet'
+  where bandset in ('S2_2020-01-01','S2_2020-01-03')
+) where rn = 1
+""")
+def mosaic_first_wins(spark, sf_dir):
+    out = rc.mosaic_first_wins(
+        _tiles(spark, sf_dir), ["S2_2020-01-01", "S2_2020-01-03"]
+    )
+    return out.select("band", "tile_x", "tile_y", "src_bandset")
+
+
+# ---------------------------------------------------------------------------
+# reclass / combination / cross-classification (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@q("reclassify", f"""
+select case
+  when value = 1 then 10.0 when value = 2 then 20.0
+  when value = 3 then 30.0 when value = 4 then 40.0
+  when value = -32768 then 0.0
+  when value > 4000 then 9999.0
+  else value end as new_value,
+  count(*) as pixel_count
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and band='B04'
+group by 1
+""")
+def reclassify(spark, sf_dir):
+    rules_df = cat.load_geo(spark, sf_dir, "reclass_rules")
+    rules = [(r["old_value"], r["new_value"]) for r in rules_df.collect()]
+    px = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
+    out = rc.reclassify_pixels(px, rules)
+    return out.groupBy("new_value").agg(F.count("*").alias("pixel_count"))
+
+
+@q("band_combination", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    cast(floor(max(case when band='B03' then value end)/1000) as int) as b03_q,
+    cast(floor(max(case when band='B04' then value end)/1000) as int) as b04_q,
+    max(case when band='B03' then value end) as v3,
+    max(case when band='B04' then value end) as v4
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B03','B04')
+  group by tile_x, tile_y, px, py),
+c as (select b03_q, b04_q, count(*) as pixel_sum from px
+      where v3 <> -32768 and v4 <> -32768 group by 1, 2),
+m as (select max(b04_q) as mx from c)
+select row_number() over (order by b03_q + b04_q * (m.mx + 1)) as raster_value,
+  b03_q, b04_q, pixel_sum, pixel_sum * 100.0 as area_m2
+from c, m
+""")
+def band_combination(spark, sf_dir):
+    w = _quantized_pair(spark, sf_dir)
+    return comb.combination_table(w, ["b03_q", "b04_q"])
+
+
+@q("cross_class_counts", f"""
+with px as (
+  select
+    cast(floor(max(case when band='B08' then value end)/1000) as int) as ref,
+    cast(floor(max(case when band='B04' then value end)/1000) as int) as cls,
+    max(case when band='B08' then value end) as v8,
+    max(case when band='B04' then value end) as v4
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B08','B04')
+  group by tile_x, tile_y, px, py)
+select ref, cls, count(*) as cnt from px
+where v8 <> -32768 and v4 <> -32768 group by 1, 2
+""")
+def cross_class_counts(spark, sf_dir):
+    w = _ref_cls_pair(spark, sf_dir)
+    return w.groupBy("ref", "cls").agg(F.count("*").alias("cnt"))
+
+
+def _ref_cls_pair(spark, sf_dir):
+    from remotior_sensus_spark.operators.band_calc import pivot_bands
+    wide = pivot_bands(
+        _tiles(spark, sf_dir),
+        {"v8": ("S2_2020-01-01", "B08"), "v4": ("S2_2020-01-01", "B04")},
+    )
+    px = wide.select(
+        F.posexplode(F.arrays_zip("v8", "v4")).alias("pos", "z")
+    ).select(F.col("z.v8").alias("v8"), F.col("z.v4").alias("v4"))
+    px = px.filter((F.col("v8") != NODATA) & (F.col("v4") != NODATA))
+    return px.select(
+        agg.quantize(F.col("v8")).alias("ref"), agg.quantize(F.col("v4")).alias("cls")
+    )
+
+
+@q("error_matrix", f"""
+with px as (
+  select
+    cast(floor(max(case when band='B08' then value end)/1000) as int) as ref,
+    cast(floor(max(case when band='B04' then value end)/1000) as int) as cls,
+    max(case when band='B08' then value end) as v8,
+    max(case when band='B04' then value end) as v4
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B08','B04')
+  group by tile_x, tile_y, px, py),
+counts as (select ref, cls, count(*) as cnt from px
+           where v8 <> -32768 and v4 <> -32768 group by 1, 2),
+tot as (select sum(cnt) as n from counts),
+diag as (select sum(cnt) as diag from counts where ref = cls),
+row_tot as (select ref as klass, sum(cnt) as row_cnt from counts group by ref),
+col_tot as (select cls as klass, sum(cnt) as col_cnt from counts group by cls),
+chance as (select sum(r.row_cnt * c.col_cnt) as chance_sum
+           from row_tot r join col_tot c using (klass)),
+dg as (select ref as klass, cnt as diag_cnt from counts where ref = cls)
+select klass,
+  coalesce(dg.diag_cnt, 0) as diag_cnt,
+  coalesce(r.row_cnt, 0) as row_cnt,
+  coalesce(c.col_cnt, 0) as col_cnt,
+  coalesce(dg.diag_cnt, 0) / coalesce(r.row_cnt, 0) as producer_accuracy,
+  coalesce(dg.diag_cnt, 0) / coalesce(c.col_cnt, 0) as user_accuracy,
+  diag.diag / tot.n as overall_accuracy,
+  (tot.n * diag.diag - chance.chance_sum) / (tot.n * tot.n - chance.chance_sum) as kappa
+from row_tot r full join col_tot c using (klass) left join dg using (klass),
+     tot, diag, chance
+""")
+def error_matrix(spark, sf_dir):
+    w = _ref_cls_pair(spark, sf_dir)
+    out = comb.error_matrix_metrics(w, "ref", "cls")
+    return out.select(
+        "klass", "diag_cnt", "row_cnt", "col_cnt",
+        (F.col("diag_cnt").cast("double") / F.col("row_cnt")).alias("producer_accuracy"),
+        (F.col("diag_cnt").cast("double") / F.col("col_cnt")).alias("user_accuracy"),
+        "overall_accuracy", "kappa",
+    )
+
+
+@q("regression_bands", f"""
+with px as (
+  select
+    max(case when band='B04' then value end) as x,
+    max(case when band='B08' then value end) as y
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B04','B08')
+  group by tile_x, tile_y, px, py),
+v as (select cast(x as bigint) xi, cast(y as bigint) yi from px
+      where x <> -32768 and y <> -32768),
+s0 as (select count(*) n0, sum(xi) sx0, sum(yi) sy0, sum(xi*yi) sxy0,
+              sum(xi*xi) sxx0, sum(yi*yi) syy0 from v),
+-- cast the exact integer sums to double BEFORE arithmetic so the
+-- float ops mirror the Spark plan op-for-op
+s as (select n0 as ni, cast(n0 as double) n, cast(sx0 as double) sx,
+             cast(sy0 as double) sy, cast(sxy0 as double) sxy,
+             cast(sxx0 as double) sxx, cast(syy0 as double) syy from s0)
+select ni as n_pixels,
+  (n*sxy - sx*sy) / (n*sxx - sx*sx) as slope,
+  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n as intercept,
+  ((n*sxy - sx*sy)*(n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) as r_squared
+from s
+""")
+def regression_bands(spark, sf_dir):
+    from remotior_sensus_spark.operators.band_calc import pivot_bands
+    wide = pivot_bands(
+        _tiles(spark, sf_dir),
+        {"x": ("S2_2020-01-01", "B04"), "y": ("S2_2020-01-01", "B08")},
+    )
+    px = wide.select(
+        F.posexplode(F.arrays_zip("x", "y")).alias("pos", "z")
+    ).select(F.col("z.x").alias("x"), F.col("z.y").alias("y"))
+    px = px.filter((F.col("x") != NODATA) & (F.col("y") != NODATA))
+    return comb.regression_between(px, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# classification family (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def _signatures(spark, sf_dir):
+    rows = cat.load_geo(spark, sf_dir, "signatures").collect()
+    bands = ["B02", "B03", "B04", "B08"]
+    sigs = []
+    for r in sorted(rows, key=lambda x: x["class_id"]):
+        sigs.append({
+            "class_id": r["class_id"],
+            "values": dict(zip(bands, r["values"])),
+            "threshold": r["min_dist_thr"],
+        })
+    return sigs
+
+
+_SIG_SQL = """
+sigs as (
+  select class_id,
+    max(case when band='B02' then value end) as s02,
+    max(case when band='B03' then value end) as s03,
+    max(case when band='B04' then value end) as s04,
+    max(case when band='B08' then value end) as s08
+  from '{geo}/signatures_long.parquet' group by class_id),
+px as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{geo}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+valid as (select * from px
+  where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768)
+"""
+
+
+@q("min_distance", f"""
+with {_SIG_SQL.format(geo=GEO01)},
+scored as (
+  select
+    (select s.class_id from sigs s
+     order by cast(b02-s.s02 as bigint)*cast(b02-s.s02 as bigint)
+            + cast(b03-s.s03 as bigint)*cast(b03-s.s03 as bigint)
+            + cast(b04-s.s04 as bigint)*cast(b04-s.s04 as bigint)
+            + cast(b08-s.s08 as bigint)*cast(b08-s.s08 as bigint), s.class_id
+     limit 1) as class
+  from valid)
+select class, count(*) as pixel_count from scored group by class
+""")
+def min_distance(spark, sf_dir):
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    sigs = _signatures(spark, sf_dir)
+    px = cls_ops.classify_pixels_flat(
+        stacked, bands, lambda env: cls_ops.min_distance_class(env, sigs)
+    )
+    return px.groupBy("class").agg(F.count("*").alias("pixel_count"))
+
+
+@q("spectral_angle", f"""
+with {_SIG_SQL.format(geo=GEO01)},
+scored as (
+  select
+    (select s.class_id from sigs s
+     order by acos((b02*s.s02 + b03*s.s03 + b04*s.s04 + b08*s.s08)
+       / sqrt((b02*b02 + b03*b03 + b04*b04 + b08*b08)
+            * (s.s02*s.s02 + s.s03*s.s03 + s.s04*s.s04 + s.s08*s.s08))) * 180 / pi(),
+       s.class_id
+     limit 1) as class
+  from valid)
+select class, count(*) as pixel_count from scored group by class
+""")
+def spectral_angle(spark, sf_dir):
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    sigs = _signatures(spark, sf_dir)
+    px = cls_ops.classify_pixels_flat(
+        stacked, bands, lambda env: cls_ops.spectral_angle_class(env, sigs)
+    )
+    return px.groupBy("class").agg(F.count("*").alias("pixel_count"))
+
+
+@q("spectral_distance", f"""
+with a as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as a02,
+    max(case when band='B03' then value end) as a03,
+    max(case when band='B04' then value end) as a04,
+    max(case when band='B08' then value end) as a08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+b as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-02'
+  group by tile_x, tile_y, px, py),
+j as (select a.*, b02, b03, b04, b08 from a join b using (tile_x, tile_y, px, py)),
+v as (
+  select tile_x, tile_y,
+    case when a02=-32768 or a03=-32768 or a04=-32768 or a08=-32768
+           or b02=-32768 or b03=-32768 or b04=-32768 or b08=-32768 then null
+    else sqrt(cast(
+      cast(a02-b02 as bigint)*cast(a02-b02 as bigint)
+      + cast(a03-b03 as bigint)*cast(a03-b03 as bigint)
+      + cast(a04-b04 as bigint)*cast(a04-b04 as bigint)
+      + cast(a08-b08 as bigint)*cast(a08-b08 as bigint) as double)) end as dist
+  from j)
+select tile_x, tile_y,
+  coalesce(sum(cast(floor(dist*1000000.0+0.5) as bigint)),0) as checksum,
+  count(dist) as valid_count, 256-count(dist) as nodata_count
+from v group by tile_x, tile_y
+""")
+def spectral_distance(spark, sf_dir):
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    t = _tiles(spark, sf_dir)
+    a = band_stack(t, "S2_2020-01-01", bands)
+    b = band_stack(t, "S2_2020-01-02", bands)
+    out = cls_ops.spectral_distance_tiles(a, b, bands)
+    return tile_checksum(out)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (driver tables)
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+with h as (
+  select doc_id,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as content_hash
+  from documents),
+g as (select doc_id, content_hash,
+        row_number() over (partition by content_hash order by doc_id) as rn,
+        count(*) over (partition by content_hash) as group_size
+      from h)
+select doc_id, content_hash, group_size from g where rn = 1
+""")
+def dedup_exact(spark, sf_dir):
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return tx.dedup_exact(docs)
+
+
+@q("token_count", """
+select doc_id,
+  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) as n_tokens,
+  length(text) as n_chars_actual
+from documents
+""")
+def token_count(spark, sf_dir):
+    return tx.token_count(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("quality_score", """
+with t as (
+  select doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as toks
+  from documents)
+select doc_id,
+  len(toks) as n_tokens,
+  length(text) as n_chars_actual,
+  cast(length(text) as double) / len(toks) as mean_token_len,
+  cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','it','on','for'))) as double) / len(toks) as stopword_ratio,
+  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double) / length(text) as punct_ratio
+from t
+""")
+def quality_score(spark, sf_dir):
+    return tx.quality_score(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("sessionize_events", """
+with e as (
+  select user_id, ts,
+    case when lag(ts) over (partition by user_id order by ts, event_id) is null
+           or date_diff('second', lag(ts) over (partition by user_id order by ts, event_id), ts) > 1800
+         then 1 else 0 end as new_session
+  from events)
+select user_id, sum(new_session) as n_sessions, count(*) as n_events
+from e group by user_id
+""")
+def sessionize_events(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = cat.load_driver(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@q("tpch_q1", """
+select l_returnflag, l_linestatus,
+  sum(cast(l_quantity as bigint)) as sum_qty,
+  sum(cast(floor(l_extendedprice*100.0+0.5) as bigint)) as sum_price_cents,
+  sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5) as bigint)) as revenue_fp,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            ).alias("sum_price_cents"),
+            F.sum(
+                fixed1e6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_fp"),
+            F.count("*").alias("count_order"),
+        )
+        .drop("__tmp")
+    )
+
+
+@q("top_customers", """
+select c.c_custkey, c.c_name, count(*) as n_orders,
+  sum(cast(floor(o.o_totalprice*100.0+0.5) as bigint)) as total_cents
+from customer c join orders o on c.c_custkey = o.o_custkey
+group by c.c_custkey, c.c_name
+""")
+def top_customers(spark, sf_dir):
+    c = cat.load_driver(spark, sf_dir, "customer")
+    o = cat.load_driver(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# focal / neighborhood family (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@q("focal_mean", f"""
+with p as (
+  select gx, gy, value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o as (select a.dx, b.dy from (select unnest([-1,0,1]) as dx) a,
+                             (select unnest([-1,0,1]) as dy) b),
+-- shifted-copy group-by instead of a range self-join (hash-friendly)
+s as (select gx + dx as gx, gy + dy as gy, cast(value as bigint) as v
+      from p, o where value <> -32768),
+stat as (select gx, gy, cast(sum(v) as double) / count(*) as m
+         from s group by 1, 2),
+allpx as (
+  select p.gx, p.gy,
+    case when p.value = -32768 then -32768.0 else coalesce(s.m, -32768.0) end as v
+  from p left join stat s using (gx, gy))
+select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
+  sum(case when v <> -32768 then cast(floor(v*1000000.0+0.5) as bigint) else 0 end) as checksum,
+  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+from allpx group by 1, 2
+""")
+def focal_mean(spark, sf_dir):
+    from remotior_sensus_spark.operators.focal import neighbor_stats
+    out = neighbor_stats(_b01(spark, sf_dir, "B04"), stat="mean", size=1)
+    nd = F.lit(float(NODATA))
+    valid = F.filter(F.col("pixels"), lambda x: x != nd)
+    return out.select(
+        "tile_x", "tile_y",
+        F.aggregate(
+            F.transform(valid, lambda x: fixed1e6(x)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("checksum"),
+        F.size(valid).alias("valid_count"),
+    )
+
+
+@q("focal_sum", f"""
+with p as (
+  select gx, gy, value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o as (select a.dx, b.dy from (select unnest([-1,0,1]) as dx) a,
+                             (select unnest([-1,0,1]) as dy) b),
+s as (select gx + dx as gx, gy + dy as gy, cast(value as bigint) as v
+      from p, o where value <> -32768),
+stat as (select gx, gy, cast(sum(v) as double) as m from s group by 1, 2),
+allpx as (
+  select p.gx, p.gy,
+    case when p.value = -32768 then -32768.0 else coalesce(s.m, 0.0) end as v
+  from p left join stat s using (gx, gy))
+select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
+  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
+  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+from allpx group by 1, 2
+""")
+def focal_sum(spark, sf_dir):
+    from remotior_sensus_spark.operators.focal import neighbor_stats
+    out = neighbor_stats(_b01(spark, sf_dir, "B04"), stat="sum", size=1)
+    nd = F.lit(float(NODATA))
+    valid = F.filter(F.col("pixels"), lambda x: x != nd)
+    return out.select(
+        "tile_x", "tile_y",
+        F.aggregate(
+            F.transform(valid, lambda x: x.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("checksum"),
+        F.size(valid).alias("valid_count"),
+    )
+
+
+@q("resample_mode", f"""
+with p as (
+  select cast(floor(gx/2) as bigint) as cgx, cast(floor(gy/2) as bigint) as cgy,
+         cast(floor(value/1000) as int) as value
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+c as (select cgx, cgy, value, count(*) as cnt from p group by 1,2,3)
+select cgx, cgy, value as mode_value, cnt as mode_count from (
+  select *, row_number() over (partition by cgx, cgy order by cnt desc, value asc) rn
+  from c) where rn = 1
+""")
+def resample_mode_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.focal import resample_mode
+    px = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
+    px = px.filter(F.col("value") != NODATA).withColumn(
+        "value", agg.quantize(F.col("value"))
+    )
+    return resample_mode(px, factor=2)
+
+
+@q("raster_label_histogram", None)
+def raster_label_histogram(spark, sf_dir):
+    from remotior_sensus_spark.operators.components import component_size_histogram
+    binary = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 1, 0)',
+                       nodata_mask=None)
+    return component_size_histogram(binary)
+
+
+@q("sieve_reclass", None)
+def sieve_reclass(spark, sf_dir):
+    from remotior_sensus_spark.operators.components import sieve
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
+                   nodata_mask="any", out_nodata=0)
+    return sieve(q4, min_size=4)
+
+
+@q("dilation_counts", None)
+def dilation_counts(spark, sf_dir):
+    from remotior_sensus_spark.operators.focal import dilation
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
+                   nodata_mask="any")
+    out = dilation(q4, values=[7.0], size=1, circular=True)
+    return (
+        out.select(F.explode("pixels").alias("v"))
+        .groupBy("v").agg(F.count("*").alias("pixel_count"))
+    )
+
+
+@q("erosion_counts", None)
+def erosion_counts(spark, sf_dir):
+    from remotior_sensus_spark.operators.focal import erosion
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
+                   nodata_mask="any")
+    out = erosion(q4, values=[7.0], size=1, circular=True)
+    return (
+        out.select(F.explode("pixels").alias("v"))
+        .groupBy("v").agg(F.count("*").alias("pixel_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# table-manager family (SURVEY §2.3 table join, §2.7 pivot/calculate)
+# ---------------------------------------------------------------------------
+
+@q("table_join_outer", """
+select c.c_custkey,
+  coalesce(o.cnt, -32768) as n_orders,
+  coalesce(o.cents, -32768) as total_cents
+from customer c left join (
+  select o_custkey, count(*) as cnt,
+    sum(cast(floor(o_totalprice*100.0+0.5) as bigint)) as cents
+  from orders group by o_custkey
+) o on c.c_custkey = o.o_custkey
+""")
+def table_join_outer(spark, sf_dir):
+    from remotior_sensus_spark.operators.tables import table_join
+    c = cat.load_driver(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        cat.load_driver(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias("total_cents"),
+        )
+    )
+    return table_join(c, o, "c_custkey", how="left")
+
+
+@q("pivot_matrix", """
+select lang,
+  sum(case when source='src0' then 1 else 0 end) as src0,
+  sum(case when source='src1' then 1 else 0 end) as src1,
+  sum(case when source='src2' then 1 else 0 end) as src2,
+  sum(case when source='src3' then 1 else 0 end) as src3
+from documents group by lang
+""")
+def pivot_matrix_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.tables import pivot_matrix
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return pivot_matrix(
+        docs.withColumn("one", F.lit(1)),
+        "lang", "source", "one", agg="count",
+        col_values=["src0", "src1", "src2", "src3"],
+    )
+
+
+@q("table_calculate", """
+select l_returnflag,
+  sum(cast(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000.0+0.5) as bigint)) as charge_fp,
+  count(*) as n_rows
+from lineitem group by l_returnflag
+""")
+def table_calculate_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.tables import table_calculate
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    out = table_calculate(
+        li, "charge",
+        '"l_extendedprice" * (1 - "l_discount") * (1 + "l_tax")',
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.sum(fixed1e6(F.col("charge"))).alias("charge_fp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@q("pca_covariance", f"""
+with px as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select cast(b02 as bigint) b02, cast(b03 as bigint) b03,
+             cast(b04 as bigint) b04, cast(b08 as bigint) b08 from px
+      where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768),
+s as (select count(*) n,
+  sum(b02) s_b02, sum(b03) s_b03, sum(b04) s_b04, sum(b08) s_b08,
+  sum(b02*b02) s_b02_b02, sum(b02*b03) s_b02_b03, sum(b02*b04) s_b02_b04,
+  sum(b02*b08) s_b02_b08, sum(b03*b03) s_b03_b03, sum(b03*b04) s_b03_b04,
+  sum(b03*b08) s_b03_b08, sum(b04*b04) s_b04_b04, sum(b04*b08) s_b04_b08,
+  sum(b08*b08) s_b08_b08 from v)
+select band_i, band_j,
+  (sxy - sx * sy / n) / (n - 1) as covariance
+from (
+  select 'B02' band_i, 'B02' band_j, cast(s_b02_b02 as double) sxy, cast(s_b02 as double) sx, cast(s_b02 as double) sy, cast(n as double) n from s union all
+  select 'B02', 'B03', cast(s_b02_b03 as double), cast(s_b02 as double), cast(s_b03 as double), cast(n as double) from s union all
+  select 'B02', 'B04', cast(s_b02_b04 as double), cast(s_b02 as double), cast(s_b04 as double), cast(n as double) from s union all
+  select 'B02', 'B08', cast(s_b02_b08 as double), cast(s_b02 as double), cast(s_b08 as double), cast(n as double) from s union all
+  select 'B03', 'B02', cast(s_b02_b03 as double), cast(s_b03 as double), cast(s_b02 as double), cast(n as double) from s union all
+  select 'B03', 'B03', cast(s_b03_b03 as double), cast(s_b03 as double), cast(s_b03 as double), cast(n as double) from s union all
+  select 'B03', 'B04', cast(s_b03_b04 as double), cast(s_b03 as double), cast(s_b04 as double), cast(n as double) from s union all
+  select 'B03', 'B08', cast(s_b03_b08 as double), cast(s_b03 as double), cast(s_b08 as double), cast(n as double) from s union all
+  select 'B04', 'B02', cast(s_b02_b04 as double), cast(s_b04 as double), cast(s_b02 as double), cast(n as double) from s union all
+  select 'B04', 'B03', cast(s_b03_b04 as double), cast(s_b04 as double), cast(s_b03 as double), cast(n as double) from s union all
+  select 'B04', 'B04', cast(s_b04_b04 as double), cast(s_b04 as double), cast(s_b04 as double), cast(n as double) from s union all
+  select 'B04', 'B08', cast(s_b04_b08 as double), cast(s_b04 as double), cast(s_b08 as double), cast(n as double) from s union all
+  select 'B08', 'B02', cast(s_b02_b08 as double), cast(s_b08 as double), cast(s_b02 as double), cast(n as double) from s union all
+  select 'B08', 'B03', cast(s_b03_b08 as double), cast(s_b08 as double), cast(s_b03 as double), cast(n as double) from s union all
+  select 'B08', 'B04', cast(s_b04_b08 as double), cast(s_b08 as double), cast(s_b04 as double), cast(n as double) from s union all
+  select 'B08', 'B08', cast(s_b08_b08 as double), cast(s_b08 as double), cast(s_b08 as double), cast(n as double) from s
+)
+""")
+def pca_covariance(spark, sf_dir):
+    from remotior_sensus_spark.operators.pca import covariance_matrix
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    return covariance_matrix(stacked, bands)
+
+
+@q("pca_projection", None)
+def pca_projection(spark, sf_dir):
+    from remotior_sensus_spark.operators.pca import pca_fit, pca_project
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    model = pca_fit(stacked, bands)
+    proj = pca_project(stacked, model, component=0)
+    return proj.agg(
+        F.count("*").alias("n_pixels"),
+        F.sum(fixed1e6(F.col("pc1"))).alias("pc1_checksum"),
+    )
+
+
+# --- no-oracle ops (non-SQL-expressible; driver records rows-only checks) ---
+
+@q("simhash", None)
+def simhash(spark, sf_dir):
+    return tx.simhash64(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("minhash_lsh", None)
+def minhash_lsh(spark, sf_dir):
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return tx.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+
+
+@q("ann_cosine_topk", None)
+def ann_cosine_topk(spark, sf_dir):
+    emb = cat.load_driver(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@q("ann_cosine_lsh", None)
+def ann_cosine_lsh(spark, sf_dir):
+    emb = cat.load_driver(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_lsh(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@q("kmeans_centroids", None)
+def kmeans_centroids(spark, sf_dir):
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    cents = cls_ops.kmeans_bands(stacked, bands, k=3, max_iter=2)
+    rows = [
+        (c["class_id"], *[float(c["values"][b]) for b in bands]) for c in cents
+    ]
+    return spark.createDataFrame(rows, ["class_id", *[f"c_{b}" for b in bands]])
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -33,6 +33,11 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-scale split tuning: test files are 10-150 MB, so the
+        # 128 MB default would pin scans to 1-2 tasks; on a real cluster
+        # against TB-scale inputs this goes back to the default
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,62 @@
+"""Incremental document ingestion with Structured Streaming.
+
+The reference is batch-only (SURVEY §2.9 — no streaming anywhere in
+src/). This module is the optional stretch surface: new interleaved-
+document files appended to a directory are picked up incrementally,
+spans exploded, media refs resolved to tile keys, and per-(bandset,
+band) assignment counts maintained — the streaming twin of the
+flagship spatial join. Used with Trigger.AvailableNow for incremental
+batch catch-up (the Iceberg-snapshot-tailing pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_tile_assignments(
+    spark: SparkSession,
+    docs_dir: str,
+    tiles_path: str,
+    checkpoint_dir: str,
+):
+    """readStream over a documents directory -> exploded media spans ->
+    join to the (static, broadcastable) tiles dimension -> complete-mode
+    counts in the `tile_assignments` memory sink. Returns the
+    StreamingQuery (use Trigger.AvailableNow for incremental catch-up)."""
+    static = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(docs_dir)
+    )
+    spans = stream.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+    ).filter(F.col("kind") == "media")
+    parts = F.split(F.col("media_ref"), "/")
+    spans = spans.select(
+        "doc_id",
+        parts.getItem(1).alias("bandset"),
+        parts.getItem(2).alias("band"),
+        parts.getItem(3).cast("int").alias("tile_x"),
+        parts.getItem(4).cast("int").alias("tile_y"),
+    )
+    tiles = spark.read.parquet(tiles_path).select(
+        "bandset", "band", "tile_x", "tile_y", "cell_key"
+    )
+    joined = spans.join(F.broadcast(tiles), ["bandset", "band", "tile_x", "tile_y"])
+    counts = joined.groupBy("bandset", "band").agg(
+        F.count("*").alias("n_spans"),
+        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tile_assignments")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

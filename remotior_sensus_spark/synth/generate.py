@@ -431,16 +431,22 @@ def build_reclass_rules():
 
 def generate(sf: float, out_dir: str, *, skip_exploded: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    # small row groups keep single files SPLITTABLE for Spark (a single
+    # row-group parquet pins all narrow stages to one task)
     tiles_tbl, pix_tbl = build_tiles(sf)
-    pq.write_table(tiles_tbl, f"{out_dir}/tiles.parquet", compression="zstd")
+    pq.write_table(tiles_tbl, f"{out_dir}/tiles.parquet", compression="zstd",
+                   row_group_size=8192)
     if not skip_exploded:
-        pq.write_table(pix_tbl, f"{out_dir}/tile_pixels.parquet", compression="zstd")
+        pq.write_table(pix_tbl, f"{out_dir}/tile_pixels.parquet",
+                       compression="zstd", row_group_size=262144)
     geo_tbl, rect_tbl = build_geometries(sf)
     pq.write_table(geo_tbl, f"{out_dir}/geometries.parquet", compression="zstd")
     pq.write_table(rect_tbl, f"{out_dir}/geometry_rects.parquet", compression="zstd")
     docs_tbl, spans_tbl = build_documents(sf, geo_tbl)
-    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet", compression="zstd")
-    pq.write_table(spans_tbl, f"{out_dir}/doc_spans.parquet", compression="zstd")
+    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet", compression="zstd",
+                   row_group_size=16384)
+    pq.write_table(spans_tbl, f"{out_dir}/doc_spans.parquet", compression="zstd",
+                   row_group_size=65536)
     sig_tbl, sig_long = build_signatures()
     pq.write_table(sig_tbl, f"{out_dir}/signatures.parquet", compression="zstd")
     pq.write_table(sig_long, f"{out_dir}/signatures_long.parquet", compression="zstd")

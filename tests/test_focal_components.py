@@ -1,0 +1,145 @@
+"""Focal stats and connected components vs whole-raster numpy oracles.
+
+The oracle assembles the full global raster from the deterministic tile
+generator, computes the ground truth with plain numpy (flood fill /
+sliding windows), and compares; this also proves halo-size invariance
+(tiles are 16x16, the oracle has no tiles at all)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import TILE_PX
+from remotior_sensus_spark.synth.generate import grid_n, tile_pixel_values
+
+
+def full_raster(sf=0.001, bs_idx=0, band_idx=2):
+    n = grid_n(sf)
+    txs, tys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = tile_pixel_values(bs_idx, band_idx, txs.ravel(), tys.ravel())
+    out = np.full((n * TILE_PX, n * TILE_PX), np.nan)
+    for (tx, ty), v in zip(zip(txs.ravel(), tys.ravel()), vals):
+        a = v.reshape(TILE_PX, TILE_PX).astype(np.float64)
+        out[ty * TILE_PX:(ty + 1) * TILE_PX, tx * TILE_PX:(tx + 1) * TILE_PX] = a
+    out[out == NODATA] = np.nan
+    return out
+
+
+@pytest.fixture(scope="module")
+def b04(spark, geo001_dir):
+    t = spark.read.parquet(f"{geo001_dir}/tiles.parquet")
+    return t.filter((F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+
+
+def _collect_raster(df, n):
+    out = np.full((n * TILE_PX, n * TILE_PX), np.nan)
+    for r in df.collect():
+        a = np.asarray(r["pixels"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
+        out[r["tile_y"] * TILE_PX:(r["tile_y"] + 1) * TILE_PX,
+            r["tile_x"] * TILE_PX:(r["tile_x"] + 1) * TILE_PX] = a
+    return out
+
+
+@pytest.mark.parametrize("stat", ["sum", "mean", "count", "max", "min", "median"])
+def test_focal_stats_match_numpy(spark, b04, stat):
+    from remotior_sensus_spark.operators.focal import neighbor_stats, structure_mask
+
+    n = grid_n(0.001)
+    got = _collect_raster(neighbor_stats(b04, stat=stat, size=1), n)
+
+    full = full_raster()
+    pad = np.pad(full, 1, constant_values=np.nan)
+    wins = np.lib.stride_tricks.sliding_window_view(pad, (3, 3))
+    m = structure_mask(1)[None, None]
+    vals = np.where(m, wins, np.nan)
+    with np.errstate(all="ignore"):
+        if stat == "sum":
+            exp = np.nansum(vals, axis=(2, 3))
+        elif stat == "count":
+            exp = (~np.isnan(vals)).sum(axis=(2, 3)).astype(float)
+        elif stat == "mean":
+            exp = np.nansum(vals, axis=(2, 3)) / (~np.isnan(vals)).sum(axis=(2, 3))
+        elif stat == "max":
+            exp = np.nanmax(vals, axis=(2, 3))
+        elif stat == "min":
+            exp = np.nanmin(vals, axis=(2, 3))
+        elif stat == "median":
+            exp = np.nanmedian(vals, axis=(2, 3))
+    exp = np.where(np.isnan(full), NODATA, exp)
+    exp = np.where(np.isnan(exp), NODATA, exp)
+    assert np.array_equal(got, exp)
+
+
+def _flood_components(mask: np.ndarray) -> list[int]:
+    """4-connectivity component sizes of a boolean mask (numpy/BFS)."""
+    seen = np.zeros_like(mask, dtype=bool)
+    sizes = []
+    H, W = mask.shape
+    for sy in range(H):
+        for sx in range(W):
+            if mask[sy, sx] and not seen[sy, sx]:
+                stack = [(sy, sx)]
+                seen[sy, sx] = True
+                count = 0
+                while stack:
+                    y, x = stack.pop()
+                    count += 1
+                    for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                        if 0 <= ny < H and 0 <= nx < W and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                sizes.append(count)
+    return sizes
+
+
+def test_connected_components_match_flood_fill(spark, b04):
+    from remotior_sensus_spark.operators.components import component_size_histogram
+
+    # binary raster: value > 2500 (nodata -> 0/background)
+    from remotior_sensus_spark.operators.band_calc import band_calc
+
+    tiles = spark.read.parquet(
+        "data/geo/sf0.001/tiles.parquet"
+    )
+    binary = band_calc(tiles, 'where("B04" > 2500, 1, 0)', nodata_mask=None)
+    binary = binary.withColumn(
+        "pixels", F.transform("pixels", lambda x: F.when(F.isnan(x), 0.0).otherwise(x))
+    )
+    hist = component_size_histogram(binary).toPandas()
+
+    full = full_raster()
+    mask = np.nan_to_num(full, nan=0.0) > 2500
+    sizes = _flood_components(mask)
+    import collections
+
+    exp = collections.Counter(sizes)
+    got = dict(zip(hist.component_size, hist.n_components))
+    assert got == dict(exp)
+
+
+def test_resample_mode(spark, b04, geo001_dir):
+    from remotior_sensus_spark.operators.aggregates import explode_pixels, quantize
+    from remotior_sensus_spark.operators.focal import resample_mode
+
+    px = explode_pixels(b04).withColumn("value", quantize(F.col("value")))
+    px = px.filter(F.col("value") >= 0)
+    got = resample_mode(px, factor=2).toPandas()
+
+    full = full_raster()
+    q = np.floor(full / 1000)
+    n = q.shape[0] // 2
+    import collections
+
+    exp = {}
+    for cy in range(n):
+        for cx in range(n):
+            block = q[cy*2:cy*2+2, cx*2:cx*2+2].ravel()
+            vals = [v for v in block if not np.isnan(v)]
+            if not vals:
+                continue
+            c = collections.Counter(vals)
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            exp[(cx, cy)] = (best[0], best[1])
+    gm = {(r.cgx, r.cgy): (r.mode_value, r.mode_count) for r in got.itertuples()}
+    assert gm == exp
