@@ -33,10 +33,15 @@ def _valid(env: dict[str, Column], nodata: float) -> Column:
 
 
 def _argmin_struct(pairs: list[tuple[Column, int]]) -> Column:
-    """argmin with first-wins ties: min over (value, class) structs."""
-    return F.array_min(
-        F.array(*[F.struct(d.alias("d"), F.lit(c).alias("c")) for d, c in pairs])
-    ).getField("c")
+    """argmin with first-wins ties (np.argmin semantics): least() of the
+    values + a when-chain in signature order. Pure arithmetic — the
+    struct-array formulation blew past codegen limits for >5 classes and
+    fell back to interpreted evaluation."""
+    dmin = F.least(*[d for d, _ in pairs]) if len(pairs) > 1 else pairs[0][0]
+    out = None
+    for d, c in pairs:
+        out = F.when(d == dmin, F.lit(c)) if out is None else out.when(d == dmin, F.lit(c))
+    return out
 
 
 def min_distance_class(env: dict[str, Column], signatures: list[dict],

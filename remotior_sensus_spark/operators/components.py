@@ -246,6 +246,37 @@ def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False)
     return comp.groupBy("component_size").agg(F.count("*").alias("n_components"))
 
 
+def polygonize(band_tiles: DataFrame) -> DataFrame:
+    """raster -> vector light: one row per same-value connected patch
+    with (value, pixel_count, bbox in global pixel coords) — the
+    attribute table + extent of gdal.Polygonize output with cross-tile
+    dissolve (core/processor.py:1608-1756 + raster_vector.py:2469
+    merge_dissolve_layer). Geometry outline reconstruction is the
+    remaining delta; patch identity/counts/extents match CC exactly."""
+    labeled = label_tiles(band_tiles, same_value=True).cache()
+    roots = resolve_components(boundary_edges(labeled, same_value=True))
+    px = labeled.select(
+        "tile_x", "tile_y",
+        F.posexplode("labels").alias("pos", "local_label"),
+        "values",
+    ).filter(F.col("local_label") > 0).select(
+        "tile_x", "tile_y", "local_label",
+        (F.col("tile_x").cast("long") * T + F.col("pos") % T).alias("gx"),
+        (F.col("tile_y").cast("long") * T + (F.col("pos") / T).cast("int")).alias("gy"),
+        F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
+        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+    )
+    with_roots = px.join(roots, "gid", "left").withColumn(
+        "root", F.coalesce(F.col("root"), F.col("gid"))
+    )
+    return with_roots.groupBy("root").agg(
+        F.first("value").alias("value"),
+        F.count("*").alias("pixel_count"),
+        F.min("gx").alias("min_gx"), F.max("gx").alias("max_gx"),
+        F.min("gy").alias("min_gy"), F.max("gy").alias("max_gy"),
+    )
+
+
 def sieve(band_tiles: DataFrame, min_size: int) -> DataFrame:
     """Remove same-value patches smaller than min_size: their pixels take
     the adjacent patch value with the largest pixel count (ties -> smaller

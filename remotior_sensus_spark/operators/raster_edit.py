@@ -1,0 +1,112 @@
+"""Band mask, raster edit, vector->raster (rasterize), DOS1 correction,
+scale/offset projection.
+
+Reference: tools/band_mask.py:154-235 (mask pixels where a rasterized
+mask has given values -> nested where()); tools/raster_edit.py:147-221 +
+core/processor_functions.py:2440-2602 (overwrite pixels under a vector
+with a constant — here a copy-on-write tile rewrite, no in-place
+mutation); util/raster_vector.py:1937-2108 (vector_to_raster pixel_center
+burn); preprocessing DOS1 (tools/band_dilation-adjacent; minimum DN from
+the cumulative histogram, multiprocess_manager.py:2240-2277); scale/offset
+core/processor.py:2566.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.operators.spatial_join import (
+    cover_pixels,
+    geometry_cell_cover,
+)
+
+
+def band_mask(band_tiles: DataFrame, mask_tiles: DataFrame,
+              mask_values: list[float], out_nodata: float = NODATA) -> DataFrame:
+    """Output nodata where the aligned mask band has any of mask_values
+    (tools/band_mask.py: nested where(mask==v, nodata, band))."""
+    m = mask_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("__mask_px")
+    )
+    j = band_tiles.join(m, ["tile_x", "tile_y"])
+    masked = F.zip_with(
+        "pixels", "__mask_px",
+        lambda x, mk: F.when(mk.isin(*mask_values), F.lit(float(out_nodata)))
+        .otherwise(x),
+    )
+    return j.withColumn("pixels", masked).drop("__mask_px")
+
+
+def raster_edit(band_tiles: DataFrame, geoms: DataFrame, rects: DataFrame,
+                constant: float, *, bandset: str = "S2_2020-01-01",
+                band: str = "B04", klass: int | None = None) -> DataFrame:
+    """Overwrite pixels under the (class-filtered) geometry with a
+    constant — copy-on-write tile rewrite (the Spark-native answer to
+    the reference's in-place GDAL band update; SURVEY §2.2). Untouched
+    tiles pass through unchanged (no shuffle for them)."""
+    g = geoms if klass is None else geoms.filter(F.col("class") == klass)
+    r = rects if klass is None else rects.filter(F.col("class") == klass)
+    edited_px = cover_pixels(band_tiles, g, r, bandset=bandset, band=band)
+    edit_pos = (
+        edited_px.select("tile_x", "tile_y", "pos").distinct()
+        .groupBy("tile_x", "tile_y")
+        .agg(F.collect_set("pos").alias("__edit_pos"))
+    )
+    t = band_tiles.filter(
+        (F.col("bandset") == bandset) & (F.col("band") == band)
+    ).join(F.broadcast(edit_pos), ["tile_x", "tile_y"], "left")
+    new_px = F.when(
+        F.col("__edit_pos").isNull(), F.col("pixels")
+    ).otherwise(
+        F.zip_with(
+            "pixels",
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda x, i: F.when(
+                F.array_contains(F.col("__edit_pos"), i), F.lit(float(constant))
+            ).otherwise(x),
+        )
+    )
+    return t.withColumn("pixels", new_px).drop("__edit_pos")
+
+
+def rasterize(geoms: DataFrame, rects: DataFrame, tiles: DataFrame,
+              value_col: str = "class", *, bandset: str = "S2_2020-01-01",
+              band: str = "B04") -> DataFrame:
+    """vector -> raster by pixel center: burn the geometry's value onto
+    covered pixel centers; overlaps resolve to MAX(value) (deterministic
+    burn order — the reference burns feature-by-feature, order-defined;
+    we pin the rule). Returns pixel rows (tile_x, tile_y, pos, burn)."""
+    px = cover_pixels(tiles, geoms, rects, bandset=bandset, band=band)
+    return px.groupBy("tile_x", "tile_y", "pos").agg(
+        F.max(value_col).alias("burn")
+    )
+
+
+def dos1_correction(band_px: DataFrame, *, percent_threshold: float = 0.0001) -> DataFrame:
+    """DOS1-style dark-object subtraction: per band, subtract the
+    cumulative-histogram minimum DN, clamp at 0, keep nodata
+    (multiprocess_manager.py:2240-2277 feeding the preprocess formula)."""
+    from remotior_sensus_spark.operators.aggregates import cumulative_min_dn
+
+    min_dn = cumulative_min_dn(band_px, percent_threshold)
+    j = band_px.join(F.broadcast(min_dn), "band")
+    corrected = F.when(
+        F.col("value") == NODATA, F.lit(float(NODATA))
+    ).otherwise(F.greatest(F.col("value") - F.col("min_dn"), F.lit(0.0)))
+    return j.withColumn("corrected", corrected)
+
+
+def scale_offset(tiles: DataFrame, scale: float, offset: float,
+                 nodata: float = NODATA) -> DataFrame:
+    """Per-band a*x + b at read time (core/processor.py:2566)."""
+    return tiles.withColumn(
+        "pixels",
+        F.transform(
+            "pixels",
+            lambda x: F.when(x == nodata, F.lit(float(nodata))).otherwise(
+                x.cast("double") * scale + offset
+            ),
+        ),
+    )

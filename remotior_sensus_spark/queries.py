@@ -1074,6 +1074,227 @@ def pca_projection(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# mask / edit / rasterize / preprocessing family (SURVEY §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+@q("band_mask", f"""
+with b as (select tile_x, tile_y, px, py, value
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01' and band='B04'),
+m as (select tile_x, tile_y, px, py, cast(floor(value/1000) as int) as mv
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01' and band='B02'),
+j as (select b.tile_x, b.tile_y,
+        case when m.mv in (0, 4) then -32768.0 else b.value end as v
+      from b join m using (tile_x, tile_y, px, py))
+select tile_x, tile_y,
+  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
+  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+from j group by tile_x, tile_y
+""")
+def band_mask_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.raster_edit import band_mask
+    b04 = _b01(spark, sf_dir, "B04")
+    mask = _b01(spark, sf_dir, "B02").withColumn(
+        "pixels", F.transform("pixels", lambda x: F.when(
+            x == F.lit(NODATA), F.lit(float(NODATA))
+        ).otherwise(agg.quantize(x).cast("double")))
+    )
+    # mask values {0,4}; note quantize(-32768) = -33, never in the list
+    out = band_mask(b04, mask, [0.0, 4.0, -33.0])
+    nd = F.lit(float(NODATA))
+    valid = F.filter(F.col("pixels"), lambda x: x != nd)
+    return out.select(
+        "tile_x", "tile_y",
+        F.aggregate(F.transform(valid, lambda x: x.cast("long")),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
+        F.size(valid).alias("valid_count"),
+    )
+
+
+@q("raster_edit", f"""
+with e as (
+  select distinct p.tile_x, p.tile_y, p.px, p.py
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04' and r.class = 2),
+b as (select tile_x, tile_y, px, py, value
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01' and band='B04'),
+j as (select b.tile_x, b.tile_y,
+        case when e.px is not null then 7777.0 else b.value end as v
+      from b left join e using (tile_x, tile_y, px, py))
+select tile_x, tile_y,
+  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
+  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+from j group by tile_x, tile_y
+""")
+def raster_edit_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.raster_edit import raster_edit
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    out = raster_edit(tiles, geoms, rects, 7777.0, klass=2)
+    nd = F.lit(float(NODATA))
+    valid = F.filter(F.col("pixels"), lambda x: x != nd)
+    return out.select(
+        "tile_x", "tile_y",
+        F.aggregate(F.transform(valid, lambda x: x.cast("long")),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
+        F.size(valid).alias("valid_count"),
+    )
+
+
+@q("rasterize", f"""
+select burn, count(*) as pixel_count from (
+  select p.gx, p.gy, max(r.class) as burn
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04'
+  group by p.gx, p.gy
+) group by burn
+""")
+def rasterize_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.raster_edit import rasterize
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    out = rasterize(geoms, rects, tiles)
+    return out.groupBy("burn").agg(F.count("*").alias("pixel_count"))
+
+
+@q("dos1_correction", f"""
+with h as (
+  select band, value, count(*) as cnt
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and value <> -32768 group by band, value),
+c as (select band, value,
+        sum(cnt) over (partition by band order by value) as cum,
+        sum(cnt) over (partition by band) as total from h),
+mins as (select band, min(value) as min_dn from c
+         where cum >= total * 0.0001 group by band),
+px as (select p.band,
+         case when p.value = -32768 then -32768.0
+              else greatest(p.value - m.min_dn, 0.0) end as corrected
+       from '{GEO01}/tile_pixels.parquet' p join mins m using (band)
+       where p.bandset='S2_2020-01-01')
+select band,
+  sum(case when corrected <> -32768 then cast(corrected as bigint) else 0 end) as checksum,
+  sum(case when corrected <> -32768 then 1 else 0 end) as valid_count
+from px group by band
+""")
+def dos1_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.raster_edit import dos1_correction
+    t = _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
+    out = dos1_correction(agg.explode_pixels(t))
+    return out.groupBy("band").agg(
+        F.sum(F.when(F.col("corrected") != NODATA,
+                     F.col("corrected").cast("long")).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("corrected") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
+@q("scale_offset", f"""
+select tile_x, tile_y,
+  sum(case when value <> -32768
+      then cast(floor((value*2.5 + 10.0)*1000000.0+0.5) as bigint) else 0 end) as checksum,
+  sum(case when value <> -32768 then 1 else 0 end) as valid_count
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and band='B04'
+group by tile_x, tile_y
+""")
+def scale_offset_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.raster_edit import scale_offset
+    out = scale_offset(_b01(spark, sf_dir, "B04"), 2.5, 10.0)
+    nd = F.lit(float(NODATA))
+    valid = F.filter(F.col("pixels"), lambda x: x != nd)
+    return out.select(
+        "tile_x", "tile_y",
+        F.aggregate(F.transform(valid, lambda x: fixed1e6(x)),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
+        F.size(valid).alias("valid_count"),
+    )
+
+
+@q("tile_features", f"""
+with v as (
+  select tile_x, tile_y, band, value
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768)
+select band, least(cast(floor((value - 100.0) / 612.5) as int), 7) as bin,
+       count(*) as cnt
+from v group by 1, 2
+""")
+def tile_features_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.multimodal import tile_features
+    out = tile_features(_b01(spark, sf_dir, "B04"))
+    return out.select(
+        "band", F.posexplode("histogram").alias("bin", "c")
+    ).groupBy("band", "bin").agg(F.sum("c").alias("cnt")).filter(F.col("cnt") > 0)
+
+
+@q("polygonize", None)
+def polygonize_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.components import polygonize
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
+                   nodata_mask="any", out_nodata=0)
+    return polygonize(q4).select(
+        "value", "pixel_count", "min_gx", "max_gx", "min_gy", "max_gy"
+    )
+
+
+@q("media_thumbnails", None)
+def media_thumbnails(spark, sf_dir):
+    from remotior_sensus_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_and_resize,
+    )
+    t = attach_media_payload(_b01(spark, sf_dir, "B04"))
+    return decode_and_resize(t)
+
+
+@q("lang_id", None)
+def lang_id_q(spark, sf_dir):
+    return tx.lang_id(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("ngram_jaccard", None)
+def ngram_jaccard_q(spark, sf_dir):
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return tx.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@q("ml_classification", None)
+def ml_classification(spark, sf_dir):
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    # train on ROI-extracted per-class pixels over all 4 bands
+    from remotior_sensus_spark.operators.band_calc import pivot_bands
+    wide = pivot_bands(tiles, {b: ("S2_2020-01-01", b) for b in bands})
+    cov = sj.cover_pixels(tiles, geoms, rects)  # B04 membership only
+    member = cov.select("tile_x", "tile_y", "pos", "class").distinct()
+    px = wide.select(
+        "tile_x", "tile_y",
+        F.posexplode(F.arrays_zip(*bands)).alias("pos", "z"),
+    ).select(
+        "tile_x", "tile_y", "pos",
+        *[F.col(f"z.{b}").alias(b) for b in bands],
+    )
+    import functools
+    import operator as op
+    valid = functools.reduce(op.and_, [F.col(b) != NODATA for b in bands])
+    train = px.join(member, ["tile_x", "tile_y", "pos"]).filter(valid)
+    stats = cls_ops.train_class_stats(train, "class", bands)
+    stacked = band_stack(tiles, "S2_2020-01-01", bands)
+    scored = cls_ops.classify_pixels_flat(
+        stacked, bands, lambda env: cls_ops.max_likelihood_class(env, stats)
+    )
+    return scored.groupBy("class").agg(F.count("*").alias("pixel_count"))
+
+
 # --- no-oracle ops (non-SQL-expressible; driver records rows-only checks) ---
 
 @q("simhash", None)

@@ -30,7 +30,9 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: oversized heaps (48g+) caused sporadic 20-35s G1 full-GC
+        # stalls in local mode; 16g is stable for all test/bench scales
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-scale split tuning: test files are 10-150 MB, so the
@@ -38,6 +40,10 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         # against TB-scale inputs this goes back to the default
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # local mode funnels every shuffle through one local dir; tmpfs
+        # keeps the scaling measurement CPU-bound (a real cluster has
+        # per-node SSD shuffle dirs)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
