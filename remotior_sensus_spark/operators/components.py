@@ -246,6 +246,69 @@ def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False)
     return comp.groupBy("component_size").agg(F.count("*").alias("n_components"))
 
 
+def region_growing(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
+                   max_spectral_distance: float, *, max_radius_tiles: int = 2,
+                   nodata: float = NODATA) -> DataFrame:
+    """ROI creation by flood fill from a seed pixel within a spectral
+    distance threshold (processor_functions.py:1602-1647 region_growing;
+    util/shared_tools.py:377 region_growing_polygon).
+
+    Interactive-scale op: only the tiles within `max_radius_tiles` of the
+    seed are pulled (a cell-key range filter — partition-prunable), the
+    windowed sub-raster is assembled in one Arrow batch and flood-filled
+    with numpy. Returns pixel rows (gx, gy, value) of the grown region.
+    """
+    stx, sty = seed_gx // T, seed_gy // T
+    r = max_radius_tiles
+    window = band_tiles.filter(
+        (F.col("tile_x") >= stx - r) & (F.col("tile_x") <= stx + r)
+        & (F.col("tile_y") >= sty - r) & (F.col("tile_y") <= sty + r)
+    ).select("tile_x", "tile_y", "pixels")
+
+    def run(it):
+        rows = []
+        for pdf in it:
+            rows.append(pdf)
+        if not rows:
+            yield pd.DataFrame({"gx": pd.Series(dtype="int64"),
+                                "gy": pd.Series(dtype="int64"),
+                                "value": pd.Series(dtype="float64")})
+            return
+        pdf = pd.concat(rows)
+        tx0, ty0 = stx - r, sty - r
+        n = 2 * r + 1
+        a = np.full((n * T, n * T), np.nan)
+        for _, row in pdf.iterrows():
+            px = np.asarray(row["pixels"], dtype=np.float64).reshape(T, T)
+            px = np.where(px == nodata, np.nan, px)
+            oy, ox = (row["tile_y"] - ty0) * T, (row["tile_x"] - tx0) * T
+            a[oy:oy + T, ox:ox + T] = px
+        sy, sx = seed_gy - ty0 * T, seed_gx - tx0 * T
+        seed_val = a[sy, sx]
+        out = []
+        if not np.isnan(seed_val):
+            ok = np.abs(a - seed_val) <= max_spectral_distance
+            seen = np.zeros_like(ok, dtype=bool)
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                out.append((tx0 * T + x, ty0 * T + y, a[y, x]))
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if (0 <= ny < a.shape[0] and 0 <= nx < a.shape[1]
+                            and ok[ny, nx] and not seen[ny, nx]):
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+        yield pd.DataFrame(out, columns=["gx", "gy", "value"]) if out else \
+            pd.DataFrame({"gx": pd.Series(dtype="int64"),
+                          "gy": pd.Series(dtype="int64"),
+                          "value": pd.Series(dtype="float64")})
+
+    return window.coalesce(1).mapInPandas(
+        run, schema="gx long, gy long, value double"
+    )
+
+
 def polygonize(band_tiles: DataFrame) -> DataFrame:
     """raster -> vector light: one row per same-value connected patch
     with (value, pixel_count, bbox in global pixel coords) — the

@@ -1243,6 +1243,12 @@ def polygonize_q(spark, sf_dir):
     )
 
 
+@q("region_growing", None)
+def region_growing_q(spark, sf_dir):
+    from remotior_sensus_spark.operators.components import region_growing
+    return region_growing(_b01(spark, sf_dir, "B04"), 100, 100, 2400.0)
+
+
 @q("media_thumbnails", None)
 def media_thumbnails(spark, sf_dir):
     from remotior_sensus_spark.operators.multimodal import (
