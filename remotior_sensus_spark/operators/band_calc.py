@@ -136,6 +136,6 @@ def tile_checksum(calc_df: DataFrame, nodata: float = NODATA) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("checksum"),
-        F.size(valid).alias("valid_count"),
-        (F.lit(N_PX) - F.size(valid)).alias("nodata_count"),
+        F.size(valid).cast("long").alias("valid_count"),
+        (F.lit(N_PX) - F.size(valid)).cast("long").alias("nodata_count"),
     )

@@ -65,7 +65,7 @@ with px as (
     case when nir=-32768 or red=-32768 then null else (nir-red)/(nir+red) end as ndvi
   from px)
 select tile_x, tile_y,
-  coalesce(sum(cast(floor(ndvi*1000000.0+0.5) as bigint)),0) as checksum,
+  cast(coalesce(sum(cast(floor(ndvi*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
   count(ndvi) as valid_count,
   256-count(ndvi) as nodata_count
 from v group by tile_x, tile_y
@@ -82,7 +82,7 @@ with v as (
   from '{GEO01}/tile_pixels.parquet'
   where bandset='S2_2020-01-01' and band='B02')
 select tile_x, tile_y,
-  coalesce(sum(cast(floor(x*1000000.0+0.5) as bigint)),0) as checksum,
+  cast(coalesce(sum(cast(floor(x*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
   count(x) as valid_count, 256-count(x) as nodata_count
 from v group by tile_x, tile_y
 """)
@@ -126,7 +126,7 @@ with px as (
     else (list_sort([b02,b03,b04,b08]))[3] end as p
   from px)
 select tile_x, tile_y,
-  coalesce(sum(cast(floor(p*1000000.0+0.5) as bigint)),0) as checksum,
+  cast(coalesce(sum(cast(floor(p*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
   count(p) as valid_count, 256-count(p) as nodata_count
 from v group by tile_x, tile_y
 """)
@@ -367,7 +367,7 @@ def clip_extent(spark, sf_dir):
 
 @q("clip_vector", f"""
 select p.tile_x, p.tile_y, count(*) as n_pixels,
-  sum(case when p.value <> -32768 then cast(p.value as bigint) else 0 end) as sum_value
+  cast(sum(case when p.value <> -32768 then cast(p.value as bigint) else 0 end) as bigint) as sum_value
 from (
   select distinct p.tile_x, p.tile_y, p.gx, p.gy, p.value
   from '{GEO01}/tile_pixels.parquet' p
@@ -505,13 +505,14 @@ chance as (select sum(r.row_cnt * c.col_cnt) as chance_sum
            from row_tot r join col_tot c using (klass)),
 dg as (select ref as klass, cnt as diag_cnt from counts where ref = cls)
 select klass,
-  coalesce(dg.diag_cnt, 0) as diag_cnt,
-  coalesce(r.row_cnt, 0) as row_cnt,
-  coalesce(c.col_cnt, 0) as col_cnt,
-  coalesce(dg.diag_cnt, 0) / coalesce(r.row_cnt, 0) as producer_accuracy,
-  coalesce(dg.diag_cnt, 0) / coalesce(c.col_cnt, 0) as user_accuracy,
-  diag.diag / tot.n as overall_accuracy,
-  (tot.n * diag.diag - chance.chance_sum) / (tot.n * tot.n - chance.chance_sum) as kappa
+  cast(coalesce(dg.diag_cnt, 0) as bigint) as diag_cnt,
+  cast(coalesce(r.row_cnt, 0) as bigint) as row_cnt,
+  cast(coalesce(c.col_cnt, 0) as bigint) as col_cnt,
+  cast(coalesce(dg.diag_cnt, 0) as bigint) / cast(coalesce(r.row_cnt, 0) as bigint) as producer_accuracy,
+  cast(coalesce(dg.diag_cnt, 0) as bigint) / cast(coalesce(c.col_cnt, 0) as bigint) as user_accuracy,
+  cast(diag.diag as bigint) / cast(tot.n as bigint) as overall_accuracy,
+  cast(tot.n * diag.diag - chance.chance_sum as bigint)
+    / cast(tot.n * tot.n - chance.chance_sum as bigint) as kappa
 from row_tot r full join col_tot c using (klass) left join dg using (klass),
      tot, diag, chance
 """)
@@ -678,7 +679,7 @@ v as (
       + cast(a08-b08 as bigint)*cast(a08-b08 as bigint) as double)) end as dist
   from j)
 select tile_x, tile_y,
-  coalesce(sum(cast(floor(dist*1000000.0+0.5) as bigint)),0) as checksum,
+  cast(coalesce(sum(cast(floor(dist*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
   count(dist) as valid_count, 256-count(dist) as nodata_count
 from v group by tile_x, tile_y
 """)
@@ -746,7 +747,7 @@ with e as (
            or date_diff('second', lag(ts) over (partition by user_id order by ts, event_id), ts) > 1800
          then 1 else 0 end as new_session
   from events)
-select user_id, sum(new_session) as n_sessions, count(*) as n_events
+select user_id, cast(sum(new_session) as bigint) as n_sessions, count(*) as n_events
 from e group by user_id
 """)
 def sessionize_events(spark, sf_dir):
@@ -768,9 +769,9 @@ def sessionize_events(spark, sf_dir):
 
 @q("tpch_q1", """
 select l_returnflag, l_linestatus,
-  sum(cast(l_quantity as bigint)) as sum_qty,
-  sum(cast(floor(l_extendedprice*100.0+0.5) as bigint)) as sum_price_cents,
-  sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5) as bigint)) as revenue_fp,
+  cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+  cast(sum(cast(floor(l_extendedprice*100.0+0.5) as bigint)) as bigint) as sum_price_cents,
+  cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5) as bigint)) as bigint) as revenue_fp,
   count(*) as count_order
 from lineitem
 where l_shipdate <= date '1998-09-02'
@@ -797,7 +798,7 @@ def tpch_q1(spark, sf_dir):
 
 @q("top_customers", """
 select c.c_custkey, c.c_name, count(*) as n_orders,
-  sum(cast(floor(o.o_totalprice*100.0+0.5) as bigint)) as total_cents
+  cast(sum(cast(floor(o.o_totalprice*100.0+0.5) as bigint)) as bigint) as total_cents
 from customer c join orders o on c.c_custkey = o.o_custkey
 group by c.c_custkey, c.c_name
 """)
@@ -836,8 +837,8 @@ allpx as (
     case when p.value = -32768 then -32768.0 else coalesce(s.m, -32768.0) end as v
   from p left join stat s using (gx, gy))
 select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
-  sum(case when v <> -32768 then cast(floor(v*1000000.0+0.5) as bigint) else 0 end) as checksum,
-  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when v <> -32768 then cast(floor(v*1000000.0+0.5) as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from allpx group by 1, 2
 """)
 def focal_mean(spark, sf_dir):
@@ -851,7 +852,7 @@ def focal_mean(spark, sf_dir):
             F.transform(valid, lambda x: fixed1e6(x)),
             F.lit(0).cast("long"), lambda acc, x: acc + x,
         ).alias("checksum"),
-        F.size(valid).alias("valid_count"),
+        F.size(valid).cast("long").alias("valid_count"),
     )
 
 
@@ -869,8 +870,8 @@ allpx as (
     case when p.value = -32768 then -32768.0 else coalesce(s.m, 0.0) end as v
   from p left join stat s using (gx, gy))
 select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
-  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
-  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when v <> -32768 then cast(v as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from allpx group by 1, 2
 """)
 def focal_sum(spark, sf_dir):
@@ -884,7 +885,7 @@ def focal_sum(spark, sf_dir):
             F.transform(valid, lambda x: x.cast("long")),
             F.lit(0).cast("long"), lambda acc, x: acc + x,
         ).alias("checksum"),
-        F.size(valid).alias("valid_count"),
+        F.size(valid).cast("long").alias("valid_count"),
     )
 
 
@@ -958,7 +959,7 @@ select c.c_custkey,
   coalesce(o.cents, -32768) as total_cents
 from customer c left join (
   select o_custkey, count(*) as cnt,
-    sum(cast(floor(o_totalprice*100.0+0.5) as bigint)) as cents
+    cast(sum(cast(floor(o_totalprice*100.0+0.5) as bigint)) as bigint) as cents
   from orders group by o_custkey
 ) o on c.c_custkey = o.o_custkey
 """)
@@ -978,10 +979,10 @@ def table_join_outer(spark, sf_dir):
 
 @q("pivot_matrix", """
 select lang,
-  sum(case when source='src0' then 1 else 0 end) as src0,
-  sum(case when source='src1' then 1 else 0 end) as src1,
-  sum(case when source='src2' then 1 else 0 end) as src2,
-  sum(case when source='src3' then 1 else 0 end) as src3
+  cast(sum(case when source='src0' then 1 else 0 end) as bigint) as src0,
+  cast(sum(case when source='src1' then 1 else 0 end) as bigint) as src1,
+  cast(sum(case when source='src2' then 1 else 0 end) as bigint) as src2,
+  cast(sum(case when source='src3' then 1 else 0 end) as bigint) as src3
 from documents group by lang
 """)
 def pivot_matrix_q(spark, sf_dir):
@@ -996,7 +997,7 @@ def pivot_matrix_q(spark, sf_dir):
 
 @q("table_calculate", """
 select l_returnflag,
-  sum(cast(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000.0+0.5) as bigint)) as charge_fp,
+  cast(sum(cast(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000.0+0.5) as bigint)) as bigint) as charge_fp,
   count(*) as n_rows
 from lineitem group by l_returnflag
 """)
@@ -1087,8 +1088,8 @@ j as (select b.tile_x, b.tile_y,
         case when m.mv in (0, 4) then -32768.0 else b.value end as v
       from b join m using (tile_x, tile_y, px, py))
 select tile_x, tile_y,
-  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
-  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when v <> -32768 then cast(v as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from j group by tile_x, tile_y
 """)
 def band_mask_q(spark, sf_dir):
@@ -1107,7 +1108,7 @@ def band_mask_q(spark, sf_dir):
         "tile_x", "tile_y",
         F.aggregate(F.transform(valid, lambda x: x.cast("long")),
                     F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
-        F.size(valid).alias("valid_count"),
+        F.size(valid).cast("long").alias("valid_count"),
     )
 
 
@@ -1124,8 +1125,8 @@ j as (select b.tile_x, b.tile_y,
         case when e.px is not null then 7777.0 else b.value end as v
       from b left join e using (tile_x, tile_y, px, py))
 select tile_x, tile_y,
-  sum(case when v <> -32768 then cast(v as bigint) else 0 end) as checksum,
-  sum(case when v <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when v <> -32768 then cast(v as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from j group by tile_x, tile_y
 """)
 def raster_edit_q(spark, sf_dir):
@@ -1140,7 +1141,7 @@ def raster_edit_q(spark, sf_dir):
         "tile_x", "tile_y",
         F.aggregate(F.transform(valid, lambda x: x.cast("long")),
                     F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
-        F.size(valid).alias("valid_count"),
+        F.size(valid).cast("long").alias("valid_count"),
     )
 
 
@@ -1179,8 +1180,8 @@ px as (select p.band,
        from '{GEO01}/tile_pixels.parquet' p join mins m using (band)
        where p.bandset='S2_2020-01-01')
 select band,
-  sum(case when corrected <> -32768 then cast(corrected as bigint) else 0 end) as checksum,
-  sum(case when corrected <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when corrected <> -32768 then cast(corrected as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when corrected <> -32768 then 1 else 0 end) as bigint) as valid_count
 from px group by band
 """)
 def dos1_q(spark, sf_dir):
@@ -1196,9 +1197,9 @@ def dos1_q(spark, sf_dir):
 
 @q("scale_offset", f"""
 select tile_x, tile_y,
-  sum(case when value <> -32768
-      then cast(floor((value*2.5 + 10.0)*1000000.0+0.5) as bigint) else 0 end) as checksum,
-  sum(case when value <> -32768 then 1 else 0 end) as valid_count
+  cast(sum(case when value <> -32768
+      then cast(floor((value*2.5 + 10.0)*1000000.0+0.5) as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when value <> -32768 then 1 else 0 end) as bigint) as valid_count
 from '{GEO01}/tile_pixels.parquet'
 where bandset='S2_2020-01-01' and band='B04'
 group by tile_x, tile_y
@@ -1212,7 +1213,7 @@ def scale_offset_q(spark, sf_dir):
         "tile_x", "tile_y",
         F.aggregate(F.transform(valid, lambda x: fixed1e6(x)),
                     F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
-        F.size(valid).alias("valid_count"),
+        F.size(valid).cast("long").alias("valid_count"),
     )
 
 
