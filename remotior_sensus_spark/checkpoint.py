@@ -45,8 +45,9 @@ class CheckpointManager:
     def _lineage_dir(self, stage: str) -> str:
         return f"{self.root}/_lineage/{stage}"
 
-    def _data_dir(self, stage: str) -> str:
-        return f"{self.root}/{stage}"
+    def _data_dir(self, stage: str, snap: str | None = None) -> str:
+        base = f"{self.root}/{stage}"
+        return base if snap is None else f"{base}/snap={snap}"
 
     def completed_partitions(self, stage: str, snap: str) -> DataFrame | None:
         d = self._lineage_dir(stage)
@@ -77,20 +78,38 @@ class CheckpointManager:
                 "left_anti",
             )
             skipped = done.count()
-        out_dir = self._data_dir(stage)
-        pending.write.mode("append").partitionBy(partition_col).parquet(out_dir)
+        # crash-atomic resume: data lives under a per-snapshot directory
+        # (no stale-snapshot mixing) and partitions are DYNAMICALLY
+        # OVERWRITTEN — a crash between the data write and the lineage
+        # append makes the next run recompute-and-replace those
+        # partitions instead of appending duplicates.
+        out_dir = self._data_dir(stage, snap)
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
         wall_ms = int((time.time() - t0) * 1000)
+        # lineage derives from what was actually PERSISTED (read-back),
+        # not from re-evaluating the stage DAG — a nondeterministic
+        # upstream can't desync the resume metadata.
         written = self.spark.read.parquet(out_dir)
-        lineage = (
-            pending.groupBy(partition_col)
-            .agg(F.count("*").alias("row_count"))
-            .select(
-                F.lit(stage).alias("stage"),
-                F.lit(snap).alias("snapshot_id"),
-                F.col(partition_col).cast("long").alias("partition_value"),
-                "row_count",
-                F.lit(wall_ms).alias("wall_ms"),
+        new_parts = written.groupBy(partition_col).agg(
+            F.count("*").alias("row_count")
+        )
+        if done is not None and done.head(1):
+            new_parts = new_parts.join(
+                done.withColumnRenamed("partition_value", partition_col),
+                partition_col,
+                "left_anti",
             )
+        lineage = new_parts.select(
+            F.lit(stage).alias("stage"),
+            F.lit(snap).alias("snapshot_id"),
+            F.col(partition_col).cast("long").alias("partition_value"),
+            "row_count",
+            F.lit(wall_ms).alias("wall_ms"),
         )
         lineage.write.mode("append").parquet(self._lineage_dir(stage))
         return {
@@ -100,6 +119,10 @@ class CheckpointManager:
             "wall_ms": wall_ms,
             "total_rows": written.count(),
         }
+
+    def read_stage(self, stage: str, snap: str) -> DataFrame:
+        """Current output of a stage for a given input snapshot."""
+        return self.spark.read.parquet(self._data_dir(stage, snap))
 
     def metrics(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._lineage_dir(stage))

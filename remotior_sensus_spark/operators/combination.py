@@ -49,7 +49,16 @@ def combination_table(px_wide: DataFrame, band_cols: list[str]) -> DataFrame:
         encoded = term if encoded is None else encoded + term
         if y + 1 < len(band_cols):
             nxt = band_cols[y + 1]
-            k = k * (F.col(f"max_{nxt}").cast("long") + 1)
+            # radix must exceed the SHIFTED max (max + add), not the raw
+            # max — with a negative band min the reference's first-try
+            # radix (max+1) can collide and it re-rolls random
+            # coefficients; widening to max+add+1 is deterministic and
+            # provably injective, and identical to the reference when
+            # min >= 0 (ADVICE r01 low #3).
+            add_nxt = F.when(
+                F.col(f"min_{nxt}") < 0, -F.col(f"min_{nxt}") + 1
+            ).otherwise(F.lit(0))
+            k = k * (F.col(f"max_{nxt}").cast("long") + add_nxt.cast("long") + 1)
     w = Window.partitionBy().orderBy("encoded")
     out = (
         combos.withColumn("encoded", encoded)

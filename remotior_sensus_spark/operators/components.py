@@ -33,67 +33,72 @@ from remotior_sensus_spark.grid import TILE_PX
 T = TILE_PX
 
 
-def _label_tile(a: np.ndarray, same_value: bool) -> tuple[np.ndarray, int]:
-    """Two-pass 4-connectivity labeling. a: (T,T) with 0 = background.
-    same_value=True splits components at value changes (sieve mode)."""
-    labels = np.zeros((T, T), dtype=np.int32)
-    parent = [0]
+def _label_batch(px: np.ndarray, same_value: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 4-connectivity labeling of a whole BATCH of tiles at
+    once. px: (n, T, T) with 0 = background. Returns (labels (n, T*T)
+    int32 compacted to 1..k per tile, n_labels (n,) int32).
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    nxt = 1
-    for y in range(T):
-        for x in range(T):
-            v = a[y, x]
-            if v == 0:
-                continue
-            up = labels[y - 1, x] if y > 0 and a[y - 1, x] != 0 and (not same_value or a[y - 1, x] == v) else 0
-            left = labels[y, x - 1] if x > 0 and a[y, x - 1] != 0 and (not same_value or a[y, x - 1] == v) else 0
-            if up and left:
-                labels[y, x] = min(find(up), find(left))
-                ru, rl = find(up), find(left)
-                if ru != rl:
-                    parent[max(ru, rl)] = min(ru, rl)
-            elif up or left:
-                labels[y, x] = find(up or left)
-            else:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-    # flatten
-    flat = np.array([find(i) for i in range(nxt)], dtype=np.int32)
-    # compact to 1..k
-    uniq = np.unique(flat[1:nxt]) if nxt > 1 else np.array([], dtype=np.int32)
-    remap = np.zeros(nxt, dtype=np.int32)
-    remap[uniq] = np.arange(1, len(uniq) + 1)
-    labels = remap[flat[labels]]
-    return labels, len(uniq)
+    Algorithm: build intra-tile adjacency edge lists with array slicing,
+    then hash-to-min label propagation (np.minimum.at) + pointer jumping
+    until edge-wise fixpoint — O(E) per round, O(log diameter) rounds,
+    no per-pixel Python. Replaces the round-1 pure-Python union-find
+    (VERDICT.md "What's wrong" #2); scipy is unavailable here."""
+    n = px.shape[0]
+    t = px.shape[1]
+    total = px.size
+    fg = px != 0
+    lab = np.where(fg.ravel(), np.arange(total, dtype=np.int64), np.int64(-1))
+    flat = np.arange(total, dtype=np.int64).reshape(n, t, t)
+    conn_r = fg[:, :, :-1] & fg[:, :, 1:]
+    conn_d = fg[:, :-1, :] & fg[:, 1:, :]
+    if same_value:
+        conn_r &= px[:, :, :-1] == px[:, :, 1:]
+        conn_d &= px[:, :-1, :] == px[:, 1:, :]
+    src = np.concatenate([flat[:, :, :-1][conn_r], flat[:, :-1, :][conn_d]])
+    dst = np.concatenate([flat[:, :, 1:][conn_r], flat[:, 1:, :][conn_d]])
+    if len(src):
+        for _ in range(64):
+            np.minimum.at(lab, dst, lab[src])
+            np.minimum.at(lab, src, lab[dst])
+            m = lab >= 0
+            lab[m] = lab[lab[m]]
+            lab[m] = lab[lab[m]]
+            if np.array_equal(lab[src], lab[dst]):
+                break
+    labels = np.zeros((n, t * t), dtype=np.int32)
+    n_labels = np.zeros(n, dtype=np.int32)
+    lab2 = lab.reshape(n, t * t)
+    for i in range(n):
+        m = lab2[i] >= 0
+        if m.any():
+            u, inv = np.unique(lab2[i][m], return_inverse=True)
+            labels[i, m] = inv.astype(np.int32) + 1
+            n_labels[i] = len(u)
+    return labels, n_labels
 
 
 def label_tiles(band_tiles: DataFrame, *, same_value: bool = False,
                 nodata: float = NODATA) -> DataFrame:
     """Per-tile local labels. Output: (tile_x, tile_y, labels array<int>,
-    values array<double>, n_labels)."""
+    values array<double>, n_labels). Whole Arrow batch labeled in one
+    vectorized numpy pass — no per-row Python."""
 
     def run(it):
         for pdf in it:
-            out = {"tile_x": [], "tile_y": [], "labels": [], "values": [], "n_labels": []}
-            for _, r in pdf.iterrows():
-                a = np.asarray(r["pixels"], dtype=np.float64).reshape(T, T)
-                a = np.where(a == nodata, 0.0, a)
-                lab, n = _label_tile(a, same_value)
-                out["tile_x"].append(r["tile_x"])
-                out["tile_y"].append(r["tile_y"])
-                out["labels"].append(lab.ravel().tolist())
-                out["values"].append(a.ravel().tolist())
-                out["n_labels"].append(n)
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            a = np.asarray(
+                [np.asarray(p, dtype=np.float64) for p in pdf["pixels"]]
+            ).reshape(len(pdf), T, T)
+            a = np.where(a == nodata, 0.0, a)
+            labels, n_labels = _label_batch(a, same_value)
+            yield pd.DataFrame({
+                "tile_x": pdf["tile_x"].to_numpy(),
+                "tile_y": pdf["tile_y"].to_numpy(),
+                "labels": list(labels),
+                "values": list(a.reshape(len(pdf), T * T)),
+                "n_labels": n_labels,
+            })
 
     return band_tiles.select("tile_x", "tile_y", "pixels").mapInPandas(
         run,
@@ -169,12 +174,24 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False) -> DataFrame
     ).distinct()
 
 
-def resolve_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def resolve_components(edges: DataFrame, max_iter: int = 30,
+                       rows_per_partition: int = 500_000) -> DataFrame:
     """Hash-to-min connected components over the equivalence edges.
     Returns (gid, root). Only gids that appear in edges are returned
-    (isolated components are their own root)."""
-    spark = edges.sparkSession
-    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    (isolated components are their own root).
+
+    The iteration partition count is sized to the edge count
+    (~rows_per_partition rows each) instead of inheriting the session
+    shuffle width: the boundary-edge graph is orders of magnitude
+    smaller than the pixel data, and per-round task overhead dominates
+    when tiny graphs run at full shuffle width. At 100 TB the same rule
+    yields thousands of partitions — one count() up front buys it."""
+    n_edges = edges.count()
+    p = max(2, min(4096, n_edges // rows_per_partition + 1))
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(p, "src")
+    )
     lab = (
         und.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("root"))
@@ -200,6 +217,7 @@ def resolve_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         new_lab = (
             new_lab.join(r2, new_lab["root"] == r2["g2"], "left")
             .select("gid", F.coalesce(F.col("r2"), F.col("root")).alias("root"))
+            .repartition(p, "gid")
             .localCheckpoint()
         )
         changed = (

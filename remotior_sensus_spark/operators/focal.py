@@ -61,18 +61,26 @@ def _with_halo_groups(band_tiles: DataFrame) -> DataFrame:
     )
 
 
-def _assemble_padded(pdf: pd.DataFrame) -> np.ndarray:
-    """3Tx3T array (nan outside provided tiles); center tile at [T:2T, T:2T]."""
+def _assemble_padded(pdf: pd.DataFrame, return_exists: bool = False):
+    """3Tx3T array (nan outside provided tiles); center tile at [T:2T, T:2T].
+    With return_exists also returns the block-presence mask (True where a
+    source tile actually exists — i.e. inside the raster extent), which
+    is distinct from nodata pixels inside existing tiles."""
     T = TILE_PX
     pad = np.full((3 * T, 3 * T), np.nan)
+    exists = np.zeros((3 * T, 3 * T), dtype=bool)
     for _, r in pdf.iterrows():
         a = np.asarray(r["pixels"], dtype=np.float64).reshape(T, T)
         a = np.where(a == NODATA, np.nan, a)
         # dx,dy is the SOURCE offset relative to target: source tile
         # (target - dx? ) — source tx = target_tx - dx  => its pixels sit
         # at block offset (-dx, -dy) from the center
-        pad[(1 - r["dy"]) * T:(2 - r["dy"]) * T,
-            (1 - r["dx"]) * T:(2 - r["dx"]) * T] = a
+        ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
+        xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
+        pad[ys, xs] = a
+        exists[ys, xs] = True
+    if return_exists:
+        return pad, exists
     return pad
 
 
@@ -189,13 +197,19 @@ def erosion(band_tiles: DataFrame, values: list[float], size: int = 1,
             )
         tx = int(pdf["target_tx"].iloc[0])
         ty = int(pdf["target_ty"].iloc[0])
-        pad = _assemble_padded(pdf)
+        pad, exists = _assemble_padded(pdf, return_exists=True)
         a = np.where(np.isnan(pad), NODATA, pad)
         uniq = [u for u in np.unique(a) if u != NODATA]
         wins = _window_views(a, size)
         m = struct[None, None, :, :]
         center = a[TILE_PX:2 * TILE_PX, TILE_PX:2 * TILE_PX]
-        n_struct = struct.sum()
+        # per-pixel structure count over IN-RASTER cells only: mirrors the
+        # reference's convolved sum_structure, which shrinks at the outer
+        # raster boundary (processor_functions.py raster_erosion) — cells
+        # beyond the raster extent are not mismatches (ADVICE r01 low #4)
+        n_struct = (
+            (_window_views(exists.astype(np.float64), size) > 0.5) & m
+        ).sum(axis=(2, 3)).astype(np.float64)
         fill = np.full(center.shape, float(NODATA))
         max_cnt = np.zeros(center.shape)
         erode = np.zeros(center.shape, dtype=bool)

@@ -71,17 +71,27 @@ def decode_and_resize(df: DataFrame, out_size: int = 8) -> DataFrame:
 
     def run(it):
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
-                img = fake_decode(bytes(r["media_blob"]),
-                                  r["media_meta"]["width"], r["media_meta"]["height"])
-                step = max(1, img.shape[0] // out_size)
-                small = img[::step, ::step][:out_size, :out_size]
-                out.append(small.ravel().astype(np.int32).tolist())
+            n = len(pdf)
+            if n == 0:
+                continue
+            w = int(pdf["media_meta"].iloc[0]["width"])
+            h = int(pdf["media_meta"].iloc[0]["height"])
+            # whole-batch decode: one seed vector + one splitmix64 sweep
+            seeds = np.frombuffer(
+                b"".join(bytes(b)[:8].ljust(8, b"\0") for b in pdf["media_blob"]),
+                dtype=np.uint64,
+            )
+            idx = np.arange(w * h, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                v = splitmix64(seeds[:, None] + idx[None, :]) % np.uint64(256)
+            imgs = v.astype(np.uint8).reshape(n, h, w)
+            step = max(1, h // out_size)
+            small = imgs[:, ::step, ::step][:, :out_size, :out_size]
+            thumbs = small.reshape(n, -1).astype(np.int32)
             yield pd.DataFrame({
                 "bandset": pdf["bandset"], "band": pdf["band"],
                 "tile_x": pdf["tile_x"], "tile_y": pdf["tile_y"],
-                "thumb": out,
+                "thumb": list(thumbs),
             })
 
     return df.mapInPandas(

@@ -18,16 +18,32 @@ from pyspark.sql import functions as F
 from remotior_sensus_spark.synth.generate import splitmix64
 
 
-def _dot(a, b):
+FP_SCALE = float(1 << 20)
+
+
+def _dot_fp(a, b):
+    """Order-independent fixed-point dot product: every elementwise
+    product (exact float32->double, one double multiply) is quantized to
+    2^-20 and summed as BIGINT. Any summation order / engine yields the
+    same integer, so cosine ranks are reproducible bit-for-bit against
+    the DuckDB oracle (same trick as functions.cols.fixed1e6)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
+        F.zip_with(
+            a, b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(FP_SCALE) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+def _cos_fp(e, q):
+    """Cosine from fixed-point dots (the 2^20 scales cancel)."""
+    return _dot_fp(e, q).cast("double") / (
+        F.sqrt(_dot_fp(e, e).cast("double")) * F.sqrt(_dot_fp(q, q).cast("double"))
+    )
 
 
 def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
@@ -37,9 +53,7 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int =
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     j = embeddings.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
-    )
+    cos = _cos_fp(F.col("embedding"), F.col("q_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         j.select("query_id", "vec_id", cos.alias("cos_sim"))
@@ -61,7 +75,8 @@ def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -
     planes = _hyperplanes(dim, n_planes)
     sig = None
     for i, p in enumerate(planes):
-        d = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in p]))
+        # fixed-point sign so the bucket id is engine-independent
+        d = _dot_fp(F.col("embedding"), F.array(*[F.lit(v) for v in p]))
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
@@ -87,9 +102,7 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         ).alias("bucket"),
     )
     j = b.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
-    )
+    cos = _cos_fp(F.col("embedding"), F.col("q_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         j.select("query_id", "vec_id", cos.alias("cos_sim"))

@@ -369,12 +369,36 @@ def knn_tiles(geoms: DataFrame, tiles: DataFrame, k: int,
     r0 = F.lit(int(np.ceil(np.sqrt(k))) + 1)
     w = Window.partitionBy("roi_id").orderBy("dist_sq", "tile_x", "tile_y")
     first = candidates(g, r0).withColumn("rn", F.row_number().over(w))
-    dk = first.filter(F.col("rn") == k).select(
-        "roi_id",
-        (F.ceil(F.sqrt(F.col("dist_sq").cast("double")) / upt) + 1).alias("__r2"),
+    # phase-2 radius: ceil(d_k) when the first ring held >= k candidates;
+    # otherwise (grid-edge ROI) escalate to the FULL grid span so true
+    # neighbors beyond r0 are never missed (ADVICE r01: the old coalesce
+    # back to r0 silently under-returned near the grid boundary).
+    stats = first.groupBy("roi_id").agg(
+        F.count("*").alias("__n"),
+        F.max(F.when(F.col("rn") == k, F.col("dist_sq"))).alias("__dk"),
     )
-    g2 = g.join(dk, "roi_id", "left").withColumn(
-        "__r2", F.coalesce(F.col("__r2"), r0.cast("long")).cast("int")
+    full_span = t.agg(
+        (
+            F.greatest(
+                F.max("tile_x") - F.min("tile_x"),
+                F.max("tile_y") - F.min("tile_y"),
+            )
+            + F.lit(2)
+        ).alias("__rfull")
+    )
+    g2 = (
+        g.join(stats, "roi_id", "left")
+        .crossJoin(F.broadcast(full_span))
+        .withColumn(
+            "__r2",
+            F.coalesce(
+                F.when(
+                    F.col("__n") >= k,
+                    F.ceil(F.sqrt(F.col("__dk").cast("double")) / upt) + 1,
+                ),
+                F.col("__rfull").cast("long"),
+            ).cast("int"),
+        )
     )
     second = candidates(g2.select("roi_id", "gx5", "gy5", "__r2"), F.col("__r2"))
     return (

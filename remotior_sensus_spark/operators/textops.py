@@ -23,6 +23,14 @@ TOKEN_SPLIT = r"\s+"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
 
+def portable_hash60(col) -> F.Column:
+    """60-bit string hash computable identically in Spark and DuckDB:
+    first 15 hex chars of md5 parsed as an integer. Stays JVM-side
+    (md5/conv are codegen builtins) and always non-negative < 2^60, so
+    downstream arithmetic never overflows under ANSI mode."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokens_col(text="text"):
     return F.filter(F.split(F.trim(F.col(text)), TOKEN_SPLIT), lambda t: t != "")
 
@@ -142,7 +150,8 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3)
     No interpreted higher-order functions in the hot path."""
     sh = shingles_col(shingle_n)
     flat = docs.select("doc_id", F.explode(sh).alias("shingle")).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(2_147_483_647)).alias("h")
+        "doc_id",
+        (portable_hash60(F.col("shingle")) % F.lit(2_147_483_647)).alias("h"),
     )
     aggs = [
         F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
@@ -161,11 +170,13 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
     Pairs only form inside band buckets (self-join on band hash)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(docs, num_hashes, shingle_n).cache()
+    # band key = the band's signature slice itself (stringified) — no
+    # engine-specific hash; pairs still only form inside equal-key buckets
     banded = sig.select(
         "doc_id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(*[
+                F.concat_ws("|", *[
                     F.element_at("signature", b * rows_per_band + i + 1)
                     for i in range(rows_per_band)
                 ])
@@ -234,7 +245,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     toks = tokens_col()
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, lambda t: portable_hash60(t))
 
     def _fold(hashes):
         out = np.zeros(len(hashes), dtype=np.uint64)

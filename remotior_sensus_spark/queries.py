@@ -1260,12 +1260,49 @@ def media_thumbnails(spark, sf_dir):
     return decode_and_resize(t)
 
 
-@q("lang_id", None)
+# portable SQL fragments shared by the text-similarity oracles
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_HEX60 = "cast(concat('0x', substr(md5({x}), 1, 15)) as bigint)"
+_SHINGLES = ("list_distinct(list_transform(range(0, greatest(len(toks)-3, 0)+1), "
+             "i -> array_to_string(toks[i+1:i+3], ' ')))")
+
+
+@q("lang_id", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+s as (select doc_id,
+  len(list_filter(toks, x -> x in ('the','and','of'))) as s_en,
+  len(list_filter(toks, x -> x in ('el','la','de'))) as s_es,
+  len(list_filter(toks, x -> x in ('der','die','und'))) as s_de,
+  len(list_filter(toks, x -> x in ('le','la','et'))) as s_fr,
+  len(list_filter(toks, x -> x in ('de','shi','le'))) as s_zh
+from t),
+b as (select doc_id, greatest(s_en, s_es, s_de, s_fr, s_zh) as best,
+             s_en, s_es, s_de, s_fr, s_zh from s)
+select doc_id,
+  case when best = 0 then 'unknown'
+       when s_zh = best then 'zh'
+       when s_fr = best then 'fr'
+       when s_es = best then 'es'
+       when s_en = best then 'en'
+       else 'de' end as pred_lang,
+  best as marker_hits
+from b
+""")
 def lang_id_q(spark, sf_dir):
     return tx.lang_id(cat.load_driver(spark, sf_dir, "documents"))
 
 
-@q("ngram_jaccard", None)
+@q("ngram_jaccard", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+d as (select doc_id, {_SHINGLES} as sh,
+        array_to_string(toks[1:2], ' ') as blk from t),
+d2 as (select * from d where len(sh) > 0),
+p as (select a.doc_id as doc_a, b.doc_id as doc_b,
+    cast(len(list_intersect(a.sh, b.sh)) as double)
+      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double) as jaccard
+  from d2 a join d2 b on a.blk = b.blk and a.doc_id < b.doc_id)
+select doc_a, doc_b, jaccard from p where jaccard >= 0.2
+""")
 def ngram_jaccard_q(spark, sf_dir):
     docs = cat.load_driver(spark, sf_dir, "documents")
     return tx.ngram_jaccard_pairs(docs, threshold=0.2)
@@ -1302,32 +1339,204 @@ def ml_classification(spark, sf_dir):
     return scored.groupBy("class").agg(F.count("*").alias("pixel_count"))
 
 
-# --- no-oracle ops (non-SQL-expressible; driver records rows-only checks) ---
-
-@q("simhash", None)
+@q("simhash", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+h as (select doc_id,
+        list_transform(toks, tok -> {_HEX60.format(x='tok')}) as hs from t)
+select doc_id,
+  cast(coalesce(list_sum(list_transform(range(0, 60),
+    i -> case when 2*len(list_filter(hs, hv -> (hv >> i) & 1 = 1)) > len(hs)
+              then (1::bigint << i) else 0::bigint end)), 0) as bigint) as simhash
+from h
+""")
 def simhash(spark, sf_dir):
     return tx.simhash64(cat.load_driver(spark, sf_dir, "documents"))
 
 
-@q("minhash_lsh", None)
+def _minhash_oracle() -> str:
+    from remotior_sensus_spark.operators.textops import _minhash_coeffs
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n    ".join(
+        f"min(hv * {a} + {b}) as m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    bands_sql = "\n  union all\n  ".join(
+        f"select doc_id, {b} as band, "
+        f"concat_ws('|', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) as bk from sig"
+        for b in range(8)
+    )
+    match = " + ".join(f"cast((sa.m{i} = sb.m{i}) as int)" for i in range(32))
+    return f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+shd as (select doc_id, {_SHINGLES} as sh from t),
+flat as (select doc_id, unnest(sh) as shingle from shd),
+h as (select doc_id, {_HEX60.format(x='shingle')} % 2147483647 as hv from flat),
+sig as (select doc_id,
+    {sig_cols}
+  from h group by doc_id),
+bands as (
+  {bands_sql}),
+pairs as (select distinct a.doc_id as da, b.doc_id as db
+          from bands a join bands b
+            on a.band = b.band and a.bk = b.bk and a.doc_id < b.doc_id),
+j as (select p.da as doc_a, p.db as doc_b, ({match}) as nm
+      from pairs p join sig sa on sa.doc_id = p.da
+                   join sig sb on sb.doc_id = p.db)
+select doc_a, doc_b, cast(nm as double)/32.0 as est_jaccard
+from j where cast(nm as double)/32.0 >= 0.3
+"""
+
+
+@q("minhash_lsh", _minhash_oracle())
 def minhash_lsh(spark, sf_dir):
     docs = cat.load_driver(spark, sf_dir, "documents")
     return tx.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
 
 
-@q("ann_cosine_topk", None)
+def _dotfp_sql(a: str, b: str) -> str:
+    """Fixed-point dot product in DuckDB — mirrors similarity._dot_fp."""
+    return (
+        f"cast(cast(list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> cast(floor(cast({a}[i] as double) * cast({b}[i] as double) "
+        f"* 1048576.0 + 0.5) as bigint))) as bigint) as double)"
+    )
+
+
+def _cosfp_sql(e: str, qv: str) -> str:
+    return (f"{_dotfp_sql(e, qv)} / (sqrt({_dotfp_sql(e, e)}) "
+            f"* sqrt({_dotfp_sql(qv, qv)}))")
+
+
+@q("ann_cosine_topk", f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id in (0, 1, 2, 3, 4)),
+j as (select e.vec_id, q.qid, e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+s as (select qid as query_id, vec_id, {_cosfp_sql('emb', 'qe')} as cos_sim from j)
+select query_id, vec_id, cos_sim, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, vec_id) as rank from s)
+where rank <= 10
+""")
 def ann_cosine_topk(spark, sf_dir):
     emb = cat.load_driver(spark, sf_dir, "embeddings")
     return sim.cosine_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
 
 
-@q("ann_cosine_lsh", None)
+def _ann_lsh_oracle() -> str:
+    from remotior_sensus_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 12)
+    bucket = " + ".join(
+        "(case when cast(list_sum(list_transform(range(1, len(emb)+1), "
+        f"i -> cast(floor(cast(emb[i] as double) * ([{','.join(repr(v) for v in p)}])[i] "
+        "* 1048576.0 + 0.5) as bigint))) as bigint) > 0 "
+        f"then {1 << i}::bigint else 0::bigint end)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+with e as (select vec_id, embedding as emb from embeddings),
+b as (select vec_id, emb, ({bucket}) as bucket from e),
+q0 as (select vec_id as qid, emb as qe, bucket as qb from b
+       where vec_id in (0, 1, 2, 3, 4)),
+probe as (select qid, qe,
+    case when p = 0 then qb else xor(qb, (1::bigint << (p-1))) end as bucket
+  from q0, (select unnest(range(0, 13)) as p)),
+j as (select b.vec_id, probe.qid, b.emb, probe.qe
+      from b join probe on b.bucket = probe.bucket
+      where b.vec_id <> probe.qid),
+s as (select distinct qid as query_id, vec_id,
+        {_cosfp_sql('emb', 'qe')} as cos_sim from j)
+select query_id, vec_id, cos_sim, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, vec_id) as rank from s)
+where rank <= 10
+"""
+
+
+@q("ann_cosine_lsh", _ann_lsh_oracle())
 def ann_cosine_lsh(spark, sf_dir):
     emb = cat.load_driver(spark, sf_dir, "embeddings")
     return sim.cosine_topk_lsh(emb, [0, 1, 2, 3, 4], k=10)
 
 
-@q("kmeans_centroids", None)
+def _kmeans_oracle() -> str:
+    """2-iteration k-means unrolled in SQL, op-for-op against
+    classification.kmeans_bands (seed ladder, first-wins argmin,
+    exact-integer-sum means with one double division)."""
+    bands = ["02", "03", "04", "08"]
+    px_cols = ",\n    ".join(
+        f"max(case when band='B{b}' then value end) as b{b}" for b in bands
+    )
+    valid = " and ".join(f"b{b} <> -32768" for b in bands)
+    mm = ", ".join(
+        f"min(b{b}) as mn{b}, max(b{b}) as mx{b}" for b in bands
+    )
+
+    def seed(c: int, b: str) -> str:
+        return (f"cast(mn{b} as double) + (cast(mx{b} as double) - "
+                f"cast(mn{b} as double)) * {c + 0.5} / 3")
+
+    def dist(tag: str, k: int) -> str:
+        return " + ".join(
+            f"(cast(b{b} as double) - {tag}_{k}_{b}) "
+            f"* (cast(b{b} as double) - {tag}_{k}_{b})" for b in bands
+        )
+
+    c0 = ",\n    ".join(
+        f"{seed(c - 1, b)} as c0_{c}_{b}" for c in (1, 2, 3) for b in bands
+    )
+
+    def assign(src_px: str, cents: str, out: str) -> str:
+        d = ",\n      ".join(
+            f"{dist(cents, k)} as d{k}" for k in (1, 2, 3)
+        )
+        return f"""{out}_d as (select *,
+      {d}
+   from {src_px} cross join {cents}_t),
+{out} as (select *, case when d1 = least(d1, d2, d3) then 1
+                         when d2 = least(d1, d2, d3) then 2
+                         else 3 end as cls from {out}_d)"""
+
+    def means(src: str, prev: str, out: str) -> str:
+        sums = ", ".join(
+            f"cast(sum(cast(b{b} as bigint)) as bigint) as s{b}" for b in bands
+        )
+        cols = ",\n    ".join(
+            f"coalesce(max(case when cls = {k} then cast(s{b} as double) "
+            f"/ cast(n as double) end), any_value({prev}_{k}_{b})) as {out}_{k}_{b}"
+            for k in (1, 2, 3) for b in bands
+        )
+        return f"""{out}_s as (select cls, count(*) as n, {sums}
+   from {src} group by cls),
+{out}_t as (select
+    {cols}
+  from {out}_s cross join {prev}_t)"""
+
+    out_rows = "\nunion all\n".join(
+        f"select {k} as class_id, " + ", ".join(
+            f'c2_{k}_{b} as "c_B{b}"' for b in bands
+        ) + " from c2_t"
+        for k in (1, 2, 3)
+    )
+    return f"""
+with px as (
+  select
+    {px_cols}
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select * from px where {valid}),
+mm as (select {mm} from v),
+c0_t as (select
+    {c0}
+  from mm),
+{assign('v', 'c0', 'a1')},
+{means('a1', 'c0', 'c1')},
+{assign('v', 'c1', 'a2')},
+{means('a2', 'c1', 'c2')}
+{out_rows}
+"""
+
+
+@q("kmeans_centroids", _kmeans_oracle())
 def kmeans_centroids(spark, sf_dir):
     from remotior_sensus_spark.operators.reclass import band_stack
     bands = ["B02", "B03", "B04", "B08"]
@@ -1339,9 +1548,24 @@ def kmeans_centroids(spark, sf_dir):
     return spark.createDataFrame(rows, ["class_id", *[f"c_{b}" for b in bands]])
 
 
+# queries with no oracle (or heavy CC pipelines) run LAST so a driver
+# time budget cuts only the weakest checks, never the oracle-backed ones
+_RUN_LAST = [
+    "pca_projection", "media_thumbnails", "ml_classification",
+    "dilation_counts", "erosion_counts", "region_growing",
+    "raster_label_histogram", "polygonize", "sieve_reclass",
+]
+
+
+def _ordered() -> dict[str, tuple]:
+    first = {k: v for k, v in REGISTRY.items() if k not in _RUN_LAST}
+    last = {k: REGISTRY[k] for k in _RUN_LAST if k in REGISTRY}
+    return {**first, **last}
+
+
 def queries():
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered().items()}
 
 
 def oracle_sql():
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}

@@ -143,3 +143,64 @@ def test_resample_mode(spark, b04, geo001_dir):
             exp[(cx, cy)] = (best[0], best[1])
     gm = {(r.cgx, r.cgy): (r.mode_value, r.mode_count) for r in got.itertuples()}
     assert gm == exp
+
+
+def _morph_oracle(full: np.ndarray, values: list[float], op: str,
+                  size: int = 1, circular: bool = True) -> np.ndarray:
+    """Whole-raster numpy oracle for dilation/erosion with the
+    reference's boundary semantics: the structure count shrinks at the
+    raster edge (convolved sum_structure), so edge pixels are not eroded
+    for lacking out-of-raster neighbors."""
+    from remotior_sensus_spark.operators.focal import structure_mask
+
+    struct = structure_mask(size, circular)
+    m = struct[None, None]
+    arr = np.where(np.isnan(full), NODATA, np.where(full > 3500, 7.0, 1.0))
+    arr = np.where(np.isnan(full), NODATA, arr)
+    pad = np.pad(arr, size, constant_values=np.nan)
+    exists = np.pad(np.ones(arr.shape, bool), size, constant_values=False)
+    a = np.where(np.isnan(pad), NODATA, pad)
+    wins = np.lib.stride_tricks.sliding_window_view(a, struct.shape)
+    wins_ex = np.lib.stride_tricks.sliding_window_view(
+        exists.astype(float), struct.shape)
+    center = arr
+    out = center.copy()
+    if op == "dilate":
+        a0 = np.where(a == NODATA, 0.0, a)
+        wins0 = np.lib.stride_tricks.sliding_window_view(a0, struct.shape)
+        core = ~np.isin(center, np.array(values))
+        for v in values:
+            near = ((wins0 == v) & m).any(axis=(2, 3))
+            out[core & near] = v
+    else:
+        n_struct = ((wins_ex > 0.5) & m).sum(axis=(2, 3)).astype(float)
+        uniq = [u for u in np.unique(a) if u != NODATA]
+        fill = np.full(center.shape, float(NODATA))
+        max_cnt = np.zeros(center.shape)
+        erode = np.zeros(center.shape, dtype=bool)
+        for v in uniq:
+            cnt = ((wins == v) & m).sum(axis=(2, 3)).astype(float)
+            if v not in values:
+                sel = cnt > max_cnt
+                fill[sel] = v
+                max_cnt[sel] = cnt[sel]
+            else:
+                erode |= ((n_struct - cnt) > 0.01) & (center == v)
+        out[erode] = fill[erode]
+    out[np.isnan(full)] = NODATA
+    return out
+
+
+@pytest.mark.parametrize("op", ["dilate", "erode"])
+def test_morphology_matches_numpy(spark, b04, op):
+    from remotior_sensus_spark.operators.band_calc import band_calc
+    from remotior_sensus_spark.operators.focal import dilation, erosion
+
+    n = grid_n(0.001)
+    tiles = spark.read.parquet("data/geo/sf0.001/tiles.parquet")
+    q4 = band_calc(tiles, 'where("B04" > 3500, 7, 1)', nodata_mask="any")
+    fn = dilation if op == "dilate" else erosion
+    got = _collect_raster(fn(q4, values=[7.0], size=1, circular=True), n)
+    exp = _morph_oracle(full_raster(), [7.0], op)
+    got = np.where(np.isnan(got), NODATA, got)
+    assert np.array_equal(got, exp)
