@@ -137,6 +137,108 @@ def band_percentile(spark, sf_dir):
     )
 
 
+# --- band_calc grammar: iterators, star expansion, nodata() folding --------
+
+@q("calc_forbandsets", f"""
+with px as (
+  select bandset, tile_x, tile_y,
+    max(case when band='B08' then value end) as nir,
+    max(case when band='B04' then value end) as red
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset in ('S2_2020-01-01','S2_2020-01-02') and band in ('B08','B04')
+  group by bandset, tile_x, tile_y, px, py
+), v as (
+  select case bandset when 'S2_2020-01-01' then 1 else 2 end as bandset_number,
+    tile_x, tile_y,
+    case when nir=-32768 or red=-32768 then null else (nir-red)/(nir+red) end as x
+  from px)
+select concat('ndvi', bandset_number) as out_name, bandset_number, tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(x*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
+  count(x) as valid_count, 256-count(x) as nodata_count
+from v group by 1, 2, tile_x, tile_y
+""")
+def calc_forbandsets(spark, sf_dir):
+    """forbandsets iterator: NDVI per dated bandset, one unioned plan."""
+    from remotior_sensus_spark.operators.band_calc import band_calc_script
+    script = ("forbandsets[2020-01-01:2020-01-02]S\n"
+              '( "bandset#b4" - "bandset#b3" ) / '
+              '( "bandset#b4" + "bandset#b3" ) @ndvi%#')
+    out = band_calc_script(_tiles(spark, sf_dir), script)
+    return tile_checksum(out, keys=("out_name", "bandset_number",
+                                    "tile_x", "tile_y"))
+
+
+@q("calc_forbandsinbandset", f"""
+with v as (
+  select band as out_name, 1 as bandset_number, tile_x, tile_y,
+    case when value=-32768 then null
+         else least(greatest((value-100.0)/4900.0, 0.0), 1.0) end as x
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01')
+select out_name, bandset_number, tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(x*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
+  count(x) as valid_count, 256-count(x) as nodata_count
+from v group by 1, 2, tile_x, tile_y
+""")
+def calc_forbandsinbandset(spark, sf_dir):
+    """forbandsinbandset iterator with #BAND# + @#BAND# output naming
+    (mirrors ref tests/test_band_calc.py:548 np.clip scenario)."""
+    from remotior_sensus_spark.operators.band_calc import band_calc_script
+    script = ('forbandsinbandset[1]\n'
+              'clip(("#BAND#" - 100) / 4900, 0, 1) @#BAND#')
+    out = band_calc_script(_tiles(spark, sf_dir), script)
+    return tile_checksum(out, keys=("out_name", "bandset_number",
+                                    "tile_x", "tile_y"))
+
+
+@q("calc_star_percentile", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when b02=-32768 or b03=-32768 or b04=-32768 or b08=-32768 then null
+    else (list_sort([b02,b03,b04,b08]))[3] end as p
+  from px)
+select tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(p*1000000.0+0.5) as bigint)),0) as bigint) as checksum,
+  count(p) as valid_count, 256-count(p) as nodata_count
+from v group by tile_x, tile_y
+""")
+def calc_star_percentile(spark, sf_dir):
+    """'bandset#b*' star expansion feeding the percentile reducer."""
+    return tile_checksum(
+        band_calc(_tiles(spark, sf_dir), 'percentile("bandset#b*", 80)')
+    )
+
+
+@q("calc_nodata_where", f"""
+select tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(
+    (case when value=-32768 then 0.0 else value end)*1000000.0+0.5)
+    as bigint)),0) as bigint) as checksum,
+  count(*) as valid_count,
+  cast(0 as bigint) as nodata_count
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and band='B04'
+group by tile_x, tile_y
+""")
+def calc_nodata_where(spark, sf_dir):
+    """nodata() constant folding inside an expression
+    (ref tools/band_calc.py:1322-1336)."""
+    return tile_checksum(
+        band_calc(_tiles(spark, sf_dir),
+                  'where("B04" == nodata("B04"), 0, "B04")',
+                  nodata_mask=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation family (SURVEY §2.4)
 # ---------------------------------------------------------------------------

@@ -96,3 +96,77 @@ def test_compile_errors():
 def test_expression_variable_order():
     c = compile_expression('("B08" - "B04") / ("B08" + "B04")')
     assert c.variables == ["B08", "B04"]
+
+
+class TestGrammar:
+    """Parser/expansion unit tests for the band_calc grammar
+    (ref tools/band_calc.py:598-1130, 1322-1336, 1358-1699)."""
+
+    def test_nodata_folding(self):
+        from remotior_sensus_spark.operators.band_calc import expand_calc_expression
+        out = expand_calc_expression('where("B04" == nodata("B04"), 0, "B04")')
+        assert "nodata" not in out
+        assert "-32768.0" in out
+
+    def test_star_current_bandset(self):
+        from remotior_sensus_spark.operators.band_calc import expand_calc_expression
+        out = expand_calc_expression('percentile("bandset#b*", 80)')
+        assert out == ('percentile([ "bandset1b1", "bandset1b2", '
+                       '"bandset1b3", "bandset1b4" ], 80)')
+
+    def test_star_across_bandsets(self):
+        from remotior_sensus_spark.operators.band_calc import expand_calc_expression
+        out = expand_calc_expression('max("bandset*b2")')
+        assert out == 'max([ "bandset1b2", "bandset2b2", "bandset3b2" ])'
+
+    def test_brace_selection_ints_and_dates(self):
+        from remotior_sensus_spark.operators.band_calc import expand_calc_expression
+        assert expand_calc_expression('sum("bandset{1,3}b1")') == \
+            'sum([ "bandset1b1", "bandset3b1" ])'
+        assert expand_calc_expression('sum("bandset{1:2}b1")') == \
+            'sum([ "bandset1b1", "bandset2b1" ])'
+        assert expand_calc_expression(
+            'sum("bandset{2020-01-02:2020-01-03}b1")') == \
+            'sum([ "bandset2b1", "bandset3b1" ])'
+
+    def test_spectral_alias_by_wavelength(self):
+        from remotior_sensus_spark.operators.band_calc import resolve_var
+        assert resolve_var("#BLUE#") == ("S2_2020-01-01", "B02")
+        assert resolve_var("#GREEN#") == ("S2_2020-01-01", "B03")
+        assert resolve_var("#RED#") == ("S2_2020-01-01", "B04")
+        assert resolve_var("#NIR#") == ("S2_2020-01-01", "B08")
+
+    def test_ordinal_band_refs(self):
+        from remotior_sensus_spark.operators.band_calc import resolve_var
+        assert resolve_var("bandset2b1") == ("S2_2020-01-02", "B02")
+        assert resolve_var("bandset2bB04") == ("S2_2020-01-02", "B04")
+        assert resolve_var("b3") == ("S2_2020-01-01", "B04")
+
+    def test_forbandsets_iterator(self):
+        from remotior_sensus_spark.operators.band_calc import parse_calc_script
+        entries = parse_calc_script(
+            'forbandsets[1:2]S\n"bandset#b1" * 2 @x%#')
+        assert [(n, b) for _, n, b in entries] == [("x1", 1), ("x2", 2)]
+        assert entries[0][0] == '"bandset1b1" * 2'
+
+    def test_forbandsets_name_filter_excludes(self):
+        from remotior_sensus_spark.operators.band_calc import parse_calc_script
+        assert parse_calc_script('forbandsets[1:2]Z\n"bandset#b1"') == []
+
+    def test_forbandsinbandset_band_variable(self):
+        from remotior_sensus_spark.operators.band_calc import parse_calc_script
+        entries = parse_calc_script(
+            'forbandsinbandset[1]\n"#BAND#" + 1 @#BAND#')
+        assert [n for _, n, _ in entries] == ["B02", "B03", "B04", "B08"]
+        assert entries[2][0] == '"bandset1b3" + 1'
+
+    def test_chained_output_names(self):
+        from remotior_sensus_spark.operators.band_calc import parse_calc_script
+        entries = parse_calc_script(
+            '"bandset#b1" * 2 @t1\n"t1" + 1 @t2')
+        assert entries[1][0] == '( "bandset1b1" * 2 ) + 1'
+
+    def test_comment_lines_skipped(self):
+        from remotior_sensus_spark.operators.band_calc import parse_calc_script
+        entries = parse_calc_script('# a comment\n"bandset#b1" @out')
+        assert len(entries) == 1 and entries[0][1] == "out"
