@@ -78,10 +78,11 @@ def _label_batch(px: np.ndarray, same_value: bool) -> tuple[np.ndarray, np.ndarr
 
 
 def label_tiles(band_tiles: DataFrame, *, same_value: bool = False,
-                nodata: float = NODATA) -> DataFrame:
+                nodata: float = NODATA, tile_px: int | None = None) -> DataFrame:
     """Per-tile local labels. Output: (tile_x, tile_y, labels array<int>,
     values array<double>, n_labels). Whole Arrow batch labeled in one
     vectorized numpy pass — no per-row Python."""
+    t_px = tile_px or T
 
     def run(it):
         for pdf in it:
@@ -89,14 +90,14 @@ def label_tiles(band_tiles: DataFrame, *, same_value: bool = False,
                 continue
             a = np.asarray(
                 [np.asarray(p, dtype=np.float64) for p in pdf["pixels"]]
-            ).reshape(len(pdf), T, T)
+            ).reshape(len(pdf), t_px, t_px)
             a = np.where(a == nodata, 0.0, a)
             labels, n_labels = _label_batch(a, same_value)
             yield pd.DataFrame({
                 "tile_x": pdf["tile_x"].to_numpy(),
                 "tile_y": pdf["tile_y"].to_numpy(),
                 "labels": list(labels),
-                "values": list(a.reshape(len(pdf), T * T)),
+                "values": list(a.reshape(len(pdf), t_px * t_px)),
                 "n_labels": n_labels,
             })
 
@@ -111,11 +112,13 @@ def _gid(tx, ty, local):
     return ((tx.cast("long") * 65536 + ty.cast("long")) * 4096) + local.cast("long")
 
 
-def boundary_edges(labeled: DataFrame, *, same_value: bool = False) -> DataFrame:
+def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
+                   tile_px: int | None = None) -> DataFrame:
     """Cross-tile equivalence edges from touching boundary pixels —
     JVM-only slicing (right column vs left column, bottom row vs top row)."""
-    idx_right = F.array(*[F.lit(i * T + (T - 1) + 1) for i in range(T)])
-    idx_left = F.array(*[F.lit(i * T + 0 + 1) for i in range(T)])
+    t_px = tile_px or T
+    idx_right = F.array(*[F.lit(i * t_px + (t_px - 1) + 1) for i in range(t_px)])
+    idx_left = F.array(*[F.lit(i * t_px + 0 + 1) for i in range(t_px)])
 
     def pick(col, idxs):
         return F.transform(idxs, lambda i: F.element_at(F.col(col), i))
@@ -126,10 +129,10 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False) -> DataFrame
         pick("values", idx_right).alias("val_r"),
         pick("labels", idx_left).alias("lab_l"),
         pick("values", idx_left).alias("val_l"),
-        F.slice("labels", (T - 1) * T + 1, T).alias("lab_b"),
-        F.slice("values", (T - 1) * T + 1, T).alias("val_b"),
-        F.slice("labels", 1, T).alias("lab_t"),
-        F.slice("values", 1, T).alias("val_t"),
+        F.slice("labels", (t_px - 1) * t_px + 1, t_px).alias("lab_b"),
+        F.slice("values", (t_px - 1) * t_px + 1, t_px).alias("val_b"),
+        F.slice("labels", 1, t_px).alias("lab_t"),
+        F.slice("values", 1, t_px).alias("val_t"),
     )
     right = base.alias("a").join(
         base.alias("b"),
@@ -232,12 +235,14 @@ def resolve_components(edges: DataFrame, max_iter: int = 30,
     return lab
 
 
-def raster_label(band_tiles: DataFrame, *, same_value: bool = False) -> DataFrame:
+def raster_label(band_tiles: DataFrame, *, same_value: bool = False,
+                 tile_px: int | None = None) -> DataFrame:
     """Full CC: returns (gid, root, tile_x, tile_y, local_label,
     component_size). Output raster value = component_size
     (tools/raster_label.py:27-29)."""
-    labeled = label_tiles(band_tiles, same_value=same_value).cache()
-    edges = boundary_edges(labeled, same_value=same_value)
+    labeled = label_tiles(band_tiles, same_value=same_value,
+                          tile_px=tile_px).cache()
+    edges = boundary_edges(labeled, same_value=same_value, tile_px=tile_px)
     roots = resolve_components(edges)
 
     locals_df = labeled.select(
@@ -256,10 +261,11 @@ def raster_label(band_tiles: DataFrame, *, same_value: bool = False) -> DataFram
     return with_roots.join(sizes, "root")
 
 
-def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False) -> DataFrame:
+def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False,
+                             tile_px: int | None = None) -> DataFrame:
     """(component_size, n_components) — relabeling-invariant check output
     (FIXTURES.md §7.7)."""
-    cc = raster_label(band_tiles, same_value=same_value)
+    cc = raster_label(band_tiles, same_value=same_value, tile_px=tile_px)
     comp = cc.select("root", "component_size").distinct()
     return comp.groupBy("component_size").agg(F.count("*").alias("n_components"))
 
@@ -327,23 +333,25 @@ def region_growing(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
     )
 
 
-def polygonize(band_tiles: DataFrame) -> DataFrame:
+def polygonize(band_tiles: DataFrame, tile_px: int | None = None) -> DataFrame:
     """raster -> vector light: one row per same-value connected patch
     with (value, pixel_count, bbox in global pixel coords) — the
     attribute table + extent of gdal.Polygonize output with cross-tile
     dissolve (core/processor.py:1608-1756 + raster_vector.py:2469
     merge_dissolve_layer). Geometry outline reconstruction is the
     remaining delta; patch identity/counts/extents match CC exactly."""
-    labeled = label_tiles(band_tiles, same_value=True).cache()
-    roots = resolve_components(boundary_edges(labeled, same_value=True))
+    t_px = tile_px or T
+    labeled = label_tiles(band_tiles, same_value=True, tile_px=t_px).cache()
+    roots = resolve_components(
+        boundary_edges(labeled, same_value=True, tile_px=t_px))
     px = labeled.select(
         "tile_x", "tile_y",
         F.posexplode("labels").alias("pos", "local_label"),
         "values",
     ).filter(F.col("local_label") > 0).select(
         "tile_x", "tile_y", "local_label",
-        (F.col("tile_x").cast("long") * T + F.col("pos") % T).alias("gx"),
-        (F.col("tile_y").cast("long") * T + (F.col("pos") / T).cast("int")).alias("gy"),
+        (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px).alias("gx"),
+        (F.col("tile_y").cast("long") * t_px + (F.col("pos") / t_px).cast("int")).alias("gy"),
         F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
         _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
     )
@@ -358,14 +366,17 @@ def polygonize(band_tiles: DataFrame) -> DataFrame:
     )
 
 
-def sieve(band_tiles: DataFrame, min_size: int) -> DataFrame:
+def sieve(band_tiles: DataFrame, min_size: int,
+          tile_px: int | None = None) -> DataFrame:
     """Remove same-value patches smaller than min_size: their pixels take
     the adjacent patch value with the largest pixel count (ties -> smaller
     value), like gdal.SieveFilter (core/processor.py:1757-1914). Returns
     per-patch reclass decisions (root, old_value, new_value)."""
-    labeled = label_tiles(band_tiles, same_value=True).cache()
-    edges_v = boundary_edges(labeled, same_value=False)  # adjacency incl. diff values
-    roots = resolve_components(boundary_edges(labeled, same_value=True))
+    labeled = label_tiles(band_tiles, same_value=True, tile_px=tile_px).cache()
+    edges_v = boundary_edges(labeled, same_value=False,
+                             tile_px=tile_px)  # adjacency incl. diff values
+    roots = resolve_components(
+        boundary_edges(labeled, same_value=True, tile_px=tile_px))
 
     locals_df = labeled.select(
         "tile_x", "tile_y",

@@ -1,0 +1,54 @@
+"""Tile-size transformation: merge ``factor x factor`` blocks of T-px
+tiles into single (T*factor)-px tiles.
+
+At 100 TB the per-row key/metadata overhead of small tiles rivals the
+pixel payload (VERDICT r01 perf audit) — focal/CC kernels want 256^2+
+tiles while ingest may produce smaller ones. ``retile`` is the bridge:
+one groupBy on the coarse tile key (the same shuffle any neighbor op
+would pay), assembly in an Arrow batch, and every downstream kernel
+takes ``tile_px`` so results are provably tile-size-invariant
+(tests/test_focal_components.py::test_tile_size_invariance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import TILE_PX
+
+
+def retile(band_tiles: DataFrame, factor: int,
+           tile_px: int | None = None, nodata: float = NODATA) -> DataFrame:
+    """Coarsen the tile grid by ``factor`` in each axis. Missing source
+    tiles fill with nodata. Output: (tile_x, tile_y, pixels) with
+    (tile_px*factor)^2 pixel arrays, row-major."""
+    t = tile_px or TILE_PX
+    big = t * factor
+
+    src = band_tiles.select(
+        (F.col("tile_x") % factor).alias("sub_x"),
+        (F.col("tile_y") % factor).alias("sub_y"),
+        F.floor(F.col("tile_x") / factor).cast("int").alias("ntx"),
+        F.floor(F.col("tile_y") / factor).cast("int").alias("nty"),
+        "pixels",
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.full((big, big), float(nodata))
+        for _, r in pdf.iterrows():  # <= factor^2 rows per group
+            block = np.asarray(r["pixels"], dtype=np.float64).reshape(t, t)
+            a[r["sub_y"] * t:(r["sub_y"] + 1) * t,
+              r["sub_x"] * t:(r["sub_x"] + 1) * t] = block
+        return pd.DataFrame({
+            "tile_x": [int(pdf["ntx"].iloc[0])],
+            "tile_y": [int(pdf["nty"].iloc[0])],
+            "pixels": [a.ravel().tolist()],
+        })
+
+    return src.groupBy("ntx", "nty").applyInPandas(
+        assemble, schema="tile_x int, tile_y int, pixels array<double>"
+    )

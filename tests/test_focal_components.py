@@ -32,12 +32,12 @@ def b04(spark, geo001_dir):
     return t.filter((F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
 
 
-def _collect_raster(df, n):
+def _collect_raster(df, n, tile_px=TILE_PX):
     out = np.full((n * TILE_PX, n * TILE_PX), np.nan)
     for r in df.collect():
-        a = np.asarray(r["pixels"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
-        out[r["tile_y"] * TILE_PX:(r["tile_y"] + 1) * TILE_PX,
-            r["tile_x"] * TILE_PX:(r["tile_x"] + 1) * TILE_PX] = a
+        a = np.asarray(r["pixels"], dtype=np.float64).reshape(tile_px, tile_px)
+        out[r["tile_y"] * tile_px:(r["tile_y"] + 1) * tile_px,
+            r["tile_x"] * tile_px:(r["tile_x"] + 1) * tile_px] = a
     return out
 
 
@@ -204,3 +204,38 @@ def test_morphology_matches_numpy(spark, b04, op):
     exp = _morph_oracle(full_raster(), [7.0], op)
     got = np.where(np.isnan(got), NODATA, got)
     assert np.array_equal(got, exp)
+
+
+def test_tile_size_invariance(spark, b04):
+    """SURVEY §7.3 risk 4: identical results at 16^2 and 64^2 tiles for
+    focal stats, morphology and connected components."""
+    from remotior_sensus_spark.operators.band_calc import band_calc
+    from remotior_sensus_spark.operators.components import component_size_histogram
+    from remotior_sensus_spark.operators.focal import erosion, neighbor_stats
+    from remotior_sensus_spark.operators.retile import retile
+
+    n = grid_n(0.001)
+    big = retile(b04, 4).cache()
+
+    for kw in ({"stat": "mean", "size": 1}, {"stat": "median", "size": 2}):
+        small_r = _collect_raster(neighbor_stats(b04, **kw), n)
+        big_r = _collect_raster(neighbor_stats(big, tile_px=64, **kw), n, 64)
+        assert np.array_equal(small_r, big_r), kw
+
+    tiles = spark.read.parquet("data/geo/sf0.001/tiles.parquet")
+    q4 = band_calc(tiles, 'where("B04" > 3500, 7, 1)', nodata_mask="any")
+    q4_big = retile(q4, 4)
+    small_r = _collect_raster(erosion(q4, values=[7.0], size=1), n)
+    big_r = _collect_raster(erosion(q4_big, values=[7.0], size=1, tile_px=64), n, 64)
+    assert np.array_equal(np.nan_to_num(small_r, nan=NODATA),
+                          np.nan_to_num(big_r, nan=NODATA))
+
+    binary = band_calc(tiles, 'where("B04" > 2500, 1, 0)', nodata_mask=None)
+    binary = binary.withColumn(
+        "pixels", F.transform("pixels", lambda x: F.when(F.isnan(x), 0.0).otherwise(x))
+    )
+    h16 = component_size_histogram(binary).toPandas()
+    h64 = component_size_histogram(retile(binary, 4), tile_px=64).toPandas()
+    d16 = dict(zip(h16.component_size, h16.n_components))
+    d64 = dict(zip(h64.component_size, h64.n_components))
+    assert d16 == d64
