@@ -62,7 +62,7 @@ def raster_edit(band_tiles: DataFrame, geoms: DataFrame, rects: DataFrame,
     ).otherwise(
         F.zip_with(
             "pixels",
-            F.sequence(F.lit(0), F.lit(255)),
+            F.sequence(F.lit(0), F.size("pixels") - 1),
             lambda x, i: F.when(
                 F.array_contains(F.col("__edit_pos"), i), F.lit(float(constant))
             ).otherwise(x),
