@@ -94,13 +94,51 @@ def spectral_angle_class(env: dict[str, Column], signatures: list[dict],
     return F.when(_valid(env, nodata), cls).otherwise(F.lit(int(nodata)))
 
 
-def max_likelihood_class(env: dict[str, Column], stats: list[dict],
-                         nodata: float = NODATA) -> Column:
-    """ML discriminant: -ln|Sigma| - d' Sigma^-1 d, argmax
-    (processor_functions.py:243-365). `stats`: [{class_id, means: {band:
-    mu}, cov: ndarray}] — covariances from train_class_stats; the 4x4
-    inverse is computed on the driver and baked into literal coefficients
-    (the reference equally precomputes cov before the per-pixel pass)."""
+def chi2_sf(x: float, df: int) -> float:
+    """Chi-square survival function via the regularized upper incomplete
+    gamma (closed form for integer/half-integer shape) — scipy-free
+    replacement for scipy.stats.chi2.sf."""
+    import math
+    y = x / 2.0
+    if df % 2 == 0:
+        term, s = 1.0, 1.0
+        for j in range(1, df // 2):
+            term *= y / j
+            s += term
+        return math.exp(-y) * s
+    q = math.erfc(math.sqrt(y))
+    a = 0.5
+    while a + 1 <= df / 2.0:
+        q += (y ** a) * math.exp(-y) / math.gamma(a + 1)
+        a += 1
+    return q
+
+
+def chi2_isf(p: float, df: int) -> float:
+    """Inverse survival (scipy.stats.chi2.isf analogue) by bisection —
+    the reference uses it for the ML threshold
+    (processor_functions.py:328-340)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    hi = 1.0
+    while chi2_sf(hi, df) > p:
+        hi *= 2
+    lo = 0.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if chi2_sf(mid, df) > p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def ml_scores(env: dict[str, Column], stats: list[dict],
+              threshold: float | bool | None = None
+              ) -> list[tuple[Column, int]]:
+    """Per-class ML discriminants -ln|Sigma| - d' Sigma^-1 d as Columns,
+    with the reference's chi-square threshold applied (scores below
+    -2*chi2.isf(p, df) - ln|Sigma| become -inf, i.e. excluded)."""
     pairs = []
     for st in stats:
         bands = list(st["means"].keys())
@@ -113,10 +151,45 @@ def max_likelihood_class(env: dict[str, Column], stats: list[dict],
             for j in range(len(bands)):
                 t = d[i] * d[j] * F.lit(float(inv[i, j]))
                 quad = t if quad is None else quad + t
-        score = -F.lit(logdet) - quad  # argmax
-        pairs.append((-score, st["class_id"]))  # argmin of negated
-    cls = _argmin_struct(pairs)
+        score = -F.lit(logdet) - quad
+        p = None
+        if threshold is True:
+            p = float(st.get("threshold", 0.0) or 0.0)
+        elif threshold not in (None, False):
+            p = float(threshold)
+        if p and p > 0:
+            chi = chi2_isf(p / 100.0, len(bands))
+            chi_thr = -2.0 * chi - logdet
+            score = F.when(score < F.lit(chi_thr),
+                           F.lit(float("-inf"))).otherwise(score)
+        pairs.append((score, st["class_id"]))
+    return pairs
+
+
+def max_likelihood_class(env: dict[str, Column], stats: list[dict],
+                         nodata: float = NODATA,
+                         threshold: float | bool | None = None,
+                         unclassified: int = 0) -> Column:
+    """ML argmax with first-wins ties + chi-square threshold
+    (processor_functions.py:243-365). `stats`: [{class_id, means: {band:
+    mu}, cov: ndarray}] — covariances from train_class_stats; the 4x4
+    inverse is computed on the driver and baked into literal coefficients
+    (the reference equally precomputes cov before the per-pixel pass)."""
+    pairs = ml_scores(env, stats, threshold)
+    cls = _argmin_struct([(-s, c) for s, c in pairs])
+    if threshold not in (None, False):
+        best = F.greatest(*[s for s, _ in pairs]) if len(pairs) > 1 else pairs[0][0]
+        cls = F.when(best == F.lit(float("-inf")),
+                     F.lit(unclassified)).otherwise(cls)
     return F.when(_valid(env, nodata), cls).otherwise(F.lit(int(nodata)))
+
+
+def max_likelihood_confidence(env: dict[str, Column], stats: list[dict],
+                              threshold: float | bool | None = None) -> Column:
+    """The reference's out_alg raster: the winning discriminant value per
+    pixel (core/processor.py:242-311 algorithm-raster output)."""
+    pairs = ml_scores(env, stats, threshold)
+    return F.greatest(*[s for s, _ in pairs]) if len(pairs) > 1 else pairs[0][0]
 
 
 def train_class_stats(zone_px_wide: DataFrame, class_col: str,

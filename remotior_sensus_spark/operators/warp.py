@@ -1,0 +1,172 @@
+"""Affine warp / reprojection.
+
+Reference: util/raster_vector.py:3039-3108 (gdal_warping) and
+:1795-1921 (vector reprojection). The reference shells out to GDAL with
+a PROJ pipeline; this engine re-expresses the same-datum AFFINE subset
+(scale / shift / rotation / shear between grids) as a pure relational
+plan — the path every cross-grid mosaic/clip/cross-classification in
+the fixtures actually needs. Full PROJ datum shifts are out of scope in
+this sandbox (no proj lib) and documented as such.
+
+Spark-first inverse mapping (the textbook warp):
+  1. the OUTPUT pixel lattice is generated JVM-side (range x range x
+     sequence — no Python),
+  2. each output pixel center maps through the inverse affine to a
+     source pixel key (floor math, whole-stage codegen),
+  3. ONE equi-join on (source gx, gy) against the exploded source
+     pixels fetches values — shuffle-partitioned by key, no UDF,
+  4. misses (outside the source extent) fill with nodata.
+
+Nearest-neighbor resampling; for downscale-by-integer-factor mode/mean
+resampling see focal.resample_mode (the reference's other resample
+path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE, TILE_PX
+
+Affine = tuple[float, float, float, float, float, float]
+# (a, b, c, d, e, f): x' = a*x + b*y + c ; y' = d*x + e*y + f
+
+
+def invert_affine(t: Affine) -> Affine:
+    a, b, c, d, e, f = t
+    det = a * e - b * d
+    if det == 0:
+        raise ValueError("singular affine transform")
+    ia, ib = e / det, -b / det
+    id_, ie = -d / det, a / det
+    ic = -(ia * c + ib * f)
+    if_ = -(id_ * c + ie * f)
+    return ia, ib, ic, id_, ie, if_
+
+
+def apply_affine(t: Affine, x, y):
+    a, b, c, d, e, f = t
+    return a * x + b * y + c, d * x + e * y + f
+
+
+def warp_affine(band_tiles: DataFrame, forward: Affine,
+                *, tile_px: int | None = None,
+                nodata: float = NODATA) -> DataFrame:
+    """Warp a single-band tile set through a forward (src->dst) affine;
+    nearest-neighbor. Returns output pixel rows
+    (tile_x, tile_y, pos, value) on the same tile scheme/grid origin.
+
+    The output extent is the bbox of the transformed source corners
+    (one tiny agg). All per-pixel math is Column arithmetic.
+    """
+    spark = band_tiles.sparkSession
+    t_px = tile_px or TILE_PX
+    n_px = t_px * t_px
+    inv = invert_affine(forward)
+
+    ext = band_tiles.agg(
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+    ).first()
+    # source extent corners in world coords
+    sx0 = ORIGIN_X + ext["x0"] * t_px * PIXEL_SIZE
+    sx1 = ORIGIN_X + (ext["x1"] + 1) * t_px * PIXEL_SIZE
+    sy1 = ORIGIN_Y - ext["y0"] * t_px * PIXEL_SIZE      # top (max y)
+    sy0 = ORIGIN_Y - (ext["y1"] + 1) * t_px * PIXEL_SIZE  # bottom
+    corners = [apply_affine(forward, x, y)
+               for x in (sx0, sx1) for y in (sy0, sy1)]
+    dx0 = min(c[0] for c in corners)
+    dx1 = max(c[0] for c in corners)
+    dy0 = min(c[1] for c in corners)
+    dy1 = max(c[1] for c in corners)
+    otx0 = int(np.floor((dx0 - ORIGIN_X) / (t_px * PIXEL_SIZE)))
+    otx1 = int(np.floor((dx1 - ORIGIN_X - 1e-9) / (t_px * PIXEL_SIZE)))
+    oty0 = int(np.floor((ORIGIN_Y - dy1) / (t_px * PIXEL_SIZE)))
+    oty1 = int(np.floor((ORIGIN_Y - dy0 - 1e-9) / (t_px * PIXEL_SIZE)))
+
+    out = (
+        spark.range(otx0, otx1 + 1).select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(
+            spark.range(oty0, oty1 + 1).select(F.col("id").cast("int").alias("tile_y"))
+        )
+        .select(
+            "tile_x", "tile_y",
+            F.explode(F.sequence(F.lit(0), F.lit(n_px - 1))).alias("pos"),
+        )
+    )
+    ox = (F.lit(ORIGIN_X)
+          + (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
+          * F.lit(PIXEL_SIZE) + F.lit(PIXEL_SIZE / 2))
+    oy = (F.lit(ORIGIN_Y)
+          - (F.col("tile_y").cast("long") * t_px
+             + (F.col("pos") / t_px).cast("int")) * F.lit(PIXEL_SIZE)
+          - F.lit(PIXEL_SIZE / 2))
+    ia, ib, ic, id_, ie, if_ = inv
+    sx = F.lit(ia) * ox + F.lit(ib) * oy + F.lit(ic)
+    sy = F.lit(id_) * ox + F.lit(ie) * oy + F.lit(if_)
+    out = out.withColumn(
+        "sgx", F.floor((sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
+    ).withColumn(
+        "sgy", F.floor((F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE)).cast("long")
+    )
+
+    src = band_tiles.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
+    ).select(
+        (F.col("tile_x").cast("long") * t_px + F.col("spos") % t_px).alias("sgx"),
+        (F.col("tile_y").cast("long") * t_px
+         + (F.col("spos") / t_px).cast("int")).alias("sgy"),
+        F.col("value").cast("double").alias("value"),
+    )
+    j = out.join(src, ["sgx", "sgy"], "left")
+    return j.select(
+        "tile_x", "tile_y", "pos",
+        F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
+    )
+
+
+def reproject_vector(geoms: DataFrame, forward: Affine) -> DataFrame:
+    """Vector reprojection through the same affine: WKT coordinates and
+    bbox are transformed (ref util/raster_vector.py:1795-1921). WKT is
+    rewritten in one Arrow batch; bbox columns are pure Column math so
+    they stay exactly reproducible in SQL oracles."""
+    a, b, c, d, e, f = forward
+
+    xmin_t = F.lit(a) * F.col("xmin") + F.lit(b) * F.col("ymin") + F.lit(c)
+    xmax_t = F.lit(a) * F.col("xmax") + F.lit(b) * F.col("ymax") + F.lit(c)
+    ymin_t = F.lit(d) * F.col("xmin") + F.lit(e) * F.col("ymin") + F.lit(f)
+    ymax_t = F.lit(d) * F.col("xmax") + F.lit(e) * F.col("ymax") + F.lit(f)
+    out = geoms.withColumn("__x0", F.least(xmin_t, xmax_t)) \
+               .withColumn("__x1", F.greatest(xmin_t, xmax_t)) \
+               .withColumn("__y0", F.least(ymin_t, ymax_t)) \
+               .withColumn("__y1", F.greatest(ymin_t, ymax_t))
+    out = (
+        out.drop("xmin", "xmax", "ymin", "ymax")
+        .withColumnRenamed("__x0", "xmin").withColumnRenamed("__x1", "xmax")
+        .withColumnRenamed("__y0", "ymin").withColumnRenamed("__y1", "ymax")
+    )
+
+    coeff = (a, b, c, d, e, f)
+
+    def rewrite(it):
+        num = r"[-+0-9.eE]+"
+        import re
+        pair_re = re.compile(rf"({num})\s+({num})")
+
+        def tx(m):
+            x, y = float(m.group(1)), float(m.group(2))
+            nx = coeff[0] * x + coeff[1] * y + coeff[2]
+            ny = coeff[3] * x + coeff[4] * y + coeff[5]
+            return f"{nx:.6f} {ny:.6f}"
+
+        for pdf in it:
+            if "wkt" in pdf.columns:
+                pdf = pdf.copy()
+                pdf["wkt"] = [pair_re.sub(tx, w) for w in pdf["wkt"]]
+            yield pdf
+
+    return out.mapInPandas(rewrite, schema=out.schema)

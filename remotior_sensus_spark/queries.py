@@ -508,6 +508,90 @@ def mosaic_first_wins(spark, sf_dir):
     return out.select("band", "tile_x", "tile_y", "src_bandset")
 
 
+# --- affine warp / reprojection (SURVEY §2.8) -------------------------------
+
+from remotior_sensus_spark.operators import warp as _warp  # noqa: E402
+
+# forward affine: scale 0.5 about the grid origin, shift +320 m / -480 m.
+# All coefficients chosen so every intermediate double is exact.
+_WARP_FWD = (0.5, 0.0, 0.5 * 230250.0 + 320.0,
+             0.0, 0.5, 0.5 * 4674550.0 - 480.0)
+
+
+def _warp_oracle() -> str:
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    from remotior_sensus_spark.synth.generate import grid_n
+    n = grid_n(0.01)
+    sx0, sx1 = ORIGIN_X, ORIGIN_X + n * 160.0
+    sy1, sy0 = ORIGIN_Y, ORIGIN_Y - n * 160.0
+    corners = [_warp.apply_affine(_WARP_FWD, x, y)
+               for x in (sx0, sx1) for y in (sy0, sy1)]
+    import numpy as _np
+    dx0 = min(c[0] for c in corners)
+    dx1 = max(c[0] for c in corners)
+    dy0 = min(c[1] for c in corners)
+    dy1 = max(c[1] for c in corners)
+    otx0 = int(_np.floor((dx0 - ORIGIN_X) / 160.0))
+    otx1 = int(_np.floor((dx1 - ORIGIN_X - 1e-9) / 160.0))
+    oty0 = int(_np.floor((ORIGIN_Y - dy1) / 160.0))
+    oty1 = int(_np.floor((ORIGIN_Y - dy0 - 1e-9) / 160.0))
+    ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
+    return f"""
+with src as (
+  select gx, gy, value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o as (
+  select t1.range as tile_x, t2.range as tile_y, p.range as pos
+  from range({otx0}, {otx1 + 1}) t1, range({oty0}, {oty1 + 1}) t2,
+       range(0, 256) p),
+m as (
+  select tile_x, tile_y, pos,
+    {ORIGIN_X!r} + (tile_x*16 + pos % 16) * 10.0 + 5.0 as ox,
+    {ORIGIN_Y!r} - (tile_y*16 + cast(floor(pos/16.0) as int)) * 10.0 - 5.0 as oy
+  from o),
+k as (
+  select tile_x, tile_y, pos,
+    cast(floor((({ia!r})*ox + ({ib!r})*oy + ({ic!r}) - {ORIGIN_X!r}) / 10.0) as bigint) as sgx,
+    cast(floor(({ORIGIN_Y!r} - (({id_!r})*ox + ({ie!r})*oy + ({if_!r}))) / 10.0) as bigint) as sgy
+  from m),
+v as (
+  select k.tile_x, k.tile_y, coalesce(s.value, -32768.0) as value
+  from k left join src s on k.sgx = s.gx and k.sgy = s.gy)
+select tile_x, tile_y,
+  cast(sum(case when value <> -32768 then cast(value as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when value <> -32768 then 1 else 0 end) as bigint) as valid_count
+from v group by tile_x, tile_y
+"""
+
+
+@q("warp_affine", _warp_oracle())
+def warp_affine_q(spark, sf_dir):
+    out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD)
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     F.col("value").cast("long")).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
+@q("vector_reproject", f"""
+select roi_id, class,
+  least(0.5*xmin + 0.0*ymin + {0.5 * 230250.0 + 320.0!r},
+        0.5*xmax + 0.0*ymax + {0.5 * 230250.0 + 320.0!r}) as xmin,
+  greatest(0.5*xmin + 0.0*ymin + {0.5 * 230250.0 + 320.0!r},
+           0.5*xmax + 0.0*ymax + {0.5 * 230250.0 + 320.0!r}) as xmax,
+  least(0.0*xmin + 0.5*ymin + {0.5 * 4674550.0 - 480.0!r},
+        0.0*xmax + 0.5*ymax + {0.5 * 4674550.0 - 480.0!r}) as ymin,
+  greatest(0.0*xmin + 0.5*ymin + {0.5 * 4674550.0 - 480.0!r},
+           0.0*xmax + 0.5*ymax + {0.5 * 4674550.0 - 480.0!r}) as ymax
+from '{GEO01}/geometries.parquet'
+""")
+def vector_reproject_q(spark, sf_dir):
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    out = _warp.reproject_vector(geoms, _WARP_FWD)
+    return out.select("roi_id", "class", "xmin", "xmax", "ymin", "ymax")
+
+
 # ---------------------------------------------------------------------------
 # reclass / combination / cross-classification (SURVEY §2.7)
 # ---------------------------------------------------------------------------
@@ -1410,15 +1494,124 @@ def ngram_jaccard_q(spark, sf_dir):
     return tx.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
-@q("ml_classification", None)
-def ml_classification(spark, sf_dir):
+def _ml_train_stats_oracle() -> list[dict]:
+    """Per-class (n, means, cov, inv, logdet) computed INDEPENDENTLY of
+    Spark: exact integer sums via DuckDB over the fixture parquet, then
+    the documented mean/cov formula (train_class_stats) and the same
+    numpy inverse the engine bakes into its plan. Only used to inline
+    literal coefficients into the ML oracle SQL."""
+    import duckdb
+    bands = ["b02", "b03", "b04", "b08"]
+    sum_cols = ", ".join(f"sum(cast({b} as bigint)) as s_{b}" for b in bands)
+    cross = ", ".join(
+        f"sum(cast({a} as bigint)*cast({b} as bigint)) as s_{a}_{b}"
+        for i, a in enumerate(bands) for b in bands[i:]
+    )
+    rows = duckdb.sql(f"""
+with m as (
+  select distinct r.class, p.tile_x, p.tile_y, p.px, p.py
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04'),
+w as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+train as (
+  select m.class, w.b02, w.b03, w.b04, w.b08
+  from m join w using (tile_x, tile_y, px, py)
+  where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768)
+select class, count(*) as n, {sum_cols}, {cross}
+from train group by class order by class
+""").fetchall()
+    import numpy as np
+    cols = ["class", "n"] + [f"s_{b}" for b in bands] + [
+        f"s_{a}_{b}" for i, a in enumerate(bands) for b in bands[i:]
+    ]
+    out = []
+    for row in rows:
+        r = dict(zip(cols, [int(v) for v in row]))
+        n = r["n"]
+        means = {b: r[f"s_{b}"] / n for b in bands}
+        cov = np.zeros((4, 4))
+        for i, a in enumerate(bands):
+            for j, b in enumerate(bands):
+                key = f"s_{a}_{b}" if i <= j else f"s_{b}_{a}"
+                cov[i, j] = (r[key] - n * means[a] * means[b]) / (n - 1)
+        out.append({
+            "class_id": r["class"],
+            "means": [means[b] for b in bands],
+            "inv": np.linalg.inv(cov),
+            "logdet": float(np.log(np.linalg.det(cov))),
+        })
+    return out
+
+
+def _ml_oracle_sql(threshold: float | None, confidence: bool):
+    """Lazy ML oracle: per-pixel discriminants with literal coefficients,
+    identical op order to classification.ml_scores."""
+    def build() -> str:
+        stats = _ml_train_stats_oracle()
+        bands = ["b02", "b03", "b04", "b08"]
+        score_cols = []
+        for k, st in enumerate(stats):
+            d = [f"(cast({b} as double) - ({st['means'][i]!r}))"
+                 for i, b in enumerate(bands)]
+            terms = " + ".join(
+                f"{d[i]} * {d[j]} * ({st['inv'][i, j]!r})"
+                for i in range(4) for j in range(4)
+            )
+            score = f"-({st['logdet']!r}) - ({terms})"
+            if threshold:
+                from remotior_sensus_spark.operators.classification import chi2_isf
+                chi_thr = -2.0 * chi2_isf(threshold / 100.0, 4) - st["logdet"]
+                score = (f"case when ({score}) < ({chi_thr!r}) "
+                         f"then cast('-infinity' as double) else ({score}) end")
+            score_cols.append(f"({score}) as sc{k}")
+        gmax = "greatest(" + ", ".join(f"sc{k}" for k in range(len(stats))) + ")"
+        cls_branches = " ".join(
+            f"when sc{k} = gm then {st['class_id']}"
+            for k, st in enumerate(stats)
+        )
+        unc = ("case when gm = cast('-infinity' as double) then 0 "
+               f"{cls_branches} else 0 end") if threshold else \
+              (f"case {cls_branches} else 0 end")
+        agg = ("count(*) as pixel_count, "
+               "cast(sum(case when class <> 0 then "
+               "cast(floor(gm*1000000.0+0.5) as bigint) else 0 end) as bigint) "
+               "as conf_fp") if confidence else "count(*) as pixel_count"
+        return f"""
+with px as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select * from px
+      where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768),
+s as (select {", ".join(score_cols)} from v),
+g as (select *, {gmax} as gm from s),
+c as (select gm, ({unc}) as class from g)
+select class, {agg} from c group by class
+"""
+    return build
+
+
+def _ml_inputs(spark, sf_dir):
+    from remotior_sensus_spark.operators.band_calc import pivot_bands
     from remotior_sensus_spark.operators.reclass import band_stack
     bands = ["B02", "B03", "B04", "B08"]
     tiles = _tiles(spark, sf_dir)
     geoms = cat.load_geo(spark, sf_dir, "geometries")
     rects = cat.load_geo(spark, sf_dir, "geometry_rects")
     # train on ROI-extracted per-class pixels over all 4 bands
-    from remotior_sensus_spark.operators.band_calc import pivot_bands
     wide = pivot_bands(tiles, {b: ("S2_2020-01-01", b) for b in bands})
     cov = sj.cover_pixels(tiles, geoms, rects)  # B04 membership only
     member = cov.select("tile_x", "tile_y", "pos", "class").distinct()
@@ -1435,10 +1628,39 @@ def ml_classification(spark, sf_dir):
     train = px.join(member, ["tile_x", "tile_y", "pos"]).filter(valid)
     stats = cls_ops.train_class_stats(train, "class", bands)
     stacked = band_stack(tiles, "S2_2020-01-01", bands)
+    return bands, stats, stacked
+
+
+@q("ml_classification", _ml_oracle_sql(None, False))
+def ml_classification(spark, sf_dir):
+    bands, stats, stacked = _ml_inputs(spark, sf_dir)
     scored = cls_ops.classify_pixels_flat(
         stacked, bands, lambda env: cls_ops.max_likelihood_class(env, stats)
     )
     return scored.groupBy("class").agg(F.count("*").alias("pixel_count"))
+
+
+@q("ml_threshold_confidence", _ml_oracle_sql(5.0, True))
+def ml_threshold_confidence(spark, sf_dir):
+    """ML with the reference's chi-square threshold (5%) + the out_alg
+    confidence raster aggregated per class
+    (processor_functions.py:328-340, core/processor.py:242-311)."""
+    bands, stats, stacked = _ml_inputs(spark, sf_dir)
+    z = stacked.select(F.posexplode(F.arrays_zip(*bands)).alias("pos", "z")).select(
+        *[F.col(f"z.{b}").cast("double").alias(b) for b in bands]
+    )
+    import functools
+    import operator as op
+    valid = functools.reduce(op.and_, [F.col(b) != float(NODATA) for b in bands])
+    env = {b: F.col(b) for b in bands}
+    cls = cls_ops.max_likelihood_class(env, stats, threshold=5.0)
+    conf = cls_ops.max_likelihood_confidence(env, stats, threshold=5.0)
+    scored = z.filter(valid).select(cls.alias("class"), conf.alias("gm"))
+    return scored.groupBy("class").agg(
+        F.count("*").alias("pixel_count"),
+        F.sum(F.when(F.col("class") != 0, fixed1e6(F.col("gm")))
+              .otherwise(0)).alias("conf_fp"),
+    )
 
 
 @q("simhash", f"""
@@ -1670,4 +1892,9 @@ def queries():
 
 
 def oracle_sql():
-    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
+    out = {}
+    for name, (_, sql) in _ordered().items():
+        if sql is None:
+            continue
+        out[name] = sql() if callable(sql) else sql
+    return out
