@@ -340,3 +340,41 @@ def kmeans_bands(stacked: DataFrame, band_cols: list[str], k: int,
                 })
         cents = new_cents
     return cents
+
+
+def signature_similarity(signatures_long: DataFrame) -> DataFrame:
+    """Pairwise signature similarity: Bray-Curtis (%), Euclidean
+    distance, spectral angle (degrees) over integer signature values —
+    exact BIGINT sums, one final float expression per metric
+    (util/shared_tools.py:583-622)."""
+    a = signatures_long.select(
+        F.col("class_id").alias("class_a"), "band",
+        F.col("value").alias("va"))
+    b = signatures_long.select(
+        F.col("class_id").alias("class_b"), "band",
+        F.col("value").alias("vb"))
+    j = a.join(b, "band").filter(F.col("class_a") < F.col("class_b"))
+    xa = F.col("va").cast("long")
+    xb = F.col("vb").cast("long")
+    s = j.groupBy("class_a", "class_b").agg(
+        F.sum(F.abs(xa - xb)).alias("abs_sum"),
+        F.sum(xa + xb).alias("tot_sum"),
+        F.sum((xa - xb) * (xa - xb)).alias("sq_sum"),
+        F.sum(xa * xb).alias("dot"),
+        F.sum(xa * xa).alias("aa"),
+        F.sum(xb * xb).alias("bb"),
+    )
+    bray = (F.lit(100.0)
+            - F.col("abs_sum").cast("double")
+            / F.col("tot_sum").cast("double") * F.lit(100.0))
+    eucl = F.sqrt(F.col("sq_sum").cast("double"))
+    sam = (F.acos(F.col("dot").cast("double")
+                  / F.sqrt(F.col("aa").cast("double")
+                           * F.col("bb").cast("double")))
+           * F.lit(180.0 / float(np.pi)))
+    return s.select(
+        "class_a", "class_b",
+        bray.alias("bray_curtis"),
+        eucl.alias("euclidean"),
+        sam.alias("spectral_angle"),
+    )

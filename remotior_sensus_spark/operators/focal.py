@@ -257,3 +257,17 @@ def resample_mode(band_px: DataFrame, factor: int = 2) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cgx", "cgy", F.col("value").alias("mode_value"), F.col("cnt").alias("mode_count"))
     )
+
+
+def erosion_iterative(band_tiles: DataFrame, values: list[float],
+                      iterations: int, circular: bool = True,
+                      tile_px: int | None = None) -> DataFrame:
+    """The reference's band_erosion `size` semantics: `iterations`
+    successive single-step erosions with a fixed radius-1 structure
+    (processor_functions.py:1262 `for _ in range(size)`;
+    tools/band_erosion.py:114-117). Each step is one halo shuffle;
+    Catalyst pipelines the chain."""
+    out = band_tiles
+    for _ in range(max(1, iterations)):
+        out = erosion(out, values, size=1, circular=circular, tile_px=tile_px)
+    return out

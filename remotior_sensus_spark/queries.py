@@ -1420,6 +1420,47 @@ def tile_features_q(spark, sf_dir):
     ).groupBy("band", "bin").agg(F.sum("c").alias("cnt")).filter(F.col("cnt") > 0)
 
 
+@q("signature_similarity", f"""
+with a as (select class_id as class_a, band, cast(value as bigint) as va
+           from '{GEO01}/signatures_long.parquet'),
+b as (select class_id as class_b, band, cast(value as bigint) as vb
+      from '{GEO01}/signatures_long.parquet'),
+j as (select * from a join b using (band) where class_a < class_b),
+s as (select class_a, class_b,
+  cast(sum(abs(va - vb)) as bigint) as abs_sum,
+  cast(sum(va + vb) as bigint) as tot_sum,
+  cast(sum((va-vb)*(va-vb)) as bigint) as sq_sum,
+  cast(sum(va*vb) as bigint) as dot,
+  cast(sum(va*va) as bigint) as aa,
+  cast(sum(vb*vb) as bigint) as bb
+ from j group by 1, 2)
+select class_a, class_b,
+  100.0 - cast(abs_sum as double) / cast(tot_sum as double) * 100.0 as bray_curtis,
+  sqrt(cast(sq_sum as double)) as euclidean,
+  acos(cast(dot as double) / sqrt(cast(aa as double) * cast(bb as double)))
+    * {180.0 / 3.141592653589793!r} as spectral_angle
+from s
+""")
+def signature_similarity_q(spark, sf_dir):
+    """Bray-Curtis / Euclidean / SAM between signature pairs
+    (util/shared_tools.py:583-622)."""
+    sigs = cat.load_geo(spark, sf_dir, "signatures_long")
+    return cls_ops.signature_similarity(sigs)
+
+
+@q("polygonize_wkt", None)
+def polygonize_wkt_q(spark, sf_dir):
+    """Full raster->vector with WKT outlines + dissolve
+    (core/processor.py:1608-1756); invariants verified by
+    tests/test_focal_components.py::test_polygonize_geometry_invariants."""
+    from remotior_sensus_spark.operators.components import polygonize_geometry
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
+                   nodata_mask="any", out_nodata=0)
+    return polygonize_geometry(q4).select(
+        "value", "pixel_count", "area_m2", "perimeter_m", "n_vertices"
+    )
+
+
 @q("polygonize", None)
 def polygonize_q(spark, sf_dir):
     from remotior_sensus_spark.operators.components import polygonize
@@ -1494,6 +1535,10 @@ def ngram_jaccard_q(spark, sf_dir):
     return tx.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
 def _ml_train_stats_oracle() -> list[dict]:
     """Per-class (n, means, cov, inv, logdet) computed INDEPENDENTLY of
     Spark: exact integer sums via DuckDB over the fixture parquet, then
@@ -1876,8 +1921,9 @@ def kmeans_centroids(spark, sf_dir):
 # time budget cuts only the weakest checks, never the oracle-backed ones
 _RUN_LAST = [
     "pca_projection", "media_thumbnails", "ml_classification",
-    "dilation_counts", "erosion_counts", "region_growing",
-    "raster_label_histogram", "polygonize", "sieve_reclass",
+    "ml_threshold_confidence", "dilation_counts", "erosion_counts",
+    "region_growing", "raster_label_histogram", "polygonize",
+    "polygonize_wkt", "sieve_reclass",
 ]
 
 

@@ -239,3 +239,87 @@ def test_tile_size_invariance(spark, b04):
     d16 = dict(zip(h16.component_size, h16.n_components))
     d64 = dict(zip(h64.component_size, h64.n_components))
     assert d16 == d64
+
+
+def _label_map(mask):
+    """Whole-raster 4-connectivity label map (numpy/BFS oracle)."""
+    lab = np.full(mask.shape, -1, dtype=int)
+    nxt = 0
+    H, W = mask.shape
+    for sy in range(H):
+        for sx in range(W):
+            if mask[sy, sx] and lab[sy, sx] < 0:
+                stack = [(sy, sx)]
+                lab[sy, sx] = nxt
+                while stack:
+                    y, x = stack.pop()
+                    for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                        if (0 <= ny < H and 0 <= nx < W and mask[ny, nx]
+                                and lab[ny, nx] < 0):
+                            lab[ny, nx] = nxt
+                            stack.append((ny, nx))
+                nxt += 1
+    return lab, nxt
+
+
+def test_polygonize_geometry_invariants(spark, b04):
+    """WKT outlines: area == count*px_area, perimeter matches an
+    independent numpy neighbor count, and even-odd PIP of the rings
+    contains exactly the patch's own pixel centers."""
+    import re
+
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
+    from remotior_sensus_spark.operators.band_calc import band_calc
+    from remotior_sensus_spark.operators.components import polygonize_geometry
+    from remotior_sensus_spark.operators.spatial_join import _pip_ring
+
+    tiles = spark.read.parquet("data/geo/sf0.001/tiles.parquet")
+    q4 = band_calc(tiles, 'where("B04" > 2500, 2, 1)',
+                   nodata_mask="any", out_nodata=0)
+    got = polygonize_geometry(q4).toPandas()
+
+    full = full_raster()
+    arr = np.where(np.isnan(full), 0.0, np.where(full > 2500, 2.0, 1.0))
+
+    # global invariants
+    for v in (1.0, 2.0):
+        assert got[got.value == v].pixel_count.sum() == (arr == v).sum()
+    assert (got.area_m2 == got.pixel_count * 100.0).all()
+
+    # independent per-component perimeter oracle
+    for v in (1.0, 2.0):
+        mask = arr == v
+        lab, n = _label_map(mask)
+        pad = np.pad(mask, 1)
+        nbrs = (pad[:-2, 1:-1].astype(int) + pad[2:, 1:-1] +
+                pad[1:-1, :-2] + pad[1:-1, 2:])
+        per_px = (4 - nbrs) * PIXEL_SIZE
+        exp_perims = sorted(
+            float(per_px[lab == i].sum()) for i in range(n)
+        )
+        got_perims = sorted(got[got.value == v].perimeter_m)
+        assert got_perims == exp_perims, v
+
+    # PIP containment for a sample of patches (even-odd over rings)
+    ring_re = re.compile(r"\(([^()]+)\)")
+    sample = got.sort_values("pixel_count", ascending=False).head(8)
+    mask2 = arr == 2.0
+    lab2, _ = _label_map(mask2)
+    for _, row in sample.iterrows():
+        if row.value != 2.0:
+            continue
+        rings = []
+        for body in ring_re.findall(row.wkt):
+            pts = [tuple(map(float, p.split())) for p in body.split(",")]
+            rings.append(np.array(pts))
+        # the patch's own pixel centers must be inside (even-odd)
+        ys, xs = np.where(mask2)
+        cx = ORIGIN_X + xs * PIXEL_SIZE + PIXEL_SIZE / 2
+        cy = ORIGIN_Y - ys * PIXEL_SIZE - PIXEL_SIZE / 2
+        ins = np.zeros(len(xs), dtype=bool)
+        for r in rings:
+            ins ^= _pip_ring(r, cx, cy)
+        # pixels inside the WKT == exactly one numpy component of value 2
+        labs_inside = set(lab2[ys[ins], xs[ins]])
+        assert len(labs_inside) == 1
+        assert ins.sum() == row.pixel_count
