@@ -518,10 +518,10 @@ _WARP_FWD = (0.5, 0.0, 0.5 * 230250.0 + 320.0,
              0.0, 0.5, 0.5 * 4674550.0 - 480.0)
 
 
-def _warp_oracle() -> str:
+def _warp_oracle(geo_dir: str = GEO01) -> str:
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
     from remotior_sensus_spark.synth.generate import grid_n
-    n = grid_n(0.01)
+    n = grid_n(float(geo_dir.rstrip("/").rsplit("sf", 1)[-1]))
     sx0, sx1 = ORIGIN_X, ORIGIN_X + n * 160.0
     sy1, sy0 = ORIGIN_Y, ORIGIN_Y - n * 160.0
     corners = [_warp.apply_affine(_WARP_FWD, x, y)
@@ -538,7 +538,7 @@ def _warp_oracle() -> str:
     ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
     return f"""
 with src as (
-  select gx, gy, value from '{GEO01}/tile_pixels.parquet'
+  select gx, gy, value from '{geo_dir}/tile_pixels.parquet'
   where bandset='S2_2020-01-01' and band='B04'),
 o as (
   select t1.range as tile_x, t2.range as tile_y, p.range as pos
@@ -1538,8 +1538,8 @@ def ngram_jaccard_q(spark, sf_dir):
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=1)
-def _ml_train_stats_oracle() -> list[dict]:
+@_functools.lru_cache(maxsize=4)
+def _ml_train_stats_oracle(geo_dir: str = GEO01) -> list[dict]:
     """Per-class (n, means, cov, inv, logdet) computed INDEPENDENTLY of
     Spark: exact integer sums via DuckDB over the fixture parquet, then
     the documented mean/cov formula (train_class_stats) and the same
@@ -1555,8 +1555,8 @@ def _ml_train_stats_oracle() -> list[dict]:
     rows = duckdb.sql(f"""
 with m as (
   select distinct r.class, p.tile_x, p.tile_y, p.px, p.py
-  from '{GEO01}/tile_pixels.parquet' p
-  join '{GEO01}/geometry_rects.parquet' r
+  from '{geo_dir}/tile_pixels.parquet' p
+  join '{geo_dir}/geometry_rects.parquet' r
     on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
   where p.bandset='S2_2020-01-01' and p.band='B04'),
 w as (
@@ -1565,7 +1565,7 @@ w as (
     max(case when band='B03' then value end) as b03,
     max(case when band='B04' then value end) as b04,
     max(case when band='B08' then value end) as b08
-  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  from '{geo_dir}/tile_pixels.parquet' where bandset='S2_2020-01-01'
   group by tile_x, tile_y, px, py),
 train as (
   select m.class, w.b02, w.b03, w.b04, w.b08
@@ -1597,11 +1597,12 @@ from train group by class order by class
     return out
 
 
-def _ml_oracle_sql(threshold: float | None, confidence: bool):
+def _ml_oracle_sql(threshold: float | None, confidence: bool,
+                   geo_dir: str = GEO01):
     """Lazy ML oracle: per-pixel discriminants with literal coefficients,
     identical op order to classification.ml_scores."""
     def build() -> str:
-        stats = _ml_train_stats_oracle()
+        stats = _ml_train_stats_oracle(geo_dir)
         bands = ["b02", "b03", "b04", "b08"]
         score_cols = []
         for k, st in enumerate(stats):
@@ -1637,7 +1638,7 @@ with px as (
     max(case when band='B03' then value end) as b03,
     max(case when band='B04' then value end) as b04,
     max(case when band='B08' then value end) as b08
-  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  from '{geo_dir}/tile_pixels.parquet' where bandset='S2_2020-01-01'
   group by tile_x, tile_y, px, py),
 v as (select * from px
       where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768),
@@ -1915,6 +1916,16 @@ def kmeans_centroids(spark, sf_dir):
         (c["class_id"], *[float(c["values"][b]) for b in bands]) for c in cents
     ]
     return spark.createDataFrame(rows, ["class_id", *[f"c_{b}" for b in bands]])
+
+
+# oracles whose SQL embeds data-derived constants (grid extents, ML
+# training stats) are rebuilt per geo dir here — tests at sf0.001 use
+# these instead of string-replacing the sf0.01 paths
+ORACLE_BUILDERS = {
+    "warp_affine": lambda geo: _warp_oracle(geo),
+    "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
+    "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
+}
 
 
 # queries with no oracle (or heavy CC pipelines) run LAST so a driver

@@ -21,7 +21,11 @@ ROWS_ONLY = sorted(set(e.queries().keys()) - set(ORACLE_NAMES))
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_query(spark, con, name, geo001_dir):
-    sql = e.oracle_sql()[name].replace(GEO01, geo001_dir)
+    from remotior_sensus_spark.queries import ORACLE_BUILDERS
+    if name in ORACLE_BUILDERS:
+        sql = ORACLE_BUILDERS[name](geo001_dir)
+    else:
+        sql = e.oracle_sql()[name].replace(GEO01, geo001_dir)
     sdf = e.queries()[name](spark, SF_DIR).toPandas()
     ddf = con.sql(sql).df()
     ok, msg = compare(sdf, ddf)
