@@ -1200,6 +1200,31 @@ def table_calculate_q(spark, sf_dir):
     )
 
 
+@q("stack_tables", """
+select c_custkey, c_name, coalesce(acctbal, -32768.0) as acctbal, src from (
+  select c_custkey, c_name, c_acctbal as acctbal, 'lo' as src
+  from customer where c_custkey <= 500
+  union all
+  select c_custkey, c_name, cast(null as double) as acctbal, 'hi' as src
+  from customer where c_custkey > 500
+)
+""")
+def stack_tables_q(spark, sf_dir):
+    """Stack tables with missing-column fill + nodata coalesce
+    (table_manager.py:1099-1156 stack/append)."""
+    from remotior_sensus_spark.operators.tables import stack_tables
+    c = cat.load_driver(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"),
+        F.lit("lo").alias("src"))
+    hi = c.filter(F.col("c_custkey") > 500).select(
+        "c_custkey", "c_name", F.lit("hi").alias("src"))
+    out = stack_tables([lo, hi])
+    return out.select(
+        "c_custkey", "c_name",
+        F.coalesce("acctbal", F.lit(-32768.0)).alias("acctbal"), "src")
+
+
 @q("pca_covariance", f"""
 with px as (
   select

@@ -323,3 +323,51 @@ def test_polygonize_geometry_invariants(spark, b04):
         labs_inside = set(lab2[ys[ins], xs[ins]])
         assert len(labs_inside) == 1
         assert ins.sum() == row.pixel_count
+
+
+def test_erosion_iterative_matches_numpy_twice(spark, b04):
+    """erosion_iterative(n=2) == two successive single-step erosions of
+    the whole-raster numpy oracle (ref loops `size` times,
+    processor_functions.py:1262)."""
+    from remotior_sensus_spark.operators.band_calc import band_calc
+    from remotior_sensus_spark.operators.focal import erosion_iterative, structure_mask
+
+    n = grid_n(0.001)
+    tiles = spark.read.parquet("data/geo/sf0.001/tiles.parquet")
+    q4 = band_calc(tiles, 'where("B04" > 3500, 7, 1)', nodata_mask="any")
+    got = _collect_raster(erosion_iterative(q4, values=[7.0], iterations=2), n)
+    got = np.where(np.isnan(got), NODATA, got)
+
+    struct = structure_mask(1, True)
+    m = struct[None, None]
+    full = full_raster()
+    arr = np.where(np.isnan(full), NODATA, np.where(full > 3500, 7.0, 1.0))
+
+    def erode_once(a0):
+        pad = np.pad(a0, 1, constant_values=np.nan)
+        # nodata stays nodata through iterations; exists = raster extent
+        exists = np.pad(np.ones(a0.shape, bool), 1, constant_values=False)
+        a = np.where(np.isnan(pad), NODATA, pad)
+        wins = np.lib.stride_tricks.sliding_window_view(a, struct.shape)
+        wins_ex = np.lib.stride_tricks.sliding_window_view(
+            exists.astype(float), struct.shape)
+        n_struct = ((wins_ex > 0.5) & m).sum(axis=(2, 3)).astype(float)
+        uniq = [u for u in np.unique(a) if u != NODATA]
+        fill = np.full(a0.shape, float(NODATA))
+        max_cnt = np.zeros(a0.shape)
+        erode = np.zeros(a0.shape, dtype=bool)
+        for v in uniq:
+            cnt = ((wins == v) & m).sum(axis=(2, 3)).astype(float)
+            if v != 7.0:
+                sel = cnt > max_cnt
+                fill[sel] = v
+                max_cnt[sel] = cnt[sel]
+            else:
+                erode |= ((n_struct - cnt) > 0.01) & (a0 == v)
+        out = a0.copy()
+        out[erode] = fill[erode]
+        out[np.isnan(full)] = NODATA
+        return out
+
+    exp = erode_once(erode_once(arr))
+    assert np.array_equal(got, exp)
