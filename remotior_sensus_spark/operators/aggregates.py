@@ -119,19 +119,29 @@ def _closest_obs_index(cnt: Column, p: float) -> Column:
 def grouped_percentile(
     df: DataFrame, group_cols: list[str], value_col: str, p: float, out_name: str
 ) -> DataFrame:
-    """Exact closest-observation percentile per group — sort-based window
-    (spills at scale; no collect_list memory blowup)."""
+    """Exact closest-observation percentile per group via the VALUE
+    HISTOGRAM: group by (zone, value) first (map-side combinable), then
+    a window over DISTINCT values picks where the cumulative count
+    crosses the index. Replaces the round-1 per-pixel sort window — one
+    giant zone no longer means one giant sorted task, because the window
+    runs over at most |distinct DNs| rows per zone (VERDICT r01 perf
+    audit ⚠ zonal percentile straggler). Identical results: exact for
+    any value distribution."""
+    hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("__c"))
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     cnt_w = Window.partitionBy(*group_cols)
-    ranked = df.select(
+    cum = hist.select(
         *group_cols,
         F.col(value_col),
-        (F.row_number().over(w) - 1).alias("__rn"),
-        F.count("*").over(cnt_w).alias("__cnt"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(cnt_w).alias("__cnt"),
     )
+    idx = _closest_obs_index(F.col("__cnt"), p)
+    # smallest value whose cumulative count exceeds the 0-based index
     return (
-        ranked.filter(F.col("__rn") == _closest_obs_index(F.col("__cnt"), p))
-        .select(*group_cols, F.col(value_col).alias(out_name))
+        cum.filter(F.col("__cum") > idx)
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_name))
     )
 
 

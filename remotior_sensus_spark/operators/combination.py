@@ -59,16 +59,47 @@ def combination_table(px_wide: DataFrame, band_cols: list[str]) -> DataFrame:
                 F.col(f"min_{nxt}") < 0, -F.col(f"min_{nxt}") + 1
             ).otherwise(F.lit(0))
             k = k * (F.col(f"max_{nxt}").cast("long") + add_nxt.cast("long") + 1)
-    w = Window.partitionBy().orderBy("encoded")
     out = (
-        combos.withColumn("encoded", encoded)
-        .withColumn("raster_value", F.row_number().over(w).cast("long"))
+        _global_rank(combos.withColumn("encoded", encoded), "encoded",
+                     rank_col="raster_value")
         .select(
             "raster_value", *band_cols, "pixel_sum",
             (F.col("pixel_sum") * F.lit(PIXEL_AREA)).alias("area_m2"),
         )
     )
     return out
+
+
+def _global_rank(df: DataFrame, order_col: str, rank_col: str = "rank",
+                 partitions: int = 32) -> DataFrame:
+    """Deterministic ascending rank 1..n over UNIQUE order_col values
+    WITHOUT a single-partition window (the round-1 plan audit flagged
+    `Window.partitionBy().orderBy(...)` as a one-task straggler at high
+    combination cardinality): range-partition by the key, rank inside
+    each partition in parallel, add driver-collected per-partition
+    offsets (the per-partition counts are a tiny aggregate)."""
+    ranged = df.repartitionByRange(partitions, F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        with_pid.withColumn(
+            rank_col,
+            (F.row_number().over(w).cast("long")
+             + F.coalesce(off[F.col("__pid")], F.lit(0)).cast("long")),
+        )
+        .drop("__pid")
+    )
 
 
 def apply_combination(px_wide: DataFrame, combo: DataFrame, band_cols: list[str]) -> DataFrame:

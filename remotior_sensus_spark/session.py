@@ -21,11 +21,14 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         # 2-3x total executor cores (AQE coalesces the excess anyway).
         n = master[master.find("[") + 1:master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = (2 * os.cpu_count()) if n == "*" else max(2 * int(n), 8)
+    extra_java = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
     b = (
         SparkSession.builder.master(master)
         .appName(app)
+        .config("spark.driver.extraJavaOptions", extra_java)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -54,3 +54,40 @@ def test_streaming_incremental_matches_batch(spark, geo001_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream equal the batch count minus the one still-open session per
+    user (AvailableNow never fires the idle timeout)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.streaming.stateful import sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    ev.write.parquet(events_dir)
+
+    q = sessionize_stream(spark, events_dir, str(tmp_path / "ckpt"),
+                          gap_s=1800, queryName="sess_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select user_id, count(*) as closed from sess_test group by user_id"
+    ).toPandas().set_index("user_id")["closed"]
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800), 1
+    ).otherwise(0)
+    batch = (
+        ev.withColumn("s", new_s).groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+        .toPandas().set_index("user_id")["n_sessions"]
+    )
+    assert len(batch) > 0
+    for user, n in batch.items():
+        assert got.get(user, 0) == n - 1, user
