@@ -107,6 +107,10 @@ def prepare_dims(spark, sf_dir: str):
         F.count("*").alias("roi_pixels"),
         F.sum(F.when(F.col("value") != nd, F.col("value").cast("long")).otherwise(0)
               ).alias("roi_sum"),
+    ).select(
+        # LONG join key (docs reference rois by name; hashing here means
+        # the replicated doc rows never carry the roi_id string)
+        F.xxhash64("roi_id").alias("roi_key"), "roi_pixels", "roi_sum",
     )
     tile_hist = tile_hist.cache()
     roi_zonal = roi_zonal.cache()
@@ -162,7 +166,7 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
     )
     geom0 = all_spans.filter(F.col("kind") == "geom").select(
         F.xxhash64("doc_id").alias("doc_hash"),
-        F.substring_index("media_ref", "/", -1).alias("roi_id"),
+        F.xxhash64(F.substring_index("media_ref", "/", -1)).alias("roi_key"),
     )
     par = spark.sparkContext.defaultParallelism
 
@@ -177,14 +181,28 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
         )
 
     spans = replicated(media0)
-    joined = sj.salted_equi_join(
-        spans, tile_hist, ["bs_key", "tile_x", "tile_y"],
-        salt_factor=8, hot_threshold=50_000, big_uid="doc_key",
+    geom_spans = replicated(geom0)
+
+    # The dimension sides have tile-catalog / ROI cardinality, not doc
+    # cardinality, so they broadcast — the doc side (the 100 TB side)
+    # never shuffles for either join, and hot tiles cost nothing under a
+    # broadcast hash join (skew only bites shuffle joins). When a bandset
+    # catalog outgrows the driver, sj.salted_equi_join is the fallback —
+    # that path (histogram pre-pass + adaptive salting) is exercised by
+    # the spatial_doc_tiles query and tests/test_spatial.py.
+    m = spans.join(
+        F.broadcast(tile_hist), ["bs_key", "tile_x", "tile_y"]
     ).select(
         "doc_key", "cell_key", "px_sum", "px_valid",
         *[f"c{c}" for c in range(1, 6)],
     )
-    # ONE doc-keyed shuffle: repartition on doc_key, then both the
+    g = geom_spans.join(F.broadcast(roi_zonal), "roi_key", "left").select(
+        "doc_key",
+        F.lit(None).cast("long").alias("cell_key"),
+        F.lit(1).alias("g_cnt"), "roi_pixels", "roi_sum",
+    )
+    # ONE doc-keyed shuffle for the whole job: union the two legs'
+    # compact joined rows, repartition on doc_key, then BOTH the
     # per-(doc, cell) pre-agg (kills countDistinct's Expand) and the
     # per-doc rollup reuse that partitioning — hash partitioning on a
     # subset of the grouping keys satisfies the clustered distribution,
@@ -192,39 +210,26 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
     # (AQE respects user-specified numbers): parallelism-first coalesce
     # would make ~1 partition/core and a single straggler then idles all
     # other cores for its wave; 4 waves of smaller tasks bound the tail.
-    joined = joined.repartition(par * 4, "doc_key")
-    cell_agg = joined.groupBy("doc_key", "cell_key").agg(
-        F.count("*").alias("n_tiles_c"),
+    u = m.unionByName(g, allowMissingColumns=True)
+    u = u.repartition(par * 4, "doc_key")
+    cell_agg = u.groupBy("doc_key", "cell_key").agg(
+        F.count("px_valid").alias("n_tiles_c"),
         F.sum("px_sum").alias("px_sum_c"),
         F.sum("px_valid").alias("px_valid_c"),
         *[F.sum(f"c{c}").alias(f"c{c}_c") for c in range(1, 6)],
+        F.sum("g_cnt").alias("n_geom_c"),
+        F.sum("roi_pixels").alias("geom_px_c"),
+        F.sum("roi_sum").alias("geom_sum_c"),
     )
-    media = cell_agg.groupBy("doc_key").agg(
+    out = cell_agg.groupBy("doc_key").agg(
         F.sum("n_tiles_c").alias("n_tiles"),
-        F.count("*").alias("n_cells"),
+        F.count("cell_key").alias("n_cells"),
         F.sum("px_sum_c").alias("px_sum"),
         F.sum("px_valid_c").alias("px_valid"),
         *[F.sum(f"c{c}_c").alias(f"class_{c}_px") for c in range(1, 6)],
-    )
-    geom_spans = replicated(geom0)
-    geom = (
-        geom_spans.join(F.broadcast(roi_zonal), "roi_id", "left")
-        .groupBy("doc_key")
-        .agg(
-            F.count("*").alias("n_geom_spans"),
-            F.sum("roi_pixels").alias("geom_pixels"),
-            F.sum("roi_sum").alias("geom_sum"),
-        )
-    )
-    # combine media+geom per doc via union+agg (one shuffle) instead of a
-    # full outer join (two sorted sides) — same result, less bandwidth
-    out = media.unionByName(
-        geom, allowMissingColumns=True
-    ).groupBy("doc_key").agg(
-        *[F.sum(c).alias(c) for c in
-          ["n_tiles", "n_cells", "px_sum", "px_valid",
-           *[f"class_{c}_px" for c in range(1, 6)],
-           "n_geom_spans", "geom_pixels", "geom_sum"]]
+        F.sum("n_geom_c").alias("n_geom_spans"),
+        F.sum("geom_px_c").alias("geom_pixels"),
+        F.sum("geom_sum_c").alias("geom_sum"),
     )
     return out
 

@@ -146,10 +146,17 @@ def ml_scores(env: dict[str, Column], stats: list[dict],
         inv = np.linalg.inv(cov)
         logdet = float(np.log(np.linalg.det(cov)))
         d = [env[b].cast("double") - F.lit(float(st["means"][b])) for b in bands]
+        # Sigma^-1 is symmetric: fold the (i,j)/(j,i) pairs into one
+        # 2*inv[i][j] term — 10 terms instead of 16 per class, which
+        # keeps the 5-class discriminant stack inside janino's 64 KB
+        # per-method codegen limit (the full expansion fell back to
+        # interpreted mode). The DuckDB oracle mirrors this exact
+        # accumulation order (queries._ml_oracle_sql).
         quad = None
         for i in range(len(bands)):
-            for j in range(len(bands)):
-                t = d[i] * d[j] * F.lit(float(inv[i, j]))
+            for j in range(i, len(bands)):
+                coef = float(inv[i, j]) if i == j else 2.0 * float(inv[i, j])
+                t = d[i] * d[j] * F.lit(coef)
                 quad = t if quad is None else quad + t
         score = -F.lit(logdet) - quad
         p = None

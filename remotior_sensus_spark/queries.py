@@ -1634,8 +1634,9 @@ def _ml_oracle_sql(threshold: float | None, confidence: bool,
             d = [f"(cast({b} as double) - ({st['means'][i]!r}))"
                  for i, b in enumerate(bands)]
             terms = " + ".join(
-                f"{d[i]} * {d[j]} * ({st['inv'][i, j]!r})"
-                for i in range(4) for j in range(4)
+                f"{d[i]} * {d[j]} * "
+                f"({(st['inv'][i, j] if i == j else 2.0 * st['inv'][i, j])!r})"
+                for i in range(4) for j in range(i, 4)
             )
             score = f"-({st['logdet']!r}) - ({terms})"
             if threshold:

@@ -75,8 +75,11 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
     Returns the StreamingQuery (AvailableNow for incremental runs)."""
     static = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    # user_id may be any orderable type in the source (string or int
+    # depending on the generator); the state/output contract is string
     ev = stream.select(
-        "user_id", F.unix_timestamp("ts").alias("ts_epoch")
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn(gap_s),

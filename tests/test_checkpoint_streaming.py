@@ -84,7 +84,8 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800), 1
     ).otherwise(0)
     batch = (
-        ev.withColumn("s", new_s).groupBy("user_id")
+        ev.withColumn("s", new_s)
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
         .agg(F.sum("s").alias("n_sessions"))
         .toPandas().set_index("user_id")["n_sessions"]
     )
