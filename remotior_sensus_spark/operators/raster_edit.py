@@ -84,6 +84,79 @@ def rasterize(geoms: DataFrame, rects: DataFrame, tiles: DataFrame,
     )
 
 
+def rasterize_all_touched(rects: DataFrame, value_col: str = "class",
+                          *, pixel_size: float | None = None) -> DataFrame:
+    """All-touched vector->raster over the exact rectangle decomposition:
+    a pixel is burned when its cell [gx*ps, (gx+1)*ps) x [gy*ps, (gy+1)*ps)
+    overlaps a rectangle with POSITIVE area (the GDAL ALL_TOUCHED analogue
+    of util/raster_vector.py:1937-2108 vector_to_raster; boundary-only
+    contact does not burn — pinned rule). Overlapping burns resolve to
+    MAX(value) like `rasterize`.
+
+    Pure Catalyst: per-rect integer pixel ranges -> sequence explode ->
+    max-burn aggregation. The explode is bounded by geometry area / ps^2
+    per rect; at cluster scale giant geometries should be pre-split by
+    cell cover (geometry_cell_cover) so no single rect row explodes
+    unboundedly."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
+    ps = float(pixel_size or PIXEL_SIZE)
+    gx0 = F.floor((F.col("xmin") - F.lit(ORIGIN_X)) / ps).cast("long")
+    gx1 = (F.ceil((F.col("xmax") - F.lit(ORIGIN_X)) / ps) - 1).cast("long")
+    gy0 = F.floor((F.lit(ORIGIN_Y) - F.col("ymax")) / ps).cast("long")
+    gy1 = (F.ceil((F.lit(ORIGIN_Y) - F.col("ymin")) / ps) - 1).cast("long")
+    px = (
+        rects.select(F.col(value_col).alias("__v"),
+                     F.explode(F.sequence(gx0, gx1)).alias("gx"),
+                     F.col("ymin"), F.col("ymax"))
+        .select("__v", "gx", F.explode(F.sequence(gy0, gy1)).alias("gy"))
+    )
+    return px.groupBy("gx", "gy").agg(F.max("__v").alias("burn"))
+
+
+def rasterize_area_based(rects: DataFrame, value_col: str = "class",
+                         *, pixel_size: float | None = None) -> DataFrame:
+    """Area-based vector->raster (the reference's vector_to_raster
+    area_based=True: rasterize at finer precision, then majority —
+    util/raster_vector.py:1937-2108). Here the majority is computed
+    EXACTLY from the rect decomposition: per pixel, per value, the
+    covered area is summed; the pixel burns to the value with the
+    largest area (ties -> larger value), and only when the total
+    covered area reaches half the pixel (the majority criterion vs
+    background). Areas are integer m^2 on this grid, so the argmax is
+    exact — no sub-sampling error bar like the reference's precision
+    parameter."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
+    ps = float(pixel_size or PIXEL_SIZE)
+    gx0 = F.floor((F.col("xmin") - F.lit(ORIGIN_X)) / ps).cast("long")
+    gx1 = (F.ceil((F.col("xmax") - F.lit(ORIGIN_X)) / ps) - 1).cast("long")
+    gy0 = F.floor((F.lit(ORIGIN_Y) - F.col("ymax")) / ps).cast("long")
+    gy1 = (F.ceil((F.lit(ORIGIN_Y) - F.col("ymin")) / ps) - 1).cast("long")
+    px = (
+        rects.select(F.col(value_col).alias("__v"),
+                     "xmin", "xmax", "ymin", "ymax",
+                     F.explode(F.sequence(gx0, gx1)).alias("gx"))
+        .select("__v", "xmin", "xmax", "ymin", "ymax", "gx",
+                F.explode(F.sequence(gy0, gy1)).alias("gy"))
+    )
+    cell_x0 = F.lit(ORIGIN_X) + F.col("gx") * ps
+    cell_y1 = F.lit(ORIGIN_Y) - F.col("gy") * ps          # top edge
+    ov_x = F.least(F.col("xmax"), cell_x0 + ps) - F.greatest(F.col("xmin"), cell_x0)
+    ov_y = F.least(F.col("ymax"), cell_y1) - F.greatest(F.col("ymin"), cell_y1 - ps)
+    per_cls = (
+        px.withColumn("ov_area", (ov_x * ov_y).cast("long"))
+        .groupBy("gx", "gy", "__v")
+        .agg(F.sum("ov_area").alias("area"))
+    )
+    win = per_cls.groupBy("gx", "gy").agg(
+        F.max(F.struct(F.col("area"), F.col("__v"))).alias("w"),
+        F.sum("area").alias("covered"),
+    )
+    half = int(ps * ps / 2)
+    return win.filter(F.col("covered") >= F.lit(half)).select(
+        "gx", "gy", F.col("w.__v").alias("burn")
+    )
+
+
 def dos1_correction(band_px: DataFrame, *, percent_threshold: float = 0.0001) -> DataFrame:
     """DOS1-style dark-object subtraction: per band, subtract the
     cumulative-histogram minimum DN, clamp at 0, keep nodata

@@ -105,6 +105,40 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer/
+    Wilkerson/Aiken MOSS): hash every k-char gram of the normalized
+    text, slide a w-gram window, keep each window's minimum hash — the
+    distinct minima are the document's fingerprint set. Guarantees any
+    shared substring of length >= k + w - 1 yields a shared fingerprint.
+
+    Exploded-row formulation (posexplode + flat columns + sliding
+    window min), NOT nested transform() lambdas — higher-order
+    functions are interpreted, and the per-char-gram md5 path was
+    ~50x slower through them. One shuffle, keyed by doc. Output: one
+    row per distinct (doc_id, fp)."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    d = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= k + w - 1
+    )
+    grams = d.select(
+        "doc_id",
+        (F.length("norm") - (k - 1)).alias("n_grams"),
+        F.posexplode(F.sequence(F.lit(1), F.length("norm") - (k - 1))
+                     ).alias("pos", "i"),
+        F.col("norm"),
+    ).select(
+        "doc_id", "n_grams", "i",
+        portable_hash60(F.substring(F.col("norm"), F.col("i"), F.lit(k))
+                        ).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    mins = grams.select(
+        "doc_id", "i", "n_grams", F.min("h").over(win).alias("fp")
+    ).filter(F.col("i") <= F.col("n_grams") - (w - 1))
+    return mins.select("doc_id", "fp").distinct()
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalized content hash: keep min doc_id per group."""
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))

@@ -899,6 +899,41 @@ def dedup_exact(spark, sf_dir):
     return tx.dedup_exact(docs)
 
 
+@q("doc_fingerprint", """
+with d as (
+  select doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) as norm
+  from documents),
+f as (select doc_id, norm from d where length(norm) >= 11),
+h as (select doc_id,
+  list_transform(range(1, length(norm) - 6),
+    i -> cast(concat('0x', substr(md5(substr(norm, i, 8)), 1, 15)) as bigint)
+  ) as hs from f),
+m as (select doc_id,
+  list_sort(list_distinct(
+    list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+  )) as fps from h)
+select doc_id,
+  cast(len(fps) as bigint) as n_fp,
+  cast(fps[1] as bigint) as fp_min,
+  cast(fps[len(fps)] as bigint) as fp_max,
+  cast(list_sum(list_transform(fps, x -> x % 1000000000000)) as bigint
+       ) as fp_checksum
+from m
+""")
+def doc_fingerprint_q(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (k=8 char grams, window 4),
+    summarized per doc so the driver compare stays compact; the raw
+    (doc_id, fp) rows are the operator's native output."""
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    fps = tx.winnow_fingerprints(docs, k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum(F.pmod(F.col("fp"), F.lit(10**12))).alias("fp_checksum"),
+    )
+
+
 @q("token_count", """
 select doc_id,
   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) as n_tokens,
@@ -1372,6 +1407,95 @@ def rasterize_q(spark, sf_dir):
     geoms = cat.load_geo(spark, sf_dir, "geometries")
     rects = cat.load_geo(spark, sf_dir, "geometry_rects")
     out = rasterize(geoms, rects, tiles)
+    return out.groupBy("burn").agg(F.count("*").alias("pixel_count"))
+
+
+@q("rasterize_all_touched", f"""
+with r as (
+  select class, xmin + 3.0 as xmin, ymin + 3.0 as ymin,
+         xmax - 3.0 as xmax, ymax - 3.0 as ymax
+  from '{GEO01}/geometry_rects.parquet'
+  where xmax - xmin > 6.0 and ymax - ymin > 6.0),
+rx as (
+  select class, ymin, ymax,
+    unnest(generate_series(cast(floor((xmin - 230250.0)/10.0) as bigint),
+                           cast(ceil((xmax - 230250.0)/10.0) as bigint) - 1)
+           ) as gx
+  from r),
+px as (
+  select class, gx,
+    unnest(generate_series(cast(floor((4674550.0 - ymax)/10.0) as bigint),
+                           cast(ceil((4674550.0 - ymin)/10.0) as bigint) - 1)
+           ) as gy
+  from rx)
+select burn, count(*) as pixel_count from (
+  select gx, gy, max(class) as burn from px group by gx, gy
+) group by burn
+""")
+def rasterize_all_touched_q(spark, sf_dir):
+    """All-touched rasterize; rects are shrunk 3 m inward so their edges
+    fall strictly inside pixels (on this snapped-to-10m fixture the
+    aligned edges would make all_touched == pixel_center — the shrink
+    makes the semantics distinguishable and the oracle discriminating)."""
+    from remotior_sensus_spark.operators.raster_edit import rasterize_all_touched
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects").select(
+        "class",
+        (F.col("xmin") + 3.0).alias("xmin"), (F.col("ymin") + 3.0).alias("ymin"),
+        (F.col("xmax") - 3.0).alias("xmax"), (F.col("ymax") - 3.0).alias("ymax"),
+    ).filter((F.col("xmax") - F.col("xmin") > 6.0)
+             & (F.col("ymax") - F.col("ymin") > 6.0))
+    out = rasterize_all_touched(rects)
+    return out.groupBy("burn").agg(F.count("*").alias("pixel_count"))
+
+
+@q("rasterize_area", f"""
+with r as (
+  select class, xmin + 3.0 as xmin, ymin + 3.0 as ymin,
+         xmax - 3.0 as xmax, ymax - 3.0 as ymax
+  from '{GEO01}/geometry_rects.parquet'
+  where xmax - xmin > 6.0 and ymax - ymin > 6.0),
+rx as (
+  select class, xmin, xmax, ymin, ymax,
+    unnest(generate_series(cast(floor((xmin - 230250.0)/10.0) as bigint),
+                           cast(ceil((xmax - 230250.0)/10.0) as bigint) - 1)
+           ) as gx
+  from r),
+rxy as (
+  select class, xmin, xmax, ymin, ymax, gx,
+    unnest(generate_series(cast(floor((4674550.0 - ymax)/10.0) as bigint),
+                           cast(ceil((4674550.0 - ymin)/10.0) as bigint) - 1)
+           ) as gy
+  from rx),
+c as (
+  select gx, gy, class,
+    cast((least(xmax, 230250.0 + (gx+1)*10.0)
+          - greatest(xmin, 230250.0 + gx*10.0))
+       * (least(ymax, 4674550.0 - gy*10.0)
+          - greatest(ymin, 4674550.0 - (gy+1)*10.0)) as bigint) as area
+  from rxy),
+a as (select gx, gy, class, cast(sum(area) as bigint) as area
+      from c group by gx, gy, class),
+w as (select gx, gy, class, area,
+        row_number() over (partition by gx, gy
+                           order by area desc, class desc) as rn,
+        sum(area) over (partition by gx, gy) as covered
+      from a)
+select burn, count(*) as pixel_count from (
+  select gx, gy, class as burn from w where rn = 1 and covered >= 50
+) group by burn
+""")
+def rasterize_area_q(spark, sf_dir):
+    """Area-based rasterize (exact majority over the rect decomposition);
+    same 3 m shrink as rasterize_all_touched so partial-coverage pixels
+    exist and the majority-vs-background criterion actually bites."""
+    from remotior_sensus_spark.operators.raster_edit import rasterize_area_based
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects").select(
+        "class",
+        (F.col("xmin") + 3.0).alias("xmin"), (F.col("ymin") + 3.0).alias("ymin"),
+        (F.col("xmax") - 3.0).alias("xmax"), (F.col("ymax") - 3.0).alias("ymax"),
+    ).filter((F.col("xmax") - F.col("xmin") > 6.0)
+             & (F.col("ymax") - F.col("ymin") > 6.0))
+    out = rasterize_area_based(rects)
     return out.groupBy("burn").agg(F.count("*").alias("pixel_count"))
 
 
