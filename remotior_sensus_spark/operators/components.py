@@ -245,14 +245,17 @@ def raster_label(band_tiles: DataFrame, *, same_value: bool = False,
     edges = boundary_edges(labeled, same_value=same_value, tile_px=tile_px)
     roots = resolve_components(edges)
 
-    locals_df = labeled.select(
-        "tile_x", "tile_y",
-        F.explode(F.array_distinct(F.filter("labels", lambda x: x > 0))).alias("local_label"),
-        F.col("labels"),
-    ).select(
-        "tile_x", "tile_y", "local_label",
-        F.size(F.filter("labels", lambda x: x == F.col("local_label"))).alias("pixel_count"),
-        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+    # one explode + grouped count, NOT per-label size(filter(labels))
+    # re-scans — higher-order functions are interpreted here, and the
+    # per-local re-filter of the 4096-wide label array was quadratic
+    locals_df = (
+        labeled.select("tile_x", "tile_y",
+                       F.explode("labels").alias("local_label"))
+        .filter(F.col("local_label") > 0)
+        .groupBy("tile_x", "tile_y", "local_label")
+        .agg(F.count("*").alias("pixel_count"))
+        .withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
+                                F.col("local_label")))
     )
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
@@ -378,17 +381,22 @@ def sieve(band_tiles: DataFrame, min_size: int,
     roots = resolve_components(
         boundary_edges(labeled, same_value=True, tile_px=tile_px))
 
-    locals_df = labeled.select(
-        "tile_x", "tile_y",
-        F.explode(F.array_distinct(F.filter("labels", lambda x: x > 0))).alias("local_label"),
-        "labels", "values",
-    ).select(
-        "tile_x", "tile_y", "local_label",
-        F.size(F.filter("labels", lambda x: x == F.col("local_label"))).alias("pixel_count"),
-        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
-        F.element_at(
-            F.col("values"), F.array_position(F.col("labels"), F.col("local_label")).cast("int")
-        ).alias("value"),
+    # same explode+group rewrite as raster_label (interpreted-HOF fix);
+    # all pixels of a local share one value under same_value labeling,
+    # so first(value) is deterministic
+    locals_df = (
+        labeled.select(
+            "tile_x", "tile_y",
+            F.explode(F.arrays_zip("labels", "values")).alias("z"),
+        )
+        .select("tile_x", "tile_y",
+                F.col("z.labels").alias("local_label"),
+                F.col("z.values").alias("value"))
+        .filter(F.col("local_label") > 0)
+        .groupBy("tile_x", "tile_y", "local_label")
+        .agg(F.count("*").alias("pixel_count"), F.first("value").alias("value"))
+        .withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
+                                F.col("local_label")))
     )
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
