@@ -177,19 +177,53 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
     ).distinct()
 
 
+def _resolve_driver(edges: DataFrame) -> DataFrame:
+    """Union-find with path compression on the collected edge list —
+    the boundary graph is orders of magnitude smaller than the pixel
+    data, so below `driver_threshold` a single driver pass beats
+    O(diameter) iterative join rounds (each round costs 3 joins + a
+    checkpoint of fixed Spark overhead). Root = MIN gid per component,
+    matching the hash-to-min fixpoint exactly."""
+    pdf = edges.select("src", "dst").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(g, find(g)) for g in parent]
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "gid long, root long")
+
+
 def resolve_components(edges: DataFrame, max_iter: int = 30,
-                       rows_per_partition: int = 500_000) -> DataFrame:
+                       rows_per_partition: int = 500_000,
+                       driver_threshold: int = 2_000_000) -> DataFrame:
     """Hash-to-min connected components over the equivalence edges.
     Returns (gid, root). Only gids that appear in edges are returned
     (isolated components are their own root).
 
-    The iteration partition count is sized to the edge count
-    (~rows_per_partition rows each) instead of inheriting the session
-    shuffle width: the boundary-edge graph is orders of magnitude
-    smaller than the pixel data, and per-round task overhead dominates
-    when tiny graphs run at full shuffle width. At 100 TB the same rule
-    yields thousands of partitions — one count() up front buys it."""
+    Below `driver_threshold` edges the graph is resolved by driver-side
+    union-find (_resolve_driver — a documented small-table collect, like
+    the signature/centroid tables); above it, the distributed iterative
+    propagation below runs. The iteration partition count is sized to
+    the edge count (~rows_per_partition rows each) instead of inheriting
+    the session shuffle width: the boundary-edge graph is orders of
+    magnitude smaller than the pixel data, and per-round task overhead
+    dominates when tiny graphs run at full shuffle width. At 100 TB the
+    same rule yields thousands of partitions — one count() up front
+    buys it."""
     n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _resolve_driver(edges)
     p = max(2, min(4096, n_edges // rows_per_partition + 1))
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -1,0 +1,142 @@
+"""Snapshot-manifest table layout: a minimal Iceberg-style table on
+plain parquet (the north_rule's input is "an Iceberg table of
+interleaved text + media documents"; no Iceberg runtime ships in this
+sandbox, so the snapshot/manifest mechanics it relies on — atomic
+commits by manifest swap, time travel, incremental appends — are
+provided by this module over the same directory-of-parquet layout the
+rest of the engine reads).
+
+Layout of a snapshot table directory::
+
+    table/
+      data/part-<uuid>.parquet        immutable data files
+      snapshots/v<NNN>.json           manifest: list of data files + meta
+      VERSION                         current snapshot number (atomic ptr)
+
+Semantics mirrored from the Iceberg spec (public docs):
+  * a reader resolves VERSION -> manifest -> explicit file list, so
+    concurrent appends never produce torn reads (files not in the
+    manifest are invisible);
+  * append = write new data files, write manifest v(N+1) including old
+    + new files, atomically replace VERSION (os.replace);
+  * time travel = read any older manifest by snapshot id;
+  * incremental read between two snapshots = the file-list difference —
+    this feeds streaming/incremental.py's catch-up pattern without
+    reprocessing old files.
+
+The reference has no table format at all (GDAL rasters on disk); this
+is new engine surface for the 10^12-doc ingestion story.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "snapshots", f"v{version:06d}.json")
+
+
+def current_version(table_dir: str) -> int:
+    vp = os.path.join(table_dir, "VERSION")
+    if not os.path.exists(vp):
+        return 0
+    with open(vp) as f:
+        return int(f.read().strip())
+
+
+def read_manifest(table_dir: str, snapshot: int | None = None) -> dict:
+    v = snapshot if snapshot is not None else current_version(table_dir)
+    if v == 0:
+        return {"version": 0, "files": [], "row_count": 0}
+    with open(_manifest_path(table_dir, v)) as f:
+        return json.load(f)
+
+
+def append_snapshot(df: DataFrame, table_dir: str) -> dict:
+    """Append `df` as a new snapshot: new immutable data files + a new
+    manifest listing old+new, then an atomic VERSION swap. Returns the
+    new manifest. Crash-safe: a failure before the VERSION replace
+    leaves orphan data files that no manifest references (invisible to
+    readers, reclaimable by a GC pass) — the manifest-swap commit
+    protocol of the Iceberg spec."""
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "snapshots"), exist_ok=True)
+
+    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        dst = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, f), os.path.join(data_dir, dst))
+        new_files.append(f"data/{dst}")
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+
+    prev = read_manifest(table_dir)
+    version = prev["version"] + 1
+    spark = df.sparkSession
+    added_rows = (
+        spark.read.parquet(*[os.path.join(table_dir, f) for f in new_files]
+                           ).count() if new_files else 0
+    )
+    manifest = {
+        "version": version,
+        "parent": prev["version"] or None,
+        "ts": time.time(),
+        "files": prev["files"] + new_files,
+        "added_files": new_files,
+        "row_count": prev["row_count"] + added_rows,
+    }
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir, version))
+
+    vtmp = os.path.join(table_dir, "VERSION.tmp")
+    with open(vtmp, "w") as f:
+        f.write(str(version))
+    os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+    return manifest
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  snapshot: int | None = None) -> DataFrame:
+    """Manifest-resolved read (current snapshot, or time travel to an
+    older one). Reads ONLY manifest-listed files, so un-committed
+    appends and orphans are invisible."""
+    m = read_manifest(table_dir, snapshot)
+    if not m["files"]:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in m["files"]]
+    )
+
+
+def incremental_files(table_dir: str, from_snapshot: int,
+                      to_snapshot: int | None = None) -> list[str]:
+    """Data files added strictly after `from_snapshot` up to
+    `to_snapshot` (default current) — the incremental-read set for
+    snapshot-tailing catch-up (streaming/incremental.py)."""
+    new = read_manifest(table_dir, to_snapshot)
+    old = read_manifest(table_dir, from_snapshot)
+    old_set = set(old["files"])
+    return [f for f in new["files"] if f not in old_set]
+
+
+def read_incremental(spark: SparkSession, table_dir: str,
+                     from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame | None:
+    files = incremental_files(table_dir, from_snapshot, to_snapshot)
+    if not files:
+        return None
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])

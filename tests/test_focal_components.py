@@ -118,6 +118,24 @@ def test_connected_components_match_flood_fill(spark, b04):
     assert got == dict(exp)
 
 
+def test_resolve_paths_agree(spark, b04):
+    """Driver union-find fast path == distributed hash-to-min iterative
+    path on the same boundary graph (the fixtures are below the
+    driver_threshold, so force the iterative path explicitly)."""
+    from remotior_sensus_spark.operators.components import (
+        boundary_edges, label_tiles, resolve_components,
+    )
+
+    labeled = label_tiles(b04, same_value=True).cache()
+    edges = boundary_edges(labeled, same_value=True).cache()
+    fast = resolve_components(edges).toPandas()
+    slow = resolve_components(edges, driver_threshold=0).toPandas()
+    a = fast.sort_values("gid").reset_index(drop=True)
+    b = slow.sort_values("gid").reset_index(drop=True)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["root"].tolist() == b["root"].tolist()
+
+
 def test_resample_mode(spark, b04, geo001_dir):
     from remotior_sensus_spark.operators.aggregates import explode_pixels, quantize
     from remotior_sensus_spark.operators.focal import resample_mode
