@@ -290,14 +290,22 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
-    def measure(master: str) -> tuple[float, int]:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only", master, sf_dir],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        d = json.loads(line)
-        return d["sec"], d["rows"]
+    def measure(master: str) -> tuple[float, int] | None:
+        """One subprocess measurement; None on timeout/crash (a single
+        pathological host phase must not kill the whole bench record —
+        min-of-N over the surviving samples still stands)."""
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--flagship-only", master, sf_dir],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            d = json.loads(line)
+            return d["sec"], d["rows"]
+        except Exception as ex:  # TimeoutExpired, JSON/empty output, OOM
+            print(f"measure({master}) failed: {ex!r}", file=sys.stderr)
+            return None
 
     # N vs 4N cores. Default 2->8: raw-CPU calibration of this shared VM
     # shows oversubscription/steal already caps 4->16 at ~2.9x, while
@@ -312,11 +320,19 @@ def main() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     t_los, t_his = [], []
     n_out = 0
-    for _ in range(rounds):
-        t, n_out = measure(f"local[{lo}]")
-        t_los.append(t)
-        t, _ = measure(f"local[{hi}]")
-        t_his.append(t)
+    r = 0
+    while r < rounds:
+        m = measure(f"local[{lo}]")
+        if m:
+            t_los.append(m[0])
+            n_out = m[1]
+        m = measure(f"local[{hi}]")
+        if m:
+            t_his.append(m[0])
+        # catch-up rounds (bounded) if a level has no surviving sample yet
+        if r == rounds - 1 and (not t_los or not t_his) and rounds < 6:
+            rounds += 1
+        r += 1
     t_lo, t_hi = min(t_los), min(t_his)
     qtimes["flagship_spatial_join"] = round(t_hi, 3)
 
