@@ -1146,7 +1146,27 @@ def sieve_reclass(spark, sf_dir):
     return sieve(q4, min_size=4)
 
 
-@q("dilation_counts", None)
+@q("dilation_counts", f"""
+with b as (
+  select gx, gy,
+    case when value = -32768 then -32768.0
+         when value > 3500 then 7.0 else 1.0 end as v
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o(dx, dy) as (values (1,0),(-1,0),(0,1),(0,-1)),
+n as (
+  select p.gx, p.gy, any_value(p.v) as v,
+    max(case when q.v = 7.0 then 1 else 0 end) as near7
+  from b p cross join o
+  left join b q on q.gx = p.gx + o.dx and q.gy = p.gy + o.dy
+  group by p.gx, p.gy)
+select v, count(*) as pixel_count from (
+  select case when v = -32768.0 then -32768.0
+              when v <> 7.0 and near7 = 1 then 7.0
+              else v end as v
+  from n)
+group by v
+""")
 def dilation_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import dilation
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
@@ -1158,7 +1178,30 @@ def dilation_counts(spark, sf_dir):
     )
 
 
-@q("erosion_counts", None)
+@q("erosion_counts", f"""
+with b as (
+  select gx, gy,
+    case when value = -32768 then -32768.0
+         when value > 3500 then 7.0 else 1.0 end as v
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o(dx, dy) as (values (0,0),(1,0),(-1,0),(0,1),(0,-1)),
+n as (
+  select p.gx, p.gy, any_value(p.v) as v,
+    count(q.gx) as n_struct,
+    sum(case when q.v = 7.0 then 1 else 0 end) as cnt7,
+    sum(case when q.v = 1.0 then 1 else 0 end) as cnt1
+  from b p cross join o
+  left join b q on q.gx = p.gx + o.dx and q.gy = p.gy + o.dy
+  group by p.gx, p.gy)
+select v, count(*) as pixel_count from (
+  select case when v = -32768.0 then -32768.0
+              when v = 7.0 and n_struct > cnt7 then
+                (case when cnt1 > 0 then 1.0 else -32768.0 end)
+              else v end as v
+  from n)
+group by v
+""")
 def erosion_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import erosion
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
@@ -1307,7 +1350,76 @@ def pca_covariance(spark, sf_dir):
     return covariance_matrix(stacked, bands)
 
 
-@q("pca_projection", None)
+def _pca_oracle_sql(geo_dir: str = GEO01):
+    """Lazy PCA oracle: covariance from exact DuckDB integer sums, then
+    the SAME driver-side numpy path as pca_fit (identical float op
+    order: means = s/n, cov = (sxy - n*mi*mj)/(n-1), eigh, descending
+    order, sign normalization) — the resulting eigenvector/mean literals
+    are baked into per-pixel projection SQL mirroring pca_project."""
+    def build() -> str:
+        import duckdb
+        import numpy as np
+        bands = ["b02", "b03", "b04", "b08"]
+        sum_cols = ", ".join(
+            f"cast(sum(cast({b} as bigint)) as bigint) as s_{b}" for b in bands
+        )
+        cross = ", ".join(
+            f"cast(sum(cast({a} as bigint)*cast({b} as bigint)) as bigint)"
+            f" as s_{a}_{b}"
+            for i, a in enumerate(bands) for b in bands[i:]
+        )
+        r = duckdb.sql(f"""
+with w as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{geo_dir}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select * from w
+      where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768)
+select count(*) as n, {sum_cols}, {cross} from v
+""").df().iloc[0]
+        n = int(r["n"])
+        k = len(bands)
+        means = np.array([r[f"s_{b}"] / n for b in bands], dtype=np.float64)
+        cov = np.zeros((k, k))
+        for i, a in enumerate(bands):
+            for j, b in enumerate(bands):
+                key = f"s_{a}_{b}" if i <= j else f"s_{b}_{a}"
+                cov[i, j] = (float(r[key]) - n * means[i] * means[j]) / (n - 1)
+        w_, v_ = np.linalg.eigh(cov)
+        order = np.argsort(w_)[::-1]
+        v_ = v_[:, order]
+        for c in range(k):
+            if v_[np.argmax(np.abs(v_[:, c])), c] < 0:
+                v_[:, c] = -v_[:, c]
+        vec = v_[:, 0]
+        proj = " + ".join(
+            f"(cast({b} as double) - ({means[i]!r})) * ({vec[i]!r})"
+            for i, b in enumerate(bands)
+        )
+        return f"""
+with w as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{geo_dir}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select * from w
+      where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768)
+select count(*) as n_pixels,
+  cast(sum(cast(floor(({proj})*1000000.0+0.5) as bigint)) as bigint)
+    as pc1_checksum
+from v
+"""
+    return build
+
+
+@q("pca_projection", _pca_oracle_sql())
 def pca_projection(spark, sf_dir):
     from remotior_sensus_spark.operators.pca import pca_fit, pca_project
     from remotior_sensus_spark.operators.reclass import band_stack
@@ -2075,6 +2187,7 @@ ORACLE_BUILDERS = {
     "warp_affine": lambda geo: _warp_oracle(geo),
     "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
     "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
+    "pca_projection": lambda geo: _pca_oracle_sql(geo)(),
 }
 
 
