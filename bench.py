@@ -333,6 +333,18 @@ def main() -> None:
         if r == rounds - 1 and (not t_los or not t_his) and rounds < 6:
             rounds += 1
         r += 1
+    if not t_los or not t_his:
+        # still no sample for a level after bounded catch-up: emit a
+        # diagnostic record rather than crashing with min() on empty
+        print(json.dumps({
+            "metric": "headline_queries_total",
+            "value": round(sum(qtimes.values()), 3), "unit": "sec",
+            "queries": qtimes, "sf": sf,
+            "flagship": {"error": "scaling level lost all samples",
+                         f"sec_local{lo}_runs": t_los,
+                         f"sec_local{hi}_runs": t_his},
+        }))
+        return
     t_lo, t_hi = min(t_los), min(t_his)
     qtimes["flagship_spatial_join"] = round(t_hi, 3)
 

@@ -39,29 +39,44 @@ def combination_table(px_wide: DataFrame, band_cols: list[str]) -> DataFrame:
         *[F.max(c).alias(f"max_{c}") for c in band_cols],
         *[F.min(c).alias(f"min_{c}") for c in band_cols],
     )
-    combos = combos.crossJoin(F.broadcast(stats))
-    # mixed-radix coefficients k_y (band_combination.py:232-238)
-    encoded = None
-    k = F.lit(1).cast("long")
-    for y, c in enumerate(band_cols):
-        add = F.when(F.col(f"min_{c}") < 0, -F.col(f"min_{c}") + 1).otherwise(F.lit(0))
-        term = (F.col(c).cast("long") + add.cast("long")) * k
-        encoded = term if encoded is None else encoded + term
-        if y + 1 < len(band_cols):
-            nxt = band_cols[y + 1]
-            # radix must exceed the SHIFTED max (max + add), not the raw
-            # max — with a negative band min the reference's first-try
-            # radix (max+1) can collide and it re-rolls random
-            # coefficients; widening to max+add+1 is deterministic and
-            # provably injective, and identical to the reference when
-            # min >= 0 (ADVICE r01 low #3).
-            add_nxt = F.when(
-                F.col(f"min_{nxt}") < 0, -F.col(f"min_{nxt}") + 1
-            ).otherwise(F.lit(0))
-            k = k * (F.col(f"max_{nxt}").cast("long") + add_nxt.cast("long") + 1)
+    combos = combos.crossJoin(F.broadcast(stats)).cache()
+
+    def encode(reference_radix: bool):
+        """reference_radix=True mirrors the reference's t=1 first try
+        (band_combination.py:232-238: k_{y+1} = k_y * (max_{y+1} + 1) —
+        the NEXT band's max), which is NOT always injective (e.g. bands
+        with different domains: A in 0..2, B in 0..1 gives A + 2B where
+        (2,0) == (0,1)). reference_radix=False is the provably injective
+        mixed radix: k grows by the CURRENT band's shifted domain size
+        (max + add + 1), so each digit is strictly below its radix."""
+        encoded = None
+        k = F.lit(1).cast("long")
+        for y, c in enumerate(band_cols):
+            add = F.when(F.col(f"min_{c}") < 0,
+                         -F.col(f"min_{c}") + 1).otherwise(F.lit(0))
+            term = (F.col(c).cast("long") + add.cast("long")) * k
+            encoded = term if encoded is None else encoded + term
+            if y + 1 < len(band_cols):
+                r = band_cols[y + 1] if reference_radix else c
+                add_r = F.when(F.col(f"min_{r}") < 0,
+                               -F.col(f"min_{r}") + 1).otherwise(F.lit(0))
+                k = k * (F.col(f"max_{r}").cast("long")
+                         + add_r.cast("long") + 1)
+        return encoded
+
+    # reference parity first: the t=1 encoding reproduces the reference's
+    # deterministic ids whenever it is injective (always true for the
+    # equal-domain classified fixtures). On collision the reference
+    # re-rolls RANDOM coefficients until injective — nondeterministic ids
+    # we refuse to replicate; instead we pin the deterministic safe radix
+    # (ADVICE r01 low #3: verified injectivity, no silent merging).
+    with_ref = combos.withColumn("encoded", encode(True))
+    n_combos = with_ref.count()
+    n_enc = with_ref.select("encoded").distinct().count()
+    if n_enc != n_combos:
+        with_ref = combos.withColumn("encoded", encode(False))
     out = (
-        _global_rank(combos.withColumn("encoded", encoded), "encoded",
-                     rank_col="raster_value")
+        _global_rank(with_ref, "encoded", rank_col="raster_value")
         .select(
             "raster_value", *band_cols, "pixel_sum",
             (F.col("pixel_sum") * F.lit(PIXEL_AREA)).alias("area_m2"),
@@ -78,7 +93,11 @@ def _global_rank(df: DataFrame, order_col: str, rank_col: str = "rank",
     combination cardinality): range-partition by the key, rank inside
     each partition in parallel, add driver-collected per-partition
     offsets (the per-partition counts are a tiny aggregate)."""
-    ranged = df.repartitionByRange(partitions, F.col(order_col))
+    # ONE materialized evaluation: repartitionByRange samples its range
+    # boundaries per execution, so the sizes job and the rank job must
+    # see the SAME partitioning — localCheckpoint pins the partitions
+    # (and stops the distinct-combos aggregation re-running twice)
+    ranged = df.repartitionByRange(partitions, F.col(order_col)).localCheckpoint()
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     sizes = {
         r["__pid"]: r["n"]

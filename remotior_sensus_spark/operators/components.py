@@ -221,6 +221,10 @@ def resolve_components(edges: DataFrame, max_iter: int = 30,
     dominates when tiny graphs run at full shuffle width. At 100 TB the
     same rule yields thousands of partitions — one count() up front
     buys it."""
+    # persist: the threshold count and the subsequent consumption
+    # (driver collect or the und/lab builds) must not re-run the
+    # boundary-edge self-joins + distinct
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _resolve_driver(edges)

@@ -71,28 +71,34 @@ def decode_and_resize(df: DataFrame, out_size: int = 8) -> DataFrame:
 
     def run(it):
         for pdf in it:
-            n = len(pdf)
-            if n == 0:
+            if not len(pdf):
                 continue
-            w = int(pdf["media_meta"].iloc[0]["width"])
-            h = int(pdf["media_meta"].iloc[0]["height"])
-            # whole-batch decode: one seed vector + one splitmix64 sweep
-            seeds = np.frombuffer(
-                b"".join(bytes(b)[:8].ljust(8, b"\0") for b in pdf["media_blob"]),
-                dtype=np.uint64,
-            )
-            idx = np.arange(w * h, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                v = splitmix64(seeds[:, None] + idx[None, :]) % np.uint64(256)
-            imgs = v.astype(np.uint8).reshape(n, h, w)
-            step = max(1, h // out_size)
-            small = imgs[:, ::step, ::step][:, :out_size, :out_size]
-            thumbs = small.reshape(n, -1).astype(np.int32)
-            yield pd.DataFrame({
-                "bandset": pdf["bandset"], "band": pdf["band"],
-                "tile_x": pdf["tile_x"], "tile_y": pdf["tile_y"],
-                "thumb": list(thumbs),
-            })
+            # dims are PER-ROW metadata: vectorize per (w, h) group, so a
+            # batch mixing media sizes decodes each image at its own dims
+            # (taking row 0's dims for the whole batch silently corrupts
+            # every other size)
+            dims = pdf["media_meta"].map(lambda m: (int(m["width"]),
+                                                    int(m["height"])))
+            for (w, h), g in pdf.groupby(dims, sort=False):
+                n = len(g)
+                # whole-group decode: one seed vector + one splitmix64 sweep
+                seeds = np.frombuffer(
+                    b"".join(bytes(b)[:8].ljust(8, b"\0")
+                             for b in g["media_blob"]),
+                    dtype=np.uint64,
+                )
+                idx = np.arange(w * h, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    v = splitmix64(seeds[:, None] + idx[None, :]) % np.uint64(256)
+                imgs = v.astype(np.uint8).reshape(n, h, w)
+                step = max(1, h // out_size)
+                small = imgs[:, ::step, ::step][:, :out_size, :out_size]
+                thumbs = small.reshape(n, -1).astype(np.int32)
+                yield pd.DataFrame({
+                    "bandset": g["bandset"], "band": g["band"],
+                    "tile_x": g["tile_x"], "tile_y": g["tile_y"],
+                    "thumb": list(thumbs),
+                })
 
     return df.mapInPandas(
         run,

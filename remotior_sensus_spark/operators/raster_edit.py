@@ -100,6 +100,10 @@ def rasterize_all_touched(rects: DataFrame, value_col: str = "class",
     unboundedly."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
     ps = float(pixel_size or PIXEL_SIZE)
+    # zero-area rects burn nothing (F.sequence DESCENDS when stop<start,
+    # so an unguarded degenerate rect on a grid line would burn pixels)
+    rects = rects.filter((F.col("xmax") > F.col("xmin"))
+                         & (F.col("ymax") > F.col("ymin")))
     gx0 = F.floor((F.col("xmin") - F.lit(ORIGIN_X)) / ps).cast("long")
     gx1 = (F.ceil((F.col("xmax") - F.lit(ORIGIN_X)) / ps) - 1).cast("long")
     gy0 = F.floor((F.lit(ORIGIN_Y) - F.col("ymax")) / ps).cast("long")
@@ -127,6 +131,8 @@ def rasterize_area_based(rects: DataFrame, value_col: str = "class",
     parameter."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
     ps = float(pixel_size or PIXEL_SIZE)
+    rects = rects.filter((F.col("xmax") > F.col("xmin"))
+                         & (F.col("ymax") > F.col("ymin")))
     gx0 = F.floor((F.col("xmin") - F.lit(ORIGIN_X)) / ps).cast("long")
     gx1 = (F.ceil((F.col("xmax") - F.lit(ORIGIN_X)) / ps) - 1).cast("long")
     gy0 = F.floor((F.lit(ORIGIN_Y) - F.col("ymax")) / ps).cast("long")

@@ -136,14 +136,19 @@ def reproject_vector(geoms: DataFrame, forward: Affine) -> DataFrame:
     they stay exactly reproducible in SQL oracles."""
     a, b, c, d, e, f = forward
 
-    xmin_t = F.lit(a) * F.col("xmin") + F.lit(b) * F.col("ymin") + F.lit(c)
-    xmax_t = F.lit(a) * F.col("xmax") + F.lit(b) * F.col("ymax") + F.lit(c)
-    ymin_t = F.lit(d) * F.col("xmin") + F.lit(e) * F.col("ymin") + F.lit(f)
-    ymax_t = F.lit(d) * F.col("xmax") + F.lit(e) * F.col("ymax") + F.lit(f)
-    out = geoms.withColumn("__x0", F.least(xmin_t, xmax_t)) \
-               .withColumn("__x1", F.greatest(xmin_t, xmax_t)) \
-               .withColumn("__y0", F.least(ymin_t, ymax_t)) \
-               .withColumn("__y1", F.greatest(ymin_t, ymax_t))
+    # ALL FOUR bbox corners must be transformed: under rotation or
+    # mixed-sign shear the extreme lands on a mixed corner like
+    # (xmin, ymax), which a two-corner transform never evaluates
+    corners = [("xmin", "ymin"), ("xmin", "ymax"),
+               ("xmax", "ymin"), ("xmax", "ymax")]
+    xs = [F.lit(a) * F.col(cx) + F.lit(b) * F.col(cy) + F.lit(c)
+          for cx, cy in corners]
+    ys = [F.lit(d) * F.col(cx) + F.lit(e) * F.col(cy) + F.lit(f)
+          for cx, cy in corners]
+    out = geoms.withColumn("__x0", F.least(*xs)) \
+               .withColumn("__x1", F.greatest(*xs)) \
+               .withColumn("__y0", F.least(*ys)) \
+               .withColumn("__y1", F.greatest(*ys))
     out = (
         out.drop("xmin", "xmax", "ymin", "ymax")
         .withColumnRenamed("__x0", "xmin").withColumnRenamed("__x1", "xmax")

@@ -1356,6 +1356,9 @@ def _pca_oracle_sql(geo_dir: str = GEO01):
     order: means = s/n, cov = (sxy - n*mi*mj)/(n-1), eigh, descending
     order, sign normalization) — the resulting eigenvector/mean literals
     are baked into per-pixel projection SQL mirroring pca_project."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
     def build() -> str:
         import duckdb
         import numpy as np

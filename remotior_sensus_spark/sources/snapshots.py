@@ -82,30 +82,44 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
         os.remove(os.path.join(staging, f))
     os.rmdir(staging)
 
-    prev = read_manifest(table_dir)
-    version = prev["version"] + 1
     spark = df.sparkSession
     added_rows = (
         spark.read.parquet(*[os.path.join(table_dir, f) for f in new_files]
                            ).count() if new_files else 0
     )
-    manifest = {
-        "version": version,
-        "parent": prev["version"] or None,
-        "ts": time.time(),
-        "files": prev["files"] + new_files,
-        "added_files": new_files,
-        "row_count": prev["row_count"] + added_rows,
-    }
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(table_dir, version))
+    # optimistic-concurrency commit (the Iceberg commit protocol): the
+    # manifest file is created with O_EXCL, so of two concurrent
+    # appenders exactly one wins version N+1; the loser re-reads the
+    # winner's manifest and retries at N+2 — no append is ever lost.
+    while True:
+        prev = read_manifest(table_dir)
+        version = prev["version"] + 1
+        manifest = {
+            "version": version,
+            "parent": prev["version"] or None,
+            "ts": time.time(),
+            "files": prev["files"] + new_files,
+            "added_files": new_files,
+            "row_count": prev["row_count"] + added_rows,
+        }
+        try:
+            fd = os.open(_manifest_path(table_dir, version),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — retry on top of the winner
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        break
 
-    vtmp = os.path.join(table_dir, "VERSION.tmp")
+    vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
     with open(vtmp, "w") as f:
         f.write(str(version))
-    os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+    # monotonic pointer swap: only advance VERSION (a concurrent later
+    # committer may already have moved it past us)
+    if current_version(table_dir) < version:
+        os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+    else:
+        os.remove(vtmp)
     return manifest
 
 
