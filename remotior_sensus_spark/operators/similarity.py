@@ -40,9 +40,17 @@ def _dot_fp(a, b):
 
 
 def _cos_fp(e, q):
-    """Cosine from fixed-point dots (the 2^20 scales cancel)."""
-    return _dot_fp(e, q).cast("double") / (
-        F.sqrt(_dot_fp(e, e).cast("double")) * F.sqrt(_dot_fp(q, q).cast("double"))
+    """Cosine from fixed-point dots (the 2^20 scales cancel).
+
+    try_divide: a zero (or fully sub-quantization) vector has norm 0 —
+    under Spark 4's default ANSI mode a plain `/` would THROW and abort
+    the whole top-k job for one degenerate row. Null cosine sorts last
+    under the descending rank, so degenerate vectors simply never make
+    the top-k (fixtures contain none; identical IEEE doubles otherwise,
+    so oracle parity is unaffected)."""
+    return F.try_divide(
+        _dot_fp(e, q).cast("double"),
+        F.sqrt(_dot_fp(e, e).cast("double")) * F.sqrt(_dot_fp(q, q).cast("double")),
     )
 
 

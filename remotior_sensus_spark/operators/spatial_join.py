@@ -95,9 +95,6 @@ def point_in_wkt(wkt: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-pip_udf = F.pandas_udf(point_in_wkt, T.BooleanType())
-
-
 # ---------------------------------------------------------------------------
 # cell cover
 # ---------------------------------------------------------------------------
@@ -157,7 +154,17 @@ def salted_equi_join(
     from its uid, the dim side fans out x salt_factor for hot keys and
     x1 otherwise (reference analogue: cluster-by-proximity pre-join,
     multiprocess_manager.py:2941; AQE skew join stays on as backstop).
+
+    Only inner/left are supported: under right/full outer an unmatched
+    HOT dim row would surface salt_factor times (one null-extended row
+    per exploded salt copy) — a correctness trap, so it is rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_equi_join supports how='inner'/'left', got {how!r}: "
+            "outer joins would duplicate unmatched hot dim rows "
+            "salt_factor times"
+        )
     hist = big.groupBy(*keys).count().filter(F.col("count") > hot_threshold)
     hot = hist.select(*keys, F.lit(True).alias("__hot"))
 
@@ -250,14 +257,18 @@ def span_seq_hash(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    # coalesce each field: concat_ws SKIPS nulls (no separator), so
+    # {text:NULL, media_ref:'x'} would hash identically to
+    # {text:'x', media_ref:NULL}; the sentinel keeps every field
+    # positionally distinct (fixtures use '' not null — identical hash)
     parts = F.transform(
         ordered,
         lambda s: F.concat_ws(
             "§",
-            s.getField("kind"),
-            s.getField("text"),
-            s.getField("media_ref"),
-            s.getField("offset").cast("string"),
+            F.coalesce(s.getField("kind"), F.lit("\x00")),
+            F.coalesce(s.getField("text"), F.lit("\x00")),
+            F.coalesce(s.getField("media_ref"), F.lit("\x00")),
+            F.coalesce(s.getField("offset").cast("string"), F.lit("\x00")),
         ),
     )
     return docs.select(
@@ -394,20 +405,33 @@ def knn_tiles(geoms: DataFrame, tiles: DataFrame, k: int,
     )
     upt = int(TILE_SIZE_M / 5)  # 5m units per tile = 32
 
+    # grid bounds (tiny dimension aggregate, collected once): candidate
+    # rings are CLAMPED to the real tile range, so an escalated grid-edge
+    # ROI explodes at most the grid's own tile count instead of ~4x of it
+    # in out-of-range keys that join nothing
+    bx = t.agg(F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+               F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1")).first()
+
     def candidates(gdf: DataFrame, radius_col) -> DataFrame:
         tx_c = F.floor(F.col("gx5") / upt).cast("int")
         ty_c = F.floor(F.col("gy5") / upt).cast("int")
         c = gdf.select(
             "roi_id", "gx5", "gy5",
             F.explode(
-                F.sequence((tx_c - radius_col).cast("int"), (tx_c + radius_col).cast("int"))
+                F.sequence(
+                    F.greatest((tx_c - radius_col).cast("int"), F.lit(bx["x0"])),
+                    F.least((tx_c + radius_col).cast("int"), F.lit(bx["x1"])),
+                )
             ).alias("tile_x"),
             radius_col.cast("int").alias("__r"),
             ty_c.alias("__tyc"),
         ).select(
             "roi_id", "gx5", "gy5", "tile_x",
             F.explode(
-                F.sequence(F.col("__tyc") - F.col("__r"), F.col("__tyc") + F.col("__r"))
+                F.sequence(
+                    F.greatest(F.col("__tyc") - F.col("__r"), F.lit(bx["y0"])),
+                    F.least(F.col("__tyc") + F.col("__r"), F.lit(bx["y1"])),
+                )
             ).alias("tile_y"),
         )
         cand = c.join(t, ["tile_x", "tile_y"])

@@ -49,15 +49,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = tokens_col()
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_tok = F.size(toks)
+    # empty/whitespace-only docs have n_tokens = 0 and len = 0: ratios
+    # are null, NOT a job-aborting DIVIDE_BY_ZERO (Spark 4 ANSI default);
+    # the DuckDB oracle guards identically
+    n_len = F.length("text")
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        (F.length("text").cast("double") / n_tok).alias("mean_token_len"),
-        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
-        (
-            (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
-            .cast("double") / F.length("text")
+        n_len.alias("n_chars_actual"),
+        F.when(n_tok > 0, n_len.cast("double") / n_tok).alias("mean_token_len"),
+        F.when(n_tok > 0, stop_hits.cast("double") / n_tok
+               ).alias("stopword_ratio"),
+        F.when(
+            n_len > 0,
+            (n_len - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
+            .cast("double") / n_len,
         ).alias("punct_ratio"),
     )
 
@@ -203,7 +209,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
     """Candidate pairs via LSH banding + exact signature-Jaccard filter.
     Pairs only form inside band buckets (self-join on band hash)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(docs, num_hashes, shingle_n).cache()
+    # localCheckpoint, not cache(): it materializes once for the two
+    # consumers (band explode + re-rank join) but its blocks are
+    # reclaimed with the RDD when unreferenced, instead of pinning
+    # executor storage for the session lifetime across repeated calls
+    sig = minhash_signature(docs, num_hashes, shingle_n).localCheckpoint()
     # band key = the band's signature slice itself (stringified) — no
     # engine-specific hash; pairs still only form inside equal-key buckets
     banded = sig.select(
@@ -271,26 +281,28 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash: token hashes computed JVM-side (xxhash64), per-bit
-    majority vote folded in one Arrow-batched pandas UDF (vectorized
-    numpy unpackbits — no per-row Python)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    """60-bit SimHash (portable md5 hash family): per-bit strict-majority
+    vote over token hashes.
 
-    toks = tokens_col()
-    th = F.transform(toks, lambda t: portable_hash60(t))
-
-    def _fold(hashes):
-        out = np.zeros(len(hashes), dtype=np.uint64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            a = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            votes = bits.sum(axis=0) * 2 > len(a)
-            out[i] = np.packbits(votes.astype(np.uint8), bitorder="little").view(np.uint64)[0]
-        return pd.Series(out.view(np.int64))
-
-    fold = F.pandas_udf(_fold, T.LongType())
-    return docs.select("doc_id", fold(th).alias("simhash"))
+    Exploded-row formulation: explode tokens (duplicates kept — each
+    occurrence votes), hash each token once through codegen, then 60
+    bit-count aggregates per doc — the per-token md5 previously ran
+    inside an interpreted F.transform (the known ~50x HOF penalty, see
+    winnow_fingerprints). Docs with no tokens get simhash 0."""
+    ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+        "doc_id", portable_hash60(F.col("tok")).alias("h")
+    )
+    per = ex.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+          for b in range(60)],
+    )
+    sim = None
+    for b in range(60):
+        t = F.when(F.col(f"b{b}") * 2 > F.col("n"),
+                   F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = t if sim is None else sim + t
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
+    )

@@ -80,9 +80,16 @@ class _Compiler(ast.NodeVisitor):
         ast.Add: lambda a, b: a + b,
         ast.Sub: lambda a, b: a - b,
         ast.Mult: lambda a, b: a * b,
-        ast.Div: lambda a, b: a / b,
+        # try_divide: Spark 4 runs ANSI mode by default, where `/` THROWS
+        # on a zero denominator at a valid pixel, aborting the whole job.
+        # The reference's masked-numpy eval yields inf/nan instead
+        # (processor_functions.py:121-130); we pin null (-> nodata), the
+        # documented deviation — a poisoned pixel, never a dead job.
+        ast.Div: lambda a, b: F.try_divide(a, b),
         ast.Pow: lambda a, b: F.pow(a, b),
-        ast.Mod: lambda a, b: a % b,
+        # pmod = numpy's sign-of-divisor mod for positive divisors (the
+        # reference kernel is numpy eval); Spark's `%` is sign-of-dividend
+        ast.Mod: lambda a, b: F.pmod(a, b),
     }
     _CMPOPS = {
         ast.Gt: lambda a, b: a > b,

@@ -421,8 +421,11 @@ def spatial_doc_tiles(spark, sf_dir):
 
 @q("span_invariant", f"""
 select doc_id, count(*) as n_spans,
-  md5(string_agg(kind || '§' || text || '§' || media_ref || '§' || "offset",
-                 '|' order by "offset")) as span_hash
+  md5(string_agg(
+    coalesce(kind, chr(0)) || '§' || coalesce(text, chr(0)) || '§'
+      || coalesce(media_ref, chr(0)) || '§'
+      || coalesce(cast("offset" as varchar), chr(0)),
+    '|' order by "offset")) as span_hash
 from '{GEO01}/doc_spans.parquet'
 group by doc_id
 """)
@@ -952,9 +955,12 @@ with t as (
 select doc_id,
   len(toks) as n_tokens,
   length(text) as n_chars_actual,
-  cast(length(text) as double) / len(toks) as mean_token_len,
-  cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','it','on','for'))) as double) / len(toks) as stopword_ratio,
-  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double) / length(text) as punct_ratio
+  case when len(toks) > 0
+       then cast(length(text) as double) / len(toks) end as mean_token_len,
+  case when len(toks) > 0
+       then cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','it','on','for'))) as double) / len(toks) end as stopword_ratio,
+  case when length(text) > 0
+       then cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double) / length(text) end as punct_ratio
 from t
 """)
 def quality_score(spark, sf_dir):
