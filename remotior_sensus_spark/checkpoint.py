@@ -32,7 +32,10 @@ def snapshot_id(*input_paths: str) -> str:
     h = hashlib.sha256()
     for p in sorted(input_paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        # nanosecond mtime: whole-second truncation let a same-size
+        # rewrite within one second collide, silently serving stale
+        # resume data
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 

@@ -155,7 +155,14 @@ def pivot_bands(tiles: DataFrame, var_map: dict[str, tuple[str, str]]) -> DataFr
     Intersection-extent semantics: rows missing any required band are
     dropped (mirrors the reference's intersection VRT,
     util/raster_vector.py:680-704)."""
-    pairs = list(var_map.items())
+    # dedupe by (bandset, band): two variables resolving to the same
+    # physical band (e.g. '"b3" + "B04"') must share ONE pivot column —
+    # the old per-variable first-match tag left the second variable's
+    # pivot column all-null and the isNotNull filters emptied the result
+    canon: dict[tuple[str, str], str] = {}
+    for var, pair in var_map.items():
+        canon.setdefault(pair, var)
+    pairs = [(v, p) for p, v in canon.items()]
     cond = functools.reduce(
         _op.or_,
         [(F.col("bandset") == bs) & (F.col("band") == b) for _, (bs, b) in pairs],
@@ -182,6 +189,9 @@ def pivot_bands(tiles: DataFrame, var_map: dict[str, tuple[str, str]]) -> DataFr
     )
     for k, _ in pairs:
         wide = wide.filter(F.col(k).isNotNull())
+    for var, pair in var_map.items():
+        if canon[pair] != var:
+            wide = wide.withColumn(var, F.col(canon[pair]))
     return wide
 
 

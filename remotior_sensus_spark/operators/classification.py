@@ -61,14 +61,15 @@ def min_distance_class(env: dict[str, Column], signatures: list[dict],
     out = cls
     thr_sigs = [s for s in signatures if s.get("threshold", 0) > 0]
     if thr_sigs:
-        best = F.array_min(
-            F.array(*[F.struct(d.alias("d"), F.lit(c).alias("c")) for d, c in pairs])
-        )
+        # only the minimum distance is needed — F.least keeps codegen
+        # alive for >5 classes where the struct-array array_min
+        # formulation falls back to interpreted mode (see _argmin_struct)
+        dmin = F.least(*[d for d, _ in pairs]) if len(pairs) > 1 else pairs[0][0]
         # global/per-signature threshold on the REAL distance
         thr_map = {s["class_id"]: float(s["threshold"]) for s in thr_sigs}
         cond = None
         for cid, thr in thr_map.items():
-            c = (cls == cid) & (F.sqrt(best.getField("d").cast("double")) > thr)
+            c = (cls == cid) & (F.sqrt(dmin.cast("double")) > thr)
             cond = c if cond is None else cond | c
         out = F.when(cond, F.lit(unclassified)).otherwise(cls)
     return F.when(_valid(env, nodata), out).otherwise(F.lit(int(nodata)))
@@ -215,6 +216,12 @@ def train_class_stats(zone_px_wide: DataFrame, class_col: str,
     out = []
     for r in sorted(rows, key=lambda x: x[class_col]):
         n = r["n"]
+        if n < 2:
+            # a single-pixel class has no sample covariance (n-1 == 0);
+            # the reference's numpy path yields nan and logs a
+            # per-signature error rather than aborting — we pin: skip the
+            # unusable class (it can never classify anything meaningful)
+            continue
         means = {b: r[f"s_{b}"] / n for b in band_cols}
         cov = np.zeros((len(band_cols), len(band_cols)))
         for i, a in enumerate(band_cols):

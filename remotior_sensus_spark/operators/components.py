@@ -112,6 +112,99 @@ def _gid(tx, ty, local):
     return ((tx.cast("long") * 65536 + ty.cast("long")) * 4096) + local.cast("long")
 
 
+def _px_with_roots(labeled: DataFrame, roots: DataFrame, t_px: int) -> DataFrame:
+    """Exploded per-pixel frame (gx, gy, value, gid, root) — the shared
+    tail of polygonize/polygonize_geometry (one definition so gid math
+    and root coalescing can't diverge)."""
+    px = labeled.select(
+        "tile_x", "tile_y",
+        F.posexplode("labels").alias("pos", "local_label"),
+        "values",
+    ).filter(F.col("local_label") > 0).select(
+        "tile_x", "tile_y", "local_label",
+        (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px).alias("gx"),
+        (F.col("tile_y").cast("long") * t_px
+         + (F.col("pos") / t_px).cast("int")).alias("gy"),
+        F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
+        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+    )
+    return px.join(roots, "gid", "left").withColumn(
+        "root", F.coalesce(F.col("root"), F.col("gid"))
+    )
+
+
+def _locals_with_counts(labeled: DataFrame, *, with_value: bool) -> DataFrame:
+    """Per-local (tile_x, tile_y, local_label) pixel counts [+ value]
+    via one explode + grouped count (shared by raster_label and sieve —
+    NOT per-label size(filter(labels)) rescans, which are interpreted
+    and quadratic)."""
+    if with_value:
+        ex = (
+            labeled.select(
+                "tile_x", "tile_y",
+                F.explode(F.arrays_zip("labels", "values")).alias("z"),
+            )
+            .select("tile_x", "tile_y",
+                    F.col("z.labels").alias("local_label"),
+                    F.col("z.values").alias("value"))
+            .filter(F.col("local_label") > 0)
+            .groupBy("tile_x", "tile_y", "local_label")
+            .agg(F.count("*").alias("pixel_count"),
+                 F.first("value").alias("value"))
+        )
+    else:
+        ex = (
+            labeled.select("tile_x", "tile_y",
+                           F.explode("labels").alias("local_label"))
+            .filter(F.col("local_label") > 0)
+            .groupBy("tile_x", "tile_y", "local_label")
+            .agg(F.count("*").alias("pixel_count"))
+        )
+    return ex.withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
+                                     F.col("local_label")))
+
+
+def intra_tile_edges(labeled: DataFrame, tile_px: int | None = None) -> DataFrame:
+    """Adjacency between DIFFERENT local labels inside one tile
+    (4-connectivity) as gid pairs — the within-tile complement of
+    boundary_edges. Same-value connectivity inside a tile is already
+    folded into the local labels, but sieve needs DIFFERENT-value patch
+    adjacency, and a small patch fully interior to one tile borders its
+    neighbors only through these edges (gdal.SieveFilter semantics)."""
+    t_px = tile_px or T
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lab = np.asarray(
+                [np.asarray(p, dtype=np.int64) for p in pdf["labels"]]
+            ).reshape(len(pdf), t_px, t_px)
+            tx = pdf["tile_x"].to_numpy(np.int64)
+            ty = pdf["tile_y"].to_numpy(np.int64)
+            base = (tx * 65536 + ty) * 4096
+            srcs, dsts = [], []
+            for a, b in ((lab[:, :, :-1], lab[:, :, 1:]),
+                         (lab[:, :-1, :], lab[:, 1:, :])):
+                m = (a > 0) & (b > 0) & (a != b)
+                if not m.any():
+                    continue
+                tidx = np.nonzero(m)[0]
+                srcs.append(base[tidx] + a[m])
+                dsts.append(base[tidx] + b[m])
+            if not srcs:
+                continue
+            pairs = np.unique(
+                np.stack([np.concatenate(srcs), np.concatenate(dsts)], axis=1),
+                axis=0,
+            )
+            yield pd.DataFrame({"src": pairs[:, 0], "dst": pairs[:, 1]})
+
+    return labeled.select("tile_x", "tile_y", "labels").mapInPandas(
+        run, schema="src long, dst long"
+    ).distinct()
+
+
 def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
                    tile_px: int | None = None) -> DataFrame:
     """Cross-tile equivalence edges from touching boundary pixels —
@@ -221,10 +314,11 @@ def resolve_components(edges: DataFrame, max_iter: int = 30,
     dominates when tiny graphs run at full shuffle width. At 100 TB the
     same rule yields thousands of partitions — one count() up front
     buys it."""
-    # persist: the threshold count and the subsequent consumption
+    # localCheckpoint: the threshold count and the subsequent consumption
     # (driver collect or the und/lab builds) must not re-run the
-    # boundary-edge self-joins + distinct
-    edges = edges.persist()
+    # boundary-edge self-joins + distinct; unlike persist() the blocks
+    # are reclaimed with the RDD instead of pinned for the session
+    edges = edges.localCheckpoint()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _resolve_driver(edges)
@@ -279,22 +373,11 @@ def raster_label(band_tiles: DataFrame, *, same_value: bool = False,
     component_size). Output raster value = component_size
     (tools/raster_label.py:27-29)."""
     labeled = label_tiles(band_tiles, same_value=same_value,
-                          tile_px=tile_px).cache()
+                          tile_px=tile_px).localCheckpoint()
     edges = boundary_edges(labeled, same_value=same_value, tile_px=tile_px)
     roots = resolve_components(edges)
 
-    # one explode + grouped count, NOT per-label size(filter(labels))
-    # re-scans — higher-order functions are interpreted here, and the
-    # per-local re-filter of the 4096-wide label array was quadratic
-    locals_df = (
-        labeled.select("tile_x", "tile_y",
-                       F.explode("labels").alias("local_label"))
-        .filter(F.col("local_label") > 0)
-        .groupBy("tile_x", "tile_y", "local_label")
-        .agg(F.count("*").alias("pixel_count"))
-        .withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
-                                F.col("local_label")))
-    )
+    locals_df = _locals_with_counts(labeled, with_value=False)
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
     )
@@ -382,23 +465,10 @@ def polygonize(band_tiles: DataFrame, tile_px: int | None = None) -> DataFrame:
     merge_dissolve_layer). Geometry outline reconstruction is the
     remaining delta; patch identity/counts/extents match CC exactly."""
     t_px = tile_px or T
-    labeled = label_tiles(band_tiles, same_value=True, tile_px=t_px).cache()
+    labeled = label_tiles(band_tiles, same_value=True, tile_px=t_px).localCheckpoint()
     roots = resolve_components(
         boundary_edges(labeled, same_value=True, tile_px=t_px))
-    px = labeled.select(
-        "tile_x", "tile_y",
-        F.posexplode("labels").alias("pos", "local_label"),
-        "values",
-    ).filter(F.col("local_label") > 0).select(
-        "tile_x", "tile_y", "local_label",
-        (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px).alias("gx"),
-        (F.col("tile_y").cast("long") * t_px + (F.col("pos") / t_px).cast("int")).alias("gy"),
-        F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
-        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
-    )
-    with_roots = px.join(roots, "gid", "left").withColumn(
-        "root", F.coalesce(F.col("root"), F.col("gid"))
-    )
+    with_roots = _px_with_roots(labeled, roots, t_px)
     return with_roots.groupBy("root").agg(
         F.first("value").alias("value"),
         F.count("*").alias("pixel_count"),
@@ -413,29 +483,17 @@ def sieve(band_tiles: DataFrame, min_size: int,
     the adjacent patch value with the largest pixel count (ties -> smaller
     value), like gdal.SieveFilter (core/processor.py:1757-1914). Returns
     per-patch reclass decisions (root, old_value, new_value)."""
-    labeled = label_tiles(band_tiles, same_value=True, tile_px=tile_px).cache()
+    labeled = label_tiles(band_tiles, same_value=True, tile_px=tile_px).localCheckpoint()
+    # patch adjacency needs BOTH cross-tile boundary pairs AND
+    # within-tile different-label pairs — a small patch fully interior
+    # to one tile has no boundary edge at all (review r2 finding)
     edges_v = boundary_edges(labeled, same_value=False,
-                             tile_px=tile_px)  # adjacency incl. diff values
+                             tile_px=tile_px).unionByName(
+        intra_tile_edges(labeled, tile_px=tile_px))
     roots = resolve_components(
         boundary_edges(labeled, same_value=True, tile_px=tile_px))
 
-    # same explode+group rewrite as raster_label (interpreted-HOF fix);
-    # all pixels of a local share one value under same_value labeling,
-    # so first(value) is deterministic
-    locals_df = (
-        labeled.select(
-            "tile_x", "tile_y",
-            F.explode(F.arrays_zip("labels", "values")).alias("z"),
-        )
-        .select("tile_x", "tile_y",
-                F.col("z.labels").alias("local_label"),
-                F.col("z.values").alias("value"))
-        .filter(F.col("local_label") > 0)
-        .groupBy("tile_x", "tile_y", "local_label")
-        .agg(F.count("*").alias("pixel_count"), F.first("value").alias("value"))
-        .withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
-                                F.col("local_label")))
-    )
+    locals_df = _locals_with_counts(labeled, with_value=True)
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
     )
@@ -561,23 +619,10 @@ def polygonize_geometry(band_tiles: DataFrame,
     task — same skew the reference's single-process polygonize hits)."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, PIXEL_SIZE
     t_px = tile_px or T
-    labeled = label_tiles(band_tiles, same_value=True, tile_px=t_px).cache()
+    labeled = label_tiles(band_tiles, same_value=True, tile_px=t_px).localCheckpoint()
     roots = resolve_components(
         boundary_edges(labeled, same_value=True, tile_px=t_px))
-    px = labeled.select(
-        "tile_x", "tile_y",
-        F.posexplode("labels").alias("pos", "local_label"),
-        "values",
-    ).filter(F.col("local_label") > 0).select(
-        (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px).alias("gx"),
-        (F.col("tile_y").cast("long") * t_px
-         + (F.col("pos") / t_px).cast("int")).alias("gy"),
-        F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
-        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
-    )
-    px = px.join(roots, "gid", "left").withColumn(
-        "root", F.coalesce(F.col("root"), F.col("gid"))
-    )
+    px = _px_with_roots(labeled, roots, t_px)
 
     def trace_one(root: int, value: float, gxs, gys) -> tuple:
         cells = set(zip(gxs, gys))

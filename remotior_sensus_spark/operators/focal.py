@@ -268,6 +268,7 @@ def erosion_iterative(band_tiles: DataFrame, values: list[float],
     tools/band_erosion.py:114-117). Each step is one halo shuffle;
     Catalyst pipelines the chain."""
     out = band_tiles
-    for _ in range(max(1, iterations)):
+    # iterations=0 is a no-op like the reference's `for _ in range(size)`
+    for _ in range(iterations):
         out = erosion(out, values, size=1, circular=circular, tile_px=tile_px)
     return out

@@ -51,6 +51,11 @@ def reclass_expr(value: Column, rules: list[tuple[str, str]],
                 cond = _OPS[m.group(1)](value, F.lit(float(m.group(2))))
             else:
                 cond = value == F.lit(float(old_s))
+            # the reference evaluates rules over a MASKED array, so
+            # value/condition rules can never match the nodata sentinel
+            # ('raster < 100' must not turn -32768 into data); only an
+            # explicit 'nan' rule reclassifies nodata
+            cond = cond & (value != F.lit(float(nodata)))
         out = F.when(cond, new_lit) if out is None else out.when(cond, new_lit)
     return out.otherwise(value) if out is not None else value
 
