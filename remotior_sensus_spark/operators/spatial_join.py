@@ -209,18 +209,28 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def media_span_tiles(docs: DataFrame, tiles: DataFrame, *, salt_factor: int = 8,
-                     hot_threshold: int = 50_000) -> DataFrame:
-    """media spans -> tile assignments. media_ref format
-    'tile/{bandset}/{band}/{tx}/{ty}' (FIXTURES.md §1)."""
-    spans = explode_spans(docs).filter(F.col("kind") == "media")
+def parse_media_refs(spans: DataFrame) -> DataFrame:
+    """media_ref 'tile/{bandset}/{band}/{tx}/{ty}' -> typed tile-key
+    columns (FIXTURES.md §1). The single definition of the media_ref
+    format contract — batch (media_span_tiles) and streaming
+    (streaming/incremental.py) both parse through here."""
     parts = F.split(F.col("media_ref"), "/")
-    spans = spans.select(
-        "doc_id", "span_idx", "offset",
+    keep = [c for c in ("doc_id", "span_idx", "offset") if c in spans.columns]
+    return spans.select(
+        *keep,
         parts.getItem(1).alias("bandset"),
         parts.getItem(2).alias("band"),
         parts.getItem(3).cast("int").alias("tile_x"),
         parts.getItem(4).cast("int").alias("tile_y"),
+    )
+
+
+def media_span_tiles(docs: DataFrame, tiles: DataFrame, *, salt_factor: int = 8,
+                     hot_threshold: int = 50_000) -> DataFrame:
+    """media spans -> tile assignments. media_ref format
+    'tile/{bandset}/{band}/{tx}/{ty}' (FIXTURES.md §1)."""
+    spans = parse_media_refs(
+        explode_spans(docs).filter(F.col("kind") == "media")
     )
     tile_side = tiles.select(
         "bandset", "band", "tile_x", "tile_y", "cell_key", "cell_prefix", "pixels"

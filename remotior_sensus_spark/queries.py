@@ -1019,7 +1019,6 @@ def tpch_q1(spark, sf_dir):
             ).alias("revenue_fp"),
             F.count("*").alias("count_order"),
         )
-        .drop("__tmp")
     )
 
 
@@ -1362,10 +1361,11 @@ def _pca_oracle_sql(geo_dir: str = GEO01):
     order: means = s/n, cov = (sxy - n*mi*mj)/(n-1), eigh, descending
     order, sign normalization) — the resulting eigenvector/mean literals
     are baked into per-pixel projection SQL mirroring pca_project."""
-    import functools
-
-    @functools.lru_cache(maxsize=None)
     def build() -> str:
+        # module-level memoization keyed by geo_dir (a per-closure
+        # lru_cache never hits across oracle_sql() calls)
+        if geo_dir in _PCA_SQL_CACHE:
+            return _PCA_SQL_CACHE[geo_dir]
         import duckdb
         import numpy as np
         bands = ["b02", "b03", "b04", "b08"]
@@ -1409,7 +1409,7 @@ select count(*) as n, {sum_cols}, {cross} from v
             f"(cast({b} as double) - ({means[i]!r})) * ({vec[i]!r})"
             for i, b in enumerate(bands)
         )
-        return f"""
+        sql = f"""
 with w as (
   select
     max(case when band='B02' then value end) as b02,
@@ -1425,7 +1425,12 @@ select count(*) as n_pixels,
     as pc1_checksum
 from v
 """
+        _PCA_SQL_CACHE[geo_dir] = sql
+        return sql
     return build
+
+
+_PCA_SQL_CACHE: dict[str, str] = {}
 
 
 @q("pca_projection", _pca_oracle_sql())
@@ -1467,8 +1472,10 @@ def band_mask_q(spark, sf_dir):
             x == F.lit(NODATA), F.lit(float(NODATA))
         ).otherwise(agg.quantize(x).cast("double")))
     )
-    # mask values {0,4}; note quantize(-32768) = -33, never in the list
-    out = band_mask(b04, mask, [0.0, 4.0, -33.0])
+    # mask values {0,4}: the transform above PRESERVES the -32768
+    # sentinel (nodata never reaches quantize), so only real quantized
+    # values 0..4 can match
+    out = band_mask(b04, mask, [0.0, 4.0])
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(

@@ -34,7 +34,11 @@ GEO_TABLES = [
 
 def sf_of_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
-    return float(m.group(1)) if m else 0.01
+    if not m:
+        # silently defaulting to 0.01 made a typo'd/custom path read the
+        # canonical dataset with no error — fail loudly instead
+        raise ValueError(f"cannot infer scale factor from path {sf_dir!r}")
+    return float(m.group(1))
 
 
 def load_driver(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

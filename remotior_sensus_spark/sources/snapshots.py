@@ -42,6 +42,30 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "snapshots", f"v{version:06d}.json")
 
 
+def _next_free_version(table_dir: str) -> int:
+    """First version slot above both the committed pointer and any
+    existing manifest file (orphans included)."""
+    import re as _re
+    snaps = os.path.join(table_dir, "snapshots")
+    existing = [
+        int(m.group(1))
+        for f in (os.listdir(snaps) if os.path.isdir(snaps) else [])
+        if (m := _re.fullmatch(r"v(\d{6})\.json", f))
+    ]
+    return max([current_version(table_dir), *existing], default=0) + 1
+
+
+def committed_versions(table_dir: str) -> list[int]:
+    """Snapshot ids on the committed parent chain (newest first) — an
+    orphan manifest from a crashed writer is NOT in this list."""
+    out = []
+    v = current_version(table_dir)
+    while v:
+        out.append(v)
+        v = read_manifest(table_dir, v).get("parent") or 0
+    return out
+
+
 def current_version(table_dir: str) -> int:
     vp = os.path.join(table_dir, "VERSION")
     if not os.path.exists(vp):
@@ -88,12 +112,17 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
                            ).count() if new_files else 0
     )
     # optimistic-concurrency commit (the Iceberg commit protocol): the
-    # manifest file is created with O_EXCL, so of two concurrent
-    # appenders exactly one wins version N+1; the loser re-reads the
-    # winner's manifest and retries at N+2 — no append is ever lost.
-    while True:
+    # manifest file is created with O_EXCL, so of two racing appenders
+    # exactly one claims each version number. The next version is
+    # derived from max(VERSION pointer, existing manifest files) — NOT
+    # the pointer alone — so an orphan manifest left by a writer that
+    # crashed before its VERSION swap is simply skipped over instead of
+    # wedging every future append in a FileExistsError spin. The new
+    # manifest always builds on the COMMITTED state (read via VERSION),
+    # so orphaned files stay invisible.
+    for _ in range(1000):
         prev = read_manifest(table_dir)
-        version = prev["version"] + 1
+        version = _next_free_version(table_dir)
         manifest = {
             "version": version,
             "parent": prev["version"] or None,
@@ -106,10 +135,12 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
             fd = os.open(_manifest_path(table_dir, version),
                          os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            continue  # lost the race — retry on top of the winner
+            continue  # true concurrent race — rescan picks a higher slot
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         break
+    else:
+        raise RuntimeError(f"could not claim a snapshot version in {table_dir}")
 
     vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
     with open(vtmp, "w") as f:
@@ -127,7 +158,12 @@ def read_snapshot(spark: SparkSession, table_dir: str,
                   snapshot: int | None = None) -> DataFrame:
     """Manifest-resolved read (current snapshot, or time travel to an
     older one). Reads ONLY manifest-listed files, so un-committed
-    appends and orphans are invisible."""
+    appends and orphans are invisible; explicit time travel to an
+    orphan manifest (crashed writer, never committed) is rejected."""
+    if snapshot is not None and snapshot not in committed_versions(table_dir):
+        raise FileNotFoundError(
+            f"snapshot {snapshot} is not on the committed chain of {table_dir}"
+        )
     m = read_manifest(table_dir, snapshot)
     if not m["files"]:
         raise FileNotFoundError(f"no snapshot in {table_dir}")

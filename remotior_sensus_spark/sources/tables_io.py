@@ -41,7 +41,9 @@ def parse_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
     fields = []
     off = 32
     while off < header_size - 1 and data[off] != 0x0D:
-        name = data[off:off + 11].split(b"\0")[0].decode("ascii")
+        # latin-1 never raises — non-ASCII field names (e.g. 'AÑO')
+        # must not crash the parse
+        name = data[off:off + 11].split(b"\0")[0].decode("latin-1")
         ftype = chr(data[off + 11])
         length = data[off + 16]
         decimals = data[off + 17]
@@ -80,7 +82,29 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     low = path.lower()
     if low.endswith(".dbf"):
         fields, rows = parse_dbf(path)
-        return spark.createDataFrame(rows, [n for n, _ in fields])
+        # explicit schema from the DBF field descriptors: inference
+        # would fail on zero-record files and on numeric columns that
+        # are blank in every record (all-None -> 'cannot determine type')
+        cols = list(zip(*rows)) if rows else [()] * len(fields)
+
+        def sql_type(i: int, t: str) -> str:
+            if t == "L":
+                return "boolean"
+            if t in ("N", "F"):
+                vals = [v for v in cols[i] if v is not None]
+                return ("double" if t == "F"
+                        or any(isinstance(v, float) for v in vals)
+                        else "bigint")
+            return "string"
+
+        types = [sql_type(i, t) for i, (_, t) in enumerate(fields)]
+        ddl = ", ".join(f"`{n}` {ty}" for (n, _), ty in zip(fields, types))
+        rows = [
+            [float(v) if ty == "double" and isinstance(v, int) else v
+             for v, ty in zip(r, types)]
+            for r in rows
+        ]
+        return spark.createDataFrame(rows, ddl)
     sep = sniff_delimiter(path)
     return (
         spark.read.option("header", "true")

@@ -29,20 +29,17 @@ def stream_tile_assignments(
     stream = (
         spark.readStream.schema(static.schema).parquet(docs_dir)
     )
-    spans = stream.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
-    ).select(
-        "doc_id",
-        F.col("span.kind").alias("kind"),
-        F.col("span.media_ref").alias("media_ref"),
-    ).filter(F.col("kind") == "media")
-    parts = F.split(F.col("media_ref"), "/")
-    spans = spans.select(
-        "doc_id",
-        parts.getItem(1).alias("bandset"),
-        parts.getItem(2).alias("band"),
-        parts.getItem(3).cast("int").alias("tile_x"),
-        parts.getItem(4).cast("int").alias("tile_y"),
+    # span explosion + media_ref parsing SHARED with the batch path
+    # (spatial_join.explode_spans / parse_media_refs): streaming is a
+    # plain DataFrame transform, so the format contract lives in exactly
+    # one place and a parsing fix cannot miss the streaming twin
+    from remotior_sensus_spark.operators.spatial_join import (
+        explode_spans,
+        parse_media_refs,
+    )
+
+    spans = parse_media_refs(
+        explode_spans(stream).filter(F.col("kind") == "media")
     )
     tiles = spark.read.parquet(tiles_path).select(
         "bandset", "band", "tile_x", "tile_y", "cell_key"

@@ -4,8 +4,10 @@ streaming surface; no reference analogue — the reference is batch-only).
 
 Each user's open session (start, last event time, count) lives in the
 state store; an event more than ``gap`` seconds after the previous one
-closes the session and emits it. Watermarking bounds state for late
-data; ``GroupStateTimeout.ProcessingTimeTimeout`` flushes idle users.
+closes the session and emits it. Late events (arriving after newer ones
+in a previous micro-batch) merge into the open session without
+regressing its high-water mark; ``GroupStateTimeout
+.ProcessingTimeTimeout`` flushes idle users and bounds state.
 
 The batch twin is queries.sessionize_events — the test drives the same
 events through both paths (Trigger.AvailableNow) and asserts identical
@@ -57,7 +59,11 @@ def _sessionize_fn(gap_s: int):
                 start, n = t, 0
             if start is None:
                 start = t
-            last = t
+            # a LATE event (t < last, cross-batch arrival) merges into
+            # the open session but must not regress the session's
+            # high-water mark — otherwise a later on-time event measures
+            # its gap from the stale timestamp and fabricates a close
+            last = t if last is None else max(last, t)
             n += 1
         state.update((start, last, n, n_sessions))
         state.setTimeoutDuration(gap_s * 1000)

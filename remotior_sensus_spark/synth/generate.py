@@ -58,7 +58,7 @@ _SM_GAMMA = np.uint64(0x9E3779B97F4B9C15)
 def splitmix64(x) -> np.ndarray:
     """Vectorized splitmix64 — the engine's only randomness source."""
     with np.errstate(over="ignore"):
-        z = (np.asarray(x, dtype=np.uint64) + _SM_GAMMA) * np.uint64(1)
+        z = np.asarray(x, dtype=np.uint64) + _SM_GAMMA
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
@@ -233,6 +233,7 @@ def build_geometries(sf: float):
         if y1 <= y0:
             y0 = y1 - 10.0
         roi_id = f"roi_{j}"
+        n_before = len(rects)
         if shape < 60:
             wkt = _rect_wkt(x0, y0, x1, y1)
             rects.append((roi_id, klass, macro, 0, x0, y0, x1, y1))
@@ -259,10 +260,10 @@ def build_geometries(sf: float):
                    f"{x3} {y1}, {x2} {y1}, {x2} {y0})))")
             rects.append((roi_id, klass, macro, 0, x0, y0, x1, y1))
             rects.append((roi_id, klass, macro, 1, x2, y0, x3, y1))
-        bbox = (min(r[4] for r in rects if r[0] == roi_id),
-                min(r[5] for r in rects if r[0] == roi_id),
-                max(r[6] for r in rects if r[0] == roi_id),
-                max(r[7] for r in rects if r[0] == roi_id))
+        mine = rects[n_before:]  # only this roi's 1-2 rects (O(1), not
+        # an O(n_rois^2) rescan of the whole accumulated list)
+        bbox = (min(r[4] for r in mine), min(r[5] for r in mine),
+                max(r[6] for r in mine), max(r[7] for r in mine))
         recs.append((roi_id, klass, macro, wkt, *bbox))
 
     geo_tbl = pa.table({

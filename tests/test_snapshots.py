@@ -50,3 +50,25 @@ def test_uncommitted_files_invisible(spark, tmp_path):
                if f.endswith(".parquet"))
     os.rename(str(tmp_path / "o" / src), orphan)
     assert sn.read_snapshot(spark, t).count() == 7
+
+
+def test_orphan_manifest_does_not_wedge(spark, tmp_path):
+    """A manifest left by a writer that crashed before its VERSION swap
+    must not block future appends (the committer skips to a free slot),
+    and explicit time travel to the orphan is rejected."""
+    import json
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(5), t)
+    orphan = {"version": 2, "parent": 1, "ts": 0,
+              "files": ["data/ghost.parquet"], "added_files": [],
+              "row_count": 99}
+    with open(os.path.join(t, "snapshots", "v000002.json"), "w") as f:
+        json.dump(orphan, f)
+
+    m = sn.append_snapshot(spark.range(5, 8), t)
+    assert m["version"] == 3 and m["parent"] == 1
+    assert sn.read_snapshot(spark, t).count() == 8
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, t, snapshot=2)
