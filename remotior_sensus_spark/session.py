@@ -43,6 +43,14 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         # against TB-scale inputs this goes back to the default
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # zstd shuffle/broadcast compression: on a real cluster shuffle
+        # compression buys NETWORK bytes; on this single box it relieves
+        # the memory-bandwidth wall that caps high-thread-count scaling
+        # (measured: flagship local[8] 5.5s->5.0s, 2->8 speedup
+        # 2.8x->3.6x; costs ~15% at local[2] where CPU is the scarce
+        # resource — the multi-node-faithful tradeoff)
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         # local mode funnels every shuffle through one local dir; tmpfs
         # keeps the scaling measurement CPU-bound (a real cluster has
         # per-node SSD shuffle dirs)
