@@ -173,10 +173,15 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
     def replicated(df):
         if replicate <= 1:
             return df.withColumn("doc_key", F.col("doc_hash")).drop("doc_hash")
+        # pack the replica index into reserved low bits (not doc_hash +
+        # rep: distinct (doc, rep) pairs could collide, and a hash near
+        # Long.MAX would overflow the add — an ANSI-mode job abort)
         return (
             df.repartition(par * 2)
             .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.lit(replicate))))
-            .withColumn("doc_key", F.col("doc_hash") + F.col("__rep"))
+            .withColumn("doc_key",
+                        F.shiftleft(F.shiftright("doc_hash", 8), 8)
+                        .bitwiseOR(F.col("__rep") % 256))
             .drop("__rep", "doc_hash")
         )
 

@@ -39,7 +39,10 @@ def combination_table(px_wide: DataFrame, band_cols: list[str]) -> DataFrame:
         *[F.max(c).alias(f"max_{c}") for c in band_cols],
         *[F.min(c).alias(f"min_{c}") for c in band_cols],
     )
-    combos = combos.crossJoin(F.broadcast(stats)).cache()
+    # localCheckpoint, not cache(): reused by the injectivity check +
+    # rank job below, and its blocks are reclaimed with the RDD instead
+    # of pinning executor storage for the session across repeated calls
+    combos = combos.crossJoin(F.broadcast(stats)).localCheckpoint()
 
     def encode(reference_radix: bool):
         """reference_radix=True mirrors the reference's t=1 first try

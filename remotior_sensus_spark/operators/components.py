@@ -107,9 +107,20 @@ def label_tiles(band_tiles: DataFrame, *, same_value: bool = False,
     )
 
 
-def _gid(tx, ty, local):
-    """Globally unique 64-bit component id."""
-    return ((tx.cast("long") * 65536 + ty.cast("long")) * 4096) + local.cast("long")
+def _local_radix(t_px: int) -> int:
+    """Per-tile local-label radix for gid packing. A t×t tile can hold
+    up to t*t local labels, so the radix must be t*t+1 — a fixed 4096
+    overflows for any tile wider than 64 px and silently merges
+    unrelated patches across tile boundaries."""
+    return t_px * t_px + 1
+
+
+def _gid(tx, ty, local, t_px: int):
+    """Globally unique 64-bit component id: (tile_x, tile_y) base times
+    the tile-size-derived local radix. 2^32 tile ids × (256²+1) radix
+    stays under 2^49 — no long overflow under ANSI mode."""
+    radix = _local_radix(t_px)
+    return ((tx.cast("long") * 65536 + ty.cast("long")) * radix) + local.cast("long")
 
 
 def _px_with_roots(labeled: DataFrame, roots: DataFrame, t_px: int) -> DataFrame:
@@ -126,14 +137,16 @@ def _px_with_roots(labeled: DataFrame, roots: DataFrame, t_px: int) -> DataFrame
         (F.col("tile_y").cast("long") * t_px
          + (F.col("pos") / t_px).cast("int")).alias("gy"),
         F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
-        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label")).alias("gid"),
+        _gid(F.col("tile_x"), F.col("tile_y"), F.col("local_label"),
+             t_px).alias("gid"),
     )
     return px.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
     )
 
 
-def _locals_with_counts(labeled: DataFrame, *, with_value: bool) -> DataFrame:
+def _locals_with_counts(labeled: DataFrame, *, with_value: bool,
+                        t_px: int) -> DataFrame:
     """Per-local (tile_x, tile_y, local_label) pixel counts [+ value]
     via one explode + grouped count (shared by raster_label and sieve —
     NOT per-label size(filter(labels)) rescans, which are interpreted
@@ -161,7 +174,7 @@ def _locals_with_counts(labeled: DataFrame, *, with_value: bool) -> DataFrame:
             .agg(F.count("*").alias("pixel_count"))
         )
     return ex.withColumn("gid", _gid(F.col("tile_x"), F.col("tile_y"),
-                                     F.col("local_label")))
+                                     F.col("local_label"), t_px))
 
 
 def intra_tile_edges(labeled: DataFrame, tile_px: int | None = None) -> DataFrame:
@@ -182,7 +195,7 @@ def intra_tile_edges(labeled: DataFrame, tile_px: int | None = None) -> DataFram
             ).reshape(len(pdf), t_px, t_px)
             tx = pdf["tile_x"].to_numpy(np.int64)
             ty = pdf["tile_y"].to_numpy(np.int64)
-            base = (tx * 65536 + ty) * 4096
+            base = (tx * 65536 + ty) * _local_radix(t_px)
             srcs, dsts = [], []
             for a, b in ((lab[:, :, :-1], lab[:, :, 1:]),
                          (lab[:, :-1, :], lab[:, 1:, :])):
@@ -265,8 +278,8 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
     if same_value:
         edges = edges.filter(F.col("va") == F.col("vb"))
     return edges.select(
-        _gid(F.col("atx"), F.col("aty"), F.col("la")).alias("src"),
-        _gid(F.col("btx"), F.col("bty"), F.col("lb")).alias("dst"),
+        _gid(F.col("atx"), F.col("aty"), F.col("la"), t_px).alias("src"),
+        _gid(F.col("btx"), F.col("bty"), F.col("lb"), t_px).alias("dst"),
     ).distinct()
 
 
@@ -377,7 +390,8 @@ def raster_label(band_tiles: DataFrame, *, same_value: bool = False,
     edges = boundary_edges(labeled, same_value=same_value, tile_px=tile_px)
     roots = resolve_components(edges)
 
-    locals_df = _locals_with_counts(labeled, with_value=False)
+    locals_df = _locals_with_counts(labeled, with_value=False,
+                                    t_px=tile_px or T)
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
     )
@@ -493,7 +507,8 @@ def sieve(band_tiles: DataFrame, min_size: int,
     roots = resolve_components(
         boundary_edges(labeled, same_value=True, tile_px=tile_px))
 
-    locals_df = _locals_with_counts(labeled, with_value=True)
+    locals_df = _locals_with_counts(labeled, with_value=True,
+                                    t_px=tile_px or T)
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
     )
@@ -532,7 +547,9 @@ def sieve(band_tiles: DataFrame, min_size: int,
     best = (
         nbrs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("root", F.col("value").alias("old_value"), F.col("nbr_value").alias("new_value"))
+        .select("root", F.col("value").alias("old_value"),
+                F.col("nbr_value").alias("new_value"),
+                F.col("component_size").alias("patch_size"))
     )
     return best
 

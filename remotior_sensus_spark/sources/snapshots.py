@@ -111,16 +111,19 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
         spark.read.parquet(*[os.path.join(table_dir, f) for f in new_files]
                            ).count() if new_files else 0
     )
-    # optimistic-concurrency commit (the Iceberg commit protocol): the
-    # manifest file is created with O_EXCL, so of two racing appenders
-    # exactly one claims each version number. The next version is
-    # derived from max(VERSION pointer, existing manifest files) — NOT
-    # the pointer alone — so an orphan manifest left by a writer that
-    # crashed before its VERSION swap is simply skipped over instead of
-    # wedging every future append in a FileExistsError spin. The new
-    # manifest always builds on the COMMITTED state (read via VERSION),
-    # so orphaned files stay invisible.
-    for _ in range(1000):
+    # Commit = manifest write + VERSION swap, serialized under an O_EXCL
+    # lock file so two interleaved committers can never both build on
+    # the same parent (a claim-only O_EXCL on the version slot is not
+    # enough: writer B could scan while A's manifest exists but before
+    # A's VERSION swap, claim the next slot with no FileExistsError, and
+    # its monotonic swap would orphan A's committed files). Under the
+    # lock, the manifest always builds on the CURRENT committed state,
+    # the version slot is max(committed, any orphan manifest)+1 so a
+    # crashed writer's orphan never wedges the append, and the VERSION
+    # swap is trivially monotonic. Data-file writes stay outside the
+    # lock — only the metadata commit is serialized (the Iceberg commit
+    # protocol narrowed to its atomic section).
+    with _commit_lock(table_dir):
         prev = read_manifest(table_dir)
         version = _next_free_version(table_dir)
         manifest = {
@@ -131,27 +134,64 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
             "added_files": new_files,
             "row_count": prev["row_count"] + added_rows,
         }
-        try:
-            fd = os.open(_manifest_path(table_dir, version),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # true concurrent race — rescan picks a higher slot
+        fd = os.open(_manifest_path(table_dir, version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        break
-    else:
-        raise RuntimeError(f"could not claim a snapshot version in {table_dir}")
-
-    vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
-    with open(vtmp, "w") as f:
-        f.write(str(version))
-    # monotonic pointer swap: only advance VERSION (a concurrent later
-    # committer may already have moved it past us)
-    if current_version(table_dir) < version:
+        vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
+        with open(vtmp, "w") as f:
+            f.write(str(version))
         os.replace(vtmp, os.path.join(table_dir, "VERSION"))
-    else:
-        os.remove(vtmp)
     return manifest
+
+
+class _commit_lock:
+    """O_EXCL lock file guarding the metadata commit. A lock left by a
+    crashed committer is broken after `stale_sec` (the guarded section
+    is a few file ops — seconds-old locks are live, minutes-old are
+    dead). Breaking uses os.replace of the stale lock onto a unique
+    name, so of N waiters racing to break the same stale lock exactly
+    one succeeds (rename of a missing source raises) and the winners'
+    retry loop then re-contends on O_EXCL as usual."""
+
+    def __init__(self, table_dir: str, stale_sec: float = 60.0,
+                 timeout_sec: float = 120.0):
+        self.path = os.path.join(table_dir, "_commit.lock")
+        self.stale_sec = stale_sec
+        self.timeout_sec = timeout_sec
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout_sec
+        while True:
+            try:
+                fd = os.open(self.path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder just released — retry immediately
+                if age > self.stale_sec:
+                    try:  # exactly one breaker wins the rename
+                        os.replace(self.path,
+                                   self.path + f".broken.{uuid.uuid4().hex}")
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock busy for {self.timeout_sec}s: {self.path}")
+                time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
@@ -176,7 +216,16 @@ def incremental_files(table_dir: str, from_snapshot: int,
                       to_snapshot: int | None = None) -> list[str]:
     """Data files added strictly after `from_snapshot` up to
     `to_snapshot` (default current) — the incremental-read set for
-    snapshot-tailing catch-up (streaming/incremental.py)."""
+    snapshot-tailing catch-up (streaming/incremental.py). Both
+    endpoints must be committed snapshots (same validation as
+    read_snapshot): diffing against a crashed writer's orphan manifest
+    would silently return the wrong file set."""
+    committed = committed_versions(table_dir)
+    for label, v in (("from_snapshot", from_snapshot),
+                     ("to_snapshot", to_snapshot)):
+        if v is not None and v != 0 and v not in committed:
+            raise FileNotFoundError(
+                f"{label} {v} is not on the committed chain of {table_dir}")
     new = read_manifest(table_dir, to_snapshot)
     old = read_manifest(table_dir, from_snapshot)
     old_set = set(old["files"])

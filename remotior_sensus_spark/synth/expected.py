@@ -1,0 +1,323 @@
+"""Independently-computed expected outputs for the queries whose
+semantics are not ANSI-SQL-expressible (connected components, sieve,
+polygonize, region growing, multimodal decode).
+
+Each builder assembles the FULL global raster from the deterministic
+tile generator and computes ground truth with plain python/numpy
+(scanline BFS flood fill, 2x2-corner vertex counting) — algorithms
+deliberately DIFFERENT from the engine's (batched hash-to-min labeling
++ distributed boundary merge, directed edge-walk ring tracing), so a
+regression in either side breaks the match. Outputs are written as
+parquet under ``<geo_dir>/expected/`` and registered as trivial DuckDB
+oracles (``select * from '<path>'``), turning the former rows-only
+driver checks into full row/schema/value-hash checks.
+
+Reference semantics mirrored: gdal-style CC output value = patch pixel
+count (ref tools/raster_label.py:94-402), gdal.SieveFilter merge rule
+largest-neighbor-ties-to-smaller-value (ref core/processor.py:1757-1914),
+gdal.Polygonize ring geometry (ref core/processor.py:1608-1756),
+region growing flood fill (ref core/processor_functions.py:1602-1647).
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.grid import PIXEL_SIZE, TILE_PX
+from remotior_sensus_spark.synth.generate import (
+    geo_dir,
+    grid_n,
+    splitmix64,
+    tile_pixel_values,
+)
+
+# bump when any builder's logic changes — stale cached parquet is
+# regenerated on version mismatch
+_EXPECTED_VERSION = 3
+
+
+def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
+    """Global (H, W) float64 raster for one (bandset, band); nodata -> NaN."""
+    n = grid_n(sf)
+    txs, tys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = tile_pixel_values(bs_idx, band_idx, txs.ravel(), tys.ravel())
+    out = np.full((n * TILE_PX, n * TILE_PX), np.nan)
+    for (tx, ty), v in zip(zip(txs.ravel(), tys.ravel()), vals):
+        a = v.reshape(TILE_PX, TILE_PX).astype(np.float64)
+        out[ty * TILE_PX:(ty + 1) * TILE_PX,
+            tx * TILE_PX:(tx + 1) * TILE_PX] = a
+    out[out == NODATA] = np.nan
+    return out
+
+
+def _components(value: np.ndarray, same_value: bool):
+    """Scanline-BFS 4-connectivity components of value>0 foreground.
+
+    Returns a list of dicts: {value, cells (ys, xs) arrays, size}.
+    Independent of the engine's per-tile hash-to-min + boundary-merge.
+    """
+    fg = value > 0
+    H, W = value.shape
+    seen = np.zeros((H, W), dtype=bool)
+    comps = []
+    for sy in range(H):
+        row = fg[sy] & ~seen[sy]
+        if not row.any():
+            continue
+        for sx in np.nonzero(row)[0]:
+            if seen[sy, sx]:
+                continue
+            v = value[sy, sx]
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            ys, xs = [], []
+            while stack:
+                y, x = stack.pop()
+                ys.append(y)
+                xs.append(x)
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if (0 <= ny < H and 0 <= nx < W and fg[ny, nx]
+                            and not seen[ny, nx]
+                            and (not same_value or value[ny, nx] == v)):
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            comps.append({"value": float(v),
+                          "ys": np.asarray(ys), "xs": np.asarray(xs),
+                          "size": len(ys)})
+    return comps
+
+
+def _binary_mask_raster(sf: float) -> np.ndarray:
+    """where("B04" > 2500, 1, 0), nodata_mask=None: the nodata sentinel
+    fails the >2500 test, so nodata -> 0 -> background."""
+    full = _full_raster(sf)
+    return (np.nan_to_num(full, nan=float(NODATA)) > 2500).astype(np.float64)
+
+
+def _sieve_input_raster(sf: float) -> np.ndarray:
+    """where("B04" > 2500, 2, 1), nodata_mask='any', out_nodata=0."""
+    full = _full_raster(sf)
+    v = np.where(np.nan_to_num(full, nan=float(NODATA)) > 2500, 2.0, 1.0)
+    v[np.isnan(full)] = 0.0
+    return v
+
+
+def build_raster_label_histogram(sf: float) -> pa.Table:
+    comps = _components(_binary_mask_raster(sf), same_value=False)
+    hist = collections.Counter(c["size"] for c in comps)
+    sizes = sorted(hist)
+    return pa.table({
+        "component_size": pa.array(sizes, type=pa.int64()),
+        "n_components": pa.array([hist[s] for s in sizes], type=pa.int64()),
+    })
+
+
+def build_sieve_reclass(sf: float, min_size: int = 4) -> pa.Table:
+    value = _sieve_input_raster(sf)
+    comps = _components(value, same_value=True)
+    H, W = value.shape
+    label = np.full((H, W), -1, dtype=np.int64)
+    for i, c in enumerate(comps):
+        label[c["ys"], c["xs"]] = i
+    # component adjacency (any two different foreground components that
+    # touch via a 4-neighbor pixel pair)
+    adj: dict[int, set] = collections.defaultdict(set)
+    for a, b in ((label[:, :-1], label[:, 1:]), (label[:-1, :], label[1:, :])):
+        m = (a >= 0) & (b >= 0) & (a != b)
+        for pa_, pb_ in zip(a[m], b[m]):
+            adj[int(pa_)].add(int(pb_))
+            adj[int(pb_)].add(int(pa_))
+    agg = collections.Counter()
+    px_sum = collections.Counter()
+    for i, c in enumerate(comps):
+        if c["size"] >= min_size or not adj[i]:
+            continue
+        # gdal rule: neighbor with most pixels; ties -> smaller value
+        best = min(adj[i], key=lambda j: (-comps[j]["size"], comps[j]["value"]))
+        key = (c["value"], comps[best]["value"])
+        agg[key] += 1
+        px_sum[key] += c["size"]
+    keys = sorted(agg)
+    return pa.table({
+        "old_value": pa.array([k[0] for k in keys], type=pa.float64()),
+        "new_value": pa.array([k[1] for k in keys], type=pa.float64()),
+        "n_patches": pa.array([agg[k] for k in keys], type=pa.int64()),
+        "pixel_count": pa.array([px_sum[k] for k in keys], type=pa.int64()),
+    })
+
+
+def build_polygonize(sf: float) -> pa.Table:
+    comps = _components(_sieve_input_raster(sf), same_value=True)
+    return pa.table({
+        "value": pa.array([c["value"] for c in comps], type=pa.float64()),
+        "pixel_count": pa.array([c["size"] for c in comps], type=pa.int64()),
+        "min_gx": pa.array([int(c["xs"].min()) for c in comps], type=pa.int64()),
+        "max_gx": pa.array([int(c["xs"].max()) for c in comps], type=pa.int64()),
+        "min_gy": pa.array([int(c["ys"].min()) for c in comps], type=pa.int64()),
+        "max_gy": pa.array([int(c["ys"].max()) for c in comps], type=pa.int64()),
+    })
+
+
+def build_polygonize_wkt(sf: float) -> pa.Table:
+    """Per-patch (value, pixel_count, area_m2, perimeter_m, n_vertices).
+
+    Perimeter = exposed pixel edges * PIXEL_SIZE. Vertex count by the
+    2x2-corner rule: at each lattice corner, the 4 surrounding cells'
+    membership decides vertices — 1 or 3 cells set = one corner, two
+    diagonal cells = a pinch point = two corners, 0/2-adjacent/4 = none.
+    This equals the engine's ring-walk vertex count (collinear vertices
+    simplified; each pinch-point visit contributes a vertex) without
+    tracing any ring.
+    """
+    comps = _components(_sieve_input_raster(sf), same_value=True)
+    rows = {"value": [], "pixel_count": [], "area_m2": [],
+            "perimeter_m": [], "n_vertices": []}
+    for c in comps:
+        ys, xs = c["ys"], c["xs"]
+        y0, x0 = ys.min(), xs.min()
+        h = ys.max() - y0 + 1
+        w = xs.max() - x0 + 1
+        m = np.zeros((h + 2, w + 2), dtype=np.int8)
+        m[ys - y0 + 1, xs - x0 + 1] = 1
+        exposed = (
+            (m[1:-1, 1:-1] & (1 - m[:-2, 1:-1])).sum()
+            + (m[1:-1, 1:-1] & (1 - m[2:, 1:-1])).sum()
+            + (m[1:-1, 1:-1] & (1 - m[1:-1, :-2])).sum()
+            + (m[1:-1, 1:-1] & (1 - m[1:-1, 2:])).sum()
+        )
+        q = m[:-1, :-1] + m[:-1, 1:] + m[1:, :-1] + m[1:, 1:]
+        diag = (m[:-1, :-1] == m[1:, 1:]) & (m[:-1, 1:] == m[1:, :-1]) \
+            & (m[:-1, :-1] != m[:-1, 1:])
+        n_vertices = int(((q == 1) | (q == 3)).sum() + 2 * ((q == 2) & diag).sum())
+        rows["value"].append(c["value"])
+        rows["pixel_count"].append(c["size"])
+        rows["area_m2"].append(c["size"] * PIXEL_SIZE * PIXEL_SIZE)
+        rows["perimeter_m"].append(float(exposed) * PIXEL_SIZE)
+        rows["n_vertices"].append(n_vertices)
+    return pa.table({
+        "value": pa.array(rows["value"], type=pa.float64()),
+        "pixel_count": pa.array(rows["pixel_count"], type=pa.int64()),
+        "area_m2": pa.array(rows["area_m2"], type=pa.float64()),
+        "perimeter_m": pa.array(rows["perimeter_m"], type=pa.float64()),
+        "n_vertices": pa.array(rows["n_vertices"], type=pa.int64()),
+    })
+
+
+def build_region_growing(sf: float, seed_gx: int = 100, seed_gy: int = 100,
+                         max_spectral_distance: float = 2400.0,
+                         max_radius_tiles: int = 2) -> pa.Table:
+    full = _full_raster(sf)
+    n = grid_n(sf)
+    stx, sty = seed_gx // TILE_PX, seed_gy // TILE_PX
+    r = max_radius_tiles
+    # window clamp exactly as the operator: only tiles within r of the
+    # seed tile participate (and the grid edge clips further)
+    x_lo = max((stx - r), 0) * TILE_PX
+    x_hi = min((stx + r + 1), n) * TILE_PX
+    y_lo = max((sty - r), 0) * TILE_PX
+    y_hi = min((sty + r + 1), n) * TILE_PX
+    seed_val = full[seed_gy, seed_gx]
+    out_gx, out_gy, out_v = [], [], []
+    if not np.isnan(seed_val):
+        ok = np.abs(full - seed_val) <= max_spectral_distance
+        seen = np.zeros_like(ok, dtype=bool)
+        stack = [(seed_gy, seed_gx)]
+        seen[seed_gy, seed_gx] = True
+        while stack:
+            y, x = stack.pop()
+            out_gx.append(x)
+            out_gy.append(y)
+            out_v.append(full[y, x])
+            for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                if (y_lo <= ny < y_hi and x_lo <= nx < x_hi
+                        and ok[ny, nx] and not seen[ny, nx]):
+                    seen[ny, nx] = True
+                    stack.append((ny, nx))
+    return pa.table({
+        "gx": pa.array(out_gx, type=pa.int64()),
+        "gy": pa.array(out_gy, type=pa.int64()),
+        "value": pa.array(out_v, type=pa.float64()),
+    })
+
+
+def build_media_thumbnails(sf: float, out_size: int = 8) -> pa.Table:
+    """Exploded thumbnails for bandset S2_2020-01-01 / B04 tiles.
+
+    Mirrors the multimodal contract: payload = utf-8 bytes of the hex
+    sha256 of "bandset/band/tx/ty", seed = first 8 payload bytes (LE),
+    image = splitmix64(seed + i) % 256 over a 16x16 grid, thumbnail =
+    stride-2 subsample to 8x8. hashlib here vs Spark's sha2() there —
+    the decode math is shared by design (it IS the fake codec contract),
+    the plumbing around it is what this oracle checks.
+    """
+    n = grid_n(sf)
+    bs, band = "S2_2020-01-01", "B04"
+    w = h = 16
+    step = max(1, h // out_size)
+    rows = {"bandset": [], "band": [], "tile_x": [], "tile_y": [],
+            "pos": [], "v": []}
+    idx = np.arange(w * h, dtype=np.uint64)
+    for tx in range(n):
+        for ty in range(n):
+            digest = hashlib.sha256(
+                f"{bs}/{band}/{tx}/{ty}".encode()).hexdigest()
+            seed = np.frombuffer(digest[:8].encode(), dtype=np.uint64)[0]
+            with np.errstate(over="ignore"):
+                img = (splitmix64(seed + idx) % np.uint64(256)).astype(
+                    np.int32).reshape(h, w)
+            thumb = img[::step, ::step][:out_size, :out_size].ravel()
+            m = len(thumb)
+            rows["bandset"].extend([bs] * m)
+            rows["band"].extend([band] * m)
+            rows["tile_x"].extend([tx] * m)
+            rows["tile_y"].extend([ty] * m)
+            rows["pos"].extend(range(m))
+            rows["v"].extend(int(x) for x in thumb)
+    return pa.table({
+        "bandset": pa.array(rows["bandset"], type=pa.string()),
+        "band": pa.array(rows["band"], type=pa.string()),
+        "tile_x": pa.array(rows["tile_x"], type=pa.int32()),
+        "tile_y": pa.array(rows["tile_y"], type=pa.int32()),
+        "pos": pa.array(rows["pos"], type=pa.int32()),
+        "v": pa.array(rows["v"], type=pa.int32()),
+    })
+
+
+BUILDERS = {
+    "raster_label_histogram": build_raster_label_histogram,
+    "sieve_reclass": build_sieve_reclass,
+    "polygonize": build_polygonize,
+    "polygonize_wkt": build_polygonize_wkt,
+    "region_growing": build_region_growing,
+    "media_thumbnails": build_media_thumbnails,
+}
+
+
+def expected_dir(sf: float) -> str:
+    return os.path.join(geo_dir(sf), "expected")
+
+
+def ensure_expected(sf: float) -> str:
+    """Generate-if-missing (version-stamped: a builder change bumps
+    _EXPECTED_VERSION and regenerates stale parquet)."""
+    d = expected_dir(sf)
+    marker = os.path.join(d, "_VERSION.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("version") == _EXPECTED_VERSION:
+                return d
+    os.makedirs(d, exist_ok=True)
+    for name, build in BUILDERS.items():
+        pq.write_table(build(sf), os.path.join(d, f"{name}.parquet"),
+                       compression="zstd")
+    with open(marker, "w") as f:
+        json.dump({"version": _EXPECTED_VERSION}, f)
+    return d
