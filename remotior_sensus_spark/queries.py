@@ -48,6 +48,19 @@ def _b01(spark, sf_dir, band):
     return t.filter((F.col("bandset") == "S2_2020-01-01") & (F.col("band") == band))
 
 
+# the focal/CC hot path runs on 64-px tiles: ingest tiles are 16 px and
+# a 16^2 applyInPandas group costs as much in pandas overhead as its
+# kernel (VERDICT r02 #4) — one retile groupBy amortizes it 16x
+# (results are tile-size-invariant: test_tile_size_invariance + every
+# oracle below is unchanged)
+_T64 = 64
+
+
+def _retile4(df):
+    from remotior_sensus_spark.operators.retile import retile
+    return retile(df, 4)
+
+
 # ---------------------------------------------------------------------------
 # band_calc family (SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -809,8 +822,11 @@ def min_distance(spark, sf_dir):
     bands = ["B02", "B03", "B04", "B08"]
     stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
     sigs = _signatures(spark, sf_dir)
-    px = cls_ops.classify_pixels_flat(
-        stacked, bands, lambda env: cls_ops.min_distance_class(env, sigs)
+    px = cls_ops.classify_pixels_flat_scored(
+        stacked, bands, lambda env: cls_ops.min_distance_scores(env, sigs),
+        thresholds={s["class_id"]: s["threshold"] for s in sigs
+                    if s.get("threshold", 0) > 0} or None,
+        best_score_transform=lambda d: F.sqrt(d.cast("double")),
     )
     return px.groupBy("class").agg(F.count("*").alias("pixel_count"))
 
@@ -833,8 +849,8 @@ def spectral_angle(spark, sf_dir):
     bands = ["B02", "B03", "B04", "B08"]
     stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
     sigs = _signatures(spark, sf_dir)
-    px = cls_ops.classify_pixels_flat(
-        stacked, bands, lambda env: cls_ops.spectral_angle_class(env, sigs)
+    px = cls_ops.classify_pixels_flat_scored(
+        stacked, bands, lambda env: cls_ops.spectral_angle_scores(env, sigs)
     )
     return px.groupBy("class").agg(F.count("*").alias("pixel_count"))
 
@@ -1062,14 +1078,15 @@ allpx as (
   select p.gx, p.gy,
     case when p.value = -32768 then -32768.0 else coalesce(s.m, -32768.0) end as v
   from p left join stat s using (gx, gy))
-select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
+select cast(floor(gx/64) as int) as tile_x, cast(floor(gy/64) as int) as tile_y,
   cast(sum(case when v <> -32768 then cast(floor(v*1000000.0+0.5) as bigint) else 0 end) as bigint) as checksum,
   cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from allpx group by 1, 2
 """)
 def focal_mean(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    out = neighbor_stats(_b01(spark, sf_dir, "B04"), stat="mean", size=1)
+    out = neighbor_stats(_retile4(_b01(spark, sf_dir, "B04")),
+                         stat="mean", size=1, tile_px=_T64)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -1095,14 +1112,15 @@ allpx as (
   select p.gx, p.gy,
     case when p.value = -32768 then -32768.0 else coalesce(s.m, 0.0) end as v
   from p left join stat s using (gx, gy))
-select cast(floor(gx/16) as int) as tile_x, cast(floor(gy/16) as int) as tile_y,
+select cast(floor(gx/64) as int) as tile_x, cast(floor(gy/64) as int) as tile_y,
   cast(sum(case when v <> -32768 then cast(v as bigint) else 0 end) as bigint) as checksum,
   cast(sum(case when v <> -32768 then 1 else 0 end) as bigint) as valid_count
 from allpx group by 1, 2
 """)
 def focal_sum(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    out = neighbor_stats(_b01(spark, sf_dir, "B04"), stat="sum", size=1)
+    out = neighbor_stats(_retile4(_b01(spark, sf_dir, "B04")),
+                         stat="sum", size=1, tile_px=_T64)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -1150,7 +1168,7 @@ def raster_label_histogram(spark, sf_dir):
     _ensure_expected(sf_dir)
     binary = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 1, 0)',
                        nodata_mask=None)
-    return component_size_histogram(binary)
+    return component_size_histogram(_retile4(binary), tile_px=_T64)
 
 
 @q("sieve_reclass",
@@ -1165,7 +1183,8 @@ def sieve_reclass(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return sieve(q4, min_size=4).groupBy("old_value", "new_value").agg(
+    return sieve(_retile4(q4), min_size=4,
+                 tile_px=_T64).groupBy("old_value", "new_value").agg(
         F.count("*").alias("n_patches"),
         F.sum("patch_size").alias("pixel_count"),
     )
@@ -1196,7 +1215,8 @@ def dilation_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import dilation
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    out = dilation(q4, values=[7.0], size=1, circular=True)
+    out = dilation(_retile4(q4), values=[7.0], size=1, circular=True,
+                   tile_px=_T64)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -1231,7 +1251,8 @@ def erosion_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import erosion
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    out = erosion(q4, values=[7.0], size=1, circular=True)
+    out = erosion(_retile4(q4), values=[7.0], size=1, circular=True,
+                  tile_px=_T64)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -1757,7 +1778,7 @@ def polygonize_wkt_q(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return polygonize_geometry(q4).select(
+    return polygonize_geometry(_retile4(q4), tile_px=_T64).select(
         "value", "pixel_count", "area_m2", "perimeter_m", "n_vertices"
     )
 
@@ -1769,7 +1790,7 @@ def polygonize_q(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return polygonize(q4).select(
+    return polygonize(_retile4(q4), tile_px=_T64).select(
         "value", "pixel_count", "min_gx", "max_gx", "min_gy", "max_gy"
     )
 
@@ -1991,8 +2012,9 @@ def _ml_inputs(spark, sf_dir):
 @q("ml_classification", _ml_oracle_sql(None, False))
 def ml_classification(spark, sf_dir):
     bands, stats, stacked = _ml_inputs(spark, sf_dir)
-    scored = cls_ops.classify_pixels_flat(
-        stacked, bands, lambda env: cls_ops.max_likelihood_class(env, stats)
+    scored = cls_ops.classify_pixels_flat_scored(
+        stacked, bands, lambda env: cls_ops.ml_scores(env, stats),
+        select_max=True,
     )
     return scored.groupBy("class").agg(F.count("*").alias("pixel_count"))
 
@@ -2003,19 +2025,13 @@ def ml_threshold_confidence(spark, sf_dir):
     confidence raster aggregated per class
     (processor_functions.py:328-340, core/processor.py:242-311)."""
     bands, stats, stacked = _ml_inputs(spark, sf_dir)
-    z = stacked.select(F.posexplode(F.arrays_zip(*bands)).alias("pos", "z")).select(
-        *[F.col(f"z.{b}").cast("double").alias(b) for b in bands]
+    scored = cls_ops.classify_pixels_flat_scored(
+        stacked, bands, lambda env: cls_ops.ml_scores(env, stats, threshold=5.0),
+        select_max=True, unclassified_at=float("-inf"), include_best=True,
     )
-    import functools
-    import operator as op
-    valid = functools.reduce(op.and_, [F.col(b) != float(NODATA) for b in bands])
-    env = {b: F.col(b) for b in bands}
-    cls = cls_ops.max_likelihood_class(env, stats, threshold=5.0)
-    conf = cls_ops.max_likelihood_confidence(env, stats, threshold=5.0)
-    scored = z.filter(valid).select(cls.alias("class"), conf.alias("gm"))
     return scored.groupBy("class").agg(
         F.count("*").alias("pixel_count"),
-        F.sum(F.when(F.col("class") != 0, fixed1e6(F.col("gm")))
+        F.sum(F.when(F.col("class") != 0, fixed1e6(F.col("best")))
               .otherwise(0)).alias("conf_fp"),
     )
 
