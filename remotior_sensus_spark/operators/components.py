@@ -410,7 +410,7 @@ def component_size_histogram(band_tiles: DataFrame, *, same_value: bool = False,
 
 def region_growing(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
                    max_spectral_distance: float, *, max_radius_tiles: int = 2,
-                   nodata: float = NODATA) -> DataFrame:
+                   nodata: float = NODATA, auto_expand: bool = True) -> DataFrame:
     """ROI creation by flood fill from a seed pixel within a spectral
     distance threshold (processor_functions.py:1602-1647 region_growing;
     util/shared_tools.py:377 region_growing_polygon).
@@ -419,9 +419,51 @@ def region_growing(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
     seed are pulled (a cell-key range filter — partition-prunable), the
     windowed sub-raster is assembled in one Arrow batch and flood-filled
     with numpy. Returns pixel rows (gx, gy, value) of the grown region.
+
+    The reference flood-fills the WHOLE raster; a bounded window can
+    silently truncate a region larger than it. With `auto_expand` (the
+    default) the fill is checked against the window edges and the radius
+    doubles until the region no longer touches an interior edge (raster
+    edges don't count), so the result equals the unbounded fill while
+    still only ever reading the tiles near the seed.
     """
+    ext = band_tiles.agg(
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+    ).collect()[0]
     stx, sty = seed_gx // T, seed_gy // T
     r = max_radius_tiles
+    while True:
+        grown = _region_growing_window(
+            band_tiles, seed_gx, seed_gy, max_spectral_distance, r,
+            nodata).localCheckpoint()
+        covers = (stx - r <= ext["x0"] and stx + r >= ext["x1"]
+                  and sty - r <= ext["y0"] and sty + r >= ext["y1"])
+        if not auto_expand or covers:
+            return grown
+        bb = grown.agg(
+            F.min("gx").alias("gx0"), F.max("gx").alias("gx1"),
+            F.min("gy").alias("gy0"), F.max("gy").alias("gy1"),
+        ).collect()[0]
+        if bb["gx0"] is None:
+            return grown  # empty region (nodata seed)
+        wx0, wx1 = max(stx - r, ext["x0"]), min(stx + r, ext["x1"])
+        wy0, wy1 = max(sty - r, ext["y0"]), min(sty + r, ext["y1"])
+        touches = (
+            (bb["gx0"] == wx0 * T and wx0 > ext["x0"])
+            or (bb["gx1"] == (wx1 + 1) * T - 1 and wx1 < ext["x1"])
+            or (bb["gy0"] == wy0 * T and wy0 > ext["y0"])
+            or (bb["gy1"] == (wy1 + 1) * T - 1 and wy1 < ext["y1"])
+        )
+        if not touches:
+            return grown
+        r = max(2 * r, 1)
+
+
+def _region_growing_window(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
+                           max_spectral_distance: float, r: int,
+                           nodata: float) -> DataFrame:
+    stx, sty = seed_gx // T, seed_gy // T
     window = band_tiles.filter(
         (F.col("tile_x") >= stx - r) & (F.col("tile_x") <= stx + r)
         & (F.col("tile_y") >= sty - r) & (F.col("tile_y") <= sty + r)
@@ -559,63 +601,81 @@ def sieve(band_tiles: DataFrame, min_size: int,
 # ---------------------------------------------------------------------------
 
 
-def _trace_patch_rings(cells: set) -> list[list[tuple[int, int]]]:
+# directed boundary edge directions in (x, y-down) grid-corner space
+_DIR_DX = np.array([1, 0, -1, 0])   # E, S, W, N
+_DIR_DY = np.array([0, 1, 0, -1])
+
+
+def _trace_patch_rings(xs: np.ndarray, ys: np.ndarray) -> list[list[tuple[int, int]]]:
     """Boundary rings of a 4-connected pixel patch in grid-corner
-    coordinates. Interior-on-left directed edge walking with a
-    leftmost-turn rule at pinch points, then collinear-vertex
-    simplification. First ring returned is the outer boundary
-    (max |signed area|), the rest are holes — gdal.Polygonize geometry
-    semantics (ref core/processor.py:1608-1756)."""
-    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    coordinates — numpy edge extraction + array successor walk (the
+    former per-cell dict-of-sets walk was the last interpreted loop in a
+    §2 operator). Directed edges keep the interior on the left; at a
+    diagonal pinch point the leftmost turn is ALWAYS direction (d+1)%4,
+    so the successor of every edge resolves with one vectorized lookup.
+    Collinear vertices are dropped. First ring returned is the outer
+    boundary (max |signed area|), the rest are holes — gdal.Polygonize
+    geometry semantics (ref core/processor.py:1608-1756)."""
+    x0, y0 = int(xs.min()), int(ys.min())
+    w = int(xs.max()) - x0 + 1
+    h = int(ys.max()) - y0 + 1
+    m = np.zeros((h + 2, w + 2), dtype=bool)
+    cyy = np.asarray(ys) - y0
+    cxx = np.asarray(xs) - x0
+    m[cyy + 1, cxx + 1] = True
+    # exposed sides per cell -> directed edges (point ids on the
+    # (w+1) x (h+1) corner grid, encoded p = y*(w+1)+x)
+    stride = w + 1
+    starts, dirs = [], []
+    sides = (
+        (~m[cyy, cxx + 1], cxx, cyy, 0),            # N neighbor absent -> E edge
+        (~m[cyy + 1, cxx + 2], cxx + 1, cyy, 1),    # E absent -> S edge
+        (~m[cyy + 2, cxx + 1], cxx + 1, cyy + 1, 2),  # S absent -> W edge
+        (~m[cyy + 1, cxx], cxx, cyy + 1, 3),        # W absent -> N edge
+    )
+    for mask, px, py, d in sides:
+        if mask.any():
+            starts.append(py[mask] * stride + px[mask])
+            dirs.append(np.full(int(mask.sum()), d, dtype=np.int64))
+    starts = np.concatenate(starts)
+    dirs = np.concatenate(dirs)
+    ends = starts + _DIR_DX[dirs] + _DIR_DY[dirs] * stride
+    n_edges = len(starts)
 
-    def add(a, b):
-        edges.setdefault(a, []).append(b)
+    out_at = np.full(((h + 1) * stride, 4), -1, dtype=np.int64)
+    out_at[starts, dirs] = np.arange(n_edges)
+    left = out_at[ends, (dirs + 1) % 4]
+    # a point has either one outgoing edge or (pinch) exactly the left
+    # and right turns — so when the left turn is absent, the single
+    # outgoing is the row max (the other slots are -1)
+    succ = np.where(left >= 0, left, out_at[ends].max(axis=1))
 
-    for (x, y) in cells:
-        if (x, y - 1) not in cells:
-            add((x, y), (x + 1, y))
-        if (x + 1, y) not in cells:
-            add((x + 1, y), (x + 1, y + 1))
-        if (x, y + 1) not in cells:
-            add((x + 1, y + 1), (x, y + 1))
-        if (x - 1, y) not in cells:
-            add((x, y + 1), (x, y))
-
+    visited = np.zeros(n_edges, dtype=bool)
     rings = []
-    while edges:
-        start = next(iter(edges))
-        ring = [start]
-        cur = start
-        prev_d = None
-        while True:
-            outs = edges[cur]
-            if len(outs) == 1 or prev_d is None:
-                nxt = outs.pop(0)
-            else:
-                # leftmost turn keeps the interior on the left and rings
-                # simple at diagonal pinch points
-                def turn(cand):
-                    dx, dy = cand[0] - cur[0], cand[1] - cur[1]
-                    return prev_d[0] * dy - prev_d[1] * dx
-                nxt = max(outs, key=turn)
-                outs.remove(nxt)
-            if not outs:
-                del edges[cur]
-            prev_d = (nxt[0] - cur[0], nxt[1] - cur[1])
-            ring.append(nxt)
-            cur = nxt
-            if cur == start:
-                break
-        # drop collinear vertices (including across the closure point)
-        pts = ring[:-1]  # distinct points; ring[-1] duplicates ring[0]
-        m = len(pts)
-        simp = []
-        for i in range(m):
-            p0, p1, p2 = pts[(i - 1) % m], pts[i], pts[(i + 1) % m]
-            if (p1[0] - p0[0]) * (p2[1] - p1[1]) != (p1[1] - p0[1]) * (p2[0] - p1[0]):
-                simp.append(p1)
-        simp.append(simp[0])
-        rings.append(simp)
+    for e0 in range(n_edges):
+        if visited[e0]:
+            continue
+        seq = []
+        e = e0
+        while not visited[e]:
+            visited[e] = True
+            seq.append(e)
+            e = int(succ[e])
+        seq = np.asarray(seq)
+        d = dirs[seq]
+        # keep only turn vertices (edge start where direction changed);
+        # rotate so the ring starts at a turn — a straight run crossing
+        # the wrap point would otherwise split into two vertices
+        turn = d != np.roll(d, 1)
+        first = int(np.argmax(turn))
+        seq = np.roll(seq, -first)
+        turn = np.roll(turn, -first)
+        pts = starts[seq[turn]]
+        vx = pts % stride + x0
+        vy = pts // stride + y0
+        ring = list(zip(vx.tolist(), vy.tolist()))
+        ring.append(ring[0])
+        rings.append(ring)
 
     def signed_area(r):
         return sum(r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
@@ -642,8 +702,9 @@ def polygonize_geometry(band_tiles: DataFrame,
     px = _px_with_roots(labeled, roots, t_px)
 
     def trace_one(root: int, value: float, gxs, gys) -> tuple:
-        cells = set(zip(gxs, gys))
-        rings = _trace_patch_rings(cells)
+        gxs = np.asarray(gxs, dtype=np.int64)
+        gys = np.asarray(gys, dtype=np.int64)
+        rings = _trace_patch_rings(gxs, gys)
 
         def world(p):
             return (ORIGIN_X + p[0] * PIXEL_SIZE, ORIGIN_Y - p[1] * PIXEL_SIZE)
@@ -657,8 +718,8 @@ def polygonize_geometry(band_tiles: DataFrame,
             abs(r[i + 1][0] - r[i][0]) + abs(r[i + 1][1] - r[i][1])
             for i in range(len(r) - 1)) for r in rings) * PIXEL_SIZE
         n_vertices = sum(len(r) - 1 for r in rings)
-        return (root, value, len(cells),
-                len(cells) * PIXEL_SIZE * PIXEL_SIZE,
+        return (root, value, len(gxs),
+                len(gxs) * PIXEL_SIZE * PIXEL_SIZE,
                 float(perim), int(n_vertices), wkt)
 
     cols = ["root", "value", "pixel_count", "area_m2",

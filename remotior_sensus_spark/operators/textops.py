@@ -204,16 +204,14 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3)
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
-    """Candidate pairs via LSH banding + exact signature-Jaccard filter.
-    Pairs only form inside band buckets (self-join on band hash)."""
+def minhash_band_candidates(sig: DataFrame, *, num_hashes: int = 32,
+                            bands: int = 8) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from LSH banding over a
+    signature frame. Pairs only form inside band buckets (self-join on
+    the band key) — never the O(n^2) cross join. Shared by the
+    signature-estimate path (minhash_lsh_pairs) and the exact-Jaccard
+    verifier (ngram_jaccard_pairs)."""
     rows_per_band = num_hashes // bands
-    # localCheckpoint, not cache(): it materializes once for the two
-    # consumers (band explode + re-rank join) but its blocks are
-    # reclaimed with the RDD when unreferenced, instead of pinning
-    # executor storage for the session lifetime across repeated calls
-    sig = minhash_signature(docs, num_hashes, shingle_n).localCheckpoint()
     # band key = the band's signature slice itself (stringified) — no
     # engine-specific hash; pairs still only form inside equal-key buckets
     banded = sig.select(
@@ -231,8 +229,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
     a = banded.alias("a")
     b = banded.alias("b")
     # dedupe candidate ids FIRST (cheap 2-long rows through the shuffle);
-    # signatures join back once per unique pair
-    pairs = (
+    # payload columns join back once per unique pair
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -242,6 +240,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via LSH banding + exact signature-Jaccard filter."""
+    # localCheckpoint, not cache(): it materializes once for the two
+    # consumers (band explode + re-rank join) but its blocks are
+    # reclaimed with the RDD when unreferenced, instead of pinning
+    # executor storage for the session lifetime across repeated calls
+    sig = minhash_signature(docs, num_hashes, shingle_n).localCheckpoint()
+    pairs = minhash_band_candidates(sig, num_hashes=num_hashes, bands=bands)
     pairs = (
         pairs.join(sig.select(F.col("doc_id").alias("doc_a"),
                               F.col("signature").alias("sig_a")), "doc_a")
@@ -258,25 +267,46 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
-                        threshold: float = 0.3, prefix_tokens: int = 2) -> DataFrame:
-    """Exact n-gram Jaccard for pairs sharing a cheap blocking key (first
-    tokens) — the exact-verify companion to the LSH path."""
+                        threshold: float = 0.3, *, num_hashes: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """EXACT n-gram Jaccard over MinHash-band candidate pairs — the
+    exact-verify companion to the LSH estimate path.
+
+    Blocking key = LSH band (shared machinery with minhash_lsh_pairs).
+    The former first-2-tokens key made every "the …" document one
+    quadratic hot block at corpus scale; band buckets have principled
+    recall (P[share a band] is the standard (1-(1-j^r)^b) curve) AND
+    bounded size — identical signatures band together, unrelated docs
+    almost never do. Verified pairs carry the TRUE Jaccard on the full
+    shingle sets, not the signature estimate."""
     sh = shingles_col(shingle_n)
-    toks = tokens_col()
-    d = docs.select(
-        "doc_id", sh.alias("sh"),
-        F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
-    ).filter(F.size("sh") > 0)
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    d = docs.select("doc_id", sh.alias("sh")).filter(
+        F.size("sh") > 0).localCheckpoint()
+    # minhash_signature would recompute shingles from text; hash the
+    # already-extracted shingle arrays directly instead (same family)
+    flat = d.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id",
+        (portable_hash60(F.col("shingle")) % F.lit(2_147_483_647)).alias("h"),
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    aggs = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    sig = flat.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+    pairs = minhash_band_candidates(sig, num_hashes=num_hashes, bands=bands)
+    pairs = (
+        pairs.join(d.select(F.col("doc_id").alias("doc_a"),
+                            F.col("sh").alias("sh_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        (inter / uni).alias("jaccard"),
+        "doc_a", "doc_b", (inter / uni).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -55,14 +55,26 @@ def apply_affine(t: Affine, x, y):
 
 def warp_affine(band_tiles: DataFrame, forward: Affine,
                 *, tile_px: int | None = None,
-                nodata: float = NODATA) -> DataFrame:
-    """Warp a single-band tile set through a forward (src->dst) affine;
-    nearest-neighbor. Returns output pixel rows
-    (tile_x, tile_y, pos, value) on the same tile scheme/grid origin.
+                nodata: float = NODATA,
+                resampling: str = "nearest") -> DataFrame:
+    """Warp a single-band tile set through a forward (src->dst) affine.
+    Returns output pixel rows (tile_x, tile_y, pos, value) on the same
+    tile scheme/grid origin.
+
+    ``resampling``: 'nearest' (one equi-join on the floor-mapped source
+    pixel) or 'bilinear' (each output pixel explodes to its 4 source
+    corners with (1-wu/wu)x(1-wv/wv) weights, one equi-join, then a
+    deterministic fixed-order weighted combine renormalized over the
+    VALID contributors — gdal.Warp bilinear nodata semantics; an output
+    pixel with no valid contributor is nodata). The reference's
+    gdal_warping resampling modes (util/raster_vector.py:3039-3108);
+    mode resampling is focal.resample_mode.
 
     The output extent is the bbox of the transformed source corners
     (one tiny agg). All per-pixel math is Column arithmetic.
     """
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resampling {resampling!r}")
     spark = band_tiles.sparkSession
     t_px = tile_px or TILE_PX
     n_px = t_px * t_px
@@ -108,11 +120,6 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
     ia, ib, ic, id_, ie, if_ = inv
     sx = F.lit(ia) * ox + F.lit(ib) * oy + F.lit(ic)
     sy = F.lit(id_) * ox + F.lit(ie) * oy + F.lit(if_)
-    out = out.withColumn(
-        "sgx", F.floor((sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
-    ).withColumn(
-        "sgy", F.floor((F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE)).cast("long")
-    )
 
     src = band_tiles.select(
         "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
@@ -122,10 +129,61 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
          + (F.col("spos") / t_px).cast("int")).alias("sgy"),
         F.col("value").cast("double").alias("value"),
     )
-    j = out.join(src, ["sgx", "sgy"], "left")
-    return j.select(
+
+    if resampling == "nearest":
+        out = out.withColumn(
+            "sgx", F.floor((sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
+        ).withColumn(
+            "sgy", F.floor((F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE)).cast("long")
+        )
+        j = out.join(src, ["sgx", "sgy"], "left")
+        return j.select(
+            "tile_x", "tile_y", "pos",
+            F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
+        )
+
+    # bilinear: continuous source pixel coords (pixel CENTER at integer
+    # + 0.5), 4 corner contributions, renormalized over valid ones. The
+    # combine is spelled in a FIXED corner order (c0+c1+c2+c3, one final
+    # division) so the double result is bit-reproducible in SQL oracles.
+    u = (sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE) - F.lit(0.5)
+    v = (F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE) - F.lit(0.5)
+    out = out.withColumn("u0", F.floor(u).cast("long")) \
+             .withColumn("v0", F.floor(v).cast("long")) \
+             .withColumn("wu", u - F.floor(u)) \
+             .withColumn("wv", v - F.floor(v))
+    corners = out.select(
+        "tile_x", "tile_y", "pos", "u0", "v0", "wu", "wv",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("corner"),
+    ).select(
+        "tile_x", "tile_y", "pos", "corner",
+        (F.col("u0") + F.col("corner") % 2).alias("sgx"),
+        (F.col("v0") + (F.col("corner") / 2).cast("int")).alias("sgy"),
+        ((F.when(F.col("corner") % 2 == 0, F.lit(1.0) - F.col("wu"))
+          .otherwise(F.col("wu")))
+         * (F.when(F.col("corner") < 2, F.lit(1.0) - F.col("wv"))
+            .otherwise(F.col("wv")))).alias("w"),
+    )
+    j = corners.join(src, ["sgx", "sgy"], "left")
+    wide = j.groupBy("tile_x", "tile_y", "pos").agg(
+        *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
+          for k in range(4)],
+        *[F.max(F.when(F.col("corner") == k, F.col("w"))).alias(f"w{k}")
+          for k in range(4)],
+    )
+    nd = F.lit(float(nodata))
+
+    def contrib(k):
+        ok = F.col(f"v{k}").isNotNull() & (F.col(f"v{k}") != nd)
+        return (F.when(ok, F.col(f"w{k}") * F.col(f"v{k}")).otherwise(F.lit(0.0)),
+                F.when(ok, F.col(f"w{k}")).otherwise(F.lit(0.0)))
+
+    nums, dens = zip(*[contrib(k) for k in range(4)])
+    num = nums[0] + nums[1] + nums[2] + nums[3]
+    den = dens[0] + dens[1] + dens[2] + dens[3]
+    return wide.select(
         "tile_x", "tile_y", "pos",
-        F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
+        F.when(den > 0, num / den).otherwise(nd).alias("value"),
     )
 
 

@@ -590,6 +590,96 @@ def warp_affine_q(spark, sf_dir):
     )
 
 
+def _warp_bilinear_oracle(geo_dir: str = GEO01) -> str:
+    """Bilinear warp oracle — every double op spelled in the Spark
+    plan's exact order (fixed c0+c1+c2+c3 combine, one final division)
+    so the fixed-point checksum matches bit-for-bit."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    from remotior_sensus_spark.synth.generate import grid_n
+    n = grid_n(float(geo_dir.rstrip("/").rsplit("sf", 1)[-1]))
+    sx0, sx1 = ORIGIN_X, ORIGIN_X + n * 160.0
+    sy1, sy0 = ORIGIN_Y, ORIGIN_Y - n * 160.0
+    corners = [_warp.apply_affine(_WARP_FWD, x, y)
+               for x in (sx0, sx1) for y in (sy0, sy1)]
+    import numpy as _np
+    dx0 = min(c[0] for c in corners)
+    dx1 = max(c[0] for c in corners)
+    dy0 = min(c[1] for c in corners)
+    dy1 = max(c[1] for c in corners)
+    otx0 = int(_np.floor((dx0 - ORIGIN_X) / 160.0))
+    otx1 = int(_np.floor((dx1 - ORIGIN_X - 1e-9) / 160.0))
+    oty0 = int(_np.floor((ORIGIN_Y - dy1) / 160.0))
+    oty1 = int(_np.floor((ORIGIN_Y - dy0 - 1e-9) / 160.0))
+    ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
+    cs = []
+    ds = []
+    for k, (dx, dy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        wx = "(1.0-wu)" if dx == 0 else "wu"
+        wy = "(1.0-wv)" if dy == 0 else "wv"
+        cs.append(f"case when v{k} is not null and v{k} <> -32768 "
+                  f"then ({wx}*{wy})*v{k} else 0.0 end as c{k}")
+        ds.append(f"case when v{k} is not null and v{k} <> -32768 "
+                  f"then ({wx}*{wy}) else 0.0 end as d{k}")
+    return f"""
+with src as (
+  select gx, gy, value from '{geo_dir}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o as (
+  select t1.range as tile_x, t2.range as tile_y, p.range as pos
+  from range({otx0}, {otx1 + 1}) t1, range({oty0}, {oty1 + 1}) t2,
+       range(0, 256) p),
+m as (
+  select tile_x, tile_y, pos,
+    {ORIGIN_X!r} + (tile_x*16 + pos % 16) * 10.0 + 5.0 as ox,
+    {ORIGIN_Y!r} - (tile_y*16 + cast(floor(pos/16.0) as int)) * 10.0 - 5.0 as oy
+  from o),
+k as (
+  select tile_x, tile_y, pos,
+    (({ia!r})*ox + ({ib!r})*oy + ({ic!r}) - {ORIGIN_X!r}) / 10.0 - 0.5 as u,
+    ({ORIGIN_Y!r} - (({id_!r})*ox + ({ie!r})*oy + ({if_!r}))) / 10.0 - 0.5 as v
+  from m),
+k2 as (
+  select tile_x, tile_y, pos,
+    cast(floor(u) as bigint) as u0, cast(floor(v) as bigint) as v0,
+    u - floor(u) as wu, v - floor(v) as wv
+  from k),
+j as (
+  select k2.tile_x, k2.tile_y, k2.wu, k2.wv,
+    s0.value as v0, s1.value as v1, s2.value as v2, s3.value as v3
+  from k2
+  left join src s0 on s0.gx = k2.u0     and s0.gy = k2.v0
+  left join src s1 on s1.gx = k2.u0 + 1 and s1.gy = k2.v0
+  left join src s2 on s2.gx = k2.u0     and s2.gy = k2.v0 + 1
+  left join src s3 on s3.gx = k2.u0 + 1 and s3.gy = k2.v0 + 1),
+c as (
+  select tile_x, tile_y,
+    {", ".join(cs)},
+    {", ".join(ds)}
+  from j),
+vv as (
+  select tile_x, tile_y,
+    case when d0+d1+d2+d3 > 0 then (c0+c1+c2+c3)/(d0+d1+d2+d3)
+         else -32768.0 end as value
+  from c)
+select tile_x, tile_y,
+  cast(sum(case when value <> -32768
+      then cast(floor(value*1000000.0+0.5) as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when value <> -32768 then 1 else 0 end) as bigint) as valid_count
+from vv group by tile_x, tile_y
+"""
+
+
+@q("warp_bilinear", _warp_bilinear_oracle())
+def warp_bilinear_q(spark, sf_dir):
+    out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
+                            resampling="bilinear")
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     fixed1e6(F.col("value"))).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
 @q("vector_reproject", f"""
 select roi_id, class,
   least(0.5*xmin + 0.0*ymin + {0.5 * 230250.0 + 320.0!r},
@@ -1850,17 +1940,44 @@ def lang_id_q(spark, sf_dir):
     return tx.lang_id(cat.load_driver(spark, sf_dir, "documents"))
 
 
-@q("ngram_jaccard", f"""
+def _ngram_oracle() -> str:
+    """Exact Jaccard over MinHash-band candidates — the banding CTEs
+    mirror _minhash_oracle exactly (same hash family, same band keys),
+    the verdict column is the TRUE shingle-set Jaccard."""
+    from remotior_sensus_spark.operators.textops import _minhash_coeffs
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n    ".join(
+        f"min(hv * {a} + {b}) as m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    bands_sql = "\n  union all\n  ".join(
+        f"select doc_id, {b} as band, "
+        f"concat_ws('|', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) as bk from sig"
+        for b in range(8)
+    )
+    return f"""
 with t as (select doc_id, {_TOKS} as toks from documents),
-d as (select doc_id, {_SHINGLES} as sh,
-        array_to_string(toks[1:2], ' ') as blk from t),
-d2 as (select * from d where len(sh) > 0),
-p as (select a.doc_id as doc_a, b.doc_id as doc_b,
-    cast(len(list_intersect(a.sh, b.sh)) as double)
-      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double) as jaccard
-  from d2 a join d2 b on a.blk = b.blk and a.doc_id < b.doc_id)
-select doc_a, doc_b, jaccard from p where jaccard >= 0.2
-""")
+shd0 as (select doc_id, {_SHINGLES} as sh from t),
+shd as (select * from shd0 where len(sh) > 0),
+flat as (select doc_id, unnest(sh) as shingle from shd),
+h as (select doc_id, {_HEX60.format(x='shingle')} % 2147483647 as hv from flat),
+sig as (select doc_id,
+    {sig_cols}
+  from h group by doc_id),
+bands as (
+  {bands_sql}),
+pairs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+          from bands a join bands b
+            on a.band = b.band and a.bk = b.bk and a.doc_id < b.doc_id),
+j as (select p.doc_a, p.doc_b,
+    cast(len(list_intersect(sa.sh, sb.sh)) as double)
+      / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double) as jaccard
+  from pairs p join shd sa on sa.doc_id = p.doc_a
+               join shd sb on sb.doc_id = p.doc_b)
+select doc_a, doc_b, jaccard from j where jaccard >= 0.2
+"""
+
+
+@q("ngram_jaccard", _ngram_oracle())
 def ngram_jaccard_q(spark, sf_dir):
     docs = cat.load_driver(spark, sf_dir, "documents")
     return tx.ngram_jaccard_pairs(docs, threshold=0.2)
@@ -2254,6 +2371,7 @@ def _expected_oracle(name):
 
 ORACLE_BUILDERS = {
     "warp_affine": lambda geo: _warp_oracle(geo),
+    "warp_bilinear": lambda geo: _warp_bilinear_oracle(geo),
     "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
     "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
     "pca_projection": lambda geo: _pca_oracle_sql(geo)(),
@@ -2271,7 +2389,7 @@ ORACLE_BUILDERS = {
 # r02 ∪ r03. Order within the list: formerly-failing first, then the
 # never-measured oracle-backed family, then the newly-oracled CC ones.
 _RUN_FIRST = [
-    "dos1_correction", "scale_offset",
+    "dos1_correction", "scale_offset", "warp_bilinear",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "signature_similarity",

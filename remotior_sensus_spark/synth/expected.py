@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 3
+_EXPECTED_VERSION = 4
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -212,18 +212,13 @@ def build_polygonize_wkt(sf: float) -> pa.Table:
 
 
 def build_region_growing(sf: float, seed_gx: int = 100, seed_gy: int = 100,
-                         max_spectral_distance: float = 2400.0,
-                         max_radius_tiles: int = 2) -> pa.Table:
+                         max_spectral_distance: float = 2400.0) -> pa.Table:
+    """UNBOUNDED flood fill (clipped only by the raster itself) — the
+    operator's auto_expand loop must converge to exactly this, however
+    small its starting window."""
     full = _full_raster(sf)
     n = grid_n(sf)
-    stx, sty = seed_gx // TILE_PX, seed_gy // TILE_PX
-    r = max_radius_tiles
-    # window clamp exactly as the operator: only tiles within r of the
-    # seed tile participate (and the grid edge clips further)
-    x_lo = max((stx - r), 0) * TILE_PX
-    x_hi = min((stx + r + 1), n) * TILE_PX
-    y_lo = max((sty - r), 0) * TILE_PX
-    y_hi = min((sty + r + 1), n) * TILE_PX
+    hi = n * TILE_PX
     seed_val = full[seed_gy, seed_gx]
     out_gx, out_gy, out_v = [], [], []
     if not np.isnan(seed_val):
@@ -237,7 +232,7 @@ def build_region_growing(sf: float, seed_gx: int = 100, seed_gy: int = 100,
             out_gy.append(y)
             out_v.append(full[y, x])
             for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                if (y_lo <= ny < y_hi and x_lo <= nx < x_hi
+                if (0 <= ny < hi and 0 <= nx < hi
                         and ok[ny, nx] and not seen[ny, nx]):
                     seen[ny, nx] = True
                     stack.append((ny, nx))
