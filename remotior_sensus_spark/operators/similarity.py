@@ -91,6 +91,49 @@ def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -
     return embeddings.withColumn("bucket", sig)
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                            n_planes: int = 12) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidate pairs
+    only form inside sign-LSH buckets (each vector probes its bucket
+    plus every 1-bit flip, so pairs within Hamming distance 2 of each
+    other's signatures still meet), then the exact fixed-point cosine
+    verifies against `threshold`. Never the O(n^2) cross join — the
+    100 TB shape is shuffle-on-bucket + pair-dedup + two hash joins for
+    the exact re-check (the embedding analogue of MinHash LSH dedup)."""
+    b = lsh_sign_buckets(embeddings, n_planes).localCheckpoint()
+    probes = b.select(
+        "vec_id",
+        F.explode(
+            F.array_union(
+                F.array(F.col("bucket")),
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ]),
+            )
+        ).alias("bucket"),
+    )
+    a, c = probes.alias("a"), probes.alias("c")
+    # dedupe candidate ids FIRST (2-long rows through the shuffle)
+    pairs = (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    withemb = (
+        pairs.join(b.select(F.col("vec_id").alias("vec_a"),
+                            F.col("embedding").alias("e_a")), "vec_a")
+        .join(b.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("e_b")), "vec_b")
+    )
+    cos = _cos_fp(F.col("e_a"), F.col("e_b"))
+    return withemb.select(
+        "vec_a", "vec_b", cos.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                     n_planes: int = 12) -> DataFrame:
     """ANN: candidates share the sign-bucket (or differ in <=1 probe bit

@@ -132,6 +132,41 @@ def geometry_cell_cover(rects: DataFrame, extra_cols: tuple[str, ...] = ("class"
     return cov.withColumn("cell_key", morton_col(F.col("tile_x"), F.col("tile_y")))
 
 
+def cluster_by_proximity(rects: DataFrame) -> DataFrame:
+    """Group geometries whose tile covers overlap into proximity
+    clusters (ref core/multiprocess_manager.py:2941 groups nearby ROIs
+    so one worker processes each neighborhood): cover -> shared-cell
+    edges -> distributed connected components. cluster_id = the
+    smallest numeric roi id in the cluster, so ids are deterministic.
+    Output (roi_id, cluster_id).
+
+    Scale shape: the self-join runs on the (roi, cell) cover — never on
+    geometries pairwise — and the equivalence resolution is the same
+    hash-to-min/union-find used by raster CC. A downstream per-cluster
+    repartition then gives the reference's locality for free."""
+    from remotior_sensus_spark.operators.components import resolve_components
+
+    cover = geometry_cell_cover(rects, extra_cols=())
+    rid = F.regexp_extract("roi_id", r"(\d+)$", 1).cast("long")
+    c = cover.select(rid.alias("rid"), "cell_key").distinct()
+    a, b = c.alias("a"), c.alias("b")
+    edges = (
+        a.join(b, (F.col("a.cell_key") == F.col("b.cell_key"))
+               & (F.col("a.rid") < F.col("b.rid")))
+        .select(F.col("a.rid").alias("src"), F.col("b.rid").alias("dst"))
+        .distinct()
+    )
+    roots = resolve_components(edges)
+    out = (
+        c.select("rid").distinct()
+        .join(roots, F.col("rid") == F.col("gid"), "left")
+        .select("rid", F.coalesce("root", F.col("rid")).alias("cluster_id"))
+    )
+    return out.select(
+        F.concat(F.lit("roi_"), F.col("rid")).alias("roi_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # salting (explicit, north_rule) — adaptive on a hot-key histogram
 # ---------------------------------------------------------------------------

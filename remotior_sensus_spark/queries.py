@@ -2272,6 +2272,86 @@ def ann_cosine_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(emb, [0, 1, 2, 3, 4], k=10)
 
 
+def _cluster_oracle(geo_dir: str = GEO01) -> str:
+    """cluster_by_proximity oracle: the cover math mirrors
+    geometry_cell_cover exactly; the component min-label resolves with a
+    recursive CTE (min label propagates along every path, and pruning
+    on lbl < dst is safe because the component minimum is below every
+    other member id)."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y, TILE_SIZE_M
+    ox_eps = ORIGIN_X + 1e-9
+    oy_eps = ORIGIN_Y - 1e-9
+    return f"""
+with r0 as (
+  select cast(regexp_extract(roi_id, '(\\d+)$', 1) as bigint) as rid,
+    cast(greatest(floor((xmin - {ORIGIN_X!r}) / {TILE_SIZE_M!r}), 0) as int) as tx0,
+    cast(floor((xmax - {ox_eps!r}) / {TILE_SIZE_M!r}) as int) as tx1,
+    cast(greatest(floor(({ORIGIN_Y!r} - ymax) / {TILE_SIZE_M!r}), 0) as int) as ty0,
+    cast(floor(({oy_eps!r} - ymin) / {TILE_SIZE_M!r}) as int) as ty1
+  from '{geo_dir}/geometry_rects.parquet'),
+cx as (select rid, unnest(range(tx0, greatest(tx1, tx0) + 1)) as tile_x,
+              ty0, ty1 from r0),
+cy as (select rid, tile_x,
+              unnest(range(ty0, greatest(ty1, ty0) + 1)) as tile_y from cx),
+cov as (select distinct rid, tile_x, tile_y from cy),
+edges as (select distinct a.rid as src, b.rid as dst
+          from cov a join cov b
+            on a.tile_x = b.tile_x and a.tile_y = b.tile_y and a.rid < b.rid),
+sym as (select src, dst from edges union all select dst as src, src as dst from edges),
+nodes as (select distinct rid from cov),
+reach as (
+  with recursive rr(rid, lbl) as (
+    select rid, rid from nodes
+    union
+    select s.dst, r.lbl from rr r join sym s on s.src = r.rid where r.lbl < s.dst
+  ) select * from rr)
+select concat('roi_', rid) as roi_id, min(lbl) as cluster_id
+from reach group by rid
+"""
+
+
+@q("cluster_proximity", _cluster_oracle())
+def cluster_proximity(spark, sf_dir):
+    """Cluster-by-proximity pre-join (SURVEY §2.3): geometries sharing a
+    covering tile land in one cluster via distributed CC."""
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    return sj.cluster_by_proximity(rects)
+
+
+def _neardup_oracle() -> str:
+    from remotior_sensus_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 12)
+    bucket = " + ".join(
+        "(case when cast(list_sum(list_transform(range(1, len(emb)+1), "
+        f"i -> cast(floor(cast(emb[i] as double) * ([{','.join(repr(v) for v in p)}])[i] "
+        "* 1048576.0 + 0.5) as bigint))) as bigint) > 0 "
+        f"then {1 << i}::bigint else 0::bigint end)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+with e as (select vec_id, embedding as emb from embeddings),
+b as (select vec_id, emb, ({bucket}) as bucket from e),
+pr as (select vec_id,
+    case when p = 0 then bucket else xor(bucket, (1::bigint << (p-1))) end as bucket
+  from b, (select unnest(range(0, 13)) as p)),
+cand as (select distinct a.vec_id as vec_a, c.vec_id as vec_b
+         from pr a join pr c on a.bucket = c.bucket and a.vec_id < c.vec_id),
+j as (select cand.vec_a, cand.vec_b, x.emb as ea, y.emb as eb
+      from cand join b x on x.vec_id = cand.vec_a
+                join b y on y.vec_id = cand.vec_b),
+s as (select vec_a, vec_b, {_cosfp_sql('ea', 'eb')} as cos_sim from j)
+select vec_a, vec_b, cos_sim from s where cos_sim >= 0.4
+"""
+
+
+@q("dedup_embedding", _neardup_oracle())
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
+    fixed-point verify) — the embedding leg of the dedup family."""
+    emb = cat.load_driver(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, threshold=0.4)
+
+
 def _kmeans_oracle() -> str:
     """2-iteration k-means unrolled in SQL, op-for-op against
     classification.kmeans_bands (seed ladder, first-wins argmin,
@@ -2372,6 +2452,7 @@ def _expected_oracle(name):
 ORACLE_BUILDERS = {
     "warp_affine": lambda geo: _warp_oracle(geo),
     "warp_bilinear": lambda geo: _warp_bilinear_oracle(geo),
+    "cluster_proximity": lambda geo: _cluster_oracle(geo),
     "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
     "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
     "pca_projection": lambda geo: _pca_oracle_sql(geo)(),
@@ -2389,7 +2470,8 @@ ORACLE_BUILDERS = {
 # r02 ∪ r03. Order within the list: formerly-failing first, then the
 # never-measured oracle-backed family, then the newly-oracled CC ones.
 _RUN_FIRST = [
-    "dos1_correction", "scale_offset", "warp_bilinear",
+    "dos1_correction", "scale_offset", "warp_bilinear", "dedup_embedding",
+    "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "signature_similarity",
