@@ -427,19 +427,24 @@ def region_growing(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
     edges don't count), so the result equals the unbounded fill while
     still only ever reading the tiles near the seed.
     """
+    stx, sty = seed_gx // T, seed_gy // T
+    r = max_radius_tiles
+    if not auto_expand:
+        return _region_growing_window(
+            band_tiles, seed_gx, seed_gy, max_spectral_distance, r, nodata)
+    # one tiny metadata agg (min/max tile coords) — needed to tell a
+    # WINDOW edge from a raster edge when deciding whether to expand
     ext = band_tiles.agg(
         F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
         F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
     ).collect()[0]
-    stx, sty = seed_gx // T, seed_gy // T
-    r = max_radius_tiles
     while True:
         grown = _region_growing_window(
             band_tiles, seed_gx, seed_gy, max_spectral_distance, r,
             nodata).localCheckpoint()
         covers = (stx - r <= ext["x0"] and stx + r >= ext["x1"]
                   and sty - r <= ext["y0"] and sty + r >= ext["y1"])
-        if not auto_expand or covers:
+        if covers:
             return grown
         bb = grown.agg(
             F.min("gx").alias("gx0"), F.max("gx").alias("gx1"),
@@ -642,13 +647,19 @@ def _trace_patch_rings(xs: np.ndarray, ys: np.ndarray) -> list[list[tuple[int, i
     ends = starts + _DIR_DX[dirs] + _DIR_DY[dirs] * stride
     n_edges = len(starts)
 
-    out_at = np.full(((h + 1) * stride, 4), -1, dtype=np.int64)
-    out_at[starts, dirs] = np.arange(n_edges)
-    left = out_at[ends, (dirs + 1) % 4]
+    # compact boundary-point index (O(boundary), NOT a dense
+    # bbox-area table — the background patch of a big raster would
+    # otherwise allocate (w+1)*(h+1)*4 int64 inside the trace UDF)
+    pts_u = np.unique(np.concatenate([starts, ends]))
+    s_idx = np.searchsorted(pts_u, starts)
+    e_idx = np.searchsorted(pts_u, ends)
+    out_at = np.full((len(pts_u), 4), -1, dtype=np.int64)
+    out_at[s_idx, dirs] = np.arange(n_edges)
+    left = out_at[e_idx, (dirs + 1) % 4]
     # a point has either one outgoing edge or (pinch) exactly the left
     # and right turns — so when the left turn is absent, the single
     # outgoing is the row max (the other slots are -1)
-    succ = np.where(left >= 0, left, out_at[ends].max(axis=1))
+    succ = np.where(left >= 0, left, out_at[e_idx].max(axis=1))
 
     visited = np.zeros(n_edges, dtype=bool)
     rings = []
@@ -673,9 +684,26 @@ def _trace_patch_rings(xs: np.ndarray, ys: np.ndarray) -> list[list[tuple[int, i
         pts = starts[seq[turn]]
         vx = pts % stride + x0
         vy = pts // stride + y0
-        ring = list(zip(vx.tolist(), vy.tolist()))
-        ring.append(ring[0])
-        rings.append(ring)
+        verts = list(zip(vx.tolist(), vy.tolist()))
+        # an edge cycle can pass through a diagonal pinch point twice
+        # (a hole touching the shell at one corner): split at repeated
+        # vertices into SIMPLE rings — gdal.Polygonize emits the hole
+        # as its own ring, never a self-intersecting outer
+        pos: dict[tuple[int, int], int] = {}
+        cur: list[tuple[int, int]] = []
+        for p in verts:
+            if p in pos:
+                i = pos[p]
+                loop = cur[i:]
+                for q in loop[1:]:
+                    pos.pop(q, None)
+                cur = cur[:i + 1]
+                rings.append(loop + [p])
+            else:
+                pos[p] = len(cur)
+                cur.append(p)
+        cur.append(cur[0])
+        rings.append(cur)
 
     def signed_area(r):
         return sum(r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]

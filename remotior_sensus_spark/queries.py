@@ -56,9 +56,18 @@ def _b01(spark, sf_dir, band):
 _T64 = 64
 
 
-def _retile4(df):
+def _retile4(df, sf_dir):
+    """(retiled_df, tile_px). Falls back to the 16-px identity when the
+    grid side is not a multiple of 4: retile pads missing sub-tiles
+    with NODATA, and those phantom pixels would inflate the nodata
+    group of any pixel-counting query (they don't exist in the
+    oracle's tile_pixels). All shipped sf grids (16/32/160) divide
+    evenly, so the fast path is the norm."""
     from remotior_sensus_spark.operators.retile import retile
-    return retile(df, 4)
+    from remotior_sensus_spark.synth.generate import grid_n
+    if grid_n(cat.sf_of_dir(sf_dir)) % 4 != 0:
+        return df, 16
+    return retile(df, 4), _T64
 
 
 # ---------------------------------------------------------------------------
@@ -534,10 +543,14 @@ _WARP_FWD = (0.5, 0.0, 0.5 * 230250.0 + 320.0,
              0.0, 0.5, 0.5 * 4674550.0 - 480.0)
 
 
-def _warp_oracle(geo_dir: str = GEO01) -> str:
+def _warp_out_extent(geo_dir: str) -> tuple[int, int, int, int]:
+    """Output tile range of the fixture warp — the oracle-side mirror
+    of warp_affine's extent computation, shared by the nearest and
+    bilinear oracles (one definition so an epsilon/extent fix can't
+    skew one of them)."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
     from remotior_sensus_spark.synth.generate import grid_n
-    n = grid_n(float(geo_dir.rstrip("/").rsplit("sf", 1)[-1]))
+    n = grid_n(cat.sf_of_dir(geo_dir))
     sx0, sx1 = ORIGIN_X, ORIGIN_X + n * 160.0
     sy1, sy0 = ORIGIN_Y, ORIGIN_Y - n * 160.0
     corners = [_warp.apply_affine(_WARP_FWD, x, y)
@@ -551,6 +564,12 @@ def _warp_oracle(geo_dir: str = GEO01) -> str:
     otx1 = int(_np.floor((dx1 - ORIGIN_X - 1e-9) / 160.0))
     oty0 = int(_np.floor((ORIGIN_Y - dy1) / 160.0))
     oty1 = int(_np.floor((ORIGIN_Y - dy0 - 1e-9) / 160.0))
+    return otx0, otx1, oty0, oty1
+
+
+def _warp_oracle(geo_dir: str = GEO01) -> str:
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    otx0, otx1, oty0, oty1 = _warp_out_extent(geo_dir)
     ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
     return f"""
 with src as (
@@ -595,21 +614,7 @@ def _warp_bilinear_oracle(geo_dir: str = GEO01) -> str:
     plan's exact order (fixed c0+c1+c2+c3 combine, one final division)
     so the fixed-point checksum matches bit-for-bit."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
-    from remotior_sensus_spark.synth.generate import grid_n
-    n = grid_n(float(geo_dir.rstrip("/").rsplit("sf", 1)[-1]))
-    sx0, sx1 = ORIGIN_X, ORIGIN_X + n * 160.0
-    sy1, sy0 = ORIGIN_Y, ORIGIN_Y - n * 160.0
-    corners = [_warp.apply_affine(_WARP_FWD, x, y)
-               for x in (sx0, sx1) for y in (sy0, sy1)]
-    import numpy as _np
-    dx0 = min(c[0] for c in corners)
-    dx1 = max(c[0] for c in corners)
-    dy0 = min(c[1] for c in corners)
-    dy1 = max(c[1] for c in corners)
-    otx0 = int(_np.floor((dx0 - ORIGIN_X) / 160.0))
-    otx1 = int(_np.floor((dx1 - ORIGIN_X - 1e-9) / 160.0))
-    oty0 = int(_np.floor((ORIGIN_Y - dy1) / 160.0))
-    oty1 = int(_np.floor((ORIGIN_Y - dy0 - 1e-9) / 160.0))
+    otx0, otx1, oty0, oty1 = _warp_out_extent(geo_dir)
     ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
     cs = []
     ds = []
@@ -1175,8 +1180,8 @@ from allpx group by 1, 2
 """)
 def focal_mean(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    out = neighbor_stats(_retile4(_b01(spark, sf_dir, "B04")),
-                         stat="mean", size=1, tile_px=_T64)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    out = neighbor_stats(t64, stat="mean", size=1, tile_px=t_px)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -1209,8 +1214,8 @@ from allpx group by 1, 2
 """)
 def focal_sum(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    out = neighbor_stats(_retile4(_b01(spark, sf_dir, "B04")),
-                         stat="sum", size=1, tile_px=_T64)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    out = neighbor_stats(t64, stat="sum", size=1, tile_px=t_px)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -1258,7 +1263,8 @@ def raster_label_histogram(spark, sf_dir):
     _ensure_expected(sf_dir)
     binary = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 1, 0)',
                        nodata_mask=None)
-    return component_size_histogram(_retile4(binary), tile_px=_T64)
+    t64, t_px = _retile4(binary, sf_dir)
+    return component_size_histogram(t64, tile_px=t_px)
 
 
 @q("sieve_reclass",
@@ -1273,8 +1279,9 @@ def sieve_reclass(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return sieve(_retile4(q4), min_size=4,
-                 tile_px=_T64).groupBy("old_value", "new_value").agg(
+    t64, t_px = _retile4(q4, sf_dir)
+    return sieve(t64, min_size=4,
+                 tile_px=t_px).groupBy("old_value", "new_value").agg(
         F.count("*").alias("n_patches"),
         F.sum("patch_size").alias("pixel_count"),
     )
@@ -1305,8 +1312,8 @@ def dilation_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import dilation
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    out = dilation(_retile4(q4), values=[7.0], size=1, circular=True,
-                   tile_px=_T64)
+    t64, t_px = _retile4(q4, sf_dir)
+    out = dilation(t64, values=[7.0], size=1, circular=True, tile_px=t_px)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -1341,8 +1348,8 @@ def erosion_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import erosion
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    out = erosion(_retile4(q4), values=[7.0], size=1, circular=True,
-                  tile_px=_T64)
+    t64, t_px = _retile4(q4, sf_dir)
+    out = erosion(t64, values=[7.0], size=1, circular=True, tile_px=t_px)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -1868,7 +1875,8 @@ def polygonize_wkt_q(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return polygonize_geometry(_retile4(q4), tile_px=_T64).select(
+    t64, t_px = _retile4(q4, sf_dir)
+    return polygonize_geometry(t64, tile_px=t_px).select(
         "value", "pixel_count", "area_m2", "perimeter_m", "n_vertices"
     )
 
@@ -1880,7 +1888,8 @@ def polygonize_q(spark, sf_dir):
     _ensure_expected(sf_dir)
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
                    nodata_mask="any", out_nodata=0)
-    return polygonize(_retile4(q4), tile_px=_T64).select(
+    t64, t_px = _retile4(q4, sf_dir)
+    return polygonize(t64, tile_px=t_px).select(
         "value", "pixel_count", "min_gx", "max_gx", "min_gy", "max_gy"
     )
 

@@ -148,17 +148,27 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
 class _commit_lock:
     """O_EXCL lock file guarding the metadata commit. A lock left by a
     crashed committer is broken after `stale_sec` (the guarded section
-    is a few file ops — seconds-old locks are live, minutes-old are
-    dead). Breaking uses os.replace of the stale lock onto a unique
-    name, so of N waiters racing to break the same stale lock exactly
-    one succeeds (rename of a missing source raises) and the winners'
-    retry loop then re-contends on O_EXCL as usual."""
+    is a few file ops — seconds-old locks are live; `stale_sec` is set
+    well above the sandbox's worst observed GC pause so a merely-paused
+    holder is not mistaken for a dead one). Breaking uses os.replace of
+    the stale lock onto a unique name which is then deleted, so of N
+    waiters racing to break the same stale lock exactly one succeeds
+    (rename of a missing source raises) and no debris accumulates.
+    Release is OWNERSHIP-CHECKED: the lock file carries a per-acquire
+    token, and __exit__ only unlinks when the token still matches — a
+    holder that stalled past stale_sec and lost its lock to a breaker
+    must not delete the NEXT holder's live lock (that would cascade
+    into three concurrent committers). The token check + unlink is not
+    atomic (plain POSIX files), but the window is microseconds versus
+    stale_sec; true mutual exclusion under arbitrary stalls needs flock
+    or O_TMPFILE-link, both overkill for this metadata commit."""
 
     def __init__(self, table_dir: str, stale_sec: float = 60.0,
                  timeout_sec: float = 120.0):
         self.path = os.path.join(table_dir, "_commit.lock")
         self.stale_sec = stale_sec
         self.timeout_sec = timeout_sec
+        self.token = ""
 
     def __enter__(self):
         deadline = time.monotonic() + self.timeout_sec
@@ -166,7 +176,8 @@ class _commit_lock:
             try:
                 fd = os.open(self.path,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
+                os.write(fd, self.token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
@@ -175,9 +186,10 @@ class _commit_lock:
                 except OSError:
                     continue  # holder just released — retry immediately
                 if age > self.stale_sec:
+                    broken = self.path + f".broken.{uuid.uuid4().hex}"
                     try:  # exactly one breaker wins the rename
-                        os.replace(self.path,
-                                   self.path + f".broken.{uuid.uuid4().hex}")
+                        os.replace(self.path, broken)
+                        os.remove(broken)
                     except OSError:
                         pass
                     continue
@@ -188,6 +200,9 @@ class _commit_lock:
 
     def __exit__(self, *exc):
         try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return False  # lock was broken and re-acquired — not ours
             os.remove(self.path)
         except OSError:
             pass

@@ -389,3 +389,27 @@ def test_erosion_iterative_matches_numpy_twice(spark, b04):
 
     exp = erode_once(erode_once(arr))
     assert np.array_equal(got, exp)
+
+
+def test_trace_rings_simple_at_pinch_points():
+    """An edge cycle through a diagonal pinch must split into SIMPLE
+    rings (hole touching the shell at a corner), never a
+    self-intersecting outer — round-3 review counterexample."""
+    from remotior_sensus_spark.operators.components import _trace_patch_rings
+
+    cells = [(0, 2), (0, 3), (0, 4), (1, 0), (1, 1), (1, 2), (1, 3),
+             (2, 1), (2, 2), (2, 4), (3, 0), (3, 1), (3, 3), (3, 4),
+             (4, 0), (4, 1), (4, 2), (4, 3)]
+    xs = np.array([c[0] for c in cells])
+    ys = np.array([c[1] for c in cells])
+    rings = _trace_patch_rings(xs, ys)
+
+    def area(r):
+        return sum(r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
+                   for i in range(len(r) - 1)) / 2.0
+
+    for r in rings:
+        body = r[:-1]
+        assert len(set(body)) == len(body), f"self-intersecting ring {r}"
+    assert abs(sum(area(r) for r in rings)) == len(cells)
+    assert len(rings) == 3  # outer + two 1-px holes (OGC union semantics)
