@@ -4,6 +4,7 @@ incremental reads, orphan invisibility."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -72,3 +73,46 @@ def test_orphan_manifest_does_not_wedge(spark, tmp_path):
     assert sn.read_snapshot(spark, t).count() == 8
     with pytest.raises(FileNotFoundError):
         sn.read_snapshot(spark, t, snapshot=2)
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lock file abandoned by a crashed committer must not block
+    appends forever: past stale_sec it is broken (exactly one breaker
+    wins the rename) and the append proceeds."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(3), t)
+    lock = os.path.join(t, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("99999:dead")
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+    m = sn.append_snapshot(spark.range(3, 5), t)
+    assert m["row_count"] == 5
+    assert not os.path.exists(lock)
+    assert not [f for f in os.listdir(t) if ".broken." in f]
+
+
+def test_live_commit_lock_blocks_until_timeout(tmp_path):
+    """A FRESH lock (live holder) blocks; the waiter times out rather
+    than stealing it — and release is ownership-checked: a holder whose
+    lock was broken and re-acquired by someone else must not unlink the
+    new holder's lock."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t, exist_ok=True)
+    with sn._commit_lock(t):
+        with pytest.raises(TimeoutError):
+            sn._commit_lock(t, timeout_sec=0.2).__enter__()
+
+    # ownership check: A acquires, B breaks + re-acquires, A's exit
+    # must leave B's lock in place
+    a = sn._commit_lock(t)
+    a.__enter__()
+    lock = os.path.join(t, "_commit.lock")
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))  # age it
+    b = sn._commit_lock(t)
+    b.__enter__()  # breaks the stale lock, takes ownership
+    a.__exit__(None, None, None)  # must NOT delete b's lock
+    assert os.path.exists(lock)
+    b.__exit__(None, None, None)
+    assert not os.path.exists(lock)
