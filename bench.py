@@ -261,6 +261,19 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") != "1":
         spark = _new_spark(f"local[{cpus}]")
         qs = e.queries()
+        # untimed warmup: run each headline plan SHAPE once at sf0.01
+        # (100x less data) so the timed sf run measures steady-state
+        # execution, not the first query's JIT/codegen compilation (the
+        # first measured query was otherwise charged ~5 s of C2 time)
+        warm_dir = "/root/testdata/sf0.01"
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+            ensure_geo(0.01)
+            for name in HEADLINE:
+                if name in qs:
+                    try:
+                        qs[name](spark, warm_dir).count()
+                    except Exception:
+                        pass  # warmup is best-effort
         for name in HEADLINE:
             if name not in qs:
                 continue
@@ -281,6 +294,14 @@ def main() -> None:
         n_docs = duckdb.sql(
             f"select count(*) from '{ensure_geo(sf)}/documents.parquet'"
         ).fetchone()[0]
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1":
+        print(json.dumps({
+            "metric": "headline_queries_total",
+            "value": round(sum(qtimes.values()), 3), "unit": "sec",
+            "queries": qtimes, "sf": sf,
+        }))
+        return
 
     # scaling protocol (BASELINE.md): same input + plan + config at N
     # cores (8) vs 4N (32). Each measurement runs in its OWN subprocess
