@@ -17,9 +17,9 @@ Spark-first inverse mapping (the textbook warp):
      pixels fetches values — shuffle-partitioned by key, no UDF,
   4. misses (outside the source extent) fill with nodata.
 
-Nearest-neighbor resampling; for downscale-by-integer-factor mode/mean
-resampling see focal.resample_mode (the reference's other resample
-path).
+Nearest / bilinear / cubic (Keys a=-0.5, gdal's default cubic kernel)
+resampling; for downscale-by-integer-factor mode/mean resampling see
+focal.resample_mode (the reference's other resample path).
 """
 
 from __future__ import annotations
@@ -62,18 +62,21 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
     tile scheme/grid origin.
 
     ``resampling``: 'nearest' (one equi-join on the floor-mapped source
-    pixel) or 'bilinear' (each output pixel explodes to its 4 source
+    pixel), 'bilinear' (each output pixel explodes to its 4 source
     corners with (1-wu/wu)x(1-wv/wv) weights, one equi-join, then a
     deterministic fixed-order weighted combine renormalized over the
     VALID contributors — gdal.Warp bilinear nodata semantics; an output
-    pixel with no valid contributor is nodata). The reference's
-    gdal_warping resampling modes (util/raster_vector.py:3039-3108);
-    mode resampling is focal.resample_mode.
+    pixel with no valid contributor is nodata), or 'cubic' (4x4 Keys
+    cubic-convolution taps, a=-0.5 — gdal.Warp's default cubic kernel —
+    same valid-contributor renormalization, nodata when the weight sum
+    of valid taps is zero). The reference's gdal_warping resampling
+    modes (util/raster_vector.py:3039-3108); mode resampling is
+    focal.resample_mode.
 
     The output extent is the bbox of the transformed source corners
     (one tiny agg). All per-pixel math is Column arithmetic.
     """
-    if resampling not in ("nearest", "bilinear"):
+    if resampling not in ("nearest", "bilinear", "cubic"):
         raise ValueError(f"unknown resampling {resampling!r}")
     spark = band_tiles.sparkSession
     t_px = tile_px or TILE_PX
@@ -142,16 +145,19 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
             F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
         )
 
-    # bilinear: continuous source pixel coords (pixel CENTER at integer
-    # + 0.5), 4 corner contributions, renormalized over valid ones. The
-    # combine is spelled in a FIXED corner order (c0+c1+c2+c3, one final
-    # division) so the double result is bit-reproducible in SQL oracles.
+    # bilinear/cubic: continuous source pixel coords (pixel CENTER at
+    # integer + 0.5), 4 / 16 tap contributions, renormalized over valid
+    # ones. The combine is spelled in a FIXED corner order (c0+c1+...,
+    # one final division) so the double result is bit-reproducible in
+    # SQL oracles.
     u = (sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE) - F.lit(0.5)
     v = (F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE) - F.lit(0.5)
     out = out.withColumn("u0", F.floor(u).cast("long")) \
              .withColumn("v0", F.floor(v).cast("long")) \
              .withColumn("wu", u - F.floor(u)) \
              .withColumn("wv", v - F.floor(v))
+    if resampling == "cubic":
+        return _cubic_combine(out, src, nodata)
     corners = out.select(
         "tile_x", "tile_y", "pos", "u0", "v0", "wu", "wv",
         F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("corner"),
@@ -184,6 +190,78 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
     return wide.select(
         "tile_x", "tile_y", "pos",
         F.when(den > 0, num / den).otherwise(nd).alias("value"),
+    )
+
+
+def _keys_weight(frac, idx):
+    """1-D Keys cubic-convolution weight (a=-0.5) for tap ``idx`` in
+    0..3 (source offsets -1..2 around floor(u)) at fractional offset
+    ``frac``. Polynomials are spelled in a fixed literal order (matches
+    the DuckDB oracle text term-for-term) so the doubles are
+    bit-identical across engines:
+      inner |s|<=1 : 1.5*s^3 - 2.5*s^2 + 1
+      outer 1<|s|<2: -0.5*s^3 + 2.5*s^2 - 4*s + 2
+    """
+    def inner(s):
+        return F.lit(1.5) * s * s * s - F.lit(2.5) * s * s + F.lit(1.0)
+
+    def outer(s):
+        return (F.lit(-0.5) * s * s * s + F.lit(2.5) * s * s
+                - F.lit(4.0) * s + F.lit(2.0))
+
+    s_m1 = F.lit(1.0) + frac   # tap at u0-1, distance 1+wu
+    s_1 = F.lit(1.0) - frac    # tap at u0+1, distance 1-wu
+    s_2 = F.lit(2.0) - frac    # tap at u0+2, distance 2-wu
+    return (F.when(idx == 0, outer(s_m1))
+             .when(idx == 1, inner(frac))
+             .when(idx == 2, inner(s_1))
+             .otherwise(outer(s_2)))
+
+
+def _cubic_combine(out: DataFrame, src: DataFrame, nodata: float) -> DataFrame:
+    """16-tap cubic combine: explode each output pixel to its 4x4 source
+    taps, ONE equi-join on (sgx, sgy), then a fixed-order renormalized
+    weighted sum (c0+c1+...+c15 / d0+...+d15). Negative Keys weights
+    mean the valid-weight sum can be zero or negative near nodata
+    islands; only den == 0 maps to nodata (renormalization stays exact
+    for any nonzero den)."""
+    cxi = F.col("corner") % 4
+    cyi = (F.col("corner") / 4).cast("int")
+    taps = out.select(
+        "tile_x", "tile_y", "pos", "wu", "wv",
+        F.explode(F.array(*[F.lit(k) for k in range(16)])).alias("corner"),
+        "u0", "v0",
+    ).select(
+        "tile_x", "tile_y", "pos", "corner",
+        (F.col("u0") + cxi - 1).alias("sgx"),
+        (F.col("v0") + cyi - 1).alias("sgy"),
+        (_keys_weight(F.col("wu"), cxi)
+         * _keys_weight(F.col("wv"), cyi)).alias("w"),
+    )
+    j = taps.join(src, ["sgx", "sgy"], "left")
+    wide = j.groupBy("tile_x", "tile_y", "pos").agg(
+        *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
+          for k in range(16)],
+        *[F.max(F.when(F.col("corner") == k, F.col("w"))).alias(f"w{k}")
+          for k in range(16)],
+    )
+    nd = F.lit(float(nodata))
+
+    def contrib(k):
+        ok = F.col(f"v{k}").isNotNull() & (F.col(f"v{k}") != nd)
+        return (F.when(ok, F.col(f"w{k}") * F.col(f"v{k}")).otherwise(F.lit(0.0)),
+                F.when(ok, F.col(f"w{k}")).otherwise(F.lit(0.0)))
+
+    nums, dens = zip(*[contrib(k) for k in range(16)])
+    num = nums[0]
+    for c in nums[1:]:
+        num = num + c
+    den = dens[0]
+    for c in dens[1:]:
+        den = den + c
+    return wide.select(
+        "tile_x", "tile_y", "pos",
+        F.when(den != F.lit(0.0), num / den).otherwise(nd).alias("value"),
     )
 
 

@@ -685,6 +685,113 @@ def warp_bilinear_q(spark, sf_dir):
     )
 
 
+def _warp_cubic_oracle(geo_dir: str = GEO01) -> str:
+    """Cubic (Keys a=-0.5) warp oracle — the 16-tap explode + pivot +
+    fixed-order renormalized combine mirrored CTE-for-CTE from
+    warp._cubic_combine, every weight polynomial spelled in the Spark
+    plan's literal order so the fixed-point checksum matches
+    bit-for-bit."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    otx0, otx1, oty0, oty1 = _warp_out_extent(geo_dir)
+    ia, ib, ic, id_, ie, if_ = _warp.invert_affine(_WARP_FWD)
+
+    def wx(frac):
+        # mirrors warp._keys_weight term order exactly
+        return (f"case when cxi = 0 then -0.5*(1.0+{frac})*(1.0+{frac})*(1.0+{frac})"
+                f" + 2.5*(1.0+{frac})*(1.0+{frac}) - 4.0*(1.0+{frac}) + 2.0"
+                f" when cxi = 1 then 1.5*{frac}*{frac}*{frac} - 2.5*{frac}*{frac} + 1.0"
+                f" when cxi = 2 then 1.5*(1.0-{frac})*(1.0-{frac})*(1.0-{frac})"
+                f" - 2.5*(1.0-{frac})*(1.0-{frac}) + 1.0"
+                f" else -0.5*(2.0-{frac})*(2.0-{frac})*(2.0-{frac})"
+                f" + 2.5*(2.0-{frac})*(2.0-{frac}) - 4.0*(2.0-{frac}) + 2.0 end")
+
+    vcols = ", ".join(
+        f"max(case when corner = {k} then value end) as v{k}" for k in range(16))
+    wcols = ", ".join(
+        f"max(case when corner = {k} then w end) as w{k}" for k in range(16))
+    ccols = ", ".join(
+        f"case when v{k} is not null and v{k} <> -32768 then w{k}*v{k} "
+        f"else 0.0 end as c{k}" for k in range(16))
+    dcols = ", ".join(
+        f"case when v{k} is not null and v{k} <> -32768 then w{k} "
+        f"else 0.0 end as d{k}" for k in range(16))
+    num = "+".join(f"c{k}" for k in range(16))
+    den = "+".join(f"d{k}" for k in range(16))
+    return f"""
+with src as (
+  select gx, gy, value from '{geo_dir}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o as (
+  select t1.range as tile_x, t2.range as tile_y, p.range as pos
+  from range({otx0}, {otx1 + 1}) t1, range({oty0}, {oty1 + 1}) t2,
+       range(0, 256) p),
+m as (
+  select tile_x, tile_y, pos,
+    {ORIGIN_X!r} + (tile_x*16 + pos % 16) * 10.0 + 5.0 as ox,
+    {ORIGIN_Y!r} - (tile_y*16 + cast(floor(pos/16.0) as int)) * 10.0 - 5.0 as oy
+  from o),
+k as (
+  select tile_x, tile_y, pos,
+    (({ia!r})*ox + ({ib!r})*oy + ({ic!r}) - {ORIGIN_X!r}) / 10.0 - 0.5 as u,
+    ({ORIGIN_Y!r} - (({id_!r})*ox + ({ie!r})*oy + ({if_!r}))) / 10.0 - 0.5 as v
+  from m),
+k2 as (
+  select tile_x, tile_y, pos,
+    cast(floor(u) as bigint) as u0, cast(floor(v) as bigint) as v0,
+    u - floor(u) as wu, v - floor(v) as wv
+  from k),
+taps as (
+  select tile_x, tile_y, pos, cr.range as corner,
+    cast(cr.range % 4 as int) as cxi,
+    cast(floor(cr.range/4.0) as int) as cyi,
+    u0 + (cr.range % 4) - 1 as sgx,
+    v0 + cast(floor(cr.range/4.0) as int) - 1 as sgy,
+    wu, wv
+  from k2, range(0, 16) cr),
+tw as (
+  select tile_x, tile_y, pos, corner, sgx, sgy,
+    ({wx('wu')})
+    * (case when cyi = 0 then -0.5*(1.0+wv)*(1.0+wv)*(1.0+wv)
+         + 2.5*(1.0+wv)*(1.0+wv) - 4.0*(1.0+wv) + 2.0
+       when cyi = 1 then 1.5*wv*wv*wv - 2.5*wv*wv + 1.0
+       when cyi = 2 then 1.5*(1.0-wv)*(1.0-wv)*(1.0-wv)
+         - 2.5*(1.0-wv)*(1.0-wv) + 1.0
+       else -0.5*(2.0-wv)*(2.0-wv)*(2.0-wv)
+         + 2.5*(2.0-wv)*(2.0-wv) - 4.0*(2.0-wv) + 2.0 end) as w
+  from (select tile_x, tile_y, pos, corner, cxi, cyi, sgx, sgy, wu, wv
+        from taps) t),
+j as (
+  select tw.tile_x, tw.tile_y, tw.pos, tw.corner, tw.w, s.value
+  from tw left join src s on tw.sgx = s.gx and tw.sgy = s.gy),
+wide as (
+  select tile_x, tile_y, pos, {vcols}, {wcols}
+  from j group by tile_x, tile_y, pos),
+c as (
+  select tile_x, tile_y, {ccols}, {dcols} from wide),
+vv as (
+  select tile_x, tile_y,
+    case when ({den}) <> 0.0 then ({num})/({den})
+         else -32768.0 end as value
+  from c)
+select tile_x, tile_y,
+  cast(sum(case when value <> -32768
+      then cast(floor(value*1000000.0+0.5) as bigint) else 0 end) as bigint) as checksum,
+  cast(sum(case when value <> -32768 then 1 else 0 end) as bigint) as valid_count
+from vv group by tile_x, tile_y
+"""
+
+
+@q("warp_cubic", _warp_cubic_oracle())
+def warp_cubic_q(spark, sf_dir):
+    out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
+                            resampling="cubic")
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     fixed1e6(F.col("value"))).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
 @q("vector_reproject", f"""
 select roi_id, class,
   least(0.5*xmin + 0.0*ymin + {0.5 * 230250.0 + 320.0!r},
@@ -2461,6 +2568,7 @@ def _expected_oracle(name):
 ORACLE_BUILDERS = {
     "warp_affine": lambda geo: _warp_oracle(geo),
     "warp_bilinear": lambda geo: _warp_bilinear_oracle(geo),
+    "warp_cubic": lambda geo: _warp_cubic_oracle(geo),
     "cluster_proximity": lambda geo: _cluster_oracle(geo),
     "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
     "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
@@ -2479,8 +2587,8 @@ ORACLE_BUILDERS = {
 # r02 ∪ r03. Order within the list: formerly-failing first, then the
 # never-measured oracle-backed family, then the newly-oracled CC ones.
 _RUN_FIRST = [
-    "dos1_correction", "scale_offset", "warp_bilinear", "dedup_embedding",
-    "cluster_proximity",
+    "dos1_correction", "scale_offset", "warp_bilinear", "warp_cubic",
+    "dedup_embedding", "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "signature_similarity",
