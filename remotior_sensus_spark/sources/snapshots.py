@@ -130,6 +130,7 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
             "version": version,
             "parent": prev["version"] or None,
             "ts": time.time(),
+            "operation": "append",
             "files": prev["files"] + new_files,
             "added_files": new_files,
             "row_count": prev["row_count"] + added_rows,
@@ -209,16 +210,159 @@ class _commit_lock:
         return False
 
 
+def compact_snapshot(spark: SparkSession, table_dir: str,
+                     target_file_bytes: int = 128 * 1024 * 1024,
+                     small_file_bytes: int | None = None) -> dict:
+    """Bin-pack compaction (Iceberg ``rewrite_data_files``): rewrite the
+    current snapshot's small data files into ~``target_file_bytes``
+    files and commit the rewrite as a new ``replace`` snapshot. The
+    10^12-doc ingestion pattern — frequent small streaming appends —
+    otherwise degrades every scan into an open-file storm; compaction
+    restores scan-sized files WITHOUT changing table contents:
+
+      * logical content is unchanged (row_count re-verified before the
+        commit; mismatch aborts with the staging files removed);
+      * time travel to pre-compaction snapshots still sees the old
+        files (nothing is deleted here — see expire_snapshots);
+      * incremental readers skip ``replace`` snapshots entirely (no
+        new logical data), mirroring Iceberg's incremental-scan rule.
+
+    The rewrite itself is ``coalesce`` (no shuffle — partitions are
+    merged, never repartitioned by key); only files smaller than
+    ``small_file_bytes`` (default target/2) are rewritten, so an
+    already-compacted table is a no-op. Concurrent appends are safe:
+    the commit re-reads the committed manifest under the lock and
+    carries any files that appeared since the rewrite set was chosen.
+    """
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    cur = read_manifest(table_dir)
+    if not cur["files"]:
+        return cur
+    sizes = {f: os.path.getsize(os.path.join(table_dir, f))
+             for f in cur["files"]}
+    small = [f for f in cur["files"] if sizes[f] < small_file_bytes]
+    if len(small) < 2:
+        return cur
+    total = sum(sizes[f] for f in small)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    src = spark.read.parquet(*[os.path.join(table_dir, f) for f in small])
+    expect_rows = src.count()
+
+    data_dir = os.path.join(table_dir, "data")
+    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
+    src.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    new_files = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        dst = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, f), os.path.join(data_dir, dst))
+        new_files.append(f"data/{dst}")
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+
+    got_rows = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in new_files]).count()
+    if got_rows != expect_rows:
+        for f in new_files:
+            os.remove(os.path.join(table_dir, f))
+        raise RuntimeError(
+            f"compaction rewrite lost rows ({got_rows} != {expect_rows})")
+
+    with _commit_lock(table_dir):
+        prev = read_manifest(table_dir)
+        small_set = set(small)
+        if not small_set.issubset(prev["files"]):
+            # only possible if a concurrent compactor rewrote the same
+            # files — abandon ours (its result is equivalent)
+            for f in new_files:
+                os.remove(os.path.join(table_dir, f))
+            return prev
+        version = _next_free_version(table_dir)
+        manifest = {
+            "version": version,
+            "parent": prev["version"] or None,
+            "ts": time.time(),
+            "operation": "replace",
+            "files": [f for f in prev["files"] if f not in small_set]
+                     + new_files,
+            "added_files": new_files,
+            "removed_files": small,
+            "row_count": prev["row_count"],
+        }
+        fd = os.open(_manifest_path(table_dir, version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
+        with open(vtmp, "w") as f:
+            f.write(str(version))
+        os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+    return manifest
+
+
+def _expired_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "expired.json")
+
+
+def expired_versions(table_dir: str) -> set[int]:
+    p = _expired_path(table_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` committed snapshots:
+    delete data files referenced ONLY by expired snapshots (e.g. the
+    small pre-compaction files), record the expired ids so time travel
+    to them fails cleanly, and leave the (tiny) manifest JSONs in place
+    so the parent chain stays walkable. Returns
+    ``{"expired": [...], "deleted_files": n}``. Runs entirely under the
+    commit lock — an interleaved append simply lands after."""
+    with _commit_lock(table_dir):
+        chain = committed_versions(table_dir)
+        keep = chain[:max(1, keep_last)]
+        expired = [v for v in chain[max(1, keep_last):]]
+        if not expired:
+            return {"expired": [], "deleted_files": 0}
+        live = set()
+        for v in keep:
+            live.update(read_manifest(table_dir, v)["files"])
+        dead = set()
+        for v in expired:
+            dead.update(f for f in read_manifest(table_dir, v)["files"]
+                        if f not in live)
+        for f in dead:
+            try:
+                os.remove(os.path.join(table_dir, f))
+            except FileNotFoundError:
+                pass
+        all_expired = expired_versions(table_dir) | set(expired)
+        tmp = _expired_path(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(all_expired), f)
+        os.replace(tmp, _expired_path(table_dir))
+    return {"expired": expired, "deleted_files": len(dead)}
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   snapshot: int | None = None) -> DataFrame:
     """Manifest-resolved read (current snapshot, or time travel to an
     older one). Reads ONLY manifest-listed files, so un-committed
     appends and orphans are invisible; explicit time travel to an
-    orphan manifest (crashed writer, never committed) is rejected."""
+    orphan manifest (crashed writer, never committed) or to an expired
+    snapshot (data files reclaimed by expire_snapshots) is rejected."""
     if snapshot is not None and snapshot not in committed_versions(table_dir):
         raise FileNotFoundError(
             f"snapshot {snapshot} is not on the committed chain of {table_dir}"
         )
+    if snapshot is not None and snapshot in expired_versions(table_dir):
+        raise FileNotFoundError(
+            f"snapshot {snapshot} of {table_dir} is expired")
     m = read_manifest(table_dir, snapshot)
     if not m["files"]:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
@@ -229,22 +373,39 @@ def read_snapshot(spark: SparkSession, table_dir: str,
 
 def incremental_files(table_dir: str, from_snapshot: int,
                       to_snapshot: int | None = None) -> list[str]:
-    """Data files added strictly after `from_snapshot` up to
-    `to_snapshot` (default current) — the incremental-read set for
-    snapshot-tailing catch-up (streaming/incremental.py). Both
-    endpoints must be committed snapshots (same validation as
-    read_snapshot): diffing against a crashed writer's orphan manifest
-    would silently return the wrong file set."""
+    """Data files of the APPEND snapshots strictly after
+    `from_snapshot` up to `to_snapshot` (default current), oldest
+    first — the incremental-read set for snapshot-tailing catch-up
+    (streaming/incremental.py). Walks the committed parent chain and
+    collects each append snapshot's own added_files; ``replace``
+    (compaction) snapshots contribute no logical data and are skipped,
+    so a consumer that already read the small pre-compaction files is
+    not re-fed their compacted copies (Iceberg's incremental-scan
+    rule). Both endpoints must be committed, non-expired snapshots:
+    diffing against a crashed writer's orphan manifest would silently
+    return the wrong file set, and a range that crosses an expired
+    snapshot may reference reclaimed files."""
     committed = committed_versions(table_dir)
     for label, v in (("from_snapshot", from_snapshot),
                      ("to_snapshot", to_snapshot)):
         if v is not None and v != 0 and v not in committed:
             raise FileNotFoundError(
                 f"{label} {v} is not on the committed chain of {table_dir}")
-    new = read_manifest(table_dir, to_snapshot)
-    old = read_manifest(table_dir, from_snapshot)
-    old_set = set(old["files"])
-    return [f for f in new["files"] if f not in old_set]
+    to_v = to_snapshot if to_snapshot is not None \
+        else current_version(table_dir)
+    expired = expired_versions(table_dir)
+    out: list[str] = []
+    v = to_v
+    while v and v != from_snapshot:
+        if v in expired:
+            raise FileNotFoundError(
+                f"incremental range crosses expired snapshot {v} "
+                f"of {table_dir}")
+        m = read_manifest(table_dir, v)
+        if m.get("operation", "append") == "append":
+            out.append(m.get("added_files", []))
+        v = m.get("parent") or 0
+    return [f for added in reversed(out) for f in added]
 
 
 def read_incremental(spark: SparkSession, table_dir: str,

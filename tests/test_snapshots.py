@@ -116,3 +116,97 @@ def test_live_commit_lock_blocks_until_timeout(tmp_path):
     assert os.path.exists(lock)
     b.__exit__(None, None, None)
     assert not os.path.exists(lock)
+
+
+def test_compact_snapshot_binpacks_preserves_content(spark, tmp_path):
+    """Compaction rewrites the small files into fewer ones, keeps table
+    contents and row_count identical, and leaves pre-compaction time
+    travel intact."""
+    t = str(tmp_path / "tbl")
+    for lo, hi in [(0, 5), (5, 9), (9, 12), (12, 20)]:
+        sn.append_snapshot(spark.range(lo, hi).coalesce(1), t)
+    before = sn.read_manifest(t)
+    assert len(before["files"]) == 4
+
+    m = sn.compact_snapshot(spark, t)  # every file is tiny -> one bin
+    assert m["operation"] == "replace"
+    assert m["row_count"] == before["row_count"] == 20
+    assert len(m["files"]) == 1
+    assert sorted(m["removed_files"]) == sorted(before["files"])
+    got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
+    assert got == list(range(20))
+    # time travel to a pre-compaction snapshot still resolves old files
+    assert sn.read_snapshot(spark, t, snapshot=2).count() == 9
+    # an already-compacted table is a no-op (same manifest back)
+    assert sn.compact_snapshot(spark, t)["version"] == m["version"]
+
+
+def test_incremental_skips_replace_snapshots(spark, tmp_path):
+    """An incremental consumer that already saw the appends must get
+    NOTHING from a compaction commit (no logical data change), and an
+    append after the compaction is delivered normally."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(5).coalesce(1), t)
+    sn.append_snapshot(spark.range(5, 9).coalesce(1), t)
+    mc = sn.compact_snapshot(spark, t)
+    assert mc["operation"] == "replace"
+    assert sn.read_incremental(spark, t, from_snapshot=2) is None
+    sn.append_snapshot(spark.range(9, 11).coalesce(1), t)
+    inc = sn.read_incremental(spark, t, from_snapshot=2)
+    assert sorted(r["id"] for r in inc.collect()) == [9, 10]
+    # a consumer starting BEFORE the compaction gets the appends' own
+    # files (not the compacted copies): append2 + append4
+    inc1 = sn.read_incremental(spark, t, from_snapshot=1)
+    assert sorted(r["id"] for r in inc1.collect()) == list(range(5, 11))
+
+
+def test_expire_snapshots_reclaims_only_dead_files(spark, tmp_path):
+    """Expiry deletes files referenced only by expired snapshots (the
+    small pre-compaction parts), keeps the live snapshot readable, and
+    makes time travel to expired ids fail cleanly."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(6).coalesce(1), t)
+    sn.append_snapshot(spark.range(6, 10).coalesce(1), t)
+    sn.compact_snapshot(spark, t)
+    n_files_before = len(os.listdir(os.path.join(t, "data")))
+    res = sn.expire_snapshots(t, keep_last=1)
+    assert sorted(res["expired"]) == [1, 2]
+    assert res["deleted_files"] == 2  # the two pre-compaction parts
+    assert len(os.listdir(os.path.join(t, "data"))) == n_files_before - 2
+    got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
+    assert got == list(range(10))
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, t, snapshot=1)
+    with pytest.raises(FileNotFoundError):
+        sn.read_incremental(spark, t, from_snapshot=1)
+    # appends continue normally after expiry
+    m = sn.append_snapshot(spark.range(10, 12).coalesce(1), t)
+    assert sn.read_snapshot(spark, t).count() == 12 and m["row_count"] == 12
+
+
+def test_compact_concurrent_append_is_carried(spark, tmp_path):
+    """An append that lands between the rewrite and the commit is kept:
+    compaction rebases on the committed manifest under the lock."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(4).coalesce(1), t)
+    sn.append_snapshot(spark.range(4, 7).coalesce(1), t)
+
+    orig_lock = sn._commit_lock.__enter__
+
+    def racing_enter(self):
+        # fire exactly once, before the compactor takes the lock
+        if not getattr(racing_enter, "fired", False):
+            racing_enter.fired = True
+            sn.append_snapshot(spark.range(7, 9).coalesce(1), t)
+        return orig_lock(self)
+
+    sn._commit_lock.__enter__ = racing_enter
+    try:
+        m = sn.compact_snapshot(spark, t)
+    finally:
+        sn._commit_lock.__enter__ = orig_lock
+    assert m["row_count"] == 9
+    got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
+    assert got == list(range(9))
