@@ -57,3 +57,46 @@ def stream_tile_assignments(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def tail_snapshots(spark: SparkSession, table_dir: str, state_dir: str,
+                   process) -> dict | None:
+    """One catch-up step over a snapshot table (sources/snapshots.py):
+    read the data files appended since the last processed snapshot
+    (compaction-aware — ``replace`` snapshots deliver nothing), run
+    ``process(df)`` (must fully materialize its sink before returning),
+    then atomically advance the high-water snapshot id. Returns
+    ``{"from", "to", "rows"}`` or None when caught up.
+
+    At-least-once: a crash after ``process`` but before the state swap
+    reprocesses the same increment on the next call, so sinks must be
+    idempotent per increment — the CheckpointManager's dynamic
+    partition overwrite (checkpoint.py) is the intended pairing. The
+    state file is the streaming twin of its lineage snapshot_id."""
+    import json
+    import os
+
+    from remotior_sensus_spark.sources import snapshots as sn
+
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "snapshot_tail.json")
+    last = 0
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            last = json.load(f)["snapshot"]
+    current = sn.current_version(table_dir)
+    if current == last:
+        return None
+    df = sn.read_incremental(spark, table_dir, from_snapshot=last,
+                             to_snapshot=current)
+    rows = 0
+    if df is not None:
+        out = process(df)
+        # force full materialization before the watermark advances
+        rows = out.count() if out is not None else df.count()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot": current, "table": table_dir,
+                   "rows_last_increment": rows}, f)
+    os.replace(tmp, state_path)
+    return {"from": last, "to": current, "rows": rows}

@@ -210,3 +210,42 @@ def test_compact_concurrent_append_is_carried(spark, tmp_path):
     assert m["row_count"] == 9
     got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
     assert got == list(range(9))
+
+
+def test_tail_snapshots_catchup(spark, tmp_path):
+    """Snapshot-tailing catch-up: each tail step processes exactly the
+    appends since the last step, compaction delivers nothing, and a
+    crash before the watermark swap replays the increment."""
+    import pytest
+
+    from remotior_sensus_spark.streaming.incremental import tail_snapshots
+
+    t = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    seen: list[list[int]] = []
+
+    def record(df):
+        seen.append(sorted(r["id"] for r in df.collect()))
+        return df
+
+    sn.append_snapshot(spark.range(4).coalesce(1), t)
+    r1 = tail_snapshots(spark, t, state, record)
+    assert r1 == {"from": 0, "to": 1, "rows": 4} and seen[-1] == [0, 1, 2, 3]
+    assert tail_snapshots(spark, t, state, record) is None  # caught up
+
+    sn.append_snapshot(spark.range(4, 7).coalesce(1), t)
+    sn.compact_snapshot(spark, t)
+    r2 = tail_snapshots(spark, t, state, record)
+    assert r2["rows"] == 3 and seen[-1] == [4, 5, 6]  # compaction invisible
+
+    # crash between process and watermark swap -> increment replays
+    sn.append_snapshot(spark.range(7, 9).coalesce(1), t)
+
+    def crash(df):
+        record(df)
+        raise RuntimeError("sink died")
+
+    with pytest.raises(RuntimeError):
+        tail_snapshots(spark, t, state, crash)
+    r3 = tail_snapshots(spark, t, state, record)
+    assert r3["rows"] == 2 and seen[-1] == [7, 8] == seen[-2]
