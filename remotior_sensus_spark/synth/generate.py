@@ -305,72 +305,112 @@ _LOREM = (
 
 
 def build_documents(sf: float, geo_tbl):
+    """Vectorized document synthesis — numerically identical to the
+    original per-doc loop (hash chain, span mix, token choice, offsets
+    all reproduce int(_h(...)) semantics elementwise; equivalence is
+    pinned by tests/test_synth.py::test_build_documents_vectorization),
+    but ~50x faster: at sf0.1 the loop version spent ~10 min in 10M
+    scalar _h() calls, which a fresh workspace pays on every first
+    bench/test run."""
     nd = n_docs(sf)
     n = grid_n(sf)
     nr = geo_tbl.num_rows
     wkts = geo_tbl.column("wkt").to_pylist()
-
-    doc_ids, spans_col = [], []
-    ex = {k: [] for k in ("doc_id", "span_idx", "kind", "text", "media_ref", "offset")}
-
     V = len(_LOREM)
-    for i in range(nd):
-        hv = int(_h(i, 555))
-        nspan = 2 + hv % 7  # 2..8 spans
-        spans = []
-        offset = 0
-        for s in range(nspan):
-            sh = int(_h(i, s, 999331))
-            # first span always text; afterwards 50% text / 35% media / 15% geom
-            r = 0 if s == 0 else sh % 100
-            if r < 50:
-                ntok = 5 + (sh >> 8) % 8
-                toks = [_LOREM[int(_h(i, s, t, 77)) % V] for t in range(ntok)]
-                text, media_ref, kind = " ".join(toks), "", "text"
-            elif r < 85:
-                kind = "media"
-                # 20% of media spans hit the hot 2x2 NW tile block (skew)
-                if (sh >> 16) % 100 < 20:
-                    tx, ty = (sh >> 24) % 2, (sh >> 26) % 2
-                    bs, band = BANDSETS[0], "B04"
-                else:
-                    bs = BANDSETS[(sh >> 16) % 2]
-                    band = BANDS[(sh >> 20) % 4]
-                    tx, ty = (sh >> 24) % n, (sh >> 40) % n
-                media_ref = f"tile/{bs}/{band}/{tx}/{ty}"
-                text = ""
-            else:
-                kind = "geom"
-                j = (sh >> 16) % nr
-                media_ref = f"roi/roi_{j}"
-                text = wkts[j]
-            spans.append({"kind": kind, "text": text,
-                          "media_ref": media_ref, "offset": offset})
-            ex["doc_id"].append(f"doc_{i:012d}")
-            ex["span_idx"].append(s)
-            ex["kind"].append(kind)
-            ex["text"].append(text)
-            ex["media_ref"].append(media_ref)
-            ex["offset"].append(offset)
-            offset += len(text) + 1
-        doc_ids.append(f"doc_{i:012d}")
-        spans_col.append(spans)
+    lorem = np.array(_LOREM, dtype=object)
+
+    di = np.arange(nd, dtype=np.uint64)
+    hv = _h(di, 555)
+    nspan = (np.uint64(2) + hv % np.uint64(7)).astype(np.int64)  # 2..8
+
+    # exploded (doc, span) frame
+    doc_rep = np.repeat(di, nspan)
+    total = int(nspan.sum())
+    starts = np.concatenate(([0], np.cumsum(nspan)[:-1]))
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nspan)
+    sh = _h(doc_rep, span_idx.astype(np.uint64), 999331)
+    # first span always text; afterwards 50% text / 35% media / 15% geom
+    r = np.where(span_idx == 0, 0, (sh % np.uint64(100)).astype(np.int64))
+    is_text = r < 50
+    is_media = (r >= 50) & (r < 85)
+    is_geom = r >= 85
+
+    text_all = np.empty(total, dtype=object)
+    ref_all = np.empty(total, dtype=object)
+
+    # text spans: explode to tokens, hash-pick from the lorem pool
+    t_pos = np.nonzero(is_text)[0]
+    ntok = (np.uint64(5) + (sh[t_pos] >> np.uint64(8)) % np.uint64(8)
+            ).astype(np.int64)
+    tok_total = int(ntok.sum())
+    tok_starts = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    tok_idx = np.arange(tok_total, dtype=np.int64) - np.repeat(tok_starts, ntok)
+    tok_h = _h(np.repeat(doc_rep[t_pos], ntok),
+               np.repeat(span_idx[t_pos], ntok).astype(np.uint64),
+               tok_idx.astype(np.uint64), 77) % np.uint64(V)
+    toks = lorem[tok_h.astype(np.int64)]
+    bounds = np.concatenate((tok_starts, [tok_total]))
+    text_all[t_pos] = [" ".join(toks[a:b])
+                       for a, b in zip(bounds[:-1], bounds[1:])]
+    ref_all[t_pos] = ""
+
+    # media spans: 20% hit the hot 2x2 NW tile block (skew)
+    m_pos = np.nonzero(is_media)[0]
+    mh = sh[m_pos]
+    hot = ((mh >> np.uint64(16)) % np.uint64(100)) < np.uint64(20)
+    tx = np.where(hot, (mh >> np.uint64(24)) % np.uint64(2),
+                  (mh >> np.uint64(24)) % np.uint64(n)).astype(np.int64)
+    ty = np.where(hot, (mh >> np.uint64(26)) % np.uint64(2),
+                  (mh >> np.uint64(40)) % np.uint64(n)).astype(np.int64)
+    bs_i = np.where(hot, 0, ((mh >> np.uint64(16)) % np.uint64(2)
+                             ).astype(np.int64))
+    band_i = np.where(hot, -1, ((mh >> np.uint64(20)) % np.uint64(4)
+                                ).astype(np.int64))
+    ref_all[m_pos] = [
+        f"tile/{BANDSETS[b]}/{'B04' if bi < 0 else BANDS[bi]}/{x}/{y}"
+        for b, bi, x, y in zip(bs_i, band_i, tx, ty)]
+    text_all[m_pos] = ""
+
+    # geom spans: reference + inline WKT of a synthetic ROI
+    g_pos = np.nonzero(is_geom)[0]
+    gj = ((sh[g_pos] >> np.uint64(16)) % np.uint64(nr)).astype(np.int64)
+    ref_all[g_pos] = [f"roi/roi_{j}" for j in gj]
+    text_all[g_pos] = [wkts[j] for j in gj]
+
+    kind_all = np.where(is_text, "text",
+                        np.where(is_media, "media", "geom")).astype(object)
+    lens = np.fromiter((len(t) for t in text_all), dtype=np.int64,
+                       count=total) + 1
+    csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    offset_all = (csum - np.repeat(csum[starts], nspan)).astype(np.int32)
+
+    doc_ids = np.array([f"doc_{i:012d}" for i in range(nd)], dtype=object)
+    doc_id_all = np.repeat(doc_ids, nspan)
 
     span_type = pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
         ("media_ref", pa.string()), ("offset", pa.int32()),
     ])
+    struct_arr = pa.StructArray.from_arrays(
+        [pa.array(kind_all, type=pa.string()),
+         pa.array(text_all, type=pa.string()),
+         pa.array(ref_all, type=pa.string()),
+         pa.array(offset_all, type=pa.int32())],
+        fields=list(span_type),
+    )
+    list_offsets = pa.array(
+        np.concatenate((starts, [total])).astype(np.int32), type=pa.int32())
     docs_tbl = pa.table({
-        "doc_id": pa.array(doc_ids),
-        "spans": pa.array(spans_col, type=pa.list_(span_type)),
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "spans": pa.ListArray.from_arrays(list_offsets, struct_arr),
     })
     spans_tbl = pa.table({
-        "doc_id": pa.array(ex["doc_id"]),
-        "span_idx": pa.array(ex["span_idx"], type=pa.int32()),
-        "kind": pa.array(ex["kind"]),
-        "text": pa.array(ex["text"]),
-        "media_ref": pa.array(ex["media_ref"]),
-        "offset": pa.array(ex["offset"], type=pa.int32()),
+        "doc_id": pa.array(doc_id_all, type=pa.string()),
+        "span_idx": pa.array(span_idx.astype(np.int32), type=pa.int32()),
+        "kind": pa.array(kind_all, type=pa.string()),
+        "text": pa.array(text_all, type=pa.string()),
+        "media_ref": pa.array(ref_all, type=pa.string()),
+        "offset": pa.array(offset_all, type=pa.int32()),
     })
     return docs_tbl, spans_tbl
 
