@@ -158,6 +158,41 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  shingle_n: int = 5) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, count the distinct
+    word ``shingle_n``-grams it shares with any benchmark document
+    (the standard eval-set contamination check a training-data
+    pipeline runs before every corpus release).
+
+    Spark-first 100 TB shape: the benchmark side is tiny relative to
+    the corpus, so its distinct shingle hashes BROADCAST — the corpus
+    explodes to hashed shingles, hits resolve in a map-side broadcast
+    join (no corpus-wide shuffle), and only the compact per-doc hit
+    counts shuffle in the final doc-keyed partial aggregation.
+
+    Returns (doc_id, n_contaminated_ngrams, contaminated 0/1) for
+    every corpus doc, zero-filled for clean docs."""
+    bench = (
+        benchmark.select(F.explode(shingles_col(shingle_n)).alias("sh"))
+        .select(portable_hash60(F.col("sh")).alias("sh_h")).distinct()
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(shingles_col(shingle_n)).alias("sh")
+    ).select("doc_id", portable_hash60(F.col("sh")).alias("sh_h"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    n = F.coalesce("n_contaminated_ngrams", F.lit(0))
+    return (
+        docs.select("doc_id").join(hits, "doc_id", "left")
+        .select("doc_id", n.alias("n_contaminated_ngrams"),
+                (n > 0).cast("int").alias("contaminated"))
+    )
+
+
 def shingles_col(n: int = 3, distinct: bool = True):
     """Word n-gram shingles as an array<string>.
 

@@ -2099,6 +2099,35 @@ def ngram_jaccard_q(spark, sf_dir):
     return tx.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+# 5-gram shingles with the partial-shingle-for-short-docs semantics of
+# textops.shingles_col (mirrors _SHINGLES, n=5)
+_SHINGLES5 = ("list_distinct(list_transform(range(0, greatest(len(toks)-5, 0)+1), "
+              "i -> array_to_string(toks[i+1:i+5], ' ')))")
+
+
+@q("decontaminate", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+shd as (select doc_id, {_SHINGLES5} as sh from t),
+flat as (select doc_id, unnest(sh) as shingle from shd),
+h as (select doc_id, {_HEX60.format(x='shingle')} as hv from flat),
+bench as (select distinct hv from h where cast(doc_id as bigint) % 11 = 0),
+corpus as (select doc_id, hv from h where cast(doc_id as bigint) % 11 <> 0),
+hits as (select doc_id, count(*) as n_contaminated_ngrams
+         from corpus join bench using (hv) group by doc_id),
+d as (select doc_id from documents where cast(doc_id as bigint) % 11 <> 0)
+select d.doc_id,
+  coalesce(hits.n_contaminated_ngrams, 0) as n_contaminated_ngrams,
+  cast(coalesce(hits.n_contaminated_ngrams, 0) > 0 as int) as contaminated
+from d left join hits on d.doc_id = hits.doc_id
+""")
+def decontaminate_q(spark, sf_dir):
+    """Eval-set contamination check: the benchmark is the deterministic
+    doc_id % 11 == 0 slice, the corpus is everything else."""
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id").cast("long") % 11 == 0
+    return tx.decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
+
+
 import functools as _functools
 
 
@@ -2591,7 +2620,8 @@ _RUN_FIRST = [
     "dedup_embedding", "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
-    "ann_cosine_lsh", "lang_id", "ngram_jaccard", "signature_similarity",
+    "ann_cosine_lsh", "lang_id", "ngram_jaccard", "decontaminate",
+    "signature_similarity",
     "tile_features", "dilation_counts", "erosion_counts",
     "raster_label_histogram", "sieve_reclass", "polygonize",
     "polygonize_wkt", "region_growing", "media_thumbnails",
