@@ -106,6 +106,89 @@ def decode_and_resize(df: DataFrame, out_size: int = 8) -> DataFrame:
     )
 
 
+def attach_video_payload(tiles: DataFrame) -> DataFrame:
+    """Derive an opaque VIDEO payload + metadata per tile: same sha256
+    payload contract as attach_media_payload, plus a deterministic
+    per-row frame count (2..8) read from the first payload byte — all
+    Column math, no Python."""
+    key = F.concat_ws("/", "bandset", "band",
+                      F.col("tile_x").cast("string"),
+                      F.col("tile_y").cast("string"))
+    digest = F.sha2(key, 256)
+    n_frames = (F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
+                % 7 + 2)
+    meta = F.struct(
+        F.lit("video/fake-raw").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        n_frames.alias("n_frames"),
+    )
+    return (tiles.withColumn("media_meta", meta)
+            .withColumn("media_blob", digest.cast("binary")))
+
+
+def frame_sample(videos: DataFrame, every_n: int = 3,
+                 max_frames: int = 4) -> DataFrame:
+    """Video frame sampling + per-frame feature extraction.
+
+    The 100 TB shape: sampled frame indices are generated JVM-side
+    (sequence-with-stride, slice, explode — pure Column ops, so a
+    10^12-row video table never touches Python to decide WHAT to
+    decode), then exactly the sampled frames decode in ONE mapInPandas
+    Arrow pass (whole-batch splitmix64 sweep per (w,h) group — the
+    fake-codec contract; a real av/ffmpeg decoder drops into the same
+    signature). Per-frame features stay integer-exact (sum/min/max) so
+    the oracle hash-compares without float tolerance."""
+    idx_col = F.explode(
+        F.slice(
+            F.sequence(F.lit(0),
+                       F.col("media_meta.n_frames") - 1,
+                       F.lit(every_n)),
+            1, max_frames,
+        )
+    ).alias("frame_idx")
+    sel = videos.select(
+        "bandset", "band", "tile_x", "tile_y",
+        F.col("media_meta.width").alias("w"),
+        F.col("media_meta.height").alias("h"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+        "media_blob", idx_col,
+    )
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            for (w, h), g in pdf.groupby(["w", "h"], sort=False):
+                n = len(g)
+                seeds = np.frombuffer(
+                    b"".join(bytes(b)[:8].ljust(8, b"\0")
+                             for b in g["media_blob"]),
+                    dtype=np.uint64,
+                )
+                fbase = g["frame_idx"].to_numpy().astype(np.uint64) \
+                    * np.uint64(w * h)
+                idx = np.arange(w * h, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    v = (splitmix64((seeds + fbase)[:, None] + idx[None, :])
+                         % np.uint64(256)).astype(np.int64)
+                yield pd.DataFrame({
+                    "bandset": g["bandset"], "band": g["band"],
+                    "tile_x": g["tile_x"], "tile_y": g["tile_y"],
+                    "frame_idx": g["frame_idx"], "n_frames": g["n_frames"],
+                    "px_sum": v.sum(axis=1),
+                    "px_min": v.min(axis=1).astype(np.int32),
+                    "px_max": v.max(axis=1).astype(np.int32),
+                })
+
+    return sel.mapInPandas(
+        run,
+        schema=("bandset string, band string, tile_x int, tile_y int, "
+                "frame_idx int, n_frames int, px_sum long, "
+                "px_min int, px_max int"),
+    )
+
+
 def tile_features(tiles: DataFrame) -> DataFrame:
     """Per-tile image features from the pixel payload in one Arrow pass:
     valid count, integer sum, 8-bin histogram. All-integer outputs ->

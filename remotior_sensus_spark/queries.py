@@ -2009,6 +2009,17 @@ def region_growing_q(spark, sf_dir):
     return region_growing(_b01(spark, sf_dir, "B04"), 100, 100, 2400.0)
 
 
+@q("video_frame_sample",
+   f"select * from '{GEO01}/expected/video_frame_sample.parquet'")
+def video_frame_sample(spark, sf_dir):
+    from remotior_sensus_spark.operators.multimodal import (
+        attach_video_payload,
+        frame_sample,
+    )
+    _ensure_expected(sf_dir)
+    return frame_sample(attach_video_payload(_b01(spark, sf_dir, "B04")))
+
+
 @q("media_thumbnails",
    f"select * from '{GEO01}/expected/media_thumbnails.parquet'")
 def media_thumbnails(spark, sf_dir):
@@ -2604,7 +2615,8 @@ ORACLE_BUILDERS = {
     "pca_projection": lambda geo: _pca_oracle_sql(geo)(),
     **{n: _expected_oracle(n) for n in (
         "raster_label_histogram", "sieve_reclass", "polygonize",
-        "polygonize_wkt", "region_growing", "media_thumbnails")},
+        "polygonize_wkt", "region_growing", "media_thumbnails",
+        "video_frame_sample")},
 }
 
 
@@ -2625,6 +2637,7 @@ _RUN_FIRST = [
     "tile_features", "dilation_counts", "erosion_counts",
     "raster_label_histogram", "sieve_reclass", "polygonize",
     "polygonize_wkt", "region_growing", "media_thumbnails",
+    "video_frame_sample",
 ]
 
 

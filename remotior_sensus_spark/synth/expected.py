@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 4
+_EXPECTED_VERSION = 5
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -286,6 +286,55 @@ def build_media_thumbnails(sf: float, out_size: int = 8) -> pa.Table:
     })
 
 
+def build_video_frames(sf: float, every_n: int = 3,
+                       max_frames: int = 4) -> pa.Table:
+    """Sampled-frame features for bandset S2_2020-01-01 / B04 'videos'.
+
+    Mirrors multimodal.attach_video_payload + frame_sample: payload =
+    utf-8 bytes of the hex sha256 of "bandset/band/tx/ty", n_frames =
+    (first 2 hex chars as int) % 7 + 2, sampled indices =
+    range(0, n_frames, every_n)[:max_frames], frame f pixel i =
+    splitmix64(seed + f*w*h + i) % 256 with seed = first 8 payload
+    bytes (LE). Features are integer-exact sum/min/max per frame."""
+    n = grid_n(sf)
+    bs, band = "S2_2020-01-01", "B04"
+    w = h = 16
+    rows = {k: [] for k in ("bandset", "band", "tile_x", "tile_y",
+                            "frame_idx", "n_frames",
+                            "px_sum", "px_min", "px_max")}
+    idx = np.arange(w * h, dtype=np.uint64)
+    for tx in range(n):
+        for ty in range(n):
+            digest = hashlib.sha256(
+                f"{bs}/{band}/{tx}/{ty}".encode()).hexdigest()
+            seed = np.frombuffer(digest[:8].encode(), dtype=np.uint64)[0]
+            nf = int(digest[:2], 16) % 7 + 2
+            for f in list(range(0, nf, every_n))[:max_frames]:
+                with np.errstate(over="ignore"):
+                    v = (splitmix64(seed + np.uint64(f * w * h) + idx)
+                         % np.uint64(256)).astype(np.int64)
+                rows["bandset"].append(bs)
+                rows["band"].append(band)
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["frame_idx"].append(f)
+                rows["n_frames"].append(nf)
+                rows["px_sum"].append(int(v.sum()))
+                rows["px_min"].append(int(v.min()))
+                rows["px_max"].append(int(v.max()))
+    return pa.table({
+        "bandset": pa.array(rows["bandset"], type=pa.string()),
+        "band": pa.array(rows["band"], type=pa.string()),
+        "tile_x": pa.array(rows["tile_x"], type=pa.int32()),
+        "tile_y": pa.array(rows["tile_y"], type=pa.int32()),
+        "frame_idx": pa.array(rows["frame_idx"], type=pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], type=pa.int32()),
+        "px_sum": pa.array(rows["px_sum"], type=pa.int64()),
+        "px_min": pa.array(rows["px_min"], type=pa.int32()),
+        "px_max": pa.array(rows["px_max"], type=pa.int32()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -293,6 +342,7 @@ BUILDERS = {
     "polygonize_wkt": build_polygonize_wkt,
     "region_growing": build_region_growing,
     "media_thumbnails": build_media_thumbnails,
+    "video_frame_sample": build_video_frames,
 }
 
 
