@@ -170,3 +170,86 @@ class TestGrammar:
         from remotior_sensus_spark.operators.band_calc import parse_calc_script
         entries = parse_calc_script('# a comment\n"bandset#b1" @out')
         assert len(entries) == 1 and entries[0][1] == "out"
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: random expression trees, Spark plan vs direct numpy
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, assume, given, settings
+    from hypothesis import strategies as hyp_st
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+_FUZZ_BANDS = {"B02": 0, "B04": 2, "B08": 3}
+
+if _HAVE_HYP:
+    @hyp_st.composite
+    def _expr_trees(draw):
+        """(expr_string, numpy_fn, used_bands): the same tree rendered
+        as band_calc grammar text and as a direct numpy evaluator.
+        Division/log/exp are excluded on purpose — they introduce
+        inf/NaN, and Spark SQL's NaN ordering semantics intentionally
+        diverge from IEEE numpy (NaN > x is true in Spark); the masked
+        nodata path never produces NaN for the ops generated here."""
+        def node(d):
+            if d == 0:
+                if draw(hyp_st.integers(0, 3)) == 0:
+                    v = float(draw(hyp_st.integers(-4, 4)))
+                    return repr(v), (lambda env, v=v: v), set()
+                b = draw(hyp_st.sampled_from(sorted(_FUZZ_BANDS)))
+                return f'"{b}"', (lambda env, b=b: env[b]), {b}
+            op = draw(hyp_st.sampled_from(
+                ["+", "-", "*", "where", "sin", "cos", "abs", "sqrtabs"]))
+            if op in ("+", "-", "*"):
+                s1, f1, u1 = node(d - 1)
+                s2, f2, u2 = node(d - 1)
+                npf = {"+": np.add, "-": np.subtract,
+                       "*": np.multiply}[op]
+                return (f"({s1} {op} {s2})",
+                        lambda env, f1=f1, f2=f2, npf=npf: npf(f1(env), f2(env)),
+                        u1 | u2)
+            if op == "where":
+                c = draw(hyp_st.sampled_from([">", "<"]))
+                s1, f1, u1 = node(d - 1)
+                s2, f2, u2 = node(d - 1)
+                s3, f3, u3 = node(d - 1)
+                s4, f4, u4 = node(d - 1)
+                npc = np.greater if c == ">" else np.less
+                return (f"where({s1} {c} {s2}, {s3}, {s4})",
+                        lambda env, f1=f1, f2=f2, f3=f3, f4=f4, npc=npc:
+                        np.where(npc(f1(env), f2(env)), f3(env), f4(env)),
+                        u1 | u2 | u3 | u4)
+            s, f, u = node(d - 1)
+            if op == "sqrtabs":
+                return (f"sqrt(abs({s}))",
+                        lambda env, f=f: np.sqrt(np.abs(f(env))), u)
+            npf = {"sin": np.sin, "cos": np.cos, "abs": np.abs}[op]
+            return f"{op}({s})", (lambda env, f=f, npf=npf: npf(f(env))), u
+
+        s, f, u = node(draw(hyp_st.integers(1, 3)))
+        assume(u)  # constants-only trees have no mask semantics to check
+        return s, f, u
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(tree=_expr_trees())
+    def test_fuzz_expression_matches_numpy(spark, geo001_dir, tree):
+        expr, npf, used = tree
+        tiles = spark.read.parquet(f"{geo001_dir}/tiles.parquet")
+        got = _spark_pixels(band_calc(tiles, expr), n=3)
+        assert got, "no output tiles"
+        for (tx, ty), g in got.items():
+            env = {b: _ref_pixels(i, tx, ty) for b, i in _FUZZ_BANDS.items()}
+            out = np.asarray(npf(env), dtype=np.float64)
+            if out.shape == ():  # scalar-broadcast tree over used bands
+                out = np.full(next(iter(env.values())).shape, float(out))
+            invalid = np.zeros(out.shape, dtype=bool)
+            for b in used:
+                invalid |= env[b] == NODATA
+            out = out.copy()
+            out[invalid] = NODATA
+            assert np.allclose(g, out, rtol=1e-12, atol=1e-9, equal_nan=True), \
+                f"{expr} diverged at tile ({tx},{ty})"
