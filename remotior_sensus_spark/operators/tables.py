@@ -67,3 +67,25 @@ def stack_tables(tables: list[DataFrame]) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t, allowMissingColumns=True)
     return out
+
+
+def stratified_sample(df: DataFrame, stratum, k: int, key: str) -> DataFrame:
+    """Deterministic stratified sampling: keep the first ``k`` rows per
+    stratum in md5(key) order (a stable pseudo-random order computable
+    identically in any engine — no RNG state, so the sample is
+    reproducible and resumable).
+
+    The 100 TB shape: one hash-partitioned window per stratum; no
+    collect, no per-stratum driver loop. Skewed strata cost one sort
+    within their partition — for pathological single-stratum skew,
+    pre-aggregate a per-stratum count and switch to sampleBy, but for
+    training-data quota sampling (strata = language/quality/domain
+    buckets) the window is the right default."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -388,3 +388,23 @@ def simhash64(docs: DataFrame) -> DataFrame:
         docs.select("doc_id").join(per, "doc_id", "left")
         .select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
     )
+
+
+# GPT-2-style pretokenizer pattern, ASCII subset (no lookaheads, no
+# unicode classes — identical semantics in Java regex and RE2, so the
+# DuckDB oracle matches byte-for-byte): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace.
+BPE_PATTERN = "('(?:s|t|re|ve|m|ll|d))|( ?[A-Za-z]+)|( ?[0-9]+)|( ?[^A-Za-z0-9 ']+)"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex alongside the
+    whitespace count — the cheap proxy a corpus-stats pass runs before
+    a real tokenizer (the real tokenizer drops into the same shape: a
+    broadcast vocab + one more column op)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+               ).alias("n_tokens_bpe"),
+    )

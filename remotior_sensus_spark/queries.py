@@ -2139,6 +2139,40 @@ def decontaminate_q(spark, sf_dir):
     return tx.decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
 
 
+@q("stratified_sample", f"""
+with t as (select doc_id,
+  cast(floor(len({_TOKS})/10.0) as int) as bucket from documents),
+r as (select bucket, doc_id,
+  row_number() over (partition by bucket
+                     order by md5(cast(doc_id as varchar)), doc_id)
+    as sample_rank from t)
+select bucket, doc_id, sample_rank from r where sample_rank <= 5
+""")
+def stratified_sample_q(spark, sf_dir):
+    """Quota sampling: 5 docs per token-count bucket in deterministic
+    md5 order (operators/tables.stratified_sample)."""
+    from remotior_sensus_spark.operators import tables as tb
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.floor(F.size(tx.tokens_col()) / F.lit(10.0)).cast("int")
+        .alias("bucket"),
+    )
+    return tb.stratified_sample(d, "bucket", 5, "doc_id").select(
+        "bucket", "doc_id", "sample_rank")
+
+
+@q("token_count_bpe", f"""
+select doc_id,
+  len({_TOKS}) as n_tokens_ws,
+  len(regexp_extract_all(text,
+      '{tx.BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) as n_tokens_bpe
+from documents
+""")
+def token_count_bpe_q(spark, sf_dir):
+    return tx.token_count_bpe(cat.load_driver(spark, sf_dir, "documents"))
+
+
 import functools as _functools
 
 
@@ -2633,7 +2667,7 @@ _RUN_FIRST = [
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "decontaminate",
-    "signature_similarity",
+    "stratified_sample", "token_count_bpe", "signature_similarity",
     "tile_features", "dilation_counts", "erosion_counts",
     "raster_label_histogram", "sieve_reclass", "polygonize",
     "polygonize_wkt", "region_growing", "media_thumbnails",
