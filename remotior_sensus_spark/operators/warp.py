@@ -17,9 +17,10 @@ Spark-first inverse mapping (the textbook warp):
      pixels fetches values — shuffle-partitioned by key, no UDF,
   4. misses (outside the source extent) fill with nodata.
 
-Nearest / bilinear / cubic (Keys a=-0.5, gdal's default cubic kernel)
-resampling; for downscale-by-integer-factor mode/mean resampling see
-focal.resample_mode (the reference's other resample path).
+Resampling: nearest / bilinear / cubic (Keys a=-0.5, gdal's default
+cubic kernel) by inverse mapping, mode / average by forward mapping
+(downscale aggregation). focal.resample_mode remains the grid-aligned
+integer-factor fast path (the reference's other resample entry).
 """
 
 from __future__ import annotations
@@ -69,14 +70,17 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
     pixel with no valid contributor is nodata), or 'cubic' (4x4 Keys
     cubic-convolution taps, a=-0.5 — gdal.Warp's default cubic kernel —
     same valid-contributor renormalization, nodata when the weight sum
-    of valid taps is zero). The reference's gdal_warping resampling
-    modes (util/raster_vector.py:3039-3108); mode resampling is
-    focal.resample_mode.
+    of valid taps is zero), or 'mode' / 'average' (FORWARD-mapped
+    downscale aggregation: each valid source pixel lands in one output
+    pixel; mode = most frequent value with smallest-value tie-break,
+    average = arithmetic mean). The reference's gdal_warping resampling
+    modes (util/raster_vector.py:3039-3108); grid-aligned
+    integer-factor mode lives in focal.resample_mode.
 
     The output extent is the bbox of the transformed source corners
     (one tiny agg). All per-pixel math is Column arithmetic.
     """
-    if resampling not in ("nearest", "bilinear", "cubic"):
+    if resampling not in ("nearest", "bilinear", "cubic", "mode", "average"):
         raise ValueError(f"unknown resampling {resampling!r}")
     spark = band_tiles.sparkSession
     t_px = tile_px or TILE_PX
@@ -132,6 +136,48 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
          + (F.col("spos") / t_px).cast("int")).alias("sgy"),
         F.col("value").cast("double").alias("value"),
     )
+
+    if resampling in ("mode", "average"):
+        # FORWARD mapping (downscale aggregation): each SOURCE pixel
+        # center maps through the forward affine to one output pixel;
+        # mode = per-(out px, value) count -> argmax (ties: smallest
+        # value, gdal's deterministic choice), average = mean of valid
+        # source values. One shuffle keyed by output pixel; the output
+        # lattice left-joins so uncovered pixels are nodata.
+        a, b, c, d, e, f_ = forward
+        swx = (F.lit(ORIGIN_X) + F.col("sgx") * F.lit(PIXEL_SIZE)
+               + F.lit(PIXEL_SIZE / 2))
+        swy = (F.lit(ORIGIN_Y) - F.col("sgy") * F.lit(PIXEL_SIZE)
+               - F.lit(PIXEL_SIZE / 2))
+        dx = F.lit(a) * swx + F.lit(b) * swy + F.lit(c)
+        dy = F.lit(d) * swx + F.lit(e) * swy + F.lit(f_)
+        mapped = src.filter(F.col("value") != F.lit(float(nodata))).select(
+            F.floor((dx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE))
+            .alias("ogx"),
+            F.floor((F.lit(ORIGIN_Y) - dy) / F.lit(PIXEL_SIZE))
+            .alias("ogy"),
+            "value",
+        )
+        if resampling == "mode":
+            counts = mapped.groupBy("ogx", "ogy", "value").count()
+            pick = counts.groupBy("ogx", "ogy").agg(
+                F.min(F.struct((-F.col("count")).alias("nc"),
+                               F.col("value").alias("v"))).alias("m")
+            ).select("ogx", "ogy", F.col("m.v").alias("rv"))
+        else:
+            pick = mapped.groupBy("ogx", "ogy").agg(
+                (F.sum("value") / F.count("value")).alias("rv"))
+        out = out.withColumn(
+            "ogx", (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
+        ).withColumn(
+            "ogy", (F.col("tile_y").cast("long") * t_px
+                    + (F.col("pos") / t_px).cast("int"))
+        )
+        j = out.join(pick, ["ogx", "ogy"], "left")
+        return j.select(
+            "tile_x", "tile_y", "pos",
+            F.coalesce(F.col("rv"), F.lit(float(nodata))).alias("value"),
+        )
 
     if resampling == "nearest":
         out = out.withColumn(

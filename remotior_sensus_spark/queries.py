@@ -781,6 +781,86 @@ from vv group by tile_x, tile_y
 """
 
 
+def _warp_fwd_oracle(kind: str, geo_dir: str = GEO01) -> str:
+    """Mode/average forward-mapped warp oracle — source pixels mapped
+    through the forward affine, grouped per output pixel (mode: max
+    count then smallest value; average: exact integer sum / count),
+    left-joined onto the generated output lattice."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    otx0, otx1, oty0, oty1 = _warp_out_extent(geo_dir)
+    a, b, c, d, e, f_ = _WARP_FWD
+    if kind == "mode":
+        pick = """
+counts as (select ogx, ogy, value, count(*) as c from mapped
+           group by ogx, ogy, value),
+pick as (select ogx, ogy, value as rv from (
+  select ogx, ogy, value,
+    row_number() over (partition by ogx, ogy
+                       order by c desc, value) as rn from counts)
+  where rn = 1),"""
+        checksum = ("cast(sum(case when value <> -32768 then "
+                    "cast(value as bigint) else 0 end) as bigint)")
+    else:
+        pick = """
+pick as (select ogx, ogy, sum(value)/count(value) as rv
+         from mapped group by ogx, ogy),"""
+        checksum = ("cast(sum(case when value <> -32768 then "
+                    "cast(floor(value*1000000.0+0.5) as bigint) "
+                    "else 0 end) as bigint)")
+    return f"""
+with src as (
+  select gx, gy, value from '{geo_dir}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+sw as (
+  select {ORIGIN_X!r} + gx*10.0 + 5.0 as swx,
+         {ORIGIN_Y!r} - gy*10.0 - 5.0 as swy, value from src),
+mapped as (
+  select
+    cast(floor((({a!r})*swx + ({b!r})*swy + ({c!r}) - {ORIGIN_X!r}) / 10.0) as bigint) as ogx,
+    cast(floor(({ORIGIN_Y!r} - (({d!r})*swx + ({e!r})*swy + ({f_!r}))) / 10.0) as bigint) as ogy,
+    value
+  from sw),{pick}
+o as (
+  select t1.range as tile_x, t2.range as tile_y, p.range as pos
+  from range({otx0}, {otx1 + 1}) t1, range({oty0}, {oty1 + 1}) t2,
+       range(0, 256) p),
+m as (
+  select tile_x, tile_y,
+    tile_x*16 + pos % 16 as ogx,
+    tile_y*16 + cast(floor(pos/16.0) as int) as ogy
+  from o),
+v as (
+  select m.tile_x, m.tile_y, coalesce(p.rv, -32768.0) as value
+  from m left join pick p on m.ogx = p.ogx and m.ogy = p.ogy)
+select tile_x, tile_y,
+  {checksum} as checksum,
+  cast(sum(case when value <> -32768 then 1 else 0 end) as bigint) as valid_count
+from v group by tile_x, tile_y
+"""
+
+
+@q("warp_mode", _warp_fwd_oracle("mode"))
+def warp_mode_q(spark, sf_dir):
+    out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
+                            resampling="mode")
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     F.col("value").cast("long")).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
+@q("warp_average", _warp_fwd_oracle("average"))
+def warp_average_q(spark, sf_dir):
+    out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
+                            resampling="average")
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     fixed1e6(F.col("value"))).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
 @q("warp_cubic", _warp_cubic_oracle())
 def warp_cubic_q(spark, sf_dir):
     out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
@@ -2643,6 +2723,8 @@ ORACLE_BUILDERS = {
     "warp_affine": lambda geo: _warp_oracle(geo),
     "warp_bilinear": lambda geo: _warp_bilinear_oracle(geo),
     "warp_cubic": lambda geo: _warp_cubic_oracle(geo),
+    "warp_mode": lambda geo: _warp_fwd_oracle("mode", geo),
+    "warp_average": lambda geo: _warp_fwd_oracle("average", geo),
     "cluster_proximity": lambda geo: _cluster_oracle(geo),
     "ml_classification": lambda geo: _ml_oracle_sql(None, False, geo)(),
     "ml_threshold_confidence": lambda geo: _ml_oracle_sql(5.0, True, geo)(),
@@ -2663,7 +2745,7 @@ ORACLE_BUILDERS = {
 # never-measured oracle-backed family, then the newly-oracled CC ones.
 _RUN_FIRST = [
     "dos1_correction", "scale_offset", "warp_bilinear", "warp_cubic",
-    "dedup_embedding", "cluster_proximity",
+    "warp_mode", "warp_average", "dedup_embedding", "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "decontaminate",
