@@ -311,6 +311,109 @@ def _cubic_combine(out: DataFrame, src: DataFrame, nodata: float) -> DataFrame:
     )
 
 
+def crs_ring_extent(sx0: float, sx1: float, sy0: float, sy1: float,
+                    src_zone: int, dst_zone: int,
+                    t_px: int) -> tuple[int, int, int, int]:
+    """Destination tile range of a UTM zone-to-zone warp: the source
+    world bbox boundary (4 corners + 4 edge midpoints — TM curvature
+    bows the edges, corners alone under-cover) mapped src->geodetic->
+    dst, floored to the tile lattice. Shared by warp_crs and its
+    expected-output oracle builder so the extent rule cannot drift."""
+    from remotior_sensus_spark.operators import crs as _crs
+
+    xs = np.array([sx0, sx1, sx0, sx1, (sx0 + sx1) / 2,
+                   (sx0 + sx1) / 2, sx0, sx1])
+    ys = np.array([sy0, sy0, sy1, sy1, sy0, sy1,
+                   (sy0 + sy1) / 2, (sy0 + sy1) / 2])
+    lat, lon = _crs.tm_inverse(np, xs, ys, _crs.utm_lon0(src_zone))
+    dE, dN = _crs.tm_forward(np, lat, lon, _crs.utm_lon0(dst_zone))
+    otx0 = int(np.floor((dE.min() - ORIGIN_X) / (t_px * PIXEL_SIZE)))
+    otx1 = int(np.floor((dE.max() - ORIGIN_X - 1e-9) / (t_px * PIXEL_SIZE)))
+    oty0 = int(np.floor((ORIGIN_Y - dN.max()) / (t_px * PIXEL_SIZE)))
+    oty1 = int(np.floor((ORIGIN_Y - dN.min() - 1e-9) / (t_px * PIXEL_SIZE)))
+    return otx0, otx1, oty0, oty1
+
+
+def warp_crs(band_tiles: DataFrame, src_zone: int, dst_zone: int,
+             *, tile_px: int | None = None,
+             nodata: float = NODATA) -> DataFrame:
+    """True cross-CRS warp: reproject a band between UTM zones (WGS84,
+    northern hemisphere) with NO affine approximation — every output
+    pixel center maps dst-UTM -> geodetic -> src-UTM through the
+    Krüger-series transverse-Mercator formulas (operators/crs.py),
+    built entirely from Column trig so the whole inverse mapping runs
+    JVM-side in whole-stage codegen; ONE equi-join on the floored
+    source pixel key fetches values (nearest resampling).
+
+    This is the path the reference delegates to GDAL/PROJ
+    (util/raster_vector.py:3039-3108) restricted to a single datum;
+    datum shifts (Helmert parameters) would slot in between tm_inverse
+    and tm_forward as three more Column expressions."""
+    from pyspark.sql import functions as _F
+
+    from remotior_sensus_spark.operators import crs as _crs
+
+    spark = band_tiles.sparkSession
+    t_px = tile_px or TILE_PX
+    n_px = t_px * t_px
+
+    ext = band_tiles.agg(
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+    ).first()
+    sx0 = ORIGIN_X + ext["x0"] * t_px * PIXEL_SIZE
+    sx1 = ORIGIN_X + (ext["x1"] + 1) * t_px * PIXEL_SIZE
+    sy1 = ORIGIN_Y - ext["y0"] * t_px * PIXEL_SIZE
+    sy0 = ORIGIN_Y - (ext["y1"] + 1) * t_px * PIXEL_SIZE
+    otx0, otx1, oty0, oty1 = crs_ring_extent(
+        sx0, sx1, sy0, sy1, src_zone, dst_zone, t_px)
+
+    out = (
+        spark.range(otx0, otx1 + 1).select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(
+            spark.range(oty0, oty1 + 1).select(F.col("id").cast("int").alias("tile_y"))
+        )
+        .select(
+            "tile_x", "tile_y",
+            F.explode(F.sequence(F.lit(0), F.lit(n_px - 1))).alias("pos"),
+        )
+    )
+    oE = (F.lit(ORIGIN_X)
+          + (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
+          * F.lit(PIXEL_SIZE) + F.lit(PIXEL_SIZE / 2))
+    oN = (F.lit(ORIGIN_Y)
+          - (F.col("tile_y").cast("long") * t_px
+             + (F.col("pos") / t_px).cast("int")) * F.lit(PIXEL_SIZE)
+          - F.lit(PIXEL_SIZE / 2))
+    sm = _crs.SparkMath(_F)
+    lat, lon = _crs.tm_inverse(sm, oE, oN, _crs.utm_lon0(dst_zone))
+    sE, sN = _crs.tm_forward(sm, lat, lon, _crs.utm_lon0(src_zone))
+    # bind() recorded every series intermediate as a named projection
+    # stage (see SparkMath) — replay them, derive the source pixel key,
+    # then drop the scaffolding columns
+    out = sm.apply_bindings(out)
+
+    src = band_tiles.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
+    ).select(
+        (F.col("tile_x").cast("long") * t_px + F.col("spos") % t_px).alias("sgx"),
+        (F.col("tile_y").cast("long") * t_px
+         + (F.col("spos") / t_px).cast("int")).alias("sgy"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = out.withColumn(
+        "sgx", F.floor((sE - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
+    ).withColumn(
+        "sgy", F.floor((F.lit(ORIGIN_Y) - sN) / F.lit(PIXEL_SIZE)).cast("long")
+    )
+    out = sm.drop_bindings(out)
+    j = out.join(src, ["sgx", "sgy"], "left")
+    return j.select(
+        "tile_x", "tile_y", "pos",
+        F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
+    )
+
+
 def reproject_vector(geoms: DataFrame, forward: Affine) -> DataFrame:
     """Vector reprojection through the same affine: WKT coordinates and
     bbox are transformed (ref util/raster_vector.py:1795-1921). WKT is

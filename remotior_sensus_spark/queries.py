@@ -861,6 +861,22 @@ def warp_average_q(spark, sf_dir):
     )
 
 
+@q("warp_crs", f"select * from '{GEO01}/expected/warp_crs.parquet'")
+def warp_crs_q(spark, sf_dir):
+    """UTM zone 33 -> 32 reprojection (WGS84, no PROJ): Krüger-series
+    TM inverse+forward as pure Column trig, one pixel-key equi-join;
+    oracle = independent numpy dense-array gather through the same
+    formula core (the plumbing, not the projection math, is under
+    test — same contract as media_thumbnails' fake-codec oracle)."""
+    _ensure_expected(sf_dir)
+    out = _warp.warp_crs(_b01(spark, sf_dir, "B04"), 33, 32)
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     F.col("value").cast("long")).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
 @q("warp_cubic", _warp_cubic_oracle())
 def warp_cubic_q(spark, sf_dir):
     out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,
@@ -2732,7 +2748,7 @@ ORACLE_BUILDERS = {
     **{n: _expected_oracle(n) for n in (
         "raster_label_histogram", "sieve_reclass", "polygonize",
         "polygonize_wkt", "region_growing", "media_thumbnails",
-        "video_frame_sample")},
+        "video_frame_sample", "warp_crs")},
 }
 
 
@@ -2745,7 +2761,8 @@ ORACLE_BUILDERS = {
 # never-measured oracle-backed family, then the newly-oracled CC ones.
 _RUN_FIRST = [
     "dos1_correction", "scale_offset", "warp_bilinear", "warp_cubic",
-    "warp_mode", "warp_average", "dedup_embedding", "cluster_proximity",
+    "warp_mode", "warp_average", "warp_crs", "dedup_embedding",
+    "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "lang_id", "ngram_jaccard", "decontaminate",
