@@ -84,58 +84,22 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
         raise ValueError(f"unknown resampling {resampling!r}")
     spark = band_tiles.sparkSession
     t_px = tile_px or TILE_PX
-    n_px = t_px * t_px
     inv = invert_affine(forward)
 
-    ext = band_tiles.agg(
-        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
-        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
-    ).first()
-    # source extent corners in world coords
-    sx0 = ORIGIN_X + ext["x0"] * t_px * PIXEL_SIZE
-    sx1 = ORIGIN_X + (ext["x1"] + 1) * t_px * PIXEL_SIZE
-    sy1 = ORIGIN_Y - ext["y0"] * t_px * PIXEL_SIZE      # top (max y)
-    sy0 = ORIGIN_Y - (ext["y1"] + 1) * t_px * PIXEL_SIZE  # bottom
+    sx0, sx1, sy0, sy1 = _tiles_world_bbox(band_tiles, t_px)
     corners = [apply_affine(forward, x, y)
                for x in (sx0, sx1) for y in (sy0, sy1)]
-    dx0 = min(c[0] for c in corners)
-    dx1 = max(c[0] for c in corners)
-    dy0 = min(c[1] for c in corners)
-    dy1 = max(c[1] for c in corners)
-    otx0 = int(np.floor((dx0 - ORIGIN_X) / (t_px * PIXEL_SIZE)))
-    otx1 = int(np.floor((dx1 - ORIGIN_X - 1e-9) / (t_px * PIXEL_SIZE)))
-    oty0 = int(np.floor((ORIGIN_Y - dy1) / (t_px * PIXEL_SIZE)))
-    oty1 = int(np.floor((ORIGIN_Y - dy0 - 1e-9) / (t_px * PIXEL_SIZE)))
+    otx0, otx1, oty0, oty1 = _floor_tile_extent(
+        min(c[0] for c in corners), max(c[0] for c in corners),
+        min(c[1] for c in corners), max(c[1] for c in corners), t_px)
 
-    out = (
-        spark.range(otx0, otx1 + 1).select(F.col("id").cast("int").alias("tile_x"))
-        .crossJoin(
-            spark.range(oty0, oty1 + 1).select(F.col("id").cast("int").alias("tile_y"))
-        )
-        .select(
-            "tile_x", "tile_y",
-            F.explode(F.sequence(F.lit(0), F.lit(n_px - 1))).alias("pos"),
-        )
-    )
-    ox = (F.lit(ORIGIN_X)
-          + (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
-          * F.lit(PIXEL_SIZE) + F.lit(PIXEL_SIZE / 2))
-    oy = (F.lit(ORIGIN_Y)
-          - (F.col("tile_y").cast("long") * t_px
-             + (F.col("pos") / t_px).cast("int")) * F.lit(PIXEL_SIZE)
-          - F.lit(PIXEL_SIZE / 2))
+    out = _out_lattice(spark, otx0, otx1, oty0, oty1, t_px)
+    ox, oy = _pixel_centers(t_px)
     ia, ib, ic, id_, ie, if_ = inv
     sx = F.lit(ia) * ox + F.lit(ib) * oy + F.lit(ic)
     sy = F.lit(id_) * ox + F.lit(ie) * oy + F.lit(if_)
 
-    src = band_tiles.select(
-        "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
-    ).select(
-        (F.col("tile_x").cast("long") * t_px + F.col("spos") % t_px).alias("sgx"),
-        (F.col("tile_y").cast("long") * t_px
-         + (F.col("spos") / t_px).cast("int")).alias("sgy"),
-        F.col("value").cast("double").alias("value"),
-    )
+    src = _src_pixels(band_tiles, t_px)
 
     if resampling in ("mode", "average"):
         # FORWARD mapping (downscale aggregation): each SOURCE pixel
@@ -239,6 +203,72 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
     )
 
 
+def _tiles_world_bbox(band_tiles: DataFrame,
+                      t_px: int) -> tuple[float, float, float, float]:
+    """World-coordinate bbox of a tile set (one tiny agg):
+    (sx0, sx1, sy0, sy1) with sy0 the bottom (min y)."""
+    ext = band_tiles.agg(
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+    ).first()
+    sx0 = ORIGIN_X + ext["x0"] * t_px * PIXEL_SIZE
+    sx1 = ORIGIN_X + (ext["x1"] + 1) * t_px * PIXEL_SIZE
+    sy1 = ORIGIN_Y - ext["y0"] * t_px * PIXEL_SIZE      # top (max y)
+    sy0 = ORIGIN_Y - (ext["y1"] + 1) * t_px * PIXEL_SIZE  # bottom
+    return sx0, sx1, sy0, sy1
+
+
+def _floor_tile_extent(dx0: float, dx1: float, dy0: float, dy1: float,
+                       t_px: int) -> tuple[int, int, int, int]:
+    """World bbox -> inclusive output tile index range (the single
+    epsilon/floor rule every warp variant and oracle shares)."""
+    otx0 = int(np.floor((dx0 - ORIGIN_X) / (t_px * PIXEL_SIZE)))
+    otx1 = int(np.floor((dx1 - ORIGIN_X - 1e-9) / (t_px * PIXEL_SIZE)))
+    oty0 = int(np.floor((ORIGIN_Y - dy1) / (t_px * PIXEL_SIZE)))
+    oty1 = int(np.floor((ORIGIN_Y - dy0 - 1e-9) / (t_px * PIXEL_SIZE)))
+    return otx0, otx1, oty0, oty1
+
+
+def _out_lattice(spark, otx0: int, otx1: int, oty0: int, oty1: int,
+                 t_px: int) -> DataFrame:
+    """Output pixel lattice (tile_x, tile_y, pos) generated JVM-side."""
+    n_px = t_px * t_px
+    return (
+        spark.range(otx0, otx1 + 1)
+        .select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(spark.range(oty0, oty1 + 1)
+                   .select(F.col("id").cast("int").alias("tile_y")))
+        .select(
+            "tile_x", "tile_y",
+            F.explode(F.sequence(F.lit(0), F.lit(n_px - 1))).alias("pos"),
+        )
+    )
+
+
+def _pixel_centers(t_px: int):
+    """(x, y) world coordinates of the lattice pixel centers."""
+    ox = (F.lit(ORIGIN_X)
+          + (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
+          * F.lit(PIXEL_SIZE) + F.lit(PIXEL_SIZE / 2))
+    oy = (F.lit(ORIGIN_Y)
+          - (F.col("tile_y").cast("long") * t_px
+             + (F.col("pos") / t_px).cast("int")) * F.lit(PIXEL_SIZE)
+          - F.lit(PIXEL_SIZE / 2))
+    return ox, oy
+
+
+def _src_pixels(band_tiles: DataFrame, t_px: int) -> DataFrame:
+    """Exploded source pixels keyed by global pixel index (sgx, sgy)."""
+    return band_tiles.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
+    ).select(
+        (F.col("tile_x").cast("long") * t_px + F.col("spos") % t_px).alias("sgx"),
+        (F.col("tile_y").cast("long") * t_px
+         + (F.col("spos") / t_px).cast("int")).alias("sgy"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def _keys_weight(frac, idx):
     """1-D Keys cubic-convolution weight (a=-0.5) for tap ``idx`` in
     0..3 (source offsets -1..2 around floor(u)) at fractional offset
@@ -315,16 +345,23 @@ def crs_ring_extent(sx0: float, sx1: float, sy0: float, sy1: float,
                     src_zone: int, dst_zone: int,
                     t_px: int) -> tuple[int, int, int, int]:
     """Destination tile range of a UTM zone-to-zone warp: the source
-    world bbox boundary (4 corners + 4 edge midpoints — TM curvature
-    bows the edges, corners alone under-cover) mapped src->geodetic->
-    dst, floored to the tile lattice. Shared by warp_crs and its
-    expected-output oracle builder so the extent rule cannot drift."""
+    world bbox boundary mapped src->geodetic->dst, floored to the tile
+    lattice. TM curvature bows the edges, so each edge is sampled at 33
+    points (corners alone — or corners+midpoints — under-cover when the
+    true extremum sits at the interior point nearest the dst central
+    meridian; 33 samples bound the residual sag far below one pixel for
+    any zone pair the series itself is valid for). Shared by warp_crs
+    and its expected-output oracle builder so the extent rule cannot
+    drift."""
     from remotior_sensus_spark.operators import crs as _crs
 
-    xs = np.array([sx0, sx1, sx0, sx1, (sx0 + sx1) / 2,
-                   (sx0 + sx1) / 2, sx0, sx1])
-    ys = np.array([sy0, sy0, sy1, sy1, sy0, sy1,
-                   (sy0 + sy1) / 2, (sy0 + sy1) / 2])
+    s = np.linspace(0.0, 1.0, 33)
+    ex = sx0 + (sx1 - sx0) * s
+    ey = sy0 + (sy1 - sy0) * s
+    xs = np.concatenate([ex, ex,
+                         np.full_like(ey, sx0), np.full_like(ey, sx1)])
+    ys = np.concatenate([np.full_like(ex, sy0), np.full_like(ex, sy1),
+                         ey, ey])
     lat, lon = _crs.tm_inverse(np, xs, ys, _crs.utm_lon0(src_zone))
     dE, dN = _crs.tm_forward(np, lat, lon, _crs.utm_lon0(dst_zone))
     otx0 = int(np.floor((dE.min() - ORIGIN_X) / (t_px * PIXEL_SIZE)))
@@ -355,36 +392,13 @@ def warp_crs(band_tiles: DataFrame, src_zone: int, dst_zone: int,
 
     spark = band_tiles.sparkSession
     t_px = tile_px or TILE_PX
-    n_px = t_px * t_px
 
-    ext = band_tiles.agg(
-        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
-        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
-    ).first()
-    sx0 = ORIGIN_X + ext["x0"] * t_px * PIXEL_SIZE
-    sx1 = ORIGIN_X + (ext["x1"] + 1) * t_px * PIXEL_SIZE
-    sy1 = ORIGIN_Y - ext["y0"] * t_px * PIXEL_SIZE
-    sy0 = ORIGIN_Y - (ext["y1"] + 1) * t_px * PIXEL_SIZE
+    sx0, sx1, sy0, sy1 = _tiles_world_bbox(band_tiles, t_px)
     otx0, otx1, oty0, oty1 = crs_ring_extent(
         sx0, sx1, sy0, sy1, src_zone, dst_zone, t_px)
 
-    out = (
-        spark.range(otx0, otx1 + 1).select(F.col("id").cast("int").alias("tile_x"))
-        .crossJoin(
-            spark.range(oty0, oty1 + 1).select(F.col("id").cast("int").alias("tile_y"))
-        )
-        .select(
-            "tile_x", "tile_y",
-            F.explode(F.sequence(F.lit(0), F.lit(n_px - 1))).alias("pos"),
-        )
-    )
-    oE = (F.lit(ORIGIN_X)
-          + (F.col("tile_x").cast("long") * t_px + F.col("pos") % t_px)
-          * F.lit(PIXEL_SIZE) + F.lit(PIXEL_SIZE / 2))
-    oN = (F.lit(ORIGIN_Y)
-          - (F.col("tile_y").cast("long") * t_px
-             + (F.col("pos") / t_px).cast("int")) * F.lit(PIXEL_SIZE)
-          - F.lit(PIXEL_SIZE / 2))
+    out = _out_lattice(spark, otx0, otx1, oty0, oty1, t_px)
+    oE, oN = _pixel_centers(t_px)
     sm = _crs.SparkMath(_F)
     lat, lon = _crs.tm_inverse(sm, oE, oN, _crs.utm_lon0(dst_zone))
     sE, sN = _crs.tm_forward(sm, lat, lon, _crs.utm_lon0(src_zone))
@@ -393,14 +407,7 @@ def warp_crs(band_tiles: DataFrame, src_zone: int, dst_zone: int,
     # then drop the scaffolding columns
     out = sm.apply_bindings(out)
 
-    src = band_tiles.select(
-        "tile_x", "tile_y", F.posexplode("pixels").alias("spos", "value")
-    ).select(
-        (F.col("tile_x").cast("long") * t_px + F.col("spos") % t_px).alias("sgx"),
-        (F.col("tile_y").cast("long") * t_px
-         + (F.col("spos") / t_px).cast("int")).alias("sgy"),
-        F.col("value").cast("double").alias("value"),
-    )
+    src = _src_pixels(band_tiles, t_px)
     out = out.withColumn(
         "sgx", F.floor((sE - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
     ).withColumn(

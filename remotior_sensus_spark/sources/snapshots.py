@@ -89,23 +89,7 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
     leaves orphan data files that no manifest references (invisible to
     readers, reclaimable by a GC pass) — the manifest-swap commit
     protocol of the Iceberg spec."""
-    data_dir = os.path.join(table_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(os.path.join(table_dir, "snapshots"), exist_ok=True)
-
-    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    new_files = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        dst = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, f), os.path.join(data_dir, dst))
-        new_files.append(f"data/{dst}")
-    for f in os.listdir(staging):
-        os.remove(os.path.join(staging, f))
-    os.rmdir(staging)
-
+    new_files = _write_staged(df, table_dir)
     spark = df.sparkSession
     added_rows = (
         spark.read.parquet(*[os.path.join(table_dir, f) for f in new_files]
@@ -125,24 +109,54 @@ def append_snapshot(df: DataFrame, table_dir: str) -> dict:
     # protocol narrowed to its atomic section).
     with _commit_lock(table_dir):
         prev = read_manifest(table_dir)
-        version = _next_free_version(table_dir)
-        manifest = {
-            "version": version,
+        manifest = _commit_manifest(table_dir, {
             "parent": prev["version"] or None,
-            "ts": time.time(),
             "operation": "append",
             "files": prev["files"] + new_files,
             "added_files": new_files,
             "row_count": prev["row_count"] + added_rows,
-        }
-        fd = os.open(_manifest_path(table_dir, version),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
-        with open(vtmp, "w") as f:
-            f.write(str(version))
-        os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+        })
+    return manifest
+
+
+def _write_staged(df: DataFrame, table_dir: str) -> list[str]:
+    """Write ``df`` to a staging dir and move the parquet parts into
+    data/ under immutable unique names. The single staging/move path for
+    every commit kind (append AND compaction rewrite) — a protocol fix
+    here cannot fork the two."""
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "snapshots"), exist_ok=True)
+    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        dst = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, f), os.path.join(data_dir, dst))
+        new_files.append(f"data/{dst}")
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+    return new_files
+
+
+def _commit_manifest(table_dir: str, fields: dict) -> dict:
+    """The atomic metadata commit: next free version slot, O_EXCL
+    manifest write, tmp+rename VERSION swap. MUST be called under
+    _commit_lock. Single implementation shared by append and
+    compaction so the commit protocol cannot fork."""
+    version = _next_free_version(table_dir)
+    manifest = {"version": version, "ts": time.time(), **fields}
+    fd = os.open(_manifest_path(table_dir, version),
+                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
+    with open(vtmp, "w") as f:
+        f.write(str(version))
+    os.replace(vtmp, os.path.join(table_dir, "VERSION"))
     return manifest
 
 
@@ -239,29 +253,24 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     cur = read_manifest(table_dir)
     if not cur["files"]:
         return cur
-    sizes = {f: os.path.getsize(os.path.join(table_dir, f))
-             for f in cur["files"]}
-    small = [f for f in cur["files"] if sizes[f] < small_file_bytes]
+    sizes = {}
+    for f in cur["files"]:
+        try:
+            sizes[f] = os.path.getsize(os.path.join(table_dir, f))
+        except FileNotFoundError:
+            # a concurrent compactor+expire reclaimed it between our
+            # manifest read and the stat — leave it out of the rewrite
+            # set; the under-lock subset check resolves the race
+            continue
+    small = [f for f in cur["files"]
+             if f in sizes and sizes[f] < small_file_bytes]
     if len(small) < 2:
         return cur
     total = sum(sizes[f] for f in small)
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     src = spark.read.parquet(*[os.path.join(table_dir, f) for f in small])
     expect_rows = src.count()
-
-    data_dir = os.path.join(table_dir, "data")
-    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
-    src.coalesce(n_out).write.mode("overwrite").parquet(staging)
-    new_files = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        dst = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, f), os.path.join(data_dir, dst))
-        new_files.append(f"data/{dst}")
-    for f in os.listdir(staging):
-        os.remove(os.path.join(staging, f))
-    os.rmdir(staging)
+    new_files = _write_staged(src.coalesce(n_out), table_dir)
 
     got_rows = spark.read.parquet(
         *[os.path.join(table_dir, f) for f in new_files]).count()
@@ -280,26 +289,15 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
             for f in new_files:
                 os.remove(os.path.join(table_dir, f))
             return prev
-        version = _next_free_version(table_dir)
-        manifest = {
-            "version": version,
+        manifest = _commit_manifest(table_dir, {
             "parent": prev["version"] or None,
-            "ts": time.time(),
             "operation": "replace",
             "files": [f for f in prev["files"] if f not in small_set]
                      + new_files,
             "added_files": new_files,
             "removed_files": small,
             "row_count": prev["row_count"],
-        }
-        fd = os.open(_manifest_path(table_dir, version),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        vtmp = os.path.join(table_dir, f"VERSION.{version}.tmp")
-        with open(vtmp, "w") as f:
-            f.write(str(version))
-        os.replace(vtmp, os.path.join(table_dir, "VERSION"))
+        })
     return manifest
 
 
@@ -321,32 +319,44 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     small pre-compaction files), record the expired ids so time travel
     to them fails cleanly, and leave the (tiny) manifest JSONs in place
     so the parent chain stays walkable. Returns
-    ``{"expired": [...], "deleted_files": n}``. Runs entirely under the
-    commit lock — an interleaved append simply lands after."""
+    ``{"expired": [newly expired ids], "deleted_files": n actually
+    deleted}``. Runs entirely under the commit lock — an interleaved
+    append simply lands after.
+
+    Crash-ordering: the expired ids are RECORDED FIRST, files deleted
+    second — a crash in between leaves snapshots that already fail
+    cleanly (expired-check) with their files still on disk, and the
+    next expire call reclaims the leftovers (the delete sweep covers
+    the whole beyond-keep chain idempotently). The reverse order would
+    leave readable-looking snapshots whose files are gone."""
     with _commit_lock(table_dir):
         chain = committed_versions(table_dir)
         keep = chain[:max(1, keep_last)]
-        expired = [v for v in chain[max(1, keep_last):]]
-        if not expired:
+        beyond = chain[max(1, keep_last):]
+        already = expired_versions(table_dir)
+        newly = [v for v in beyond if v not in already]
+        if not beyond:
             return {"expired": [], "deleted_files": 0}
+        if newly:
+            tmp = _expired_path(table_dir) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(already | set(newly)), f)
+            os.replace(tmp, _expired_path(table_dir))
         live = set()
         for v in keep:
             live.update(read_manifest(table_dir, v)["files"])
         dead = set()
-        for v in expired:
+        for v in beyond:  # whole beyond-keep chain: reclaims leftovers
             dead.update(f for f in read_manifest(table_dir, v)["files"]
                         if f not in live)
+        n_deleted = 0
         for f in dead:
             try:
                 os.remove(os.path.join(table_dir, f))
+                n_deleted += 1
             except FileNotFoundError:
                 pass
-        all_expired = expired_versions(table_dir) | set(expired)
-        tmp = _expired_path(table_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(sorted(all_expired), f)
-        os.replace(tmp, _expired_path(table_dir))
-    return {"expired": expired, "deleted_files": len(dead)}
+    return {"expired": newly, "deleted_files": n_deleted}
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
@@ -405,6 +415,13 @@ def incremental_files(table_dir: str, from_snapshot: int,
         if m.get("operation", "append") == "append":
             out.append(m.get("added_files", []))
         v = m.get("parent") or 0
+    if from_snapshot and v != from_snapshot:
+        # walk hit the root without meeting from_snapshot: the range is
+        # inverted (from newer than to). Returning the collected list
+        # would re-deliver the ENTIRE append history as "new".
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is not an ancestor of "
+            f"to_snapshot {to_v} in {table_dir}")
     return [f for added in reversed(out) for f in added]
 
 

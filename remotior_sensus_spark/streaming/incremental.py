@@ -92,8 +92,11 @@ def tail_snapshots(spark: SparkSession, table_dir: str, state_dir: str,
     rows = 0
     if df is not None:
         out = process(df)
-        # force full materialization before the watermark advances
-        rows = out.count() if out is not None else df.count()
+        # force full materialization before the watermark advances; a
+        # process that returns None materialized its own sink (the
+        # documented contract), so don't pay a second full scan of the
+        # increment just to count rows
+        rows = out.count() if out is not None else None
     tmp = state_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"snapshot": current, "table": table_dir,

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 6
+_EXPECTED_VERSION = 7
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -343,7 +343,14 @@ def build_warp_crs(sf: float, src_zone: int = 33,
     Krüger formula core (operators/crs.py — the projection math IS the
     shared contract; the relational lattice/join/floor plumbing is what
     this oracle independently checks), nearest-gather with bounds
-    check, per-tile integer checksums."""
+    check, per-tile integer checksums.
+
+    Float caveat: numpy libm and JVM Math agree on this stack to
+    ~1e-9 m (measured), so a floor() flip needs a mapped coordinate
+    within ~1e-10 of a 10 m pixel boundary — probability ~1e-10 per
+    pixel, i.e. none expected at any test scale. A future JDK/libm
+    divergence would show up as a tiny checksum delta on a handful of
+    boundary pixels, not a systematic failure."""
     from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
     from remotior_sensus_spark.operators import crs as _crs
     from remotior_sensus_spark.operators.warp import crs_ring_extent

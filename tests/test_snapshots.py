@@ -249,3 +249,49 @@ def test_tail_snapshots_catchup(spark, tmp_path):
         tail_snapshots(spark, t, state, crash)
     r3 = tail_snapshots(spark, t, state, record)
     assert r3["rows"] == 2 and seen[-1] == [7, 8] == seen[-2]
+
+
+def test_incremental_inverted_range_raises(spark, tmp_path):
+    """from_snapshot newer than to_snapshot must raise, not re-deliver
+    the entire append history as 'new' (stale-ahead watermark, e.g. a
+    VERSION restored from backup)."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(3).coalesce(1), t)
+    sn.append_snapshot(spark.range(3, 6).coalesce(1), t)
+    sn.append_snapshot(spark.range(6, 8).coalesce(1), t)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        sn.incremental_files(t, from_snapshot=3, to_snapshot=2)
+
+
+def test_expire_records_before_deleting_and_is_idempotent(spark, tmp_path):
+    """Expired ids are recorded BEFORE files are deleted (a crash
+    in between leaves cleanly-failing snapshots plus reclaimable
+    leftovers), repeat calls re-report nothing and reclaim only what
+    actually remained."""
+    import json
+    import os as _os
+
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark.range(4).coalesce(1), t)
+    sn.append_snapshot(spark.range(4, 7).coalesce(1), t)
+    sn.compact_snapshot(spark, t)
+
+    # simulate the crash window: expired ids recorded, files NOT yet
+    # deleted (exactly the on-disk state after the json write)
+    with open(_os.path.join(t, "expired.json"), "w") as f:
+        json.dump([1], f)
+    n_before = len(_os.listdir(_os.path.join(t, "data")))
+
+    res = sn.expire_snapshots(t, keep_last=1)
+    # v1 was already recorded -> only v2 newly expired; BOTH v1+v2
+    # leftover files are still reclaimed by the idempotent sweep
+    assert res["expired"] == [2]
+    assert res["deleted_files"] == 2
+    assert len(_os.listdir(_os.path.join(t, "data"))) == n_before - 2
+
+    res2 = sn.expire_snapshots(t, keep_last=1)
+    assert res2 == {"expired": [], "deleted_files": 0}
+    assert sorted(r["id"] for r in sn.read_snapshot(spark, t).collect()) \
+        == list(range(7))
