@@ -161,3 +161,81 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_coarse_codebook(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """Coarse quantizer codebook for IVF: the `n_lists` corpus vectors
+    that sort first in md5(vec_id) order — a deterministic random
+    sample, the classic IVF-flat baseline codebook (reproducible
+    run-to-run and engine-to-engine, same trick as
+    tables.stratified_sample). A trained codebook from
+    classification.kmeans_bands plugs in wherever this DataFrame is
+    passed; search below only assumes (centroid_id, c_emb)."""
+    return (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")),
+                           F.col("vec_id"))
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb"))
+    )
+
+
+def ivf_inverted_lists(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assign every corpus vector to its nearest coarse centroid
+    (max exact fixed-point cosine, ties to the smaller centroid_id).
+    The codebook is tiny -> broadcast; the argmax is a map-side-combine
+    aggregate on vec_id (no sort, one shuffle of compact
+    (vec_id, best-struct, embedding) rows). Returns the inverted index
+    (list_id, vec_id, embedding) that candidates are fetched from."""
+    j = embeddings.crossJoin(F.broadcast(codebook))
+    cos = _cos_fp(F.col("embedding"), F.col("c_emb"))
+    scored = j.select(
+        "vec_id", "embedding",
+        F.struct(cos.alias("c_cos"),
+                 (-F.col("centroid_id")).alias("neg_cid")).alias("sc"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max("sc").alias("m"), F.first("embedding").alias("embedding")
+    )
+    return best.select(
+        (-F.col("m.neg_cid")).alias("list_id"), "vec_id", "embedding"
+    )
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                    n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into `n_lists` inverted lists by
+    nearest coarse centroid; each query probes its `n_probe` nearest
+    lists and exact-re-ranks only the vectors in them. The 100 TB
+    shape: the codebook and the probed (query, list) pairs broadcast,
+    the corpus shuffles ONCE on vec_id for the assignment argmax, and
+    the candidate fetch is a broadcast-hash join on list_id — never an
+    all-pairs cross join. Complements cosine_topk_lsh: IVF's Voronoi
+    lists adapt to the data distribution where sign-LSH's hyperplanes
+    are data-oblivious. Ref analogue: remotior_sensus's spectral
+    signature search over catalogs (tools/band_classification.py) —
+    re-expressed as a two-level coarse-quantize + refine join."""
+    codebook = ivf_coarse_codebook(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, codebook)
+    q0 = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q0.crossJoin(F.broadcast(codebook))
+    qcos = _cos_fp(F.col("q_emb"), F.col("c_emb"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        qc.select("query_id", "q_emb", "centroid_id", qcos.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", F.col("centroid_id").alias("list_id"))
+    )
+    cand = inv.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id"))
+    cos = _cos_fp(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2558,6 +2558,50 @@ def ann_cosine_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(emb, [0, 1, 2, 3, 4], k=10)
 
 
+def _ann_ivf_oracle(n_lists: int = 16, n_probe: int = 4) -> str:
+    """IVF-flat ANN unrolled in SQL, CTE-for-CTE against
+    similarity.cosine_topk_ivf: md5-order sample codebook, argmax-cosine
+    list assignment (ties to smaller centroid_id), n_probe nearest lists
+    per query, exact re-rank inside the probed lists."""
+    return f"""
+with e as (select vec_id, embedding as emb from embeddings),
+cents as (select vec_id as cid, emb as ce from e
+          order by md5(cast(vec_id as varchar)), vec_id limit {n_lists}),
+ac as (select e.vec_id, e.emb, cents.cid,
+         {_cosfp_sql('emb', 'ce')} as c_cos
+       from e cross join cents),
+inv as (select vec_id, emb, cid as list_id from (
+    select *, row_number() over (partition by vec_id
+                                 order by c_cos desc, cid) as rn from ac)
+  where rn = 1),
+q0 as (select vec_id as qid, emb as qe from e where vec_id in (0, 1, 2, 3, 4)),
+qc as (select q0.qid, q0.qe, cents.cid,
+         {_cosfp_sql('qe', 'ce')} as c_cos
+       from q0 cross join cents),
+probe as (select qid, qe, cid as list_id from (
+    select *, row_number() over (partition by qid
+                                 order by c_cos desc, cid) as rn from qc)
+  where rn <= {n_probe}),
+j as (select inv.vec_id, probe.qid, inv.emb, probe.qe
+      from inv join probe on inv.list_id = probe.list_id
+      where inv.vec_id <> probe.qid),
+s as (select qid as query_id, vec_id,
+        {_cosfp_sql('emb', 'qe')} as cos_sim from j)
+select query_id, vec_id, cos_sim, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, vec_id) as rank from s)
+where rank <= 10
+"""
+
+
+@q("ann_cosine_ivf", _ann_ivf_oracle())
+def ann_cosine_ivf(spark, sf_dir):
+    """IVF-flat ANN (coarse quantize -> probe -> exact re-rank): the
+    data-adaptive counterpart to ann_cosine_lsh."""
+    emb = cat.load_driver(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(emb, [0, 1, 2, 3, 4], k=10)
+
+
 def _cluster_oracle(geo_dir: str = GEO01) -> str:
     """cluster_by_proximity oracle: the cover math mirrors
     geometry_cell_cover exactly; the component min-label resolves with a
@@ -2765,7 +2809,8 @@ _RUN_FIRST = [
     "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
-    "ann_cosine_lsh", "lang_id", "ngram_jaccard", "decontaminate",
+    "ann_cosine_lsh", "ann_cosine_ivf", "lang_id", "ngram_jaccard",
+    "decontaminate",
     "stratified_sample", "token_count_bpe", "signature_similarity",
     "tile_features", "dilation_counts", "erosion_counts",
     "raster_label_histogram", "sieve_reclass", "polygonize",
