@@ -89,3 +89,59 @@ def stratified_sample(df: DataFrame, stratum, k: int, key: str) -> DataFrame:
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              right_cols: list[str], tolerance_us: int | None = None) -> DataFrame:
+    """As-of join: attach to every `left` row the latest `right` row with
+    right.ts <= left.ts for the same `on` key (ties broken by the last
+    right row in (ts, __tie) order, where __tie is the first of
+    `right_cols` — pass a unique id there for determinism).
+
+    The 100 TB shape (the merge-sorted union trick, not a range join):
+    tag both sides, union, ONE hash shuffle on the key, and a running
+    last_value(ignorenulls) over (ts, side) within each key — every
+    left row reads the latest preceding right struct in O(n log n)
+    sort, no per-row probe, no interval explosion, no broadcast
+    requirement on either side. A Catalyst range join would be
+    O(left x right) within key; this is linear after the sort.
+
+    Returns left columns plus `right_cols` (null when no prior right
+    row) and `asof_gap_us` (microseconds since the matched right row).
+    `tolerance_us` drops matches older than the tolerance (null fill),
+    mirroring pandas.merge_asof(tolerance=...).
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        on, ts, *[c for c in right_cols if c not in (on, ts)]
+    ).withColumn("__side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts (__side 0 < 1), so a
+    # right row exactly at left.ts is visible to that left row
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(),
+                 F.col(right_cols[0]).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rstruct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col(ts).alias("__rts"),
+                 *[F.col(c).alias(c) for c in right_cols]),
+    )
+    matched = u.withColumn("__m", F.last(rstruct, ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1)
+    # sources may carry TIMESTAMP_NTZ; the session tz is pinned UTC, so
+    # the cast is a pure type adapter (identical epoch both engines)
+    gap = (F.unix_micros(F.col(ts).cast("timestamp"))
+           - F.unix_micros(F.col("__m.__rts").cast("timestamp")))
+    if tolerance_us is not None:
+        keep = gap <= F.lit(tolerance_us)
+        sel = [F.when(keep, F.col(f"__m.{c}")).alias(f"asof_{c}")
+               for c in right_cols] + [F.when(keep, gap).alias("asof_gap_us")]
+    else:
+        sel = [F.col(f"__m.{c}").alias(f"asof_{c}") for c in right_cols] + [
+            gap.alias("asof_gap_us")]
+    return out.select(*left.columns, *sel)

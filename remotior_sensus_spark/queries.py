@@ -1308,6 +1308,60 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@q("windowed_event_counts", """
+select cast(epoch(date_trunc('hour', ts)) as bigint) as window_start_s,
+  event_type, count(*) as n_events,
+  cast(sum(cast(floor(value*1000000.0+0.5) as bigint)) as bigint) as sum_value_fp
+from events group by 1, 2
+""")
+def windowed_event_counts_q(spark, sf_dir):
+    """Tumbling event-time windows (streaming/windowed.py) — the batch
+    twin; the identical transform runs under readStream + watermark in
+    test_checkpoint_streaming."""
+    from remotior_sensus_spark.streaming.windowed import windowed_event_counts
+    ev = cat.load_driver(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour")
+
+
+@q("asof_purchase_view", """
+with v as (select user_id, event_id, ts, value from events
+           where event_type = 'view'),
+p as (select user_id, event_id, ts from events where event_type = 'purchase'),
+sel as (select p.user_id, p.event_id as purchase_id,
+          epoch_us(p.ts) as purchase_ts_us,
+          (select v.event_id from v
+           where v.user_id = p.user_id and v.ts <= p.ts
+           order by v.ts desc, v.event_id desc limit 1) as vid
+        from p)
+select s.user_id, s.purchase_id, s.purchase_ts_us,
+  coalesce(s.vid, -1) as view_id,
+  coalesce(cast(floor(v.value*1000000.0+0.5) as bigint), -1) as view_value_fp,
+  coalesce(s.purchase_ts_us - epoch_us(v.ts), -1) as gap_us
+from sel s left join v on v.event_id = s.vid
+""")
+def asof_purchase_view(spark, sf_dir):
+    """As-of join (tables.asof_join): every purchase matched to the
+    latest view at-or-before it per user — merge-sorted-union plan, one
+    shuffle on user_id, no range-join explosion."""
+    from remotior_sensus_spark.operators.tables import asof_join
+    ev = cat.load_driver(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value")
+    j = asof_join(p, v, on="user_id", ts="ts",
+                  right_cols=["event_id", "value"])
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(fixed1e6(F.col("asof_value")), F.lit(-1)).alias(
+            "view_value_fp"),
+        F.coalesce("asof_gap_us", F.lit(-1)).alias("gap_us"),
+    )
+
+
 @q("tpch_q1", """
 select l_returnflag, l_linestatus,
   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
@@ -2809,7 +2863,8 @@ _RUN_FIRST = [
     "cluster_proximity",
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
-    "ann_cosine_lsh", "ann_cosine_ivf", "lang_id", "ngram_jaccard",
+    "ann_cosine_lsh", "ann_cosine_ivf", "windowed_event_counts",
+    "asof_purchase_view", "lang_id", "ngram_jaccard",
     "decontaminate",
     "stratified_sample", "token_count_bpe", "signature_similarity",
     "tile_features", "dilation_counts", "erosion_counts",

@@ -92,3 +92,80 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert len(batch) > 0
     for user, n in batch.items():
         assert got.get(user, 0) == n - 1, user
+
+
+def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg: append mode emits exactly the
+    windows the final watermark has closed, and every emitted row equals
+    the batch result for that (window, event_type) key."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.streaming.windowed import (
+        windowed_counts_stream,
+        windowed_event_counts,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    ev.write.parquet(events_dir)
+
+    q = windowed_counts_stream(spark, events_dir, str(tmp_path / "ckpt"),
+                               window="1 hour", delay="2 hours",
+                               queryName="win_test")
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_test").toPandas()
+    batch = windowed_event_counts(ev, "1 hour").toPandas()
+
+    key = ["window_start_s", "event_type"]
+    gk = got.set_index(key).sort_index()
+    bk = batch.set_index(key).sort_index()
+    # every streamed row is final and equals the batch row
+    assert len(gk) > 0
+    for idx, row in gk.iterrows():
+        brow = bk.loc[idx]
+        assert int(row["n_events"]) == int(brow["n_events"]), idx
+        assert int(row["sum_value_fp"]) == int(brow["sum_value_fp"]), idx
+    # the only batch windows the stream may omit are the final ones the
+    # watermark (max_ts - 2h) never closed
+    import pandas as pd
+    max_ts = pd.Timestamp(ev.agg(F.max("ts")).collect()[0][0])
+    wm_s = max_ts.value // 10**9 - 2 * 3600
+    missing = bk.index.difference(gk.index)
+    for ws, _ in missing:
+        assert ws + 3600 > wm_s - 3600, (ws, wm_s)
+
+
+def test_asof_join_tolerance_and_semantics(spark):
+    """asof_join: latest right at-or-before left per key; equal-ts right
+    row IS matched; tolerance nulls out stale matches."""
+    import datetime as dt
+
+    from remotior_sensus_spark.operators.tables import asof_join
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(30)), (2, 102, t(5))],
+        "k int, lid int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 7, t(10), 1.5),   # equal-ts: visible to lid=100
+         (1, 8, t(20), 2.5),   # latest before lid=101
+         (1, 9, t(20), 3.5),   # same ts as rid=8 -> larger rid wins
+         (2, 10, t(1), 4.5)],
+        "k int, rid int, ts timestamp, v double")
+    out = asof_join(left, right, on="k", ts="ts",
+                    right_cols=["rid", "v"]).toPandas().set_index("lid")
+    assert int(out.loc[100, "asof_rid"]) == 7
+    assert float(out.loc[100, "asof_v"]) == 1.5
+    assert int(out.loc[100, "asof_gap_us"]) == 0
+    assert int(out.loc[101, "asof_rid"]) == 9  # tie -> last in rid order
+    assert int(out.loc[101, "asof_gap_us"]) == 10 * 10**6
+    assert int(out.loc[102, "asof_rid"]) == 10
+
+    tol = asof_join(left, right, on="k", ts="ts", right_cols=["rid", "v"],
+                    tolerance_us=5 * 10**6).toPandas().set_index("lid")
+    assert int(tol.loc[100, "asof_rid"]) == 7      # gap 0 <= 5s
+    assert tol.loc[101, "asof_rid"] != tol.loc[101, "asof_rid"] or \
+        tol.loc[101, ["asof_rid"]].isna().all()    # gap 10s > 5s -> null
+    assert int(tol.loc[102, "asof_rid"]) == 10     # gap 4s <= 5s
