@@ -145,3 +145,40 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
         sel = [F.col(f"__m.{c}").alias(f"asof_{c}") for c in right_cols] + [
             gap.alias("asof_gap_us")]
     return out.select(*left.columns, *sel)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, key: str,
+                  point_ts: str, istart: str, iend: str,
+                  bucket_s: int = 600) -> DataFrame:
+    """Point-in-interval join (the range join OSS Spark has no physical
+    operator for) via time bucketing: intervals explode to the fixed
+    `bucket_s`-second buckets they cover, points carry their single
+    bucket, and the pair meets on an ordinary (key, bucket) hash join
+    followed by the exact containment filter.
+
+    Each (point, interval) pair meets EXACTLY once — the point has one
+    bucket and the interval covers it once — so no post-join distinct
+    is needed. Cost: |intervals| x (len/bucket_s) exploded rows; pick
+    bucket_s near the median interval length so the blow-up stays O(1)
+    per interval while buckets stay selective. A naive theta-join is
+    O(points x intervals) per key (BroadcastNestedLoop at cluster
+    scale); this is one shuffle each side on compact keys.
+
+    Timestamps are compared as integer epoch microseconds (NTZ-safe
+    under the pinned-UTC session), bounds inclusive."""
+    bs_us = F.lit(int(bucket_s) * 1_000_000)
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pb = points.withColumn("__b", F.floor(us(point_ts) / bs_us))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(F.floor(us(istart) / bs_us),
+                             F.floor(us(iend) / bs_us))),
+    )
+    return (
+        pb.join(ib, [key, "__b"])
+        .filter((us(point_ts) >= us(istart)) & (us(point_ts) <= us(iend)))
+        .drop("__b")
+    )

@@ -1362,6 +1362,75 @@ def asof_purchase_view(spark, sf_dir):
     )
 
 
+@q("error_click_attribution", """
+with e as (select user_id, event_id, ts from events where event_type = 'error'),
+c as (select user_id, ts from events where event_type = 'click')
+select e.user_id, e.event_id as error_id, count(*) as n_clicks
+from e join c on c.user_id = e.user_id
+  and epoch_us(c.ts) >= epoch_us(e.ts)
+  and epoch_us(c.ts) <= epoch_us(e.ts) + 7200000000
+group by 1, 2
+""")
+def error_click_attribution(spark, sf_dir):
+    """Interval join (tables.interval_join): clicks within 2 h after
+    each error, matched via time-bucketed equi-join (no theta join)."""
+    from remotior_sensus_spark.operators.tables import interval_join
+    ev = cat.load_driver(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 hours")
+         ).alias("t1"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"))
+    j = interval_join(clicks, errors, key="user_id", point_ts="cts",
+                      istart="t0", iend="t1", bucket_s=3600)
+    return j.groupBy("user_id", "error_id").agg(
+        F.count("*").alias("n_clicks"))
+
+
+@q("tpch_q3", """
+select l_orderkey,
+  cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
+                as bigint)) as bigint) as revenue_fp,
+  cast(cast(o_orderdate as date) as varchar) as o_orderdate, o_orderpriority
+from customer join orders on c_custkey = o_custkey
+  join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < date '1995-03-15' and l_shipdate > date '1995-03-15'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue_fp desc, l_orderkey limit 10
+""")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: customer (tiny after the segment
+    filter) broadcasts into orders; orders⨝lineitem is a plain shuffle
+    hash join on the order key — the side that grows with the data is
+    never broadcast. Top-10 with a deterministic orderkey tie-break."""
+    cu = cat.load_driver(spark, sf_dir, "customer")
+    od = cat.load_driver(spark, sf_dir, "orders")
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    dims = (
+        od.filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")
+                          .select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev = fixed1e6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(dims, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_fp"))
+        .select("l_orderkey", "revenue_fp",
+                F.col("o_orderdate").cast("date").cast("string").alias(
+                    "o_orderdate"),
+                "o_orderpriority")
+        .orderBy(F.desc("revenue_fp"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 @q("tpch_q1", """
 select l_returnflag, l_linestatus,
   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
@@ -2864,7 +2933,8 @@ _RUN_FIRST = [
     "pca_projection", "ml_classification", "ml_threshold_confidence",
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "ann_cosine_ivf", "windowed_event_counts",
-    "asof_purchase_view", "lang_id", "ngram_jaccard",
+    "asof_purchase_view", "error_click_attribution", "tpch_q3",
+    "lang_id", "ngram_jaccard",
     "decontaminate",
     "stratified_sample", "token_count_bpe", "signature_similarity",
     "tile_features", "dilation_counts", "erosion_counts",

@@ -169,3 +169,30 @@ def test_asof_join_tolerance_and_semantics(spark):
     assert tol.loc[101, "asof_rid"] != tol.loc[101, "asof_rid"] or \
         tol.loc[101, ["asof_rid"]].isna().all()    # gap 10s > 5s -> null
     assert int(tol.loc[102, "asof_rid"]) == 10     # gap 4s <= 5s
+
+
+def test_interval_join_buckets_and_bounds(spark):
+    """interval_join: inclusive bounds, bucket-straddling intervals meet
+    their points exactly once, disjoint keys never match."""
+    import datetime as dt
+
+    from remotior_sensus_spark.operators.tables import interval_join
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # bucket_s=10: interval [5, 25] straddles buckets 0,1,2
+    points = spark.createDataFrame(
+        [(1, 100, t(5)),    # == start: inclusive
+         (1, 101, t(15)),   # mid, different bucket than start
+         (1, 102, t(25)),   # == end: inclusive
+         (1, 103, t(26)),   # past end
+         (2, 104, t(15))],  # other key
+        "k int, pid int, pts timestamp")
+    iv = spark.createDataFrame(
+        [(1, 7, t(5), t(25))], "k int, iid int, t0 timestamp, t1 timestamp")
+    out = interval_join(points, iv, key="k", point_ts="pts",
+                        istart="t0", iend="t1", bucket_s=10).toPandas()
+    assert sorted(out["pid"]) == [100, 101, 102]
+    # exactly once each (no dup from the 3-bucket explosion)
+    assert len(out) == 3
