@@ -1431,6 +1431,83 @@ def tpch_q3(spark, sf_dir):
     )
 
 
+@q("tpch_q5", """
+select n_name,
+  cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
+                as bigint)) as bigint) as revenue_fp
+from customer join orders on c_custkey = o_custkey
+  join lineitem on l_orderkey = o_orderkey
+  join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+  join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= date '1996-01-01' and o_orderdate < date '1997-01-01'
+group by n_name
+""")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume. The fixed-cardinality dims
+    (nation⨝region, 25 rows) broadcast; the growing tables meet on
+    shuffle hash joins keyed so each shuffle is on the join's natural
+    key (custkey, then orderkey, then suppkey) — none of the big sides
+    is ever broadcast, so the plan survives a 100x scale-up unchanged.
+    The c_nationkey = s_nationkey residual rides the suppkey join."""
+    cu = cat.load_driver(spark, sf_dir, "customer")
+    od = cat.load_driver(spark, sf_dir, "orders")
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    su = cat.load_driver(spark, sf_dir, "supplier")
+    na = cat.load_driver(spark, sf_dir, "nation")
+    re = cat.load_driver(spark, sf_dir, "region")
+    asia = (na.join(re, na["n_regionkey"] == re["r_regionkey"])
+            .filter(F.col("r_name") == "ASIA")
+            .select("n_nationkey", "n_name"))
+    rev = fixed1e6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        od.filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                  & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+        .join(li.select("l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(su.select("s_suppkey", "s_nationkey"),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(asia),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_fp"))
+    )
+
+
+@q("tpch_q6", """
+select cast(sum(cast(floor(l_extendedprice*l_discount*1000000.0+0.5)
+                     as bigint)) as bigint) as revenue_fp,
+  count(*) as n_items
+from lineitem
+where l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'
+  and l_discount between 0.05 and 0.07 and l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change: a pure scan-aggregate whose
+    entire predicate (shipdate range, discount band, quantity cap) and
+    3-column projection push into the parquet scan — the `.explain`
+    shows PushedFilters and a ReadSchema of exactly the used columns,
+    so at 100 TB the job reads row groups, not the table."""
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(fixed1e6(F.col("l_extendedprice") * F.col("l_discount"))
+                  ).alias("revenue_fp"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 @q("tpch_q1", """
 select l_returnflag, l_linestatus,
   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
@@ -2934,6 +3011,7 @@ _RUN_FIRST = [
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "ann_cosine_ivf", "windowed_event_counts",
     "asof_purchase_view", "error_click_attribution", "tpch_q3",
+    "tpch_q5", "tpch_q6",
     "lang_id", "ngram_jaccard",
     "decontaminate",
     "stratified_sample", "token_count_bpe", "signature_similarity",

@@ -171,6 +171,46 @@ def test_asof_join_tolerance_and_semantics(spark):
     assert int(tol.loc[102, "asof_rid"]) == 10     # gap 4s <= 5s
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join emits exactly the pairs the batch
+    bucketed interval_join produces on the same events (inner join emits
+    every match; the watermark only bounds state, never drops matches
+    under AvailableNow where all data is within the final watermark's
+    replay)."""
+    from remotior_sensus_spark.operators.tables import interval_join
+    from remotior_sensus_spark.streaming.stream_join import (
+        error_click_pairs_stream,
+        split_error_click,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    ev.write.parquet(events_dir)
+
+    q = error_click_pairs_stream(spark, events_dir, str(tmp_path / "ckpt"),
+                                 horizon_s=7200, delay="30 minutes",
+                                 queryName="ssj_test")
+    q.awaitTermination(120)
+    got = spark.sql("select * from ssj_test").toPandas()
+
+    errors, clicks = split_error_click(ev)
+    # batch twin via the bucketed interval_join (its contract is one
+    # shared key column name, so rename both sides to it first)
+    batch = interval_join(
+        clicks.withColumnRenamed("c_user", "k"),
+        errors.withColumnRenamed("e_user", "k").withColumn(
+            "ets_end", F.col("ets") + F.expr("interval 7200 seconds")),
+        key="k", point_ts="cts", istart="ets", iend="ets_end",
+        bucket_s=3600,
+    ).select(F.col("k").alias("user_id"), "error_id", "click_id").toPandas()
+
+    key = ["user_id", "error_id", "click_id"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    b = batch[key].sort_values(key).reset_index(drop=True)
+    assert len(b) > 0
+    assert g.equals(b)
+
+
 def test_interval_join_buckets_and_bounds(spark):
     """interval_join: inclusive bounds, bucket-straddling intervals meet
     their points exactly once, disjoint keys never match."""
