@@ -171,6 +171,28 @@ def test_asof_join_tolerance_and_semantics(spark):
     assert int(tol.loc[102, "asof_rid"]) == 10     # gap 4s <= 5s
 
 
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over an ingest stream with injected
+    duplicate event_ids keeps exactly one row per id (all duplicates
+    land within the delay), matching batch dropDuplicates."""
+    from remotior_sensus_spark.streaming.dedup_stream import dedup_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # replay ~20% of events (a retried micro-batch): same ids, same ts
+    dupes = ev.filter(F.col("event_id") % 5 == 0)
+    events_dir = str(tmp_path / "events_in")
+    ev.unionAll(dupes).write.parquet(events_dir)
+
+    q = dedup_stream(spark, events_dir, str(tmp_path / "ckpt"),
+                     delay="1 hour", queryName="dedup_test")
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_test").toPandas()
+
+    n_ids = ev.select("event_id").distinct().count()
+    assert len(got) == n_ids
+    assert got["event_id"].is_unique
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream join emits exactly the pairs the batch
     bucketed interval_join produces on the same events (inner join emits
