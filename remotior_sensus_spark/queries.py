@@ -1431,6 +1431,39 @@ def tpch_q3(spark, sf_dir):
     )
 
 
+def _zorder_oracle():
+    from remotior_sensus_spark.functions.zorder import morton_sql
+    z = morton_sql("cast(tile_x as bigint)", "cast(tile_y as bigint)")
+    return f"""
+select cell_prefix, count(*) as n_tiles,
+  min({z}) as min_z, max({z}) as max_z,
+  cast(sum({z}) as bigint) as sum_z
+from '{GEO01}/tiles.parquet'
+where bandset='S2_2020-01-01' and band='B04'
+group by cell_prefix
+"""
+
+
+@q("zorder_tiles", _zorder_oracle())
+def zorder_tiles(spark, sf_dir):
+    """Z-order (Morton) clustering keys (functions/zorder.py): the
+    lakehouse ZORDER primitive as pure codegen'd bit arithmetic — sort
+    data files by this key and spatial range filters skip row groups
+    on tight min/max stats (locality proven in tests/test_zorder.py).
+    Verified here per cell_prefix: count, min/max/sum of the key, the
+    same magic-mask spread mirrored in the DuckDB oracle."""
+    from remotior_sensus_spark.functions.zorder import morton_key
+    t = _b01(spark, sf_dir, "B04")
+    z = morton_key(F.col("tile_x"), F.col("tile_y"))
+    return (
+        t.select("cell_prefix", z.alias("z"))
+        .groupBy("cell_prefix")
+        .agg(F.count("*").alias("n_tiles"),
+             F.min("z").alias("min_z"), F.max("z").alias("max_z"),
+             F.sum("z").alias("sum_z"))
+    )
+
+
 @q("tpch_q5", """
 select n_name,
   cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
@@ -3011,7 +3044,7 @@ _RUN_FIRST = [
     "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
     "ann_cosine_lsh", "ann_cosine_ivf", "windowed_event_counts",
     "asof_purchase_view", "error_click_attribution", "tpch_q3",
-    "tpch_q5", "tpch_q6",
+    "tpch_q5", "tpch_q6", "zorder_tiles",
     "lang_id", "ngram_jaccard",
     "decontaminate",
     "stratified_sample", "token_count_bpe", "signature_similarity",
