@@ -183,3 +183,91 @@ def zonal_stats(
         pc = grouped_percentile(valid, [zone_col], value_col, p, f"p{int(p)}")
         base = base.join(pc, zone_col, "left")
     return base
+
+
+def linear_stretch_histogram(
+    band_px: DataFrame,
+    value_col: str = "value",
+    p_lo: float = 2.0,
+    p_hi: float = 98.0,
+) -> DataFrame:
+    """Percent-clip linear contrast stretch to 8-bit, reported as the
+    per-band byte histogram (the reference's preview stretch —
+    util/shared_tools.py sets display min/max from percentiles before
+    scaling to bytes; re-expressed as a relational plan).
+
+    The cut points reuse grouped_percentile's VALUE-HISTOGRAM closest-
+    observation percentile (exact, no giant per-band sort), come back as
+    a tiny per-band frame that broadcast-joins onto the pixel stream,
+    and the byte mapping is one Catalyst expression:
+    clamp(floor((v - lo) * 255 / (hi - lo) + 0.5), 0, 255).
+    Degenerate bands (hi == lo) map to byte 0. Output:
+    (band, byte_value, pixel_count)."""
+    valid = band_px.filter(F.col(value_col) != NODATA).select("band", value_col)
+    lo = grouped_percentile(valid, ["band"], value_col, p_lo, "lo")
+    hi = grouped_percentile(valid, ["band"], value_col, p_hi, "hi")
+    cuts = lo.join(hi, "band")
+    j = valid.join(F.broadcast(cuts), "band")
+    scaled = F.floor(
+        (F.col(value_col) - F.col("lo")) * F.lit(255.0)
+        / (F.col("hi") - F.col("lo")) + F.lit(0.5)
+    )
+    byte = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(F.lit(255).cast("long"),
+                F.greatest(F.lit(0).cast("long"), scaled))
+    ).cast("int")
+    return (
+        j.select("band", byte.alias("byte_value"))
+        .groupBy("band", "byte_value")
+        .agg(F.count("*").alias("pixel_count"))
+    )
+
+
+def pyramid_stats(band_px: DataFrame, levels: int = 3) -> DataFrame:
+    """Overview-pyramid construction as a cascade of partial
+    re-aggregations: level L cells (2^L x 2^L base pixels) aggregate
+    from level L-1's (sum, count) pairs — the base raster is read ONCE
+    and each further level reduces 4:1, the way overview builds stream
+    on a cluster (never re-scanning the source per level).
+
+    Emits per-level invariants that pin every cell's exact content:
+    cell count, total valid-pixel sum, and an order-independent
+    fixed-point checksum of the per-cell means.
+    Output: (level, n_cells, total_sum, mean_checksum)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    from remotior_sensus_spark.grid import TILE_PX
+
+    cur = (
+        band_px.filter(F.col("value") != NODATA)
+        .select(
+            (F.col("tile_x") * TILE_PX + F.col("pos") % TILE_PX).alias("gx"),
+            (F.col("tile_y") * TILE_PX
+             + (F.col("pos") / TILE_PX).cast("int")).alias("gy"),
+            F.col("value").cast("long").alias("s"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    outs = []
+    for _ in range(levels):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("gx") / 2).alias("gx"),
+                F.floor(F.col("gy") / 2).alias("gy"),
+            )
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        )
+        outs.append(cur)
+    level_frames = [
+        o.agg(
+            F.count("*").alias("n_cells"),
+            F.sum("s").alias("total_sum"),
+            F.sum(fixed1e6(F.col("s").cast("double") / F.col("c")))
+            .alias("mean_checksum"),
+        ).select(F.lit(i + 1).alias("level"), "n_cells", "total_sum",
+                 "mean_checksum")
+        for i, o in enumerate(outs)
+    ]
+    out = level_frames[0]
+    for f in level_frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -68,6 +68,66 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, min_distinct_frac: float = 0.3,
+                     max_word_frac: float = 0.3,
+                     max_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    type-token ratio, the fraction of tokens taken by the single most
+    frequent word, the fraction of bigram slots taken by the most
+    frequent bigram, and an integer keep flag combining the thresholds.
+
+    Scale shape: grams explode map-side and partial-aggregate into
+    (doc_id, gram) hash state before the ONE shuffle; the per-doc
+    reduce that follows moves only one row per distinct gram. The
+    corpus text itself never shuffles. All fractions are single
+    IEEE divisions of exact counts — bit-identical to the DuckDB
+    oracle."""
+    toks = tokens_col()
+    base = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    top_word = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_word"))
+    )
+    # bigrams built in-array (0-based Spark indexing; the oracle's
+    # 1-based DuckDB indexing enumerates the identical pairs)
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks)-1),"
+        " i -> concat(toks[i-1], ' ', toks[i]))")
+    top_bigram = (
+        base.filter(F.col("n_tokens") > 1)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_bigram"))
+    )
+    n = F.col("n_tokens")
+    distinct_frac = F.when(n > 0, F.col("n_distinct").cast("double") / n)
+    word_frac = F.when(n > 0, F.col("top_word").cast("double") / n)
+    bigram_frac = F.when(n > 1, F.col("top_bigram").cast("double") / (n - 1))
+    keep = F.when(
+        (distinct_frac >= float(min_distinct_frac))
+        & (word_frac <= float(max_word_frac))
+        & (bigram_frac <= float(max_bigram_frac)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        base.drop("toks")
+        .join(top_word, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            distinct_frac.alias("distinct_frac"),
+            word_frac.alias("top_word_frac"),
+            bigram_frac.alias("top_bigram_frac"),
+            keep.alias("keep"),
+        )
+    )
+
+
 LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "es": ("el", "la", "de"),

@@ -1541,6 +1541,36 @@ def tpch_q6(spark, sf_dir):
     )
 
 
+@q("tpch_q4", """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= date '1996-01-01' and o_orderdate < date '1996-07-01'
+  and exists (select 1 from lineitem
+              where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+group by o_orderpriority
+""")
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (priority counts of orders with a late-shipping
+    line; the fixture lacks l_commitdate so lateness is shipdate past
+    orderdate): the EXISTS compiles to a LEFT SEMI join — at scale the
+    probe side never materializes matched lineitem rows, and the
+    date-window filter on orders pushes into the parquet scan before
+    the shuffle."""
+    ord_ = cat.load_driver(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    hit = ord_.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
 @q("tpch_q1", """
 select l_returnflag, l_linestatus,
   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
@@ -1682,6 +1712,213 @@ def resample_mode_q(spark, sf_dir):
         "value", agg.quantize(F.col("value"))
     )
     return resample_mode(px, factor=2)
+
+
+# shared oracle CTE: Horn gradients per interior pixel via shifted-copy
+# group-by (same hash-friendly shape as the focal oracles). Cell naming:
+# [[a b c],[d e f],[g h i]], rows north->south; a copy shipped with
+# offset (dx,dy) lands on the center at (gx+dx, gy+dy), so cell a (the
+# NW source) arrives with dx=1,dy=1. HAVING count(*)=9 keeps exactly
+# the pixels whose full 3x3 window is on-raster and non-nodata —
+# matching the kernel's all-9-valid rule.
+_HORN_SQL = f"""p as (
+  select gx, gy, value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'),
+o(dx, dy) as (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)),
+s as (select p.gx + dx as gx, p.gy + dy as gy, dx, dy,
+             cast(value as double) as v
+      from p, o where value <> -32768),
+w as (
+  select gx, gy,
+    max(case when dx=1  and dy=1  then v end) as a,
+    max(case when dx=0  and dy=1  then v end) as b,
+    max(case when dx=-1 and dy=1  then v end) as c,
+    max(case when dx=1  and dy=0  then v end) as d,
+    max(case when dx=-1 and dy=0  then v end) as f,
+    max(case when dx=1  and dy=-1 then v end) as g,
+    max(case when dx=0  and dy=-1 then v end) as h,
+    max(case when dx=-1 and dy=-1 then v end) as i
+  from s group by gx, gy having count(*) = 9),
+g2 as (
+  select ((c + 2.0*f + i) - (a + 2.0*d + g)) / 80.0 as gx_,
+         ((g + 2.0*h + i) - (a + 2.0*b + c)) / 80.0 as gy_
+  from w)"""
+
+
+@q("terrain_slope", f"""
+with {_HORN_SQL},
+m as (select atan(sqrt(gx_*gx_ + gy_*gy_)) as sr, atan2(gy_, -gx_) as phi
+      from g2),
+v as (
+  select sr * (180.0/pi()) as slope_deg,
+         greatest(0.0, 255.0*(cos(radians(45.0))*cos(sr)
+           + sin(radians(45.0))*sin(sr)*cos(radians(-225.0) - phi))) as hs
+  from m)
+select cast(floor(slope_deg / 5.0) as int) as slope_class,
+  count(*) as pixel_count,
+  cast(sum(cast(floor(hs + 0.5) as bigint)) as bigint) as hillshade_sum
+from v group by 1
+""")
+def terrain_slope(spark, sf_dir):
+    from remotior_sensus_spark.operators.terrain import horn_terrain
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    z = (
+        ter.select(F.explode(F.arrays_zip("slope", "hillshade")).alias("z"))
+        .select(F.col("z.slope").alias("s"), F.col("z.hillshade").alias("h"))
+        .filter(F.col("s") != float(NODATA))
+    )
+    return z.groupBy(
+        F.floor(F.col("s") / F.lit(5.0)).cast("int").alias("slope_class")
+    ).agg(
+        F.count("*").alias("pixel_count"),
+        F.sum(F.floor(F.col("h") + F.lit(0.5)).cast("long"))
+        .alias("hillshade_sum"),
+    )
+
+
+@q("aspect_sectors", f"""
+with {_HORN_SQL},
+m as (select atan2(gy_, -gx_) as phi,
+             (gx_ = 0.0 and gy_ = 0.0) as flat from g2),
+a as (select flat,
+  case when 90.0 - phi * (180.0/pi()) < 0.0
+         then 90.0 - phi * (180.0/pi()) + 360.0
+       when 90.0 - phi * (180.0/pi()) >= 360.0
+         then 90.0 - phi * (180.0/pi()) - 360.0
+       else 90.0 - phi * (180.0/pi()) end as compass
+  from m)
+select case when flat then -1
+            when compass + 22.5 >= 360.0
+              then cast(floor((compass + 22.5 - 360.0) / 45.0) as int)
+            else cast(floor((compass + 22.5) / 45.0) as int) end as sector,
+  count(*) as pixel_count,
+  cast(sum(case when flat then 0
+       else cast(floor(compass * 1000000.0 + 0.5) as bigint) end) as bigint)
+    as aspect_checksum
+from a group by 1
+""")
+def aspect_sectors(spark, sf_dir):
+    from remotior_sensus_spark.operators.terrain import horn_terrain
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    asp = (
+        ter.select(F.explode("aspect").alias("aspect"))
+        .filter(F.col("aspect") != float(NODATA))
+    )
+    flat = F.col("aspect") == F.lit(-1.0)
+    shifted = F.col("aspect") + F.lit(22.5)
+    sector = F.when(flat, F.lit(-1)).otherwise(
+        F.floor(
+            F.when(shifted >= 360.0, shifted - 360.0).otherwise(shifted)
+            / F.lit(45.0)
+        ).cast("int")
+    )
+    return asp.groupBy(sector.alias("sector")).agg(
+        F.count("*").alias("pixel_count"),
+        F.sum(
+            F.when(flat, F.lit(0).cast("long"))
+            .otherwise(fixed1e6(F.col("aspect")))
+        ).alias("aspect_checksum"),
+    )
+
+
+@q("gopher_quality", r"""
+with t as (select doc_id,
+  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') as toks
+  from documents),
+b as (select doc_id, toks, len(toks) as n_tokens,
+             len(list_distinct(toks)) as n_distinct from t),
+wc as (select doc_id, max(c) as top_word from (
+  select doc_id, w, count(*) as c
+  from (select doc_id, unnest(toks) as w from t) group by 1, 2) group by 1),
+bgc as (select doc_id, max(c) as top_bigram from (
+  select doc_id, g, count(*) as c from (
+    select doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+      i -> toks[i] || ' ' || toks[i+1])) as g
+    from t where len(toks) > 1) group by 1, 2) group by 1)
+select b.doc_id, n_tokens,
+  case when n_tokens > 0
+       then cast(n_distinct as double) / n_tokens end as distinct_frac,
+  case when n_tokens > 0
+       then cast(top_word as double) / n_tokens end as top_word_frac,
+  case when n_tokens > 1
+       then cast(top_bigram as double) / (n_tokens - 1) end as top_bigram_frac,
+  case when (case when n_tokens > 0
+               then cast(n_distinct as double) / n_tokens end) >= 0.3
+        and (case when n_tokens > 0
+               then cast(top_word as double) / n_tokens end) <= 0.3
+        and (case when n_tokens > 1
+               then cast(top_bigram as double) / (n_tokens - 1) end) <= 0.2
+       then 1 else 0 end as keep
+from b left join wc using (doc_id) left join bgc using (doc_id)
+""")
+def gopher_quality(spark, sf_dir):
+    return tx.repetition_stats(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("hist_stretch", f"""
+with p as (
+  select band, value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and value <> -32768),
+h as (select band, value, count(*) as c from p group by 1, 2),
+cum as (select band, value,
+  sum(c) over (partition by band order by value) as cum,
+  sum(c) over (partition by band) as cnt from h),
+q2 as (select distinct band, (cnt - 1) * 2.0 / 100.0 as q from cum),
+q98 as (select distinct band, (cnt - 1) * 98.0 / 100.0 as q from cum),
+i2 as (select band, cast(floor(q) + case when q - floor(q) > 0.5 then 1
+    when q - floor(q) < 0.5 then 0
+    else cast(floor(q) as bigint) % 2 end as bigint) as idx from q2),
+i98 as (select band, cast(floor(q) + case when q - floor(q) > 0.5 then 1
+    when q - floor(q) < 0.5 then 0
+    else cast(floor(q) as bigint) % 2 end as bigint) as idx from q98),
+lo as (select band, min(value) as lo
+       from cum join i2 using (band) where cum > idx group by band),
+hi as (select band, min(value) as hi
+       from cum join i98 using (band) where cum > idx group by band),
+st as (select p.band,
+  case when hi = lo then 0
+       else least(255, greatest(0,
+         cast(floor((value - lo) * 255.0 / (hi - lo) + 0.5) as bigint)))
+  end as byte_value
+  from p join lo using (band) join hi using (band))
+select band, cast(byte_value as int) as byte_value,
+       count(*) as pixel_count
+from st group by 1, 2
+""")
+def hist_stretch(spark, sf_dir):
+    px = agg.explode_pixels(
+        _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
+    )
+    return agg.linear_stretch_histogram(px)
+
+
+@q("pyramid_levels", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+l1 as (select floor(gx/2) as gx, floor(gy/2) as gy,
+              sum(v) as s, count(*) as c from p group by 1, 2),
+l2 as (select floor(gx/2) as gx, floor(gy/2) as gy,
+              sum(s) as s, sum(c) as c from l1 group by 1, 2),
+l3 as (select floor(gx/2) as gx, floor(gy/2) as gy,
+              sum(s) as s, sum(c) as c from l2 group by 1, 2)
+select 1 as level, count(*) as n_cells, cast(sum(s) as bigint) as total_sum,
+  cast(sum(cast(floor(cast(s as double)/c*1000000.0+0.5) as bigint)) as bigint)
+    as mean_checksum from l1
+union all
+select 2, count(*), cast(sum(s) as bigint),
+  cast(sum(cast(floor(cast(s as double)/c*1000000.0+0.5) as bigint)) as bigint)
+  from l2
+union all
+select 3, count(*), cast(sum(s) as bigint),
+  cast(sum(cast(floor(cast(s as double)/c*1000000.0+0.5) as bigint)) as bigint)
+  from l3
+""")
+def pyramid_levels(spark, sf_dir):
+    return agg.pyramid_stats(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
 def _ensure_expected(sf_dir):
@@ -3052,6 +3289,9 @@ _RUN_FIRST = [
     "raster_label_histogram", "sieve_reclass", "polygonize",
     "polygonize_wkt", "region_growing", "media_thumbnails",
     "video_frame_sample",
+    # round-3 session-2 additions (never driver-measured before)
+    "terrain_slope", "aspect_sectors", "gopher_quality", "hist_stretch",
+    "pyramid_levels", "tpch_q4",
 ]
 
 
