@@ -378,6 +378,63 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
     )
 
 
+def dedup_clusters(docs: DataFrame, *, num_hashes: int = 32, bands: int = 8,
+                   shingle_n: int = 3,
+                   jaccard_threshold: float = 0.3) -> DataFrame:
+    """End product of the near-dup pipeline: MinHash-LSH candidate
+    pairs resolved into duplicate CLUSTERS by the same distributed
+    hash-to-min connected components that labels raster patches
+    (components.resolve_components) — at corpus scale the pair graph is
+    orders of magnitude smaller than the corpus, so the CC rounds move
+    only (doc, label) pairs. One row per cluster: the deterministic
+    representative (smallest doc_id — the survivor a dedup pass keeps),
+    member count, and the member-id sum as an order-independent content
+    check. Singleton documents (no near-dup) are not emitted."""
+    from remotior_sensus_spark.operators.components import resolve_components
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands,
+                              shingle_n=shingle_n,
+                              jaccard_threshold=jaccard_threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    roots = resolve_components(edges)  # (gid, root)
+    return (
+        roots.groupBy(F.col("root").alias("cluster_root"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("gid").alias("doc_id_sum"))
+    )
+
+
+def tfidf_top_term(docs: DataFrame) -> DataFrame:
+    """Highest-TF-IDF term per document. Term selection is fully
+    integer/lexicographic (tf desc, df asc, term asc) so the winner is
+    engine-independent; only the reported score is float, emitted as a
+    fixed-point bigint. Two shuffles total: (doc, term) counts (partial
+    agg map-side), then the df join on term — the corpus text itself
+    never shuffles twice."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # one scalar driver action (documented)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w"))
+    top = (
+        tf.join(df_, "w")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return top.select(
+        "doc_id", F.col("w").alias("top_term"), "tf", "df",
+        fixed1e6(score).alias("tfidf_fp"),
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
                         threshold: float = 0.3, *, num_hashes: int = 32,
                         bands: int = 8) -> DataFrame:

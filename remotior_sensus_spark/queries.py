@@ -2962,6 +2962,53 @@ def minhash_lsh(spark, sf_dir):
     return tx.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
 
 
+@q("dedup_clusters", f"""
+with mh as ({_minhash_oracle()}),
+edges as (select doc_a as src, doc_b as dst from mh),
+sym as (select src, dst from edges
+        union all select dst as src, src as dst from edges),
+nodes as (select distinct src as id from sym),
+reach as (
+  with recursive rr(id, lbl) as (
+    select id, id from nodes
+    union
+    select s.dst, r.lbl from rr r join sym s on s.src = r.id
+    where r.lbl < s.dst
+  ) select * from rr),
+mem as (select id, min(lbl) as root from reach group by id)
+select root as cluster_root, count(*) as n_docs,
+       cast(sum(id) as bigint) as doc_id_sum
+from mem group by root
+""")
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: the minhash_lsh pair graph resolved by the
+    distributed CC used for raster labeling; oracle = the same pair SQL
+    wrapped in a recursive min-label CTE (the proven cluster_proximity
+    pattern)."""
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return tx.dedup_clusters(docs, jaccard_threshold=0.3)
+
+
+@q("tfidf_top_term", f"""
+with t as (select doc_id, {{_toks}} as toks from documents),
+wrds as (select doc_id, unnest(toks) as w from t),
+tf as (select doc_id, w, count(*) as tf from wrds group by 1, 2),
+dfr as (select w, count(*) as df from tf group by w),
+n as (select count(*) as n from documents),
+top as (select doc_id, w, tf, df from (
+  select tf.doc_id, tf.w, tf.tf, dfr.df,
+    row_number() over (partition by tf.doc_id
+                       order by tf.tf desc, dfr.df asc, tf.w asc) as rn
+  from tf join dfr using (w)) where rn = 1)
+select doc_id, w as top_term, tf, df,
+  cast(floor(tf * ln(cast(n as double) / df) * 1000000.0 + 0.5) as bigint)
+    as tfidf_fp
+from top cross join n
+""".replace("{_toks}", "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"))
+def tfidf_top_term(spark, sf_dir):
+    return tx.tfidf_top_term(cat.load_driver(spark, sf_dir, "documents"))
+
+
 def _dotfp_sql(a: str, b: str) -> str:
     """Fixed-point dot product in DuckDB — mirrors similarity._dot_fp."""
     return (
@@ -3291,7 +3338,7 @@ _RUN_FIRST = [
     "video_frame_sample",
     # round-3 session-2 additions (never driver-measured before)
     "terrain_slope", "aspect_sectors", "gopher_quality", "hist_stretch",
-    "pyramid_levels", "tpch_q4",
+    "pyramid_levels", "tpch_q4", "dedup_clusters", "tfidf_top_term",
 ]
 
 
