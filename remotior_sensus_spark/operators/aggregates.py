@@ -249,12 +249,18 @@ def pyramid_stats(band_px: DataFrame, levels: int = 3) -> DataFrame:
     )
     outs = []
     for _ in range(levels):
+        # localCheckpoint pins each level so the union below reads every
+        # level ONCE from the materialized previous level — without it
+        # Catalyst re-derives each union branch from the base scan
+        # (3 scans + 6 agg chains; test_pyramid_levels_reads_base_once).
+        # Blocks are reclaimed with the RDD, unlike cache().
         cur = (
             cur.groupBy(
                 F.floor(F.col("gx") / 2).alias("gx"),
                 F.floor(F.col("gy") / 2).alias("gy"),
             )
             .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .localCheckpoint()
         )
         outs.append(cur)
     level_frames = [

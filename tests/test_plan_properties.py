@@ -1,0 +1,55 @@
+"""Executed-plan assertions for the scale-critical properties of the
+round-3 additions: these lock in the PHYSICAL shape (what would matter
+at 100 TB), not just the result values the oracle tests already pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q4_is_semi_join_with_pushed_date_filter(spark):
+    df = Q.REGISTRY["tpch_q4"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the EXISTS must compile to a semi join (matched lineitem rows are
+    # never materialized), and the order-date window must reach the scan
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters")[1][:400], plan
+
+
+def test_hist_stretch_broadcasts_cut_points(spark):
+    df = Q.REGISTRY["hist_stretch"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the tiny per-band (lo, hi) frame must broadcast onto the pixel
+    # stream - a shuffle join here would repartition the whole raster
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_terrain_has_single_halo_shuffle(spark):
+    from remotior_sensus_spark.operators.terrain import horn_terrain
+
+    t = spark.read.parquet(f"{SF_DIR.replace('/root/testdata', '/root/repo/data/geo')}/tiles.parquet")
+    b04 = t.filter((F.col("bandset") == "S2_2020-01-01")
+                   & (F.col("band") == "B04"))
+    ter = horn_terrain(b04)
+    plan = _plan(ter)
+    # exactly one Exchange: the halo-key hash partitioning that feeds
+    # applyInPandas; the 9x shifted-copy explode stays map-side
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 1, plan
+
+
+def test_pyramid_levels_reads_base_once(spark):
+    df = Q.REGISTRY["pyramid_levels"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # each level is materialized once (localCheckpoint) and the final
+    # union reads the checkpointed levels — NO parquet scan per branch
+    n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+    assert n_scans == 0, plan
