@@ -89,6 +89,62 @@ def morans_i(band_px: DataFrame) -> DataFrame:
     )
 
 
+def gearys_c(band_px: DataFrame) -> DataFrame:
+    """Global Geary's C with rook weights. The pair term expands to
+    integer sums too:
+      sum_ij w_ij (v_i - v_j)^2
+        = sum_i c_i v_i^2 - 2 sum_i v_i S_i + sum_i S2_i
+    with S2_i the neighbour sum of squares — so like morans_i the whole
+    statistic is exact-integer aggregates plus one fixed double tail:
+      C = ((n-1) * pairsum) / (2 W * sum(z^2)).
+    Returns ONE row: (n_pixels, w_sum, gearys_c)."""
+    px = _valid_px(band_px)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum("v").alias("nbs"),
+             F.sum(F.col("v") * F.col("v")).alias("nbs2"),
+             F.count("*").alias("nbc"))
+    )
+    j = px.join(nb, ["gx", "gy"], "left").select(
+        "v",
+        F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
+        F.coalesce("nbs2", F.lit(0).cast("long")).alias("s2"),
+        F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
+    )
+    sums = j.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("sum_cv2"),
+        F.sum(F.col("v") * F.col("s")).alias("sum_vs"),
+        F.sum("s2").alias("sum_s2"),
+        F.sum("c").alias("sum_c"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("sum_v").cast("double") / F.col("n")
+    pairsum = (F.col("sum_cv2").cast("double")
+               - F.lit(2.0) * F.col("sum_vs").cast("double")
+               + F.col("sum_s2").cast("double"))
+    ssz = (F.col("sum_v2").cast("double")
+           - F.lit(2.0) * m * F.col("sum_v").cast("double")
+           + m * m * n)
+    return sums.select(
+        F.col("n").alias("n_pixels"),
+        F.col("sum_c").alias("w_sum"),
+        (((n - F.lit(1.0)) * pairsum)
+         / (F.lit(2.0) * F.col("sum_c").cast("double") * ssz))
+        .alias("gearys_c"),
+    )
+
+
 def semivariogram(band_px: DataFrame,
                   lags: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
     """Experimental semivariogram along +x: gamma(h) =

@@ -1953,6 +1953,40 @@ def morans_i_q(spark, sf_dir):
     return geostats.morans_i(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+@q("gearys_c", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (1,0),(-1,0),(0,1),(0,-1)),
+nb as (select gx + dx as gx, gy + dy as gy,
+              cast(sum(v) as bigint) as s,
+              cast(sum(v*v) as bigint) as s2, count(*) as c
+       from p, o group by 1, 2),
+j as (select p.v, coalesce(nb.s, 0) as s, coalesce(nb.s2, 0) as s2,
+             coalesce(nb.c, 0) as c
+      from p left join nb using (gx, gy)),
+t as (select count(*) as n, cast(sum(v) as bigint) as sum_v,
+             cast(sum(v*v) as bigint) as sum_v2,
+             cast(sum(c*v*v) as bigint) as sum_cv2,
+             cast(sum(v*s) as bigint) as sum_vs,
+             cast(sum(s2) as bigint) as sum_s2,
+             cast(sum(c) as bigint) as sum_c from j),
+m as (select *, cast(sum_v as double) / n as m from t)
+select n as n_pixels, sum_c as w_sum,
+  ((cast(n as double) - 1.0)
+   * (cast(sum_cv2 as double) - 2.0*cast(sum_vs as double)
+      + cast(sum_s2 as double)))
+  / (2.0 * cast(sum_c as double)
+     * (cast(sum_v2 as double) - 2.0*m*cast(sum_v as double)
+        + m*m*cast(n as double))) as gearys_c
+from m
+""")
+def gearys_c_q(spark, sf_dir):
+    """Global Geary's C (rook weights) — integer-exact pair expansion."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.gearys_c(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 @q("semivariogram", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
