@@ -172,3 +172,259 @@ def semivariogram(band_px: DataFrame,
         (F.col("sum_sq_diff").cast("double")
          / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"),
     )
+
+
+def getis_g(band_px: DataFrame) -> DataFrame:
+    """Global Getis-Ord General G with rook weights (positive DNs):
+    G = sum_ij w_ij v_i v_j / sum_{i<>j} v_i v_j.  The numerator is the
+    same exact-integer sum(v*S) morans_i computes; the denominator is
+    (sum v)^2 - sum v^2 evaluated in doubles (3 deterministic ops — the
+    squared total overflows int64 at large scale, the double form never
+    does and both engines compute the identical IEEE value).
+    Returns ONE row: (n_pixels, w_sum, getis_g)."""
+    px = _valid_px(band_px)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
+    )
+    j = px.join(nb, ["gx", "gy"], "left").select(
+        "v",
+        F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
+        F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
+    )
+    sums = j.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+        F.sum(F.col("v") * F.col("s")).alias("sum_vs"),
+        F.sum("c").alias("sum_c"),
+    )
+    sv = F.col("sum_v").cast("double")
+    return sums.select(
+        F.col("n").alias("n_pixels"),
+        F.col("sum_c").alias("w_sum"),
+        (F.col("sum_vs").cast("double")
+         / (sv * sv - F.col("sum_v2").cast("double"))).alias("getis_g"),
+    )
+
+
+def tri_classes(band_px: DataFrame, class_width: float = 500.0) -> DataFrame:
+    """Terrain Ruggedness Index (Riley 1999): per pixel
+    sqrt(sum over the 8 queen neighbours of (v - v_n)^2), expanded to
+    the exact integer form c*v^2 - 2*v*S + S2 before the single sqrt.
+    Pixels use whichever neighbours exist (Riley's rule at edges).
+    Emitted as a class histogram with a fixed-point TRI checksum:
+    (tri_class, pixel_count, tri_fp_sum)."""
+    px = _valid_px(band_px)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum("v").alias("nbs"),
+             F.sum(F.col("v") * F.col("v")).alias("nbs2"),
+             F.count("*").alias("nbc"))
+    )
+    j = px.join(nb, ["gx", "gy"]).select(
+        "v", F.col("nbs").alias("s"), F.col("nbs2").alias("s2"),
+        F.col("nbc").alias("c"),
+    )
+    ss = (F.col("c") * F.col("v") * F.col("v")
+          - F.lit(2).cast("long") * F.col("v") * F.col("s")
+          + F.col("s2"))
+    tri = F.sqrt(ss.cast("double"))
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    return (
+        j.select(tri.alias("tri"))
+        .groupBy(F.floor(F.col("tri") / F.lit(float(class_width)))
+                 .cast("int").alias("tri_class"))
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum(fixed1e6(F.col("tri"))).alias("tri_fp_sum"))
+    )
+
+
+def zonal_entropy(zone_px: DataFrame, zone_col: str = "zone",
+                  class_col: str = "vclass") -> DataFrame:
+    """Shannon entropy of the class distribution inside each zone:
+    H = -sum_k p_k ln p_k.  Every per-class term is a deterministic
+    double rounded to fixed-point BEFORE the per-zone sum, so the
+    result is an order-independent BIGINT both engines agree on.
+    Two map-side-combinable aggregations (zone,class) -> zone.
+    Returns (zone, n_pixels, n_classes, entropy_fp)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    counts = zone_px.groupBy(zone_col, class_col).agg(
+        F.count("*").alias("ck"))
+    totals = counts.groupBy(zone_col).agg(F.sum("ck").alias("n"))
+    p = F.col("ck").cast("double") / F.col("n").cast("double")
+    term = fixed1e6(p * F.log(p))
+    return (
+        counts.join(totals, zone_col)
+        .groupBy(zone_col)
+        .agg(F.max("n").alias("n_pixels"),
+             F.count("*").alias("n_classes"),
+             (-F.sum(term)).alias("entropy_fp"))
+    )
+
+
+def lisa_quadrants(band_px: DataFrame) -> DataFrame:
+    """Local Moran (LISA, Anselin 1995) quadrant histogram under rook
+    weights.  Quadrant membership is decided by INTEGER sign tests —
+    sign(v_i - m) == sign(n*v_i - sum_v) and sign(S_i - c_i*m) ==
+    sign(n*S_i - c_i*sum_v) — so HH/LL/LH/HL assignment is exact under
+    any partitioning; the local statistic
+      I_i = (v_i - m) * (S_i - c_i m) / m2
+    is one fixed per-pixel double sequence rounded to fixed-point
+    BEFORE the order-independent per-quadrant sum.  The global scalars
+    (n, sum_v, sum_v2) depend only on the pixel stream, so they come
+    from a broadcast 1-row aggregate of the cheap scan side — the
+    neighbour shuffle runs exactly once.
+    Returns (quadrant, pixel_count, lisa_fp_sum)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    px = _valid_px(band_px)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
+    )
+    j = px.join(nb, ["gx", "gy"], "left").select(
+        "v",
+        F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
+        F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
+    )
+    tot = px.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    a = F.col("n") * F.col("v") - F.col("sum_v")
+    b = F.col("n") * F.col("s") - F.col("c") * F.col("sum_v")
+    quadrant = (
+        F.when((a > 0) & (b > 0), F.lit("HH"))
+        .when((a < 0) & (b < 0), F.lit("LL"))
+        .when((a < 0) & (b > 0), F.lit("LH"))
+        .when((a > 0) & (b < 0), F.lit("HL"))
+        .otherwise(F.lit("NS"))
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("sum_v").cast("double") / nd
+    m2d = (
+        F.col("sum_v2").cast("double")
+        - F.lit(2.0) * md * F.col("sum_v").cast("double")
+        + md * md * nd
+    ) / nd
+    ii = (F.col("v").cast("double") - md) \
+        * (F.col("s").cast("double") - F.col("c").cast("double") * md) / m2d
+    return (
+        jt.select(quadrant.alias("quadrant"), fixed1e6(ii).alias("ifp"))
+        .groupBy("quadrant")
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum("ifp").alias("lisa_fp_sum"))
+    )
+
+
+def focal_majority(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
+    """3x3 majority filter over quantized classes (queen neighbourhood
+    INCLUDING the center, so every valid center has a non-empty vote
+    set; ties break to the smallest class).  The per-pixel argmax is
+    encoded as one BIGINT  ord = cnt * 2^20 + (2^20 - 1 - cls)  so a
+    plain MAX picks the same winner in both engines — requires
+    0 <= cls < 2^20, which floor(DN/step) satisfies for any positive
+    raster (assert-free: fixture DNs are < 2^16).  Emits the filtered
+    raster's class histogram (majority_class, pixel_count) — two
+    map-side-combinable shuffles plus one co-partitioned semi join
+    back to valid centers (positions that only RECEIVE votes, e.g.
+    nodata holes and the off-grid frame, must not emit a pixel)."""
+    px = _valid_px(band_px).select(
+        "gx", "gy",
+        F.floor(F.col("v").cast("double") / F.lit(float(step)))
+        .cast("long").alias("cls"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    counts = (
+        px.select("gx", "gy", "cls", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+            F.col("cls"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    winners = counts.groupBy("gx", "gy").agg(
+        F.max(F.col("cnt") * F.lit(1048576).cast("long")
+              + (F.lit(1048575).cast("long") - F.col("cls"))).alias("mo"))
+    centers = winners.join(px.select("gx", "gy"), ["gx", "gy"], "leftsemi")
+    maj = F.lit(1048575).cast("long") - F.col("mo") % F.lit(1048576).cast("long")
+    return (
+        centers.select(maj.alias("majority_class"))
+        .groupBy("majority_class")
+        .agg(F.count("*").alias("pixel_count"))
+    )
+
+
+def proximity_classes(band_px: DataFrame, target_class: int = 4,
+                      step: float = 1000.0, max_dist: int = 5) -> DataFrame:
+    """Banded euclidean proximity (gdal_proximity.py semantics, bounded
+    search radius): per valid pixel, the distance to the nearest pixel
+    of the target class within max_dist, as the integer band
+    floor(sqrt(min d^2)); pixels with no target inside the radius get
+    band -1.  Target pixels explode to the precomputed disk of
+    offsets with dx^2+dy^2 <= max_dist^2 (pi*r^2 rows per target — the
+    scale knob; unbounded proximity would need a multi-pass sweep),
+    the min-d^2 reduction partial-aggregates map-side, and distance is
+    EXACT (integer d^2, one floor(sqrt) tail both engines share).
+    Emits the proximity-band histogram (dist_class, pixel_count)."""
+    px = _valid_px(band_px)
+    cls = F.floor(F.col("v").cast("double") / F.lit(float(step))).cast("long")
+    targets = px.filter(cls == F.lit(int(target_class)))
+    r2 = max_dist * max_dist
+    disk = [(dx, dy) for dx in range(-max_dist, max_dist + 1)
+            for dy in range(-max_dist, max_dist + 1)
+            if dx * dx + dy * dy <= r2]
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx * dx + dy * dy).alias("d2"))
+        for dx, dy in disk
+    ])
+    near = (
+        targets.select(F.explode(offsets).alias("o"), "gx", "gy")
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.min("o.d2").alias("min_d2"))
+    )
+    j = px.join(near, ["gx", "gy"], "left")
+    band = F.when(
+        F.col("min_d2").isNotNull(),
+        F.floor(F.sqrt(F.col("min_d2").cast("double"))).cast("int"),
+    ).otherwise(F.lit(-1))
+    return (
+        j.select(band.alias("dist_class"))
+        .groupBy("dist_class")
+        .agg(F.count("*").alias("pixel_count"))
+    )

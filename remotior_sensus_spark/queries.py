@@ -2007,6 +2007,185 @@ def semivariogram_q(spark, sf_dir):
     return geostats.semivariogram(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+@q("getis_g", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (1,0),(-1,0),(0,1),(0,-1)),
+nb as (select gx + dx as gx, gy + dy as gy,
+              cast(sum(v) as bigint) as s, count(*) as c
+       from p, o group by 1, 2),
+j as (select p.v, coalesce(nb.s, 0) as s, coalesce(nb.c, 0) as c
+      from p left join nb using (gx, gy)),
+t as (select count(*) as n, cast(sum(v) as bigint) as sum_v,
+             cast(sum(v*v) as bigint) as sum_v2,
+             cast(sum(v*s) as bigint) as sum_vs,
+             cast(sum(c) as bigint) as sum_c from j)
+select n as n_pixels, sum_c as w_sum,
+  cast(sum_vs as double)
+  / (cast(sum_v as double) * cast(sum_v as double)
+     - cast(sum_v2 as double)) as getis_g
+from t
+""")
+def getis_g_q(spark, sf_dir):
+    """Getis-Ord General G (rook weights, positive DNs)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.getis_g(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("tri_ruggedness", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+nb as (select gx + dx as gx, gy + dy as gy,
+              cast(sum(v) as bigint) as s,
+              cast(sum(v*v) as bigint) as s2, count(*) as c
+       from p, o group by 1, 2),
+j as (select p.v, nb.s, nb.s2, nb.c from p join nb using (gx, gy)),
+tr as (select sqrt(cast(c*v*v - 2*v*s + s2 as double)) as tri from j)
+select cast(floor(tri / 500.0) as int) as tri_class,
+  count(*) as pixel_count,
+  cast(sum(cast(floor(tri * 1000000.0 + 0.5) as bigint)) as bigint)
+    as tri_fp_sum
+from tr group by 1
+""")
+def tri_ruggedness(spark, sf_dir):
+    """Riley TRI class histogram — queen neighbours, integer-exact
+    sum-of-squared-diffs expansion, one shifted-copy shuffle."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.tri_classes(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("zonal_entropy", f"""
+with px as (
+  select tile_x, tile_y, px, py,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B04' then value end) as b04
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B02', 'B04')
+  group by tile_x, tile_y, px, py),
+v as (select cast(floor(b02/1000) as int) as zone,
+             cast(floor(b04/1000) as int) as vclass
+      from px where b02 <> -32768 and b04 <> -32768),
+c as (select zone, vclass, count(*) as ck from v group by 1, 2),
+t as (select zone, cast(sum(ck) as bigint) as n from c group by zone)
+select zone, max(n) as n_pixels, count(*) as n_classes,
+  cast(-sum(cast(floor(
+    cast(ck as double)/cast(n as double)
+    * ln(cast(ck as double)/cast(n as double)) * 1000000.0 + 0.5)
+    as bigint)) as bigint) as entropy_fp
+from c join t using (zone) group by zone
+""")
+def zonal_entropy_q(spark, sf_dir):
+    """Shannon entropy of the B04 class mix inside each B02 zone —
+    per-term fixed-point before the order-independent per-zone sum."""
+    from remotior_sensus_spark.operators import geostats
+    t = _tiles(spark, sf_dir).filter(
+        (F.col("bandset") == "S2_2020-01-01")
+        & (F.col("band").isin("B02", "B04")))
+    px = agg.explode_pixels(t)
+    wide = px.groupBy("tile_x", "tile_y", "pos").agg(
+        F.max(F.when(F.col("band") == "B02", F.col("value"))).alias("b02"),
+        F.max(F.when(F.col("band") == "B04", F.col("value"))).alias("b04"),
+    )
+    zp = wide.filter((F.col("b02") != NODATA) & (F.col("b04") != NODATA)).select(
+        F.floor(F.col("b02") / 1000).cast("int").alias("zone"),
+        F.floor(F.col("b04") / 1000).cast("int").alias("vclass"),
+    )
+    return geostats.zonal_entropy(zp)
+
+
+@q("lisa_quadrants", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (1,0),(-1,0),(0,1),(0,-1)),
+nb as (select gx + dx as gx, gy + dy as gy,
+              cast(sum(v) as bigint) as s, count(*) as c
+       from p, o group by 1, 2),
+j as (select p.v, coalesce(nb.s, 0) as s, coalesce(nb.c, 0) as c
+      from p left join nb using (gx, gy)),
+t as (select count(*) as n, cast(sum(v) as bigint) as sum_v,
+             cast(sum(v*v) as bigint) as sum_v2 from p),
+m as (select *, cast(sum_v as double) / cast(n as double) as md from t),
+m2 as (select *,
+  (cast(sum_v2 as double) - 2.0*md*cast(sum_v as double)
+   + md*md*cast(n as double)) / cast(n as double) as m2d from m),
+qd as (select
+  case when n*v - sum_v > 0 and n*s - c*sum_v > 0 then 'HH'
+       when n*v - sum_v < 0 and n*s - c*sum_v < 0 then 'LL'
+       when n*v - sum_v < 0 and n*s - c*sum_v > 0 then 'LH'
+       when n*v - sum_v > 0 and n*s - c*sum_v < 0 then 'HL'
+       else 'NS' end as quadrant,
+  cast(floor((cast(v as double) - md)
+             * (cast(s as double) - cast(c as double)*md) / m2d
+             * 1000000.0 + 0.5) as bigint) as ifp
+  from j cross join m2)
+select quadrant, count(*) as pixel_count,
+  cast(sum(ifp) as bigint) as lisa_fp_sum
+from qd group by quadrant
+""")
+def lisa_quadrants_q(spark, sf_dir):
+    """Local Moran quadrant histogram — integer-exact HH/LL/LH/HL
+    membership, per-pixel fixed-point local I before the sum."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.lisa_quadrants(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("focal_majority", f"""
+with p as (
+  select gx, gy,
+    cast(floor(cast(cast(value as bigint) as double) / 1000.0) as bigint)
+      as cls
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)),
+c as (select gx + dx as gx, gy + dy as gy, cls, count(*) as cnt
+      from p, o group by 1, 2, 3),
+w as (select gx, gy, max(cnt * 1048576 + (1048575 - cls)) as mo
+      from c group by gx, gy),
+f as (select 1048575 - (mo % 1048576) as maj
+      from w join (select gx, gy from p) using (gx, gy))
+select maj as majority_class, count(*) as pixel_count
+from f group by maj
+""")
+def focal_majority_q(spark, sf_dir):
+    """3x3 majority-filter class histogram — BIGINT-encoded argmax
+    (count-major, smallest-class tie-break), semi join to centers."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.focal_majority(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+_DISK5 = ",".join(
+    f"({dx},{dy},{dx * dx + dy * dy})"
+    for dx in range(-5, 6) for dy in range(-5, 6)
+    if dx * dx + dy * dy <= 25)
+
+
+@q("proximity_bands", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+t as (select gx, gy from p
+      where floor(cast(v as double) / 1000.0) = 4),
+o(dx, dy, d2) as (values {_DISK5}),
+nr as (select gx + dx as gx, gy + dy as gy, min(d2) as min_d2
+       from t, o group by 1, 2),
+j as (select case when nr.min_d2 is not null
+                  then cast(floor(sqrt(cast(nr.min_d2 as double))) as int)
+                  else -1 end as dist_class
+      from p left join nr using (gx, gy))
+select dist_class, count(*) as pixel_count from j group by dist_class
+""")
+def proximity_bands_q(spark, sf_dir):
+    """Banded proximity to the class-4 patches — exact integer min-d^2
+    disk explode, one shuffle plus the co-partitioned join back."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.proximity_classes(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into

@@ -1,0 +1,210 @@
+"""Geostatistics family vs dense whole-raster numpy oracles.
+
+The DuckDB oracles in queries.py mirror the same algebraic expansions
+the operators use, so a shared-formula bug could pass both engines;
+these tests recompute each statistic from the FULL assembled raster
+with plain dense numpy (shifted views, no tiling, no relational
+algebra) and require equality — an independent derivation.
+"""
+
+import numpy as np
+import pytest
+
+from test_focal_components import full_raster  # noqa: F401
+
+
+SHIFTS_ROOK = ((1, 0), (-1, 0), (0, 1), (0, -1))
+SHIFTS_QUEEN = tuple(
+    (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+)
+
+
+def _neighbor_sums(full, shifts):
+    """(s, s2, c) int64 grids: per-cell valid-neighbour value sum,
+    sum of squares, and count under the given shift set."""
+    valid = ~np.isnan(full)
+    v = np.where(valid, full, 0.0).astype(np.int64)
+    H, W = full.shape
+    s = np.zeros((H, W), dtype=np.int64)
+    s2 = np.zeros((H, W), dtype=np.int64)
+    c = np.zeros((H, W), dtype=np.int64)
+    for dx, dy in shifts:
+        # contribution of the neighbour at (x-dx, y-dy) to cell (x, y):
+        # a pixel at gx,gy votes into gx+dx,gy+dy (matches the
+        # shifted-copy groupBy target key)
+        sv = np.zeros((H, W), dtype=np.int64)
+        sv2 = np.zeros((H, W), dtype=np.int64)
+        sc = np.zeros((H, W), dtype=np.int64)
+        ys = slice(max(0, dy), H + min(0, dy))
+        xs = slice(max(0, dx), W + min(0, dx))
+        ys_src = slice(max(0, -dy), H + min(0, -dy))
+        xs_src = slice(max(0, -dx), W + min(0, -dx))
+        sv[ys, xs] = np.where(valid, v, 0)[ys_src, xs_src]
+        sv2[ys, xs] = np.where(valid, v * v, 0)[ys_src, xs_src]
+        sc[ys, xs] = valid[ys_src, xs_src].astype(np.int64)
+        s += sv
+        s2 += sv2
+        c += sc
+    return v, valid, s, s2, c
+
+
+def test_getis_g_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    v, valid, s, _, _ = _neighbor_sums(full, SHIFTS_ROOK)
+    sum_v = int(v[valid].sum())
+    sum_v2 = int((v[valid] ** 2).sum())
+    sum_vs = int((v[valid] * s[valid]).sum())
+    exp = float(sum_vs) / (float(sum_v) * float(sum_v) - float(sum_v2))
+
+    row = Q.queries()["getis_g"](spark, geo001_dir).collect()[0]
+    assert row["n_pixels"] == int(valid.sum())
+    assert row["getis_g"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_tri_ruggedness_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    v, valid, s, s2, c = _neighbor_sums(full, SHIFTS_QUEEN)
+    keep = valid & (c > 0)
+    ss = c[keep] * v[keep] * v[keep] - 2 * v[keep] * s[keep] + s2[keep]
+    tri = np.sqrt(ss.astype(np.float64))
+    cls = np.floor(tri / 500.0).astype(np.int64)
+    fp = np.floor(tri * 1000000.0 + 0.5).astype(np.int64)
+    exp = {}
+    for k in np.unique(cls):
+        m = cls == k
+        exp[int(k)] = (int(m.sum()), int(fp[m].sum()))
+
+    got = {
+        r["tri_class"]: (r["pixel_count"], r["tri_fp_sum"])
+        for r in Q.queries()["tri_ruggedness"](spark, geo001_dir).collect()
+    }
+    assert got == exp
+
+
+def test_lisa_quadrants_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    v, valid, s, _, c = _neighbor_sums(full, SHIFTS_ROOK)
+    n = int(valid.sum())
+    sum_v = int(v[valid].sum())
+    sum_v2 = int((v[valid] ** 2).sum())
+    md = float(sum_v) / float(n)
+    m2d = (float(sum_v2) - 2.0 * md * float(sum_v)
+           + md * md * float(n)) / float(n)
+    a = n * v[valid] - sum_v
+    b = n * s[valid] - c[valid] * sum_v
+    quad = np.where(
+        (a > 0) & (b > 0), "HH",
+        np.where((a < 0) & (b < 0), "LL",
+                 np.where((a < 0) & (b > 0), "LH",
+                          np.where((a > 0) & (b < 0), "HL", "NS"))))
+    ii = (v[valid].astype(np.float64) - md) \
+        * (s[valid].astype(np.float64) - c[valid].astype(np.float64) * md) \
+        / m2d
+    fp = np.floor(ii * 1000000.0 + 0.5).astype(np.int64)
+    exp = {}
+    for qn in np.unique(quad):
+        m = quad == qn
+        exp[str(qn)] = (int(m.sum()), int(fp[m].sum()))
+
+    got = {
+        r["quadrant"]: (r["pixel_count"], r["lisa_fp_sum"])
+        for r in Q.queries()["lisa_quadrants"](spark, geo001_dir).collect()
+    }
+    assert got == exp
+
+
+def test_focal_majority_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    valid = ~np.isnan(full)
+    cls = np.where(
+        valid, np.floor(np.where(valid, full, 0.0) / 1000.0), -1
+    ).astype(np.int64)
+    n_cls = int(cls.max()) + 1
+    H, W = full.shape
+    votes = np.zeros((H, W, n_cls), dtype=np.int64)
+    for dx, dy in SHIFTS_QUEEN + ((0, 0),):
+        ys = slice(max(0, dy), H + min(0, dy))
+        xs = slice(max(0, dx), W + min(0, dx))
+        ys_src = slice(max(0, -dy), H + min(0, -dy))
+        xs_src = slice(max(0, -dx), W + min(0, -dx))
+        for k in range(n_cls):
+            votes[ys, xs, k] += ((cls == k) & valid)[ys_src, xs_src]
+    # argmax returns the FIRST max index = smallest class on ties
+    maj = np.argmax(votes, axis=2)
+    exp = {}
+    for k in np.unique(maj[valid]):
+        exp[int(k)] = int((maj[valid] == k).sum())
+
+    got = {
+        r["majority_class"]: r["pixel_count"]
+        for r in Q.queries()["focal_majority"](spark, geo001_dir).collect()
+    }
+    assert got == exp
+
+
+def test_zonal_entropy_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    b02 = full_raster(band_idx=0)
+    b04 = full_raster(band_idx=2)
+    valid = ~np.isnan(b02) & ~np.isnan(b04)
+    zone = np.floor(b02[valid] / 1000.0).astype(np.int64)
+    vcls = np.floor(b04[valid] / 1000.0).astype(np.int64)
+    exp = {}
+    for z in np.unique(zone):
+        m = zone == z
+        nz = int(m.sum())
+        _, counts = np.unique(vcls[m], return_counts=True)
+        p = counts.astype(np.float64) / float(nz)
+        fp = np.floor(p * np.log(p) * 1000000.0 + 0.5).astype(np.int64)
+        exp[int(z)] = (nz, len(counts), int(-fp.sum()))
+
+    got = {
+        r["zone"]: (r["n_pixels"], r["n_classes"], r["entropy_fp"])
+        for r in Q.queries()["zonal_entropy"](spark, geo001_dir).collect()
+    }
+    assert got == exp
+
+
+def test_proximity_bands_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    valid = ~np.isnan(full)
+    cls = np.floor(np.where(valid, full, 0.0) / 1000.0).astype(np.int64)
+    target = valid & (cls == 4)
+    H, W = full.shape
+    BIG = 10**9
+    best = np.full((H, W), BIG, dtype=np.int64)
+    for dx in range(-5, 6):
+        for dy in range(-5, 6):
+            d2 = dx * dx + dy * dy
+            if d2 > 25:
+                continue
+            ys = slice(max(0, dy), H + min(0, dy))
+            xs = slice(max(0, dx), W + min(0, dx))
+            ys_src = slice(max(0, -dy), H + min(0, -dy))
+            xs_src = slice(max(0, -dx), W + min(0, -dx))
+            hit = np.zeros((H, W), dtype=bool)
+            hit[ys, xs] = target[ys_src, xs_src]
+            best = np.where(hit & (d2 < best), d2, best)
+    band = np.where(best[valid] < BIG,
+                    np.floor(np.sqrt(best[valid].astype(np.float64))), -1
+                    ).astype(np.int64)
+    exp = {}
+    for k in np.unique(band):
+        exp[int(k)] = int((band == k).sum())
+
+    got = {
+        r["dist_class"]: r["pixel_count"]
+        for r in Q.queries()["proximity_bands"](spark, geo001_dir).collect()
+    }
+    assert got == exp
