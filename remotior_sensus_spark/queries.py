@@ -2186,6 +2186,168 @@ def proximity_bands_q(spark, sf_dir):
     return geostats.proximity_classes(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+@q("tpch_q10", """
+select c_custkey, c_name, n_name,
+  cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
+                as bigint)) as bigint) as revenue_fp,
+  count(*) as n_items
+from customer join orders on c_custkey = o_custkey
+  join lineitem on l_orderkey = o_orderkey
+  join nation on c_nationkey = n_nationkey
+where o_orderdate >= date '1996-01-01' and o_orderdate < date '1996-04-01'
+  and l_returnflag = 'R'
+group by c_custkey, c_name, n_name
+order by revenue_fp desc, c_custkey limit 20
+""")
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: the growing sides (orders,
+    lineitem) meet on their natural key after both filters push into
+    the parquet scans; customer and nation are fixed-cardinality dims
+    that broadcast, so the only shuffle moves date-windowed returned
+    lines."""
+    li = cat.load_driver(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    od = cat.load_driver(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    cu = cat.load_driver(spark, sf_dir, "customer")
+    na = cat.load_driver(spark, sf_dir, "nation")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(fixed1e6(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount")))
+                  ).alias("revenue_fp"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_fp").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q("tpch_q14", """
+with r as (select
+    cast(sum(case when p_type = 'PROMO'
+                  then cast(floor(l_extendedprice*(1-l_discount)*1000000.0
+                                  + 0.5) as bigint)
+                  else 0 end) as bigint) as promo_fp,
+    cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
+                  as bigint)) as bigint) as total_fp
+  from lineitem join part on l_partkey = p_partkey
+  where l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-02-01')
+select promo_fp, total_fp,
+  100.0 * cast(promo_fp as double) / cast(total_fp as double) as promo_pct
+from r
+""")
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: part broadcasts into the
+    shipdate-windowed lineitem scan, both revenue sums are exact
+    fixed-point BIGINTs, and the percentage is one double division of
+    those two scalars — bit-identical in both engines."""
+    li = cat.load_driver(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01")))
+    pa = cat.load_driver(spark, sf_dir, "part")
+    rev = fixed1e6(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    r = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("long"))).alias("promo_fp"),
+            F.sum(rev).alias("total_fp"),
+        )
+    )
+    return r.select(
+        "promo_fp", "total_fp",
+        (F.lit(100.0) * F.col("promo_fp").cast("double")
+         / F.col("total_fp").cast("double")).alias("promo_pct"),
+    )
+
+
+@q("tpch_q18", """
+with big as (select l_orderkey, cast(sum(l_quantity) as bigint) as sum_qty
+             from lineitem group by 1 having sum(l_quantity) > 180)
+select c_custkey, c_name, o_orderkey,
+  cast(cast(o_orderdate as date) as varchar) as o_orderdate,
+  cast(floor(o_totalprice*1000000.0+0.5) as bigint) as totalprice_fp,
+  sum_qty
+from big join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+order by sum_qty desc, o_orderkey limit 100
+""")
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: the HAVING pre-aggregates
+    lineitem map-side before its one orderkey shuffle (quantities are
+    integral doubles <= 50, so the sum is exact under any order), the
+    surviving big orders join orders on the already-partitioned key,
+    and customer broadcasts."""
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    od = cat.load_driver(spark, sf_dir, "orders")
+    cu = cat.load_driver(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qd"))
+        .filter(F.col("qd") > 180)
+        .select("l_orderkey", F.col("qd").cast("long").alias("sum_qty"))
+    )
+    return (
+        big.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string")
+            .alias("o_orderdate"),
+            fixed1e6(F.col("o_totalprice")).alias("totalprice_fp"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@q("tpch_q19", """
+select cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5)
+                     as bigint)) as bigint) as revenue_fp,
+  count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+where (p_brand='Brand#12' and p_size between 1 and 15
+       and l_quantity between 1 and 20)
+   or (p_brand='Brand#23' and p_size between 1 and 25
+       and l_quantity between 10 and 30)
+   or (p_brand='Brand#4' and p_size between 1 and 35
+       and l_quantity between 20 and 40)
+""")
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under a brand/size/quantity
+    OR-disjunction; the fixture lacks container/shipmode so those
+    terms are dropped): part broadcasts on the equi-key and the
+    disjunction evaluates post-join as a codegen'd filter — never a
+    BroadcastNestedLoop theta join."""
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    pa = cat.load_driver(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(fixed1e6(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount")))
+                  ).alias("revenue_fp"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into
