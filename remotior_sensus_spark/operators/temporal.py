@@ -1,0 +1,116 @@
+"""Multi-date (temporal) raster operators: best-available-pixel
+compositing and gap filling across the bandsets of a time series.
+
+Reference scope: remotior_sensus iterates dated bandsets
+(`forbandsets[...]` in tools/band_calc.py) and its users build
+max-NDVI composites / fill cloud gaps with band_calc expressions over
+them; here the cross-date argmax and the gap interpolation are native
+relational plans.
+
+Determinism strategy (matches operators/geostats.py): per-(pixel,date)
+scores are one fixed double sequence rounded to fixed-point, the
+cross-date argmax is a single BIGINT encoding
+  ord = (ndvi_fp + 1_000_000) * 8 + (7 - date_idx)
+(non-negative, so %/div decode identically in Spark and DuckDB; larger
+NDVI wins, ties go to the EARLIEST date), and every output aggregate is
+an exact integer sum.
+
+Scale shape: ONE pixel-keyed shuffle builds the (pixel x date) wide
+frame (map-side combinable), the argmax is a second combinable
+aggregate on the same key — Catalyst reuses the hash partitioning —
+and the final histogram moves only (date, count, checksum) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.functions.cols import fixed1e6
+
+
+def bap_composite(px: DataFrame, bandsets: list[str],
+                  red: str = "B04", nir: str = "B08") -> DataFrame:
+    """Max-NDVI best-available-pixel composite over the dated bandsets:
+    each pixel picks the date whose NDVI is highest (both bands valid
+    that date; ties -> earliest date).  Emits the per-date selection
+    histogram with the exact fixed-point NDVI checksum of the chosen
+    pixels: (bandset, pixel_count, ndvi_fp_sum)."""
+    dates = F.create_map(*[
+        x for i, bs in enumerate(bandsets)
+        for x in (F.lit(bs), F.lit(i).cast("long"))
+    ])
+    wide = (
+        px.filter(F.col("band").isin(red, nir)
+                  & F.col("bandset").isin(*bandsets))
+        .groupBy("tile_x", "tile_y", "pos", "bandset")
+        .agg(
+            F.max(F.when(F.col("band") == red, F.col("value"))).alias("r"),
+            F.max(F.when(F.col("band") == nir, F.col("value"))).alias("n"),
+        )
+        .filter((F.col("r") != NODATA) & (F.col("n") != NODATA))
+    )
+    ndvi_fp = fixed1e6(
+        (F.col("n").cast("double") - F.col("r").cast("double"))
+        / (F.col("n").cast("double") + F.col("r").cast("double")))
+    ord_ = ((ndvi_fp + F.lit(1000000).cast("long"))
+            * F.lit(8).cast("long")
+            + (F.lit(7).cast("long") - dates[F.col("bandset")]))
+    best = (
+        wide.select("tile_x", "tile_y", "pos", ord_.alias("o"))
+        .groupBy("tile_x", "tile_y", "pos")
+        .agg(F.max("o").alias("mo"))
+    )
+    date_idx = F.lit(7).cast("long") - F.col("mo") % F.lit(8).cast("long")
+    chosen_fp = ((F.col("mo") - F.col("mo") % F.lit(8).cast("long"))
+                 / F.lit(8.0)).cast("long") - F.lit(1000000).cast("long")
+    rev = F.create_map(*[
+        x for i, bs in enumerate(bandsets)
+        for x in (F.lit(i).cast("long"), F.lit(bs))
+    ])
+    return (
+        best.select(rev[date_idx].alias("bandset"), chosen_fp.alias("nfp"))
+        .groupBy("bandset")
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum("nfp").alias("ndvi_fp_sum"))
+    )
+
+
+def temporal_fill(px: DataFrame, bandsets: list[str],
+                  band: str = "B04", step: float = 1000.0) -> DataFrame:
+    """Linear gap fill of the MIDDLE date from its two neighbours:
+    pixels valid at date1 keep their value ('valid'); pixels nodata at
+    date1 but valid at dates 0 and 2 take floor((v0+v2)/2) ('filled');
+    the rest stay gaps ('gap').  Emits per-category counts with an
+    exact integer checksum — twice the filled/kept value, so no /2
+    rounding enters the sum: (category, pixel_count, value2_sum)."""
+    assert len(bandsets) == 3
+    b0, b1, b2 = bandsets
+    wide = (
+        px.filter((F.col("band") == band) & F.col("bandset").isin(*bandsets))
+        .groupBy("tile_x", "tile_y", "pos")
+        .agg(*[
+            F.max(F.when(F.col("bandset") == bs, F.col("value")))
+            .alias(f"v{i}")
+            for i, bs in enumerate((b0, b1, b2))
+        ])
+    )
+    v0, v1, v2 = F.col("v0"), F.col("v1"), F.col("v2")
+    category = (
+        F.when(v1 != NODATA, F.lit("valid"))
+        .when((v0 != NODATA) & (v2 != NODATA), F.lit("filled"))
+        .otherwise(F.lit("gap"))
+    )
+    value2 = (
+        F.when(v1 != NODATA, v1.cast("long") * 2)
+        .when((v0 != NODATA) & (v2 != NODATA),
+              v0.cast("long") + v2.cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        wide.select(category.alias("category"), value2.alias("v2x"))
+        .groupBy("category")
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum("v2x").alias("value2_sum"))
+    )

@@ -2348,6 +2348,79 @@ def tpch_q19(spark, sf_dir):
     )
 
 
+_BS3 = ["S2_2020-01-01", "S2_2020-01-02", "S2_2020-01-03"]
+
+
+@q("bap_composite", f"""
+with e as (
+  select bandset, band, tile_x, tile_y,
+         unnest(range(256)) as pos, unnest(pixels) as value
+  from '{GEO01}/tiles.parquet'
+  where band in ('B04', 'B08')),
+px as (
+  select tile_x, tile_y, pos, bandset,
+    max(case when band='B04' then value end) as r,
+    max(case when band='B08' then value end) as n
+  from e group by 1, 2, 3, 4),
+v as (select tile_x, tile_y, pos,
+    case bandset when 'S2_2020-01-01' then 0
+                 when 'S2_2020-01-02' then 1 else 2 end as di,
+    cast(floor((cast(n as double) - cast(r as double))
+               / (cast(n as double) + cast(r as double))
+               * 1000000.0 + 0.5) as bigint) as nfp
+  from px where r <> -32768 and n <> -32768),
+o as (select tile_x, tile_y, pos,
+             max((nfp + 1000000) * 8 + (7 - di)) as mo
+      from v group by 1, 2, 3),
+d as (select cast((mo - (mo % 8)) / 8.0 as bigint) - 1000000 as nfp,
+             7 - (mo % 8) as di from o)
+select case di when 0 then 'S2_2020-01-01'
+               when 1 then 'S2_2020-01-02'
+               else 'S2_2020-01-03' end as bandset,
+  count(*) as pixel_count, cast(sum(nfp) as bigint) as ndvi_fp_sum
+from d group by 1
+""")
+def bap_composite_q(spark, sf_dir):
+    """Max-NDVI best-available-pixel composite across the three dated
+    bandsets — BIGINT-encoded cross-date argmax, earliest-date ties."""
+    from remotior_sensus_spark.operators import temporal
+    return temporal.bap_composite(
+        agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
+
+
+@q("temporal_fill", f"""
+with e as (
+  select bandset, tile_x, tile_y,
+         unnest(range(256)) as pos, unnest(pixels) as value
+  from '{GEO01}/tiles.parquet'
+  where band='B04'),
+w as (
+  select tile_x, tile_y, pos,
+    max(case when bandset='S2_2020-01-01' then value end) as v0,
+    max(case when bandset='S2_2020-01-02' then value end) as v1,
+    max(case when bandset='S2_2020-01-03' then value end) as v2
+  from e group by 1, 2, 3),
+c as (select
+  case when v1 <> -32768 then 'valid'
+       when v0 <> -32768 and v2 <> -32768 then 'filled'
+       else 'gap' end as category,
+  case when v1 <> -32768 then cast(v1 as bigint) * 2
+       when v0 <> -32768 and v2 <> -32768
+            then cast(v0 as bigint) + cast(v2 as bigint)
+       else 0 end as v2x
+ from w)
+select category, count(*) as pixel_count,
+  cast(sum(v2x) as bigint) as value2_sum
+from c group by category
+""")
+def temporal_fill_q(spark, sf_dir):
+    """Linear gap fill of the middle date from its neighbours —
+    doubled-value integer checksum so no /2 rounding enters the sum."""
+    from remotior_sensus_spark.operators import temporal
+    return temporal.temporal_fill(
+        agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into
