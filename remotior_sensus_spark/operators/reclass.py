@@ -117,3 +117,57 @@ def band_split(stacked: DataFrame, bands: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def histogram_match(src_px: DataFrame, ref_px: DataFrame,
+                    step: float = 1000.0) -> DataFrame:
+    """Histogram matching (radiometric normalization, the harmonization
+    step of tools/mosaic.py-style multi-scene composites): every source
+    DN maps to the smallest reference DN whose CDF quantile reaches the
+    source quantile.  The quantile comparison is the integer
+    cross-multiplication  cum_r * total_s >= cum_s * total_r  — no
+    double CDF ever enters a comparison, so the LUT is bit-identical in
+    both engines (int64-safe below ~3e9 valid pixels per side; widen to
+    DECIMAL beyond).
+
+    Scale shape: both histograms are value-domain-bounded aggregates
+    (<= 65k rows for UInt16 DNs) so the cumsum window and the LUT
+    quantile join are tiny regardless of raster size; the only
+    full-size pass is the final broadcast LUT application.  Emits the
+    matched raster's class histogram with an exact integer checksum:
+    (matched_class, pixel_count, mapped_sum)."""
+    def hist(px):
+        h = (px.filter(F.col("value") != NODATA)
+             .groupBy(F.col("value").cast("long").alias("v"))
+             .agg(F.count("*").alias("cnt")))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        t = Window.partitionBy()
+        return h.select(
+            "v",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(t).alias("total"),
+        )
+    hs = hist(src_px).select(
+        F.col("v").alias("vs"), F.col("cum").alias("cs"),
+        F.col("total").alias("ts"))
+    hr = hist(ref_px).select(
+        F.col("v").alias("vr"), F.col("cum").alias("cr"),
+        F.col("total").alias("tr"))
+    lut = (
+        hs.crossJoin(hr)
+        .filter(F.col("cr") * F.col("ts") >= F.col("cs") * F.col("tr"))
+        .groupBy("vs")
+        .agg(F.min("vr").alias("mapped"))
+    )
+    mapped = (
+        src_px.filter(F.col("value") != NODATA)
+        .select(F.col("value").cast("long").alias("vs"))
+        .join(F.broadcast(lut), "vs")
+    )
+    return (
+        mapped.groupBy(
+            F.floor(F.col("mapped").cast("double") / F.lit(float(step)))
+            .cast("int").alias("matched_class"))
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum("mapped").alias("mapped_sum"))
+    )

@@ -2421,6 +2421,42 @@ def temporal_fill_q(spark, sf_dir):
         agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
 
 
+@q("histogram_match", f"""
+with s as (select cast(value as bigint) as v, count(*) as cnt
+           from '{GEO01}/tile_pixels.parquet'
+           where bandset='S2_2020-01-02' and band='B04'
+             and value <> -32768 group by 1),
+sc as (select v as vs, sum(cnt) over (order by v
+         rows between unbounded preceding and current row) as cs,
+       sum(cnt) over () as ts from s),
+r as (select cast(value as bigint) as v, count(*) as cnt
+      from '{GEO01}/tile_pixels.parquet'
+      where bandset='S2_2020-01-01' and band='B04'
+        and value <> -32768 group by 1),
+rc as (select v as vr, sum(cnt) over (order by v
+         rows between unbounded preceding and current row) as cr,
+       sum(cnt) over () as tr from r),
+lut as (select vs, min(vr) as mapped from sc, rc
+        where cr * ts >= cs * tr group by vs),
+m as (select mapped from '{GEO01}/tile_pixels.parquet' px
+      join lut on cast(px.value as bigint) = lut.vs
+      where px.bandset='S2_2020-01-02' and px.band='B04'
+        and px.value <> -32768)
+select cast(floor(cast(mapped as double) / 1000.0) as int) as matched_class,
+  count(*) as pixel_count, cast(sum(mapped) as bigint) as mapped_sum
+from m group by 1
+""")
+def histogram_match_q(spark, sf_dir):
+    """Match the second date's B04 histogram to the first date's —
+    integer cross-multiplied CDF quantiles, broadcast LUT apply."""
+    from remotior_sensus_spark.operators import reclass
+    src = _tiles(spark, sf_dir).filter(
+        (F.col("bandset") == "S2_2020-01-02") & (F.col("band") == "B04"))
+    return reclass.histogram_match(
+        agg.explode_pixels(src),
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into

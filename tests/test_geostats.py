@@ -208,3 +208,34 @@ def test_proximity_bands_dense(spark, geo001_dir):
         for r in Q.queries()["proximity_bands"](spark, geo001_dir).collect()
     }
     assert got == exp
+
+
+def test_histogram_match_dense(spark, geo001_dir):
+    """Independent numpy histogram-matching oracle: integer
+    cross-multiplied CDF quantile mapping, then the matched histogram."""
+    from remotior_sensus_spark import queries as Q
+
+    src = full_raster(bs_idx=1, band_idx=2)
+    ref = full_raster(bs_idx=0, band_idx=2)
+    sv = src[~np.isnan(src)].astype(np.int64)
+    rv = ref[~np.isnan(ref)].astype(np.int64)
+    s_vals, s_cnt = np.unique(sv, return_counts=True)
+    r_vals, r_cnt = np.unique(rv, return_counts=True)
+    cs, ts = np.cumsum(s_cnt), sv.size
+    cr, tr = np.cumsum(r_cnt), rv.size
+    # smallest ref value whose quantile reaches the source quantile
+    lut = {}
+    for v, c in zip(s_vals, cs):
+        idx = np.searchsorted(cr * ts, c * tr, side="left")
+        lut[int(v)] = int(r_vals[idx])
+    mapped = np.array([lut[int(v)] for v in sv], dtype=np.int64)
+    exp = {}
+    for k in np.unique(mapped // 1000):
+        m = (mapped // 1000) == k
+        exp[int(k)] = (int(m.sum()), int(mapped[m].sum()))
+
+    got = {
+        r["matched_class"]: (r["pixel_count"], r["mapped_sum"])
+        for r in Q.queries()["histogram_match"](spark, geo001_dir).collect()
+    }
+    assert got == exp
