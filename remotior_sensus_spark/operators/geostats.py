@@ -428,3 +428,44 @@ def proximity_classes(band_px: DataFrame, target_class: int = 4,
         .groupBy("dist_class")
         .agg(F.count("*").alias("pixel_count"))
     )
+
+
+def glcm_texture(band_px: DataFrame, step: float = 500.0) -> DataFrame:
+    """Grey-level co-occurrence texture (Haralick 1973) for the +x
+    offset: quantize DNs to levels, count co-occurring (level_a,
+    level_b) pairs via the same shifted-copy equi-join the
+    semivariogram uses, then reduce the level-bounded pair matrix
+    (<= levels^2 rows regardless of raster size) to
+      contrast    = sum cnt*(i-j)^2 / total        (exact int / int)
+      energy      = sum cnt^2 / total^2            (exact int / int^2)
+      homogeneity = sum fixed1e6(cnt/(1+(i-j)^2))  (per-pair fixed
+                    point BEFORE the sum, so order-independent)
+    Returns ONE row: (n_pairs, contrast, energy, homogeneity_fp)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    px = _valid_px(band_px).select(
+        "gx", "gy",
+        F.floor(F.col("v").cast("double") / F.lit(float(step)))
+        .cast("long").alias("c"))
+    shifted = px.select(
+        (F.col("gx") - 1).alias("gx"), "gy", F.col("c").alias("cb"))
+    pairs = (
+        px.join(shifted, ["gx", "gy"])
+        .groupBy(F.col("c").alias("ca"), "cb")
+        .agg(F.count("*").alias("cnt"))
+    )
+    d2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    agg_row = pairs.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.sum(F.col("cnt") * d2).alias("con_num"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("en_num"),
+        F.sum(fixed1e6(
+            F.col("cnt").cast("double")
+            / (F.lit(1.0) + d2.cast("double")))).alias("homogeneity_fp"),
+    )
+    tot = F.col("n_pairs").cast("double")
+    return agg_row.select(
+        "n_pairs",
+        (F.col("con_num").cast("double") / tot).alias("contrast"),
+        (F.col("en_num").cast("double") / (tot * tot)).alias("energy"),
+        "homogeneity_fp",
+    )

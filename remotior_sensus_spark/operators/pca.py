@@ -105,3 +105,43 @@ def pca_project(stacked: DataFrame, model: dict, component: int = 0) -> DataFram
         t = (F.col(b) - F.lit(float(mb))) * F.lit(float(vb))
         proj = t if proj is None else proj + t
     return px.select(proj.alias(f"pc{component + 1}"))
+
+
+def correlation_matrix(stacked: DataFrame, band_cols: list[str]) -> DataFrame:
+    """Long-form Pearson correlation (band_i, band_j, correlation) from
+    the SAME one-pass exact integer aggregate covariance_matrix uses:
+      r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    with every product evaluated in doubles of exact BIGINT sums (the
+    n*sxy product overflows int64 at ~1e8 pixels, the double form never
+    does) — one fixed op sequence both engines share bit-for-bit."""
+    px = _flat_pixels(stacked, band_cols)
+    aggs = [F.count("*").alias("n")]
+    for b in band_cols:
+        aggs.append(F.sum(F.col(b).cast("long")).alias(f"s_{b}"))
+    for i, a in enumerate(band_cols):
+        for b in band_cols[i:]:
+            aggs.append(F.sum(F.col(a).cast("long") * F.col(b).cast("long"))
+                        .alias(f"s_{a}_{b}"))
+    s = px.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def dev(a):
+        sa = F.col(f"s_{a}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        return F.sqrt(nd * saa - sa * sa)
+
+    rows = []
+    for i, a in enumerate(band_cols):
+        for j, b in enumerate(band_cols):
+            key = f"s_{a}_{b}" if i <= j else f"s_{b}_{a}"
+            r = ((nd * F.col(key).cast("double")
+                  - F.col(f"s_{a}").cast("double")
+                  * F.col(f"s_{b}").cast("double"))
+                 / (dev(a) * dev(b)))
+            rows.append(s.select(
+                F.lit(a).alias("band_i"), F.lit(b).alias("band_j"),
+                r.alias("correlation")))
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out

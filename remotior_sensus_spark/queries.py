@@ -2457,6 +2457,91 @@ def histogram_match_q(spark, sf_dir):
         agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+_CORR_CELL = """select '{A}' band_i, '{B}' band_j,
+  (n * cast({SXY} as double) - cast({SX} as double) * cast({SY} as double))
+  / (sqrt(n * cast({SXX} as double) - cast({SX} as double) * cast({SX} as double))
+     * sqrt(n * cast({SYY} as double) - cast({SY} as double) * cast({SY} as double)))
+  as correlation from sd"""
+
+
+def _corr_oracle_sql() -> str:
+    bands = ["B02", "B03", "B04", "B08"]
+    cells = []
+    for a in bands:
+        for b in bands:
+            key = (f"s_{a}_{b}" if bands.index(a) <= bands.index(b)
+                   else f"s_{b}_{a}").lower()
+            cells.append(_CORR_CELL.format(
+                A=a, B=b, SXY=key, SX=f"s_{a}".lower(), SY=f"s_{b}".lower(),
+                SXX=f"s_{a}_{a}".lower(), SYY=f"s_{b}_{b}".lower()))
+    prods = ",\n  ".join(
+        f"sum({a.lower()}*{b.lower()}) s_{a}_{b}".lower()
+        for i, a in enumerate(["B02", "B03", "B04", "B08"])
+        for b in ["B02", "B03", "B04", "B08"][i:])
+    return f"""
+with px as (
+  select
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet' where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py),
+v as (select cast(b02 as bigint) b02, cast(b03 as bigint) b03,
+             cast(b04 as bigint) b04, cast(b08 as bigint) b08 from px
+      where b02<>-32768 and b03<>-32768 and b04<>-32768 and b08<>-32768),
+s as (select count(*) n,
+  sum(b02) s_b02, sum(b03) s_b03, sum(b04) s_b04, sum(b08) s_b08,
+  {prods} from v),
+sd as (select cast(n as double) n, s_b02, s_b03, s_b04, s_b08,
+  s_b02_b02, s_b02_b03, s_b02_b04, s_b02_b08, s_b03_b03, s_b03_b04,
+  s_b03_b08, s_b04_b04, s_b04_b08, s_b08_b08 from s)
+{" union all ".join(cells)}
+"""
+
+
+@q("band_correlation", _corr_oracle_sql)
+def band_correlation(spark, sf_dir):
+    """Pearson correlation matrix of the four bands — same one-pass
+    exact integer aggregate as pca_covariance, double-product tail."""
+    from remotior_sensus_spark.operators.pca import correlation_matrix
+    from remotior_sensus_spark.operators.reclass import band_stack
+    bands = ["B02", "B03", "B04", "B08"]
+    stacked = band_stack(_tiles(spark, sf_dir), "S2_2020-01-01", bands)
+    return correlation_matrix(stacked, bands)
+
+
+@q("glcm_texture", f"""
+with p as (
+  select gx, gy,
+    cast(floor(cast(cast(value as bigint) as double) / 500.0) as bigint) as c
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+pr as (select a.c as ca, b.c as cb
+       from p a join p b on b.gx = a.gx + 1 and b.gy = a.gy),
+m as (select ca, cb, count(*) as cnt from pr group by 1, 2),
+t as (select cast(sum(cnt) as bigint) as n_pairs,
+  cast(sum(cnt * (ca-cb) * (ca-cb)) as bigint) as con_num,
+  cast(sum(cnt * cnt) as bigint) as en_num,
+  cast(sum(cast(floor(cast(cnt as double)
+                      / (1.0 + cast((ca-cb)*(ca-cb) as double))
+                      * 1000000.0 + 0.5) as bigint)) as bigint)
+    as homogeneity_fp from m)
+select n_pairs,
+  cast(con_num as double) / cast(n_pairs as double) as contrast,
+  cast(en_num as double)
+    / (cast(n_pairs as double) * cast(n_pairs as double)) as energy,
+  homogeneity_fp
+from t
+""")
+def glcm_texture_q(spark, sf_dir):
+    """Haralick GLCM texture for the +x offset — level-bounded pair
+    matrix, exact integer contrast/energy numerators, per-pair
+    fixed-point homogeneity."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.glcm_texture(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into

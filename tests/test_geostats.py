@@ -239,3 +239,58 @@ def test_histogram_match_dense(spark, geo001_dir):
         for r in Q.queries()["histogram_match"](spark, geo001_dir).collect()
     }
     assert got == exp
+
+
+def test_band_correlation_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    bands = [full_raster(band_idx=i) for i in range(4)]
+    valid = np.ones_like(bands[0], dtype=bool)
+    for b in bands:
+        valid &= ~np.isnan(b)
+    v = [b[valid].astype(np.int64) for b in bands]
+    n = float(valid.sum())
+    names = ["B02", "B03", "B04", "B08"]
+    exp = {}
+    for i in range(4):
+        for j in range(4):
+            sx, sy = float(v[i].sum()), float(v[j].sum())
+            sxy = float((v[i] * v[j]).sum())
+            sxx = float((v[i] * v[i]).sum())
+            syy = float((v[j] * v[j]).sum())
+            exp[(names[i], names[j])] = (n * sxy - sx * sy) / (
+                np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+
+    rows = Q.queries()["band_correlation"](spark, geo001_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert abs(r["correlation"] - exp[(r["band_i"], r["band_j"])]) < 1e-12
+        if r["band_i"] == r["band_j"]:
+            # sqrt(x)*sqrt(x) != x in general, so the diagonal is ~1
+            # within one ulp of the shared op sequence, not exactly 1
+            assert abs(r["correlation"] - 1.0) < 1e-12
+
+
+def test_glcm_texture_dense(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    valid = ~np.isnan(full)
+    cls = np.floor(np.where(valid, full, 0.0) / 500.0).astype(np.int64)
+    a_ok = valid[:, :-1] & valid[:, 1:]
+    ca = cls[:, :-1][a_ok]
+    cb = cls[:, 1:][a_ok]
+    keys, cnt = np.unique(ca * 100000 + cb, return_counts=True)
+    ka, kb = keys // 100000, keys % 100000
+    d2 = (ka - kb) ** 2
+    n_pairs = int(cnt.sum())
+    contrast = float((cnt * d2).sum()) / float(n_pairs)
+    energy = float((cnt.astype(np.float64) ** 2).sum()) / float(n_pairs) ** 2
+    hfp = int(np.floor(cnt.astype(np.float64) / (1.0 + d2.astype(np.float64))
+                       * 1000000.0 + 0.5).astype(np.int64).sum())
+
+    r = Q.queries()["glcm_texture"](spark, geo001_dir).collect()[0]
+    assert r["n_pairs"] == n_pairs
+    assert abs(r["contrast"] - contrast) < 1e-12
+    assert abs(r["energy"] - energy) < 1e-15
+    assert r["homogeneity_fp"] == hfp
