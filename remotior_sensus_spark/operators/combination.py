@@ -206,3 +206,44 @@ def regression_between(px_pairs: DataFrame, x_col: str, y_col: str) -> DataFrame
         b0.alias("intercept"),
         r2.alias("r_squared"),
     )
+
+
+def olofsson_area_estimates(px: DataFrame, sample_mod: int = 7) -> DataFrame:
+    """Good-practice accuracy assessment (Olofsson et al. 2014, the
+    method remotior_sensus' accuracy tooling follows): a systematic
+    pixel sample ((gx+gy) % sample_mod == 0) builds the error matrix,
+    the FULL map provides the stratum weights W_i = N_i/N, and each
+    reference class j gets the bias-adjusted area proportion
+      p_j = sum_i W_i * n_ij / n_i.
+    and its variance
+      V_j = sum_i W_i^2 * q_ij (1-q_ij) / (n_i. - 1),   q_ij = n_ij/n_i.
+    Every per-stratum term is one fixed double sequence rounded to
+    fixed-point BEFORE the order-independent per-class sum (1e6 for the
+    area proportion, 1e12 for the variance, whose terms are O(1e-6)).
+    Input: (gx, gy, map_cls, ref_cls).  Output per reference class:
+    (ref_cls, sample_count, area_prop_fp, variance_fp12)."""
+    full = px.groupBy("map_cls").agg(F.count("*").alias("ni_full"))
+    n_total = px.agg(F.count("*").alias("n_full"))
+    sample = px.filter((F.col("gx") + F.col("gy")) % sample_mod == 0)
+    cm = sample.groupBy("map_cls", "ref_cls").agg(F.count("*").alias("nij"))
+    rows = sample.groupBy("map_cls").agg(F.count("*").alias("ni"))
+    j = (
+        cm.join(rows, "map_cls")
+        .join(F.broadcast(full), "map_cls")
+        .crossJoin(F.broadcast(n_total))
+    )
+    w = F.col("ni_full").cast("double") / F.col("n_full").cast("double")
+    qij = F.col("nij").cast("double") / F.col("ni").cast("double")
+    area_term = F.floor(w * qij * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    var_term = F.floor(
+        w * w * qij * (F.lit(1.0) - qij)
+        / (F.col("ni").cast("double") - F.lit(1.0))
+        * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        j.select("ref_cls", "nij", area_term.alias("at"),
+                 var_term.alias("vt"))
+        .groupBy("ref_cls")
+        .agg(F.sum("nij").alias("sample_count"),
+             F.sum("at").alias("area_prop_fp"),
+             F.sum("vt").alias("variance_fp12"))
+    )

@@ -525,3 +525,37 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
                ).alias("n_tokens_bpe"),
     )
+
+
+def dup_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicated-substring statistics (the word-n-gram-bounded
+    form of Lee et al. 2022 suffix-array substring dedup): every word
+    n-gram window hashes once, windows whose hash occurs in MORE THAN
+    ONE document are duplicated spans, and each document reports how
+    much of it is duplicated elsewhere in the corpus.
+
+    Scale shape: two map-side-combinable shuffles — (hash, doc) counts,
+    then hash-keyed distinct-doc counts joined back on the already
+    partitioned hash key — and one doc-keyed reduce; only (hash,
+    count) pairs ever move, never window text.  Returns per doc:
+    (doc_id, n_spans, dup_spans, dup_ratio_fp)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    sh = shingles_col(n, distinct=False)
+    flat = docs.select("doc_id", F.explode(sh).alias("g")).select(
+        "doc_id", portable_hash60(F.col("g")).alias("h"))
+    per = flat.groupBy("h", "doc_id").agg(F.count("*").alias("k"))
+    hd = per.groupBy("h").agg(F.count("*").alias("ndocs"))
+    agg = (
+        per.join(hd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("k"))
+                  .otherwise(F.lit(0).cast("long"))).alias("dup_spans"),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_spans", "dup_spans",
+        fixed1e6(F.col("dup_spans").cast("double")
+                 / F.col("n_spans").cast("double")).alias("dup_ratio_fp"),
+    )

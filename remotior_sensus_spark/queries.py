@@ -2542,6 +2542,66 @@ def glcm_texture_q(spark, sf_dir):
     return geostats.glcm_texture(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+@q("accuracy_area", f"""
+with px as (
+  select gx, gy,
+    cast(floor(max(case when band='B04' then value end) / 1000.0) as bigint)
+      as map_cls,
+    cast(floor(max(case when band='B02' then value end) / 1000.0) as bigint)
+      as ref_cls,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B02' then value end) as b02
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B02', 'B04')
+  group by gx, gy),
+v as (select gx, gy, map_cls, ref_cls from px
+      where b02 <> -32768 and b04 <> -32768),
+full_m as (select map_cls, count(*) as ni_full from v group by 1),
+nt as (select count(*) as n_full from v),
+s as (select * from v where (gx + gy) % 7 = 0),
+cm as (select map_cls, ref_cls, count(*) as nij from s group by 1, 2),
+rws as (select map_cls, count(*) as ni from s group by 1),
+t as (select cm.ref_cls, cm.nij,
+  cast(floor((cast(ni_full as double) / cast(n_full as double))
+             * (cast(nij as double) / cast(ni as double))
+             * 1000000.0 + 0.5) as bigint) as at,
+  cast(floor((cast(ni_full as double) / cast(n_full as double))
+             * (cast(ni_full as double) / cast(n_full as double))
+             * (cast(nij as double) / cast(ni as double))
+             * (1.0 - cast(nij as double) / cast(ni as double))
+             / (cast(ni as double) - 1.0)
+             * 1000000000000.0 + 0.5) as bigint) as vt
+  from cm join rws using (map_cls) join full_m using (map_cls)
+  cross join nt)
+select ref_cls, cast(sum(nij) as bigint) as sample_count,
+  cast(sum(at) as bigint) as area_prop_fp,
+  cast(sum(vt) as bigint) as variance_fp12
+from t group by ref_cls
+""")
+def accuracy_area_q(spark, sf_dir):
+    """Olofsson bias-adjusted area proportions + variance per reference
+    class — systematic sample error matrix, full-map stratum weights."""
+    from remotior_sensus_spark.grid import TILE_PX
+    from remotior_sensus_spark.operators.combination import (
+        olofsson_area_estimates)
+    t = _tiles(spark, sf_dir).filter(
+        (F.col("bandset") == "S2_2020-01-01")
+        & (F.col("band").isin("B02", "B04")))
+    px = agg.explode_pixels(t)
+    wide = px.groupBy("tile_x", "tile_y", "pos").agg(
+        F.max(F.when(F.col("band") == "B04", F.col("value"))).alias("b04"),
+        F.max(F.when(F.col("band") == "B02", F.col("value"))).alias("b02"),
+    ).filter((F.col("b02") != NODATA) & (F.col("b04") != NODATA))
+    frame = wide.select(
+        (F.col("tile_x") * TILE_PX + F.col("pos") % TILE_PX).alias("gx"),
+        (F.col("tile_y") * TILE_PX
+         + (F.col("pos") / TILE_PX).cast("int")).alias("gy"),
+        F.floor(F.col("b04") / 1000.0).cast("long").alias("map_cls"),
+        F.floor(F.col("b02") / 1000.0).cast("long").alias("ref_cls"),
+    )
+    return olofsson_area_estimates(frame)
+
+
 def _ensure_expected(sf_dir):
     """Materialize the numpy-oracle expected parquet for this scale
     factor (cached on disk) — turns the former rows-only queries into
@@ -3581,6 +3641,30 @@ from j where cast(nm as double)/32.0 >= 0.3
 def minhash_lsh(spark, sf_dir):
     docs = cat.load_driver(spark, sf_dir, "documents")
     return tx.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+
+
+@q("dup_spans", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+shd as (select doc_id,
+  list_transform(range(0, greatest(len(toks)-8, 0)+1),
+                 i -> array_to_string(toks[i+1:i+8], ' ')) as sh from t),
+flat as (select doc_id, unnest(sh) as g from shd),
+h as (select doc_id, {_HEX60.format(x='g')} as hv from flat),
+per as (select hv, doc_id, count(*) as k from h group by 1, 2),
+hd as (select hv, count(*) as ndocs from per group by 1),
+j as (select per.doc_id, per.k, hd.ndocs from per join hd using (hv))
+select doc_id, cast(sum(k) as bigint) as n_spans,
+  cast(sum(case when ndocs > 1 then k else 0 end) as bigint) as dup_spans,
+  cast(floor(cast(sum(case when ndocs > 1 then k else 0 end) as double)
+             / cast(sum(k) as double) * 1000000.0 + 0.5) as bigint)
+    as dup_ratio_fp
+from j group by doc_id
+""")
+def dup_spans_q(spark, sf_dir):
+    """Exact duplicated word-8-gram spans per document (bounded
+    substring dedup) — hash-keyed window counts, no text ever moves."""
+    docs = cat.load_driver(spark, sf_dir, "documents")
+    return tx.dup_span_stats(docs, n=8)
 
 
 @q("dedup_clusters", f"""

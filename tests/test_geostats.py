@@ -294,3 +294,42 @@ def test_glcm_texture_dense(spark, geo001_dir):
     assert abs(r["contrast"] - contrast) < 1e-12
     assert abs(r["energy"] - energy) < 1e-15
     assert r["homogeneity_fp"] == hfp
+
+
+def test_accuracy_area_dense(spark, geo001_dir):
+    """Independent numpy Olofsson (2014) oracle: systematic-sample
+    error matrix, full-map stratum weights, per-term fixed point."""
+    from remotior_sensus_spark import queries as Q
+
+    b02 = full_raster(band_idx=0)
+    b04 = full_raster(band_idx=2)
+    valid = ~np.isnan(b02) & ~np.isnan(b04)
+    H, W = b02.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    mapc = np.floor(np.where(valid, b04, 0) / 1000.0).astype(np.int64)
+    refc = np.floor(np.where(valid, b02, 0) / 1000.0).astype(np.int64)
+    samp = valid & (((xx + yy) % 7) == 0)
+
+    n_full = int(valid.sum())
+    ni_full = {int(k): int((valid & (mapc == k)).sum())
+               for k in np.unique(mapc[valid])}
+    ni = {int(k): int((samp & (mapc == k)).sum())
+          for k in np.unique(mapc[samp])}
+    exp = {}
+    for i in ni:
+        w = ni_full[i] / n_full
+        for jj in np.unique(refc[samp & (mapc == i)]):
+            nij = int((samp & (mapc == i) & (refc == jj)).sum())
+            q = nij / ni[i]
+            at = int(np.floor(w * q * 1000000.0 + 0.5))
+            vt = int(np.floor(w * w * q * (1.0 - q) / (ni[i] - 1.0)
+                              * 1e12 + 0.5))
+            c, a, v_ = exp.get(int(jj), (0, 0, 0))
+            exp[int(jj)] = (c + nij, a + at, v_ + vt)
+
+    got = {
+        r["ref_cls"]: (r["sample_count"], r["area_prop_fp"],
+                       r["variance_fp12"])
+        for r in Q.queries()["accuracy_area"](spark, geo001_dir).collect()
+    }
+    assert got == exp
