@@ -3870,6 +3870,50 @@ def cluster_proximity(spark, sf_dir):
     return sj.cluster_by_proximity(rects)
 
 
+@q("vector_cluster_dissolve", f"""
+with r as (select roi_id, class,
+    cast(regexp_extract(roi_id, '(\\d+)$', 1) as bigint) as rid,
+    cast(xmin as bigint) as x0, cast(xmax as bigint) as x1,
+    cast(ymin as bigint) as y0, cast(ymax as bigint) as y1
+  from '{GEO01}/geometry_rects.parquet'),
+e as (select distinct a.rid as src, b.rid as dst from r a join r b
+  on a.rid < b.rid
+  and greatest(0, a.x0-b.x1, b.x0-a.x1)*greatest(0, a.x0-b.x1, b.x0-a.x1)
+    + greatest(0, a.y0-b.y1, b.y0-a.y1)*greatest(0, a.y0-b.y1, b.y0-a.y1)
+    <= 40000),
+sym as (select src, dst from e union all select dst as src, src as dst from e),
+nodes as (select distinct rid from r),
+reach as (
+  with recursive rr(rid, lbl) as (
+    select rid, rid from nodes
+    union
+    select s.dst, r.lbl from rr r join sym s on s.src = r.rid
+    where r.lbl < s.dst
+  ) select * from rr),
+mem as (select rid, min(lbl) as root from reach group by rid),
+pf as (select mem.root, r.class, r.rid,
+         count(*) as nr, sum((x1-x0)*(y1-y0)) as ar,
+         min(x0) as fx0, min(y0) as fy0, max(x1) as fx1, max(y1) as fy1
+       from r join mem using (rid) group by 1, 2, 3)
+select root as cluster_root, class,
+  cast(count(*) as bigint) as n_feats,
+  cast(sum(nr) as bigint) as n_rects,
+  cast(sum(ar) as bigint) as area_sum,
+  cast(min(fx0) as bigint) as bx0, cast(min(fy0) as bigint) as by0,
+  cast(max(fx1) as bigint) as bx1, cast(max(fy1) as bigint) as by1
+from pf group by 1, 2
+""")
+def vector_cluster_dissolve(spark, sf_dir):
+    """Distance-threshold (200 m) vector clustering + per-cluster
+    dissolve by class — the reference gdal_vector_cluster semantics
+    (multiprocess_manager.py:2941) as a cell-blocked candidate join,
+    exact int64 rect-gap distance, and distributed CC. The oracle
+    builds the SAME edge set all-pairs (no blocking), so a blocking
+    bug that loses a candidate pair cannot pass both engines."""
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    return sj.vector_cluster_distance(rects, threshold=200.0)
+
+
 def _neardup_oracle() -> str:
     from remotior_sensus_spark.operators.similarity import _hyperplanes
     planes = _hyperplanes(64, 12)

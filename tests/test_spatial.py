@@ -139,3 +139,103 @@ def test_span_invariant_preserved_through_pipeline(spark, geo001_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_vector_cluster_distance_brute_force(spark):
+    """Independent brute-force oracle for vector_cluster_distance:
+    random multi-rect features (plus exact-threshold and cell-boundary
+    adversaries), clustered by python union-find over ALL pairs with
+    the same integer rect-gap distance. The Spark side blocks
+    candidates on grid cells — a blocking bug that drops a pair
+    straddling a cell boundary, or an off-by-one at dist == threshold,
+    fails here."""
+    import random
+
+    from remotior_sensus_spark.operators.spatial_join import (
+        vector_cluster_distance)
+
+    rng = random.Random(41)
+    thr = 100
+    rows = []
+    # random features, 1-3 rects each, coords multiples of 10
+    for rid in range(40):
+        cls = rng.randint(1, 4)
+        for k in range(rng.randint(1, 3)):
+            x0 = rng.randrange(0, 5000, 10)
+            y0 = rng.randrange(0, 5000, 10)
+            rows.append((f"roi_{rid}", cls, float(x0), float(y0),
+                         float(x0 + rng.randrange(10, 400, 10)),
+                         float(y0 + rng.randrange(10, 400, 10))))
+    # adversaries: gap EXACTLY thr (must join), thr+10 (must not),
+    # diagonal gap exactly thr via 60/80, pair straddling the 200-cell
+    # boundary used by cs=2*thr
+    rows += [
+        ("roi_100", 1, 9000.0, 0.0, 9100.0, 100.0),
+        ("roi_101", 1, 9200.0, 0.0, 9300.0, 100.0),      # dx=100=thr
+        ("roi_102", 1, 9000.0, 1000.0, 9100.0, 1100.0),
+        ("roi_103", 1, 9210.0, 1000.0, 9310.0, 1100.0),  # dx=110>thr
+        ("roi_104", 2, 9000.0, 2000.0, 9100.0, 2100.0),
+        ("roi_105", 2, 9160.0, 2180.0, 9260.0, 2280.0),  # dx=60,dy=80
+        ("roi_106", 3, 190.0, 9000.0, 199.0, 9010.0),
+        ("roi_107", 3, 201.0, 9000.0, 210.0, 9010.0),    # cell seam
+    ]
+    rects = spark.createDataFrame(
+        rows, "roi_id string, class int, xmin double, ymin double, "
+              "xmax double, ymax double")
+
+    # brute force
+    feats = {}
+    for roi, cls, x0, y0, x1, y1 in rows:
+        rid = int(roi.split("_")[1])
+        feats.setdefault(rid, (cls, []))[1].append(
+            (int(x0), int(y0), int(x1), int(y1)))
+
+    def gap2(ra, rb):
+        dx = max(0, ra[0] - rb[2], rb[0] - ra[2])
+        dy = max(0, ra[1] - rb[3], rb[1] - ra[3])
+        return dx * dx + dy * dy
+
+    parent = {r: r for r in feats}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(feats)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if any(gap2(ra, rb) <= thr * thr
+                   for ra in feats[a][1] for rb in feats[b][1]):
+                ra_, rb_ = find(a), find(b)
+                if ra_ != rb_:
+                    parent[max(ra_, rb_)] = min(ra_, rb_)
+    exp = {}
+    for rid, (cls, rlist) in feats.items():
+        root = find(rid)
+        key = (root, cls)
+        nf, nr, ar, bx0, by0, bx1, by1 = exp.get(
+            key, (0, 0, 0, 10**9, 10**9, -10**9, -10**9))
+        nf += 1
+        nr += len(rlist)
+        ar += sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rlist)
+        bx0 = min(bx0, min(r[0] for r in rlist))
+        by0 = min(by0, min(r[1] for r in rlist))
+        bx1 = max(bx1, max(r[2] for r in rlist))
+        by1 = max(by1, max(r[3] for r in rlist))
+        exp[key] = (nf, nr, ar, bx0, by0, bx1, by1)
+
+    got = {
+        (r["cluster_root"], r["class"]):
+            (r["n_feats"], r["n_rects"], r["area_sum"],
+             r["bx0"], r["by0"], r["bx1"], r["by1"])
+        for r in vector_cluster_distance(rects, threshold=thr).collect()
+    }
+    assert got == exp
+    # the adversaries resolved as designed
+    roots = {k[0] for k in got}
+    assert any(k[0] == 100 and got[k][0] == 2 for k in got)   # 100+101
+    assert {102, 103} <= roots                                 # apart
+    assert any(k[0] == 104 and got[k][0] == 2 for k in got)   # diagonal
+    assert any(k[0] == 106 and got[k][0] == 2 for k in got)   # seam
