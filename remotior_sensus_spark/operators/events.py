@@ -1,0 +1,96 @@
+"""Event-stream analytics: ordered funnel and retention cohorts.
+
+Batch twins of the streaming surface (streaming/stateful.py sessionize),
+shaped for the 100 TB case: the funnel's sequential state machine runs
+as ONE user-keyed shuffle whose per-user scan is a JVM higher-order
+`aggregate` over the time-sorted event array (no Python, no per-stage
+re-shuffle — a K-step funnel done as K conditional-min joins would
+shuffle the event stream K times); retention is two map-side-combinable
+aggregates meeting on the user key.
+
+Per-user event arrays are bounded by per-user activity, not corpus
+size, so collect_list here is the per-group state any stateful funnel
+engine carries — it is NOT a driver collect.
+"""
+
+from __future__ import annotations
+
+import functools
+from operator import or_
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def funnel_stages(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Strictly-ordered funnel depth per user, aggregated to
+    (stage, n_users).
+
+    Semantics (the greedy scan == sequential conditional mins): stage k
+    completes at the FIRST event of type steps[k] with ts STRICTLY
+    after the stage-(k-1) completion time; a user's depth is the number
+    of completed stages. Equal timestamps never advance a stage in
+    either engine, so sort-tie order is irrelevant and the result is
+    deterministic.
+
+    One shuffle: groupBy(user) -> array_sort -> F.aggregate state
+    machine (struct accumulator {stage, t}), entirely JVM-side."""
+    steps = steps or FUNNEL_STEPS
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+
+    def advance(acc, e):
+        conds = [
+            (acc["stage"] == F.lit(k))
+            & (e["event_type"] == F.lit(s))
+            & ((F.lit(k == 0)) | (e["ts"] > acc["t"]))
+            for k, s in enumerate(steps)
+        ]
+        hit = functools.reduce(or_, conds)
+        return F.struct(
+            F.when(hit, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
+            F.when(hit, e["ts"]).otherwise(acc["t"]).alias("t"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    depth = F.aggregate("evs", init, advance)["stage"]
+    return (
+        per_user.select(depth.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the ISO week of
+    their first event; one output row per (cohort_week, week_offset)
+    with the count of cohort users active that week.
+
+    Two shuffles, both map-side combinable: per-user first-event min,
+    and the distinct (user, week) activity set; they meet on the user
+    key (co-partitioned hash join), then a compact (cohort, offset)
+    aggregate. Weeks are Monday-truncated in both engines and the
+    offset is exact integer day-difference / 7."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("c0")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    j = act.join(first, "user_id")
+    return (
+        j.select(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("w"), F.to_date("c0")) / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -559,3 +559,23 @@ def dup_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
         fixed1e6(F.col("dup_spans").cast("double")
                  / F.col("n_spans").cast("double")).alias("dup_ratio_fp"),
     )
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic source-reweighted sampling (the DoReMi / corpus
+    mixture-rebalancing step): each source s gets a keep weight
+    w(s) = (900 - 80*(idx(s) % 10)) permille and a document survives
+    iff hash60(doc_id) % 1000 < w — a pure function of the row, so the
+    sample is reproducible, resumable, and embarrassingly parallel (no
+    RNG state, no shuffle at all before the per-source rollup).
+    Returns per source: n_docs, n_kept, kept_id_sum (order-independent
+    membership checksum)."""
+    idx = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    w = F.lit(900) - F.lit(80) * (idx % 10)
+    h = portable_hash60(F.col("doc_id").cast("string")) % 1000
+    kept = (h < w).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("doc_id") * kept).alias("kept_id_sum"),
+    )

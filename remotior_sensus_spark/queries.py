@@ -28,6 +28,7 @@ from remotior_sensus_spark.operators.band_calc import band_calc, tile_checksum
 from remotior_sensus_spark.sources import catalog as cat
 
 GEO01 = "/root/repo/data/geo/sf0.01"  # oracle runs at sf=0.01 (driver contract)
+_HEX60_DOC = "cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)"
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -1306,6 +1307,69 @@ def sessionize_events(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
     )
+
+
+@q("event_funnel", """
+with t1 as (select user_id, min(ts) as t from events
+            where event_type = 'signup' group by 1),
+t2 as (select e.user_id, min(e.ts) as t from events e
+       join t1 on e.user_id = t1.user_id and e.ts > t1.t
+       where e.event_type = 'view' group by 1),
+t3 as (select e.user_id, min(e.ts) as t from events e
+       join t2 on e.user_id = t2.user_id and e.ts > t2.t
+       where e.event_type = 'click' group by 1),
+t4 as (select e.user_id, min(e.ts) as t from events e
+       join t3 on e.user_id = t3.user_id and e.ts > t3.t
+       where e.event_type = 'purchase' group by 1),
+u as (select distinct user_id from events),
+st as (select u.user_id,
+  case when t4.t is not null then 4 when t3.t is not null then 3
+       when t2.t is not null then 2 when t1.t is not null then 1
+       else 0 end as stage
+  from u left join t1 using (user_id) left join t2 using (user_id)
+         left join t3 using (user_id) left join t4 using (user_id))
+select cast(stage as int) as stage, count(*) as n_users
+from st group by 1
+""")
+def event_funnel(spark, sf_dir):
+    """Strictly-ordered signup->view->click->purchase funnel: the
+    greedy per-user scan (one shuffle, JVM aggregate state machine)
+    vs the oracle's K sequential conditional-min joins — equivalent by
+    construction, so a state-machine bug cannot pass both."""
+    from remotior_sensus_spark.operators.events import funnel_stages
+    return funnel_stages(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("retention_cohorts", """
+with f as (select user_id, date_trunc('week', min(ts)) as c0
+           from events group by 1),
+act as (select distinct user_id, date_trunc('week', ts) as w from events)
+select strftime(f.c0, '%Y-%m-%d') as cohort_week,
+  cast(date_diff('day', f.c0, act.w) / 7 as bigint) as week_offset,
+  count(*) as n_users
+from act join f using (user_id)
+group by 1, 2
+""")
+def retention_cohorts_q(spark, sf_dir):
+    """Weekly retention triangle (cohort = ISO week of first event)."""
+    from remotior_sensus_spark.operators.events import retention_cohorts
+    return retention_cohorts(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("mixture_sample", f"""
+select source, count(*) as n_docs,
+  cast(sum(case when {_HEX60_DOC} % 1000
+       < 900 - 80 * (cast(regexp_extract(source, '(\\d+)$', 1) as int) % 10)
+       then 1 else 0 end) as bigint) as n_kept,
+  cast(sum(case when {_HEX60_DOC} % 1000
+       < 900 - 80 * (cast(regexp_extract(source, '(\\d+)$', 1) as int) % 10)
+       then doc_id else 0 end) as bigint) as kept_id_sum
+from documents group by source
+""")
+def mixture_sample_q(spark, sf_dir):
+    """Deterministic DoReMi-style mixture resampling: per-source keep
+    weights applied via the row-pure 60-bit hash, no RNG state."""
+    return tx.mixture_sample(cat.load_driver(spark, sf_dir, "documents"))
 
 
 @q("windowed_event_counts", """
