@@ -2412,6 +2412,231 @@ def tpch_q19(spark, sf_dir):
     )
 
 
+@q("tpch_q7", """
+select supp_nation, cust_nation, l_year,
+  cast(sum(rev) as bigint) as revenue_fp, count(*) as n_items
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+    cast(year(l_shipdate) as int) as l_year,
+    cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5) as bigint) as rev
+  from lineitem
+    join supplier on l_suppkey = s_suppkey
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation n1 on s_nationkey = n1.n_nationkey
+    join nation n2 on c_nationkey = n2.n_nationkey
+  where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+      or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+    and l_shipdate >= date '1996-01-01' and l_shipdate <= date '1997-12-31'
+) group by 1, 2, 3
+""")
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations: supplier and
+    customer PRE-FILTER to the two nations before broadcasting (the
+    nation restriction becomes a semi-filter on both dims, so the
+    growing sides shrink at the join instead of after it); the only
+    shuffle joins the date-windowed lineitem to orders on the natural
+    key, and the directional pair check is a post-join codegen filter."""
+    na = cat.load_driver(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    su = (cat.load_driver(spark, sf_dir, "supplier")
+          .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cu = (cat.load_driver(spark, sf_dir, "customer")
+          .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+          .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    li = cat.load_driver(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31")))
+    od = cat.load_driver(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(fixed1e6(F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")))
+                   ).alias("revenue_fp"),
+             F.count("*").alias("n_items"))
+    )
+
+
+@q("tpch_q8", """
+with vol as (
+  select cast(year(o_orderdate) as int) as o_year,
+    cast(floor(l_extendedprice*(1-l_discount)*1000000.0+0.5) as bigint) as rev,
+    n2.n_name as supp_nation
+  from lineitem
+    join part on l_partkey = p_partkey
+    join supplier on l_suppkey = s_suppkey
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation n1 on c_nationkey = n1.n_nationkey
+    join region on n1.n_regionkey = r_regionkey
+    join nation n2 on s_nationkey = n2.n_nationkey
+  where r_name = 'ASIA' and p_type = 'PROMO'
+    and o_orderdate >= date '1996-01-01' and o_orderdate <= date '1997-12-31')
+select o_year,
+  cast(sum(case when supp_nation = 'NATION_3' then rev else 0 end)
+       as bigint) as nation_fp,
+  cast(sum(rev) as bigint) as total_fp,
+  cast(sum(case when supp_nation = 'NATION_3' then rev else 0 end) as double)
+    / cast(sum(rev) as double) as mkt_share
+from vol group by o_year
+""")
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: every restriction lands on a
+    fixed-cardinality dim (part type, customer region) that broadcasts
+    pre-filtered; both numerator and denominator are exact fixed-point
+    sums and the share is one double division both engines repeat."""
+    pa = cat.load_driver(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    na = cat.load_driver(spark, sf_dir, "nation")
+    re_ = cat.load_driver(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    cu = (cat.load_driver(spark, sf_dir, "customer")
+          .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("c_custkey"))
+    su = (cat.load_driver(spark, sf_dir, "supplier")
+          .join(F.broadcast(na.select("n_nationkey",
+                                      F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "supp_nation"))
+    od = cat.load_driver(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31")))
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    rev = fixed1e6(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev")) \
+        .otherwise(F.lit(0).cast("long"))
+    g = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.year("o_orderdate").alias("o_year"), rev.alias("rev"),
+                "supp_nation")
+        .groupBy("o_year")
+        .agg(F.sum(nat).alias("nation_fp"), F.sum("rev").alias("total_fp"))
+    )
+    return g.select(
+        "o_year", "nation_fp", "total_fp",
+        (F.col("nation_fp").cast("double")
+         / F.col("total_fp").cast("double")).alias("mkt_share"),
+    )
+
+
+@q("tpch_q13", """
+with cnt as (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer left join orders on c_custkey = o_custkey
+  group by c_custkey)
+select cast(c_count as bigint) as c_count, count(*) as custdist
+from cnt group by 1
+""")
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: orders pre-aggregate
+    per custkey map-side BEFORE meeting customer (shuffling the compact
+    (custkey, n) pairs, never customer rows through a join-then-count),
+    zero-order customers enter via the left join's null -> 0."""
+    od = cat.load_driver(spark, sf_dir, "orders")
+    cu = cat.load_driver(spark, sf_dir, "customer").select("c_custkey")
+    per = od.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        cu.join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("n", F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@q("tpch_q17", """
+with pp as (select p_partkey from part
+            where p_brand = 'Brand#12' and p_size <= 10),
+st as (select l_partkey, count(*) as n,
+         cast(sum(l_quantity) as bigint) as sq
+       from lineitem join pp on l_partkey = p_partkey
+       group by 1)
+select cast(sum(rev_fp) // 7 as bigint) as avg_yearly_fp,
+  count(*) as n_items
+from (
+  select cast(floor(l_extendedprice*1000000.0+0.5) as bigint) as rev_fp
+  from lineitem join st on lineitem.l_partkey = st.l_partkey
+  where 5 * cast(l_quantity as bigint) * n < sq)
+""")
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue (brand+size stand in for
+    the fixture's missing container): the per-part average-quantity
+    threshold q < 0.2*avg(q) is decided by the exact integer
+    cross-multiplication 5*q*n < sum_q, so no double average enters a
+    comparison; the per-part stats table is tiny after the brand
+    filter and broadcasts back onto the same pruned lineitem slice."""
+    pa = cat.load_driver(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = cat.load_driver(spark, sf_dir, "lineitem")
+    sel = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    st = sel.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sq"),
+    ).select(F.col("l_partkey").alias("s_partkey"), "n", "sq")
+    small = (
+        sel.join(F.broadcast(st), F.col("l_partkey") == F.col("s_partkey"))
+        .filter(F.lit(5) * F.col("l_quantity").cast("long") * F.col("n")
+                < F.col("sq"))
+    )
+    return small.agg(
+        F.expr("sum(cast(floor(l_extendedprice*1000000.0+0.5) as bigint))"
+               " div 7").alias("avg_yearly_fp"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q("tpch_q22", """
+with cents as (select c_custkey, c_nationkey,
+    cast(floor(c_acctbal*100.0 + case when c_acctbal >= 0 then 0.5
+                                      else -0.5 end) as bigint) as bal_c
+  from customer),
+avgpos as (select cast(sum(bal_c) as bigint) as s, count(*) as n
+           from cents where bal_c > 0),
+rich as (select c.* from cents c, avgpos where c.bal_c * n > s),
+noord as (select rich.* from rich
+          left join (select distinct o_custkey from orders) o
+            on c_custkey = o_custkey
+          where o_custkey is null)
+select c_nationkey, count(*) as numcust,
+  cast(sum(bal_c) as bigint) as totacctbal_c
+from noord group by c_nationkey
+""")
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity shape (nation key stands in
+    for the fixture's missing phone prefix): the above-average-balance
+    cut is the exact integer cross-multiplication cents*n > sum_cents
+    (balances carry 2 decimals, so cents are exact bigints; negative
+    balances round half away from zero identically in both engines),
+    and never-ordered customers fall out of a LEFT ANTI join on the
+    order custkeys — no correlated subquery, no double average."""
+    cu = cat.load_driver(spark, sf_dir, "customer")
+    od = cat.load_driver(spark, sf_dir, "orders")
+    bal = F.floor(F.col("c_acctbal") * 100.0
+                  + F.when(F.col("c_acctbal") >= 0, 0.5).otherwise(-0.5)
+                  ).cast("long")
+    cents = cu.select("c_custkey", "c_nationkey", bal.alias("bal_c"))
+    avgpos = cents.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count("*").alias("n"))
+    rich = (cents.crossJoin(F.broadcast(avgpos))
+            .filter(F.col("bal_c") * F.col("n") > F.col("s")))
+    noord = rich.join(od.select("o_custkey"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return noord.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"),
+    )
+
+
 _BS3 = ["S2_2020-01-01", "S2_2020-01-02", "S2_2020-01-03"]
 
 
