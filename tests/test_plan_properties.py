@@ -53,3 +53,56 @@ def test_pyramid_levels_reads_base_once(spark):
     # union reads the checkpointed levels — NO parquet scan per branch
     n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
     assert n_scans == 0, plan
+
+
+def test_tpch_q13_preaggregates_orders_before_join(spark):
+    df = Q.REGISTRY["tpch_q13"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the per-custkey count must run BEFORE the join with customer:
+    # the join's build side is the compact (custkey, n) aggregate, so
+    # customer rows never ride through a join-then-count. In the
+    # executed plan the HashAggregate on o_custkey appears under the
+    # join, i.e. there is an aggregate between the orders scan and the
+    # first join operator.
+    first_join = min(i for i in (plan.find("SortMergeJoin"),
+                                 plan.find("BroadcastHashJoin"),
+                                 plan.find("ShuffledHashJoin")) if i >= 0)
+    orders_scan = plan.find("orders")
+    assert orders_scan > first_join, plan  # orders subtree is under the join
+    agg_before_scan = plan.rfind("HashAggregate", first_join, orders_scan)
+    assert agg_before_scan > 0, plan
+
+
+def test_tpch_q22_is_anti_join_no_correlation(spark):
+    df = Q.REGISTRY["tpch_q22"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # never-ordered customers resolve through LeftAnti, and there is no
+    # nested-loop fallback anywhere in the plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross")  # scalar avg bcast only
+
+
+def test_event_funnel_single_event_shuffle(spark):
+    df = Q.REGISTRY["event_funnel"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the event stream is shuffled exactly once (user key); the second
+    # exchange moves only the <=5-row (stage, count) rollup. No Python.
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_vector_cluster_edges_are_equi_join(spark):
+    from remotior_sensus_spark.operators.spatial_join import (
+        vector_cluster_distance)
+    from remotior_sensus_spark.sources import catalog as cat
+
+    rects = cat.load_geo(spark, SF_DIR, "geometry_rects")
+    df = vector_cluster_distance(rects, threshold=200.0)
+    plan = _plan(df)
+    # candidate pairing must be a hash equi-join on the blocking cell
+    # key — a nested-loop/cartesian pairing would be O(n^2) at scale
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
