@@ -2910,6 +2910,22 @@ def raster_label_histogram(spark, sf_dir):
     return component_size_histogram(t64, tile_px=t_px)
 
 
+@q("landscape_metrics",
+   f"select * from '{GEO01}/expected/landscape_metrics.parquet'")
+def landscape_metrics_q(spark, sf_dir):
+    """FRAGSTATS-style per-class patch statistics (n_patches, area,
+    largest/mean patch, perimeter): patch identity via the distributed
+    CC path, perimeter via the exact 4*area - 2*adjacency identity;
+    the numpy oracle counts per-side mismatches directly, so an
+    identity bug cannot pass both engines."""
+    from remotior_sensus_spark.operators.components import landscape_metrics
+    _ensure_expected(sf_dir)
+    q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 2, 1)',
+                   nodata_mask="any", out_nodata=0)
+    t64, t_px = _retile4(q4, sf_dir)
+    return landscape_metrics(t64, tile_px=t_px)
+
+
 @q("sieve_reclass",
    f"select * from '{GEO01}/expected/sieve_reclass.parquet'")
 def sieve_reclass(spark, sf_dir):

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 7
+_EXPECTED_VERSION = 8
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -404,6 +404,41 @@ def build_warp_crs(sf: float, src_zone: int = 33,
     })
 
 
+def build_landscape_metrics(sf: float) -> pa.Table:
+    """Per-class patch statistics with the perimeter counted directly:
+    for every class pixel, each of its 4 sides facing a different
+    value (other class, nodata, or outside the canvas) adds 1 — an
+    INDEPENDENT formulation of the engine's 4*area - 2*adjacency
+    identity, so an identity bug cannot pass both."""
+    value = _sieve_input_raster(sf)
+    comps = _components(value, same_value=True)
+    per = {}
+    for c in comps:
+        v = int(c["value"])
+        n, area, largest = per.get(v, (0, 0, 0))
+        per[v] = (n + 1, area + c["size"], max(largest, c["size"]))
+    H, W = value.shape
+    pad = np.zeros((H + 2, W + 2), dtype=value.dtype)
+    pad[1:-1, 1:-1] = value
+    perim = {}
+    core = pad[1:-1, 1:-1]
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = pad[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx]
+        for v in per:
+            perim[v] = perim.get(v, 0) + int(
+                ((core == v) & (nb != core)).sum())
+    vs = sorted(per)
+    return pa.table({
+        "class_value": pa.array(vs, type=pa.int64()),
+        "n_patches": pa.array([per[v][0] for v in vs], type=pa.int64()),
+        "area_px": pa.array([per[v][1] for v in vs], type=pa.int64()),
+        "largest_patch": pa.array([per[v][2] for v in vs], type=pa.int64()),
+        "mean_patch_fp": pa.array(
+            [per[v][1] * 1000000 // per[v][0] for v in vs], type=pa.int64()),
+        "perimeter_px": pa.array([perim[v] for v in vs], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -413,6 +448,7 @@ BUILDERS = {
     "media_thumbnails": build_media_thumbnails,
     "video_frame_sample": build_video_frames,
     "warp_crs": build_warp_crs,
+    "landscape_metrics": build_landscape_metrics,
 }
 
 
