@@ -114,3 +114,50 @@ def temporal_fill(px: DataFrame, bandsets: list[str],
         .agg(F.count("*").alias("pixel_count"),
              F.sum("v2x").alias("value2_sum"))
     )
+
+
+def ndvi_trend(px: DataFrame, bandsets: list[str],
+               red: str = "B04", nir: str = "B08") -> DataFrame:
+    """Per-pixel NDVI trend over the three dated bandsets (greening /
+    browning detection): the least-squares slope over x = 0,1,2 is
+    sum((x-1)*y) / 2 = (y2 - y0) / 2, so the whole regression reduces
+    to the INTEGER numerator nfp2 - nfp0 of fixed-point NDVIs — no
+    double ever enters an aggregate.  Only pixels with both bands
+    valid on ALL three dates participate (the offset mosaic scene
+    falls out with honest gap semantics).  Emits per trend sign:
+    (trend_sign, pixel_count, trend_num_sum)."""
+    assert len(bandsets) == 3
+    wide = (
+        px.filter(F.col("band").isin(red, nir)
+                  & F.col("bandset").isin(*bandsets))
+        .groupBy("tile_x", "tile_y", "pos", "bandset")
+        .agg(
+            F.max(F.when(F.col("band") == red, F.col("value"))).alias("r"),
+            F.max(F.when(F.col("band") == nir, F.col("value"))).alias("n"),
+        )
+        .filter((F.col("r") != NODATA) & (F.col("n") != NODATA))
+    )
+    nfp = fixed1e6(
+        (F.col("n").cast("double") - F.col("r").cast("double"))
+        / (F.col("n").cast("double") + F.col("r").cast("double")))
+    dates = F.create_map(*[
+        x for i, bs in enumerate(bandsets)
+        for x in (F.lit(bs), F.lit(i).cast("long"))
+    ])
+    v = wide.select("tile_x", "tile_y", "pos",
+                    dates[F.col("bandset")].alias("di"), nfp.alias("nfp"))
+    piv = (
+        v.groupBy("tile_x", "tile_y", "pos")
+        .agg(F.count("*").alias("nd"),
+             F.max(F.when(F.col("di") == 0, F.col("nfp"))).alias("n0"),
+             F.max(F.when(F.col("di") == 2, F.col("nfp"))).alias("n2"))
+        .filter(F.col("nd") == 3)
+    )
+    num = F.col("n2") - F.col("n0")
+    return (
+        piv.select(F.signum(num).cast("long").alias("trend_sign"),
+                   num.alias("num"))
+        .groupBy("trend_sign")
+        .agg(F.count("*").alias("pixel_count"),
+             F.sum("num").alias("trend_num_sum"))
+    )

@@ -2710,6 +2710,42 @@ def temporal_fill_q(spark, sf_dir):
         agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
 
 
+@q("ndvi_trend", f"""
+with e as (
+  select bandset, band, tile_x, tile_y,
+         unnest(range(256)) as pos, unnest(pixels) as value
+  from '{GEO01}/tiles.parquet'
+  where band in ('B04', 'B08')),
+px as (
+  select tile_x, tile_y, pos, bandset,
+    max(case when band='B04' then value end) as r,
+    max(case when band='B08' then value end) as n
+  from e group by 1, 2, 3, 4),
+v as (select tile_x, tile_y, pos,
+    case bandset when 'S2_2020-01-01' then 0
+                 when 'S2_2020-01-02' then 1 else 2 end as di,
+    cast(floor((cast(n as double) - cast(r as double))
+               / (cast(n as double) + cast(r as double))
+               * 1000000.0 + 0.5) as bigint) as nfp
+  from px where r <> -32768 and n <> -32768),
+p as (select tile_x, tile_y, pos, count(*) as nd,
+        max(case when di = 0 then nfp end) as n0,
+        max(case when di = 2 then nfp end) as n2
+      from v group by 1, 2, 3),
+t as (select n2 - n0 as num from p where nd = 3)
+select cast(sign(num) as bigint) as trend_sign,
+  count(*) as pixel_count, cast(sum(num) as bigint) as trend_num_sum
+from t group by 1
+""")
+def ndvi_trend_q(spark, sf_dir):
+    """Per-pixel NDVI least-squares trend over the three dates — the
+    x=0,1,2 slope numerator reduces to the exact integer nfp2 - nfp0;
+    only pixels valid on all three dates participate."""
+    from remotior_sensus_spark.operators import temporal
+    return temporal.ndvi_trend(
+        agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
+
+
 @q("histogram_match", f"""
 with s as (select cast(value as bigint) as v, count(*) as cnt
            from '{GEO01}/tile_pixels.parquet'
@@ -3474,6 +3510,46 @@ def scale_offset_q(spark, sf_dir):
         F.aggregate(F.transform(valid, lambda x: fixed1e6(x)),
                     F.lit(0).cast("long"), lambda a, x: a + x).alias("checksum"),
         F.size(valid).cast("long").alias("valid_count"),
+    )
+
+
+_SUN_K = 1.2571129321939172  # 1/sin(52.7 deg) — scene metadata, computed
+# ONCE driver-side and injected as the SAME double literal into both
+# engines, so no transcendental function runs per pixel in either plan
+
+
+@q("toa_reflectance", f"""
+select band,
+  count(*) as n_valid,
+  cast(sum(cast(floor(value / 10000.0 * {_SUN_K!r} * 1000000.0 + 0.5)
+      as bigint)) as bigint) as sum_refl_fp,
+  cast(min(cast(floor(value / 10000.0 * {_SUN_K!r} * 1000000.0 + 0.5)
+      as bigint)) as bigint) as min_refl_fp,
+  cast(max(cast(floor(value / 10000.0 * {_SUN_K!r} * 1000000.0 + 0.5)
+      as bigint)) as bigint) as max_refl_fp
+from '{GEO01}/tile_pixels.parquet'
+where bandset='S2_2020-01-01' and band in ('B02','B03','B04','B08')
+  and value <> -32768
+group by band
+""")
+def toa_reflectance_q(spark, sf_dir):
+    """Sun-angle-corrected TOA reflectance (ref preprocess_products.py:
+    64-72: DN * scale / sin(sun_elevation); Sentinel-2 quantification
+    10000): per-pixel reflectance = (DN/10000) * K with K the
+    driver-computed 1/sin literal shared verbatim by both engines —
+    two IEEE double ops in fixed order, then fixed-point, so the
+    checksums are exact. Per band: valid count, sum/min/max fp."""
+    t = _tiles(spark, sf_dir).filter(
+        (F.col("bandset") == "S2_2020-01-01")
+        & (F.col("band").isin("B02", "B03", "B04", "B08")))
+    px = agg.explode_pixels(t).filter(F.col("value") != NODATA)
+    refl_fp = F.floor(F.col("value") / F.lit(10000.0) * F.lit(_SUN_K)
+                      * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return px.groupBy("band").agg(
+        F.count("*").alias("n_valid"),
+        F.sum(refl_fp).alias("sum_refl_fp"),
+        F.min(refl_fp).alias("min_refl_fp"),
+        F.max(refl_fp).alias("max_refl_fp"),
     )
 
 
