@@ -579,3 +579,44 @@ def mixture_sample(docs: DataFrame) -> DataFrame:
         F.sum(kept).alias("n_kept"),
         F.sum(F.col("doc_id") * kept).alias("kept_id_sum"),
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 20) -> DataFrame:
+    """Corpus collocation extraction (PMI-style association lift per
+    bigram): lift(x,y) = P(xy)/(P(x)P(y)) = n_xy*N / (c_x*c_y), emitted
+    as the FIXED integer-op sequence (n_xy*N*1000) div (c_x*c_y) so the
+    3-decimal fixed point is engine-independent with no logarithm or
+    double anywhere (int64-safe through corpora of ~1e7 tokens; beyond
+    that the lift column would move to a double while the integer
+    counts stay exact).
+
+    Scale shape: bigram and unigram counts each partial-aggregate
+    map-side before one shuffle; the unigram vocabulary (bounded by
+    the language, not the corpus) broadcasts back onto the surviving
+    >= min_count bigrams — the corpus text itself never moves twice."""
+    toks = tokens_col()
+    length = F.greatest(F.size(toks) - 1, F.lit(1))
+    pairs = F.arrays_zip(F.slice(toks, 1, length), F.slice(toks, 2, length))
+    bi = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("n_tok"))
+    return (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                       F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("c").alias("c_y"))), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1", "w2", "n_xy", "c_x", "c_y",
+            F.expr("(n_xy * n_tok * 1000) div (c_x * c_y)").alias("lift_fp3"),
+        )
+    )

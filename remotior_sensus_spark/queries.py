@@ -4024,6 +4024,30 @@ def minhash_lsh(spark, sf_dir):
     return tx.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
 
 
+@q("collocations", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+flat as (select doc_id, unnest(toks) as w,
+                generate_subscripts(toks, 1) as i from t),
+bi0 as (select a.w as w1, b.w as w2
+        from flat a join flat b
+          on a.doc_id = b.doc_id and b.i = a.i + 1),
+bi as (select w1, w2, count(*) as n_xy from bi0 group by 1, 2
+       having count(*) >= 20),
+uni as (select w, count(*) as c from (select unnest(toks) as w from t)
+        group by 1),
+nt as (select sum(c) as n_tok from uni)
+select w1, w2, n_xy, ux.c as c_x, uy.c as c_y,
+  cast((n_xy * n_tok * 1000) // (ux.c * uy.c) as bigint) as lift_fp3
+from bi join uni ux on bi.w1 = ux.w
+        join uni uy on bi.w2 = uy.w
+        cross join nt
+""")
+def collocations_q(spark, sf_dir):
+    """PMI-style bigram association lift over the corpus — fixed
+    integer-op sequence, the unigram vocabulary broadcasts."""
+    return tx.collocations(cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("dup_spans", f"""
 with t as (select doc_id, {_TOKS} as toks from documents),
 shd as (select doc_id,
