@@ -2597,8 +2597,9 @@ def tpch_q17(spark, sf_dir):
 
 @q("tpch_q22", """
 with cents as (select c_custkey, c_nationkey,
-    cast(floor(c_acctbal*100.0 + case when c_acctbal >= 0 then 0.5
-                                      else -0.5 end) as bigint) as bal_c
+    cast(case when c_acctbal >= 0
+              then floor(c_acctbal*100.0 + 0.5)
+              else -floor(-c_acctbal*100.0 + 0.5) end as bigint) as bal_c
   from customer),
 avgpos as (select cast(sum(bal_c) as bigint) as s, count(*) as n
            from cents where bal_c > 0),
@@ -2621,9 +2622,12 @@ def tpch_q22(spark, sf_dir):
     order custkeys — no correlated subquery, no double average."""
     cu = cat.load_driver(spark, sf_dir, "customer")
     od = cat.load_driver(spark, sf_dir, "orders")
-    bal = F.floor(F.col("c_acctbal") * 100.0
-                  + F.when(F.col("c_acctbal") >= 0, 0.5).otherwise(-0.5)
-                  ).cast("long")
+    bal = F.when(
+        F.col("c_acctbal") >= 0,
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5),
+    ).otherwise(
+        -F.floor(-F.col("c_acctbal") * 100.0 + 0.5)
+    ).cast("long")
     cents = cu.select("c_custkey", "c_nationkey", bal.alias("bal_c"))
     avgpos = cents.filter(F.col("bal_c") > 0).agg(
         F.sum("bal_c").alias("s"), F.count("*").alias("n"))
