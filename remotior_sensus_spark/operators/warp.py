@@ -467,3 +467,66 @@ def reproject_vector(geoms: DataFrame, forward: Affine) -> DataFrame:
             yield pdf
 
     return out.mapInPandas(rewrite, schema=out.schema)
+
+
+def datum_ring_extent(sx0: float, sx1: float, sy0: float, sy1: float,
+                      zone: int, t_px: int) -> tuple[int, int, int, int]:
+    """Destination tile range of the ED50->WGS84 datum warp — the same
+    33-sample bowed-edge rule as crs_ring_extent, through the datum
+    pipeline instead of the zone-change one."""
+    from remotior_sensus_spark.operators import crs as _crs
+
+    s = np.linspace(0.0, 1.0, 33)
+    ex = sx0 + (sx1 - sx0) * s
+    ey = sy0 + (sy1 - sy0) * s
+    xs = np.concatenate([ex, ex,
+                         np.full_like(ey, sx0), np.full_like(ey, sx1)])
+    ys = np.concatenate([np.full_like(ex, sy0), np.full_like(ex, sy1),
+                         ey, ey])
+    dE, dN = _crs.datum_ed50_to_wgs84(np, xs, ys, zone)
+    otx0 = int(np.floor((dE.min() - ORIGIN_X) / (t_px * PIXEL_SIZE)))
+    otx1 = int(np.floor((dE.max() - ORIGIN_X - 1e-9) / (t_px * PIXEL_SIZE)))
+    oty0 = int(np.floor((ORIGIN_Y - dN.max()) / (t_px * PIXEL_SIZE)))
+    oty1 = int(np.floor((ORIGIN_Y - dN.min() - 1e-9) / (t_px * PIXEL_SIZE)))
+    return otx0, otx1, oty0, oty1
+
+
+def warp_datum(band_tiles: DataFrame, zone: int,
+               *, tile_px: int | None = None,
+               nodata: float = NODATA) -> DataFrame:
+    """Datum-shifted warp without PROJ: treat the band as ED50/UTM and
+    reproject to WGS84/UTM (same zone) — the full classic pipeline
+    TM-inverse(WGS84) -> geodetic->ECEF -> negated European-mean
+    Helmert -> Bowring -> TM-forward(International 1924) evaluated as
+    pure Column math per output pixel center (operators/crs.py), ONE
+    equi-join on the floored source pixel key (nearest resampling).
+    Closes the datum-shift gap the reference delegates to PROJ
+    (util/raster_vector.py:3039-3108)."""
+    from pyspark.sql import functions as _F
+
+    from remotior_sensus_spark.operators import crs as _crs
+
+    spark = band_tiles.sparkSession
+    t_px = tile_px or TILE_PX
+
+    sx0, sx1, sy0, sy1 = _tiles_world_bbox(band_tiles, t_px)
+    otx0, otx1, oty0, oty1 = datum_ring_extent(sx0, sx1, sy0, sy1, zone, t_px)
+
+    out = _out_lattice(spark, otx0, otx1, oty0, oty1, t_px)
+    oE, oN = _pixel_centers(t_px)
+    sm = _crs.SparkMath(_F)
+    sE, sN = _crs.datum_wgs84_to_ed50(sm, oE, oN, zone)
+    out = sm.apply_bindings(out)
+
+    src = _src_pixels(band_tiles, t_px)
+    out = out.withColumn(
+        "sgx", F.floor((sE - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
+    ).withColumn(
+        "sgy", F.floor((F.lit(ORIGIN_Y) - sN) / F.lit(PIXEL_SIZE)).cast("long")
+    )
+    out = sm.drop_bindings(out)
+    j = out.join(src, ["sgx", "sgy"], "left")
+    return j.select(
+        "tile_x", "tile_y", "pos",
+        F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
+    )

@@ -878,6 +878,23 @@ def warp_crs_q(spark, sf_dir):
     )
 
 
+@q("warp_datum", f"select * from '{GEO01}/expected/warp_datum.parquet'")
+def warp_datum_q(spark, sf_dir):
+    """ED50 -> WGS84 datum-shifted warp (zone 33, no PROJ): TM inverse
+    on WGS84, geodetic->ECEF, negated European-mean Helmert, Bowring
+    back onto International 1924, TM forward — all pure Column math,
+    one pixel-key equi-join; oracle = independent numpy dense gather
+    through the same formula core (plumbing under test, same contract
+    as warp_crs)."""
+    _ensure_expected(sf_dir)
+    out = _warp.warp_datum(_b01(spark, sf_dir, "B04"), 33)
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA,
+                     F.col("value").cast("long")).otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    )
+
+
 @q("warp_cubic", _warp_cubic_oracle())
 def warp_cubic_q(spark, sf_dir):
     out = _warp.warp_affine(_b01(spark, sf_dir, "B04"), _WARP_FWD,

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 8
+_EXPECTED_VERSION = 9
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -439,6 +439,62 @@ def build_landscape_metrics(sf: float) -> pa.Table:
     })
 
 
+def build_warp_datum(sf: float, zone: int = 33) -> pa.Table:
+    """Independent dense-array oracle for the ED50->WGS84 datum warp —
+    same contract as build_warp_crs: the datum pipeline math is the
+    shared formula core, the relational lattice/join/floor plumbing is
+    what this gather independently checks."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    from remotior_sensus_spark.operators import crs as _crs
+    from remotior_sensus_spark.operators.warp import datum_ring_extent
+
+    n = grid_n(sf)
+    t_px = 16
+    side = n * t_px
+    txs, tys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = tile_pixel_values(0, 2, txs.ravel(), tys.ravel())  # B04
+    src = np.empty((side, side), dtype=np.float64)
+    for (tx, ty, block) in zip(txs.ravel(), tys.ravel(),
+                               vals.reshape(-1, t_px * t_px)):
+        src[ty * t_px:(ty + 1) * t_px, tx * t_px:(tx + 1) * t_px] = \
+            block.reshape(t_px, t_px)
+
+    sx0, sx1 = ORIGIN_X, ORIGIN_X + side * 10.0
+    sy0, sy1 = ORIGIN_Y - side * 10.0, ORIGIN_Y
+    otx0, otx1, oty0, oty1 = datum_ring_extent(
+        sx0, sx1, sy0, sy1, zone, t_px)
+
+    ogx = np.arange((otx1 - otx0 + 1) * t_px) + otx0 * t_px
+    ogy = np.arange((oty1 - oty0 + 1) * t_px) + oty0 * t_px
+    gE = ORIGIN_X + (ogx + 0.5) * 10.0
+    gN = ORIGIN_Y - (ogy + 0.5) * 10.0
+    EE, NN = np.meshgrid(gE, gN, indexing="xy")
+    sE, sN = _crs.datum_wgs84_to_ed50(np, EE.ravel(), NN.ravel(), zone)
+    sgx = np.floor((sE - ORIGIN_X) / 10.0).astype(np.int64)
+    sgy = np.floor((ORIGIN_Y - sN) / 10.0).astype(np.int64)
+    ok = (sgx >= 0) & (sgx < side) & (sgy >= 0) & (sgy < side)
+    v = np.full(sgx.shape, -32768.0)
+    v[ok] = src[sgy[ok], sgx[ok]]
+    v = v.reshape(EE.shape)
+
+    rows = {k: [] for k in ("tile_x", "tile_y", "checksum", "valid_count")}
+    for ti in range(otx0, otx1 + 1):
+        for tj in range(oty0, oty1 + 1):
+            blk = v[(tj - oty0) * t_px:(tj - oty0 + 1) * t_px,
+                    (ti - otx0) * t_px:(ti - otx0 + 1) * t_px]
+            valid = blk != -32768.0
+            rows["tile_x"].append(ti)
+            rows["tile_y"].append(tj)
+            rows["checksum"].append(int(blk[valid].astype(np.int64).sum()))
+            rows["valid_count"].append(int(valid.sum()))
+    return pa.table({
+        "tile_x": pa.array(rows["tile_x"], type=pa.int32()),
+        "tile_y": pa.array(rows["tile_y"], type=pa.int32()),
+        "checksum": pa.array(rows["checksum"], type=pa.int64()),
+        "valid_count": pa.array(rows["valid_count"], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -449,6 +505,7 @@ BUILDERS = {
     "video_frame_sample": build_video_frames,
     "warp_crs": build_warp_crs,
     "landscape_metrics": build_landscape_metrics,
+    "warp_datum": build_warp_datum,
 }
 
 

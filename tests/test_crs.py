@@ -82,3 +82,63 @@ def test_warp_crs_unknown_zone_math_still_bounded():
     la2, lo2 = crs.tm_inverse(np, E, N, ln0)
     err_m = np.hypot((la2 - lat) * 6.4e6, (lo2 - lon) * 6.4e6 * np.cos(lat))
     assert float(err_m.max()) < 1e-3
+
+
+def test_datum_shift_magnitude_and_roundtrip():
+    """ED50->WGS84 over the fixture extent: the European-mean shift
+    must land in the plausible 50-300 m band in both axes, and the 2D
+    roundtrip (which drops ellipsoidal height, bounding it at ~1 mm)
+    must stay far under a 10 m pixel."""
+    rng = np.random.default_rng(7)
+    E = rng.uniform(200_000, 800_000, 3000)
+    N = rng.uniform(3_500_000, 6_500_000, 3000)
+    Ew, Nw = crs.datum_ed50_to_wgs84(np, E, N, 33)
+    Eb, Nb = crs.datum_wgs84_to_ed50(np, Ew, Nw, 33)
+    dE, dN = Ew - E, Nw - N
+    assert 30 < np.abs(dE).min() and np.abs(dE).max() < 300
+    assert 30 < np.abs(dN).min() and np.abs(dN).max() < 300
+    assert np.abs(Eb - E).max() < 5e-3
+    assert np.abs(Nb - N).max() < 5e-3
+
+
+def test_ecef_geodetic_bowring_exact_on_surface():
+    """Bowring closed form vs exact forward: points ON the ellipsoid
+    roundtrip to sub-micrometer."""
+    for ell in (crs.WGS84, crs.INTL1924):
+        rng = np.random.default_rng(13)
+        lat = np.radians(rng.uniform(-80, 80, 5000))
+        lon = np.radians(rng.uniform(-179, 179, 5000))
+        x, y, z = crs.geodetic_to_ecef(np, ell, lat, lon)
+        la2, lo2 = crs.ecef_to_geodetic(np, ell, x, y, z)
+        err_m = np.hypot((la2 - lat) * ell.a, (lo2 - lon) * ell.a * np.cos(lat))
+        assert float(err_m.max()) < 1e-6
+
+
+def test_ellipsoid_wgs84_constants_bit_identical():
+    """Ellipsoid(WGS84 a, f) must reproduce the module-level constants
+    bit-for-bit, so the parameterization cannot have drifted the
+    proven zone-to-zone path."""
+    e = crs.WGS84
+    assert e.rect_a == crs._RECT_A
+    assert e.alpha == crs._ALPHA
+    assert e.beta == crs._BETA
+    assert e.delta == crs._DELTA
+    assert e.tsqn == crs._2SQN
+
+
+def test_datum_spark_columns_match_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    E = rng.uniform(200_000, 800_000, 1000)
+    N = rng.uniform(3_500_000, 6_500_000, 1000)
+    df = spark.createDataFrame(pd.DataFrame({"E": E, "N": N}))
+    sm = crs.SparkMath(F)
+    E2, N2 = crs.datum_wgs84_to_ed50(sm, F.col("E"), F.col("N"), 33)
+    out = sm.apply_bindings(df).select(
+        "E", "N", E2.alias("E2"), N2.alias("N2")).toPandas()
+    E2n, N2n = crs.datum_wgs84_to_ed50(
+        np, out["E"].to_numpy(), out["N"].to_numpy(), 33)
+    assert np.abs(out["E2"].to_numpy() - E2n).max() < 1e-6
+    assert np.abs(out["N2"].to_numpy() - N2n).max() < 1e-6
