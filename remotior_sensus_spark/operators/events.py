@@ -94,3 +94,53 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream: one row per (prev_type, event_type)
+    with the transition count. One shuffle+sort (the window's user
+    partitioning); counts are pure integers. Stream starts emit
+    prev_type='(start)' so row counts reconcile exactly with the
+    event table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.coalesce(F.lag("event_type").over(w), F.lit("(start)"))
+    return (
+        events.select(prev.alias("prev_type"), "event_type")
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation with fixed (engine-shared) thresholds: per user
+    recency = whole days since their last purchase relative to the
+    corpus max timestamp, frequency = purchase count, monetary = exact
+    fixed-point cents; users bucket into the 2x2x2 grid (recent <= 30
+    days, frequent >= 10, high-value >= 500.00) and the output counts
+    each segment. Two map-side-combinable aggregates (per-user rollup,
+    segment rollup) plus one broadcast scalar (corpus max ts)."""
+    pur = events.filter(F.col("event_type") == "purchase")
+    mx = pur.agg(F.max("ts").alias("mx"))
+    per = pur.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+              ).alias("monetary_c"),
+    )
+    j = per.crossJoin(F.broadcast(mx))
+    rec_days = F.floor(
+        (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+        / F.lit(86400)).cast("long")
+    seg = j.select(
+        (rec_days <= 30).cast("int").alias("recent"),
+        (F.col("freq") >= 10).cast("int").alias("frequent"),
+        (F.col("monetary_c") >= 50000).cast("int").alias("high_value"),
+        "monetary_c",
+    )
+    return seg.groupBy("recent", "frequent", "high_value").agg(
+        F.count("*").alias("n_users"),
+        F.sum("monetary_c").alias("monetary_c_sum"),
+    )

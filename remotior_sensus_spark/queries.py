@@ -1389,6 +1389,46 @@ def mixture_sample_q(spark, sf_dir):
     return tx.mixture_sample(cat.load_driver(spark, sf_dir, "documents"))
 
 
+@q("event_transitions", """
+with s as (
+  select coalesce(lag(event_type) over (partition by user_id
+                                        order by ts, event_id),
+                  '(start)') as prev_type,
+         event_type
+  from events)
+select prev_type, event_type, count(*) as n_transitions
+from s group by 1, 2
+""")
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition counts per user stream."""
+    from remotior_sensus_spark.operators.events import event_transitions
+    return event_transitions(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("rfm_segments", """
+with pur as (select * from events where event_type = 'purchase'),
+mx as (select max(ts) as mx from pur),
+per as (select user_id, max(ts) as last_ts, count(*) as freq,
+          cast(sum(cast(floor(value*100.0+0.5) as bigint)) as bigint)
+            as monetary_c
+        from pur group by 1),
+seg as (select
+  cast(cast(floor((epoch(mx) - epoch(last_ts)) / 86400) as bigint) <= 30
+       as int) as recent,
+  cast(freq >= 10 as int) as frequent,
+  cast(monetary_c >= 50000 as int) as high_value,
+  monetary_c
+ from per cross join mx)
+select recent, frequent, high_value, count(*) as n_users,
+  cast(sum(monetary_c) as bigint) as monetary_c_sum
+from seg group by 1, 2, 3
+""")
+def rfm_segments_q(spark, sf_dir):
+    """RFM 2x2x2 segmentation with fixed engine-shared thresholds."""
+    from remotior_sensus_spark.operators.events import rfm_segments
+    return rfm_segments(cat.load_driver(spark, sf_dir, "events"))
+
+
 @q("windowed_event_counts", """
 select cast(epoch(date_trunc('hour', ts)) as bigint) as window_start_s,
   event_type, count(*) as n_events,
