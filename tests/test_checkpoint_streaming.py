@@ -258,3 +258,53 @@ def test_interval_join_buckets_and_bounds(spark):
     assert sorted(out["pid"]) == [100, 101, 102]
     # exactly once each (no dup from the 3-bucket explosion)
     assert len(out) == 3
+
+
+def test_stateful_funnel_matches_batch_any_order(spark, tmp_path):
+    """applyInPandasWithState funnel: state carries the step-relevant
+    event history and every micro-batch recomputes the greedy scan, so
+    the result is EXACT under any arrival order — proven here by
+    feeding the files one per micro-batch in reverse time order and
+    asserting the per-stage user histogram equals the batch funnel."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators.events import funnel_stages
+    from remotior_sensus_spark.streaming.funnel_stream import funnel_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    # three time-sliced files written NEWEST FIRST so modification-time
+    # discovery order is adversarial to event-time order
+    import time
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    slices = [
+        ev.filter(us > c2),
+        ev.filter((us > c1) & (us <= c2)),
+        ev.filter(us <= c1),
+    ]
+    import os
+    os.makedirs(events_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(f"{events_dir}/slice={i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    q = funnel_stream(spark, f"{events_dir}/slice=*",
+                      str(tmp_path / "ckpt"), queryName="funnel_test")
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select user_id, max(stage) as stage from funnel_test "
+                  "group by user_id")
+        .groupBy("stage").agg(F.count("*").alias("n_users"))
+        .toPandas().set_index("stage")["n_users"].to_dict()
+    )
+    batch = (
+        funnel_stages(ev).toPandas().set_index("stage")["n_users"].to_dict()
+    )
+    # the stream never sees users whose events are all non-step types;
+    # the batch counts them at stage 0 — reconcile
+    batch_nonzero = {k: v for k, v in batch.items() if k != 0}
+    got_nonzero = {k: v for k, v in got.items() if k != 0}
+    assert got_nonzero == batch_nonzero
+    assert got.get(0, 0) <= batch.get(0, 0)
