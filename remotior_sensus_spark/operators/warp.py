@@ -530,3 +530,80 @@ def warp_datum(band_tiles: DataFrame, zone: int,
         "tile_x", "tile_y", "pos",
         F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
     )
+
+
+def warp_crs_bilinear(band_tiles: DataFrame, src_zone: int, dst_zone: int,
+                      *, tile_px: int | None = None,
+                      nodata: float = NODATA) -> DataFrame:
+    """Bilinear variant of warp_crs. The continuous source pixel
+    coordinate is QUANTIZED to 1/1024 pixel (floor(u*1024+0.5)/1024 —
+    exact binary fractions) before the 4-tap combine: JVM and libm trig
+    agree to ~1e-11 pixel, so the quantization absorbs that noise
+    completely (flip probability ~1e-8/pixel) and every weight, product
+    and renormalizing division after it is a deterministic IEEE op both
+    the operator and the numpy oracle execute identically — the same
+    fixed-subpixel-resolution trick gdal's resampling kernels use. The
+    combine is the affine path's fixed-corner-order expression
+    (valid-weight renormalized, gdal bilinear nodata semantics)."""
+    from pyspark.sql import functions as _F
+
+    from remotior_sensus_spark.operators import crs as _crs
+
+    spark = band_tiles.sparkSession
+    t_px = tile_px or TILE_PX
+
+    sx0, sx1, sy0, sy1 = _tiles_world_bbox(band_tiles, t_px)
+    otx0, otx1, oty0, oty1 = crs_ring_extent(
+        sx0, sx1, sy0, sy1, src_zone, dst_zone, t_px)
+
+    out = _out_lattice(spark, otx0, otx1, oty0, oty1, t_px)
+    oE, oN = _pixel_centers(t_px)
+    sm = _crs.SparkMath(_F)
+    lat, lon = _crs.tm_inverse(sm, oE, oN, _crs.utm_lon0(dst_zone))
+    sE, sN = _crs.tm_forward(sm, lat, lon, _crs.utm_lon0(src_zone))
+    out = sm.apply_bindings(out)
+
+    u = (sE - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE) - F.lit(0.5)
+    v = (F.lit(ORIGIN_Y) - sN) / F.lit(PIXEL_SIZE) - F.lit(0.5)
+    uq = F.floor(u * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+    vq = F.floor(v * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+    out = out.withColumn("u0", F.floor(uq).cast("long")) \
+             .withColumn("v0", F.floor(vq).cast("long")) \
+             .withColumn("wu", uq - F.floor(uq)) \
+             .withColumn("wv", vq - F.floor(vq))
+    out = sm.drop_bindings(out)
+
+    src = _src_pixels(band_tiles, t_px)
+    corners = out.select(
+        "tile_x", "tile_y", "pos", "u0", "v0", "wu", "wv",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("corner"),
+    ).select(
+        "tile_x", "tile_y", "pos", "corner",
+        (F.col("u0") + F.col("corner") % 2).alias("sgx"),
+        (F.col("v0") + (F.col("corner") / 2).cast("int")).alias("sgy"),
+        ((F.when(F.col("corner") % 2 == 0, F.lit(1.0) - F.col("wu"))
+          .otherwise(F.col("wu")))
+         * (F.when(F.col("corner") < 2, F.lit(1.0) - F.col("wv"))
+            .otherwise(F.col("wv")))).alias("w"),
+    )
+    j = corners.join(src, ["sgx", "sgy"], "left")
+    wide = j.groupBy("tile_x", "tile_y", "pos").agg(
+        *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
+          for k in range(4)],
+        *[F.max(F.when(F.col("corner") == k, F.col("w"))).alias(f"w{k}")
+          for k in range(4)],
+    )
+    nd = F.lit(float(nodata))
+
+    def contrib(k):
+        ok = F.col(f"v{k}").isNotNull() & (F.col(f"v{k}") != nd)
+        return (F.when(ok, F.col(f"w{k}") * F.col(f"v{k}")).otherwise(F.lit(0.0)),
+                F.when(ok, F.col(f"w{k}")).otherwise(F.lit(0.0)))
+
+    nums, dens = zip(*[contrib(k) for k in range(4)])
+    num = nums[0] + nums[1] + nums[2] + nums[3]
+    den = dens[0] + dens[1] + dens[2] + dens[3]
+    return wide.select(
+        "tile_x", "tile_y", "pos",
+        F.when(den > 0, num / den).otherwise(nd).alias("value"),
+    )

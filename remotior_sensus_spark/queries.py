@@ -878,6 +878,23 @@ def warp_crs_q(spark, sf_dir):
     )
 
 
+@q("warp_crs_bilinear",
+   f"select * from '{GEO01}/expected/warp_crs_bilinear.parquet'")
+def warp_crs_bilinear_q(spark, sf_dir):
+    """Bilinear cross-zone warp: 1/1024 subpixel quantization makes
+    every weight an exact binary fraction (absorbing JVM-vs-libm trig
+    noise), then the affine path's fixed-corner-order valid-renormalized
+    combine; oracle = numpy dense gather with the identical kernel."""
+    _ensure_expected(sf_dir)
+    out = _warp.warp_crs_bilinear(_b01(spark, sf_dir, "B04"), 33, 32)
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("value") != NODATA, fixed1e6(F.col("value")))
+              .otherwise(0)).alias("checksum"),
+        F.sum(F.when(F.col("value") != NODATA, 1).otherwise(0))
+        .alias("valid_count"),
+    )
+
+
 @q("warp_datum", f"select * from '{GEO01}/expected/warp_datum.parquet'")
 def warp_datum_q(spark, sf_dir):
     """ED50 -> WGS84 datum-shifted warp (zone 33, no PROJ): TM inverse

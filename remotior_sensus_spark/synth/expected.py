@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 9
+_EXPECTED_VERSION = 10
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -495,6 +495,82 @@ def build_warp_datum(sf: float, zone: int = 33) -> pa.Table:
     })
 
 
+def build_warp_crs_bilinear(sf: float, src_zone: int = 33,
+                            dst_zone: int = 32) -> pa.Table:
+    """Numpy oracle for the bilinear cross-zone warp: same 1/1024
+    subpixel quantization and fixed-corner-order combine as the
+    operator (see warp.warp_crs_bilinear), fixed-point checksums."""
+    from remotior_sensus_spark.grid import ORIGIN_X, ORIGIN_Y
+    from remotior_sensus_spark.operators import crs as _crs
+    from remotior_sensus_spark.operators.warp import crs_ring_extent
+
+    n = grid_n(sf)
+    t_px = 16
+    side = n * t_px
+    txs, tys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = tile_pixel_values(0, 2, txs.ravel(), tys.ravel())  # B04
+    src = np.empty((side, side), dtype=np.float64)
+    for (tx, ty, block) in zip(txs.ravel(), tys.ravel(),
+                               vals.reshape(-1, t_px * t_px)):
+        src[ty * t_px:(ty + 1) * t_px, tx * t_px:(tx + 1) * t_px] = \
+            block.reshape(t_px, t_px)
+
+    sx0, sx1 = ORIGIN_X, ORIGIN_X + side * 10.0
+    sy0, sy1 = ORIGIN_Y - side * 10.0, ORIGIN_Y
+    otx0, otx1, oty0, oty1 = crs_ring_extent(
+        sx0, sx1, sy0, sy1, src_zone, dst_zone, t_px)
+
+    ogx = np.arange((otx1 - otx0 + 1) * t_px) + otx0 * t_px
+    ogy = np.arange((oty1 - oty0 + 1) * t_px) + oty0 * t_px
+    gE = ORIGIN_X + (ogx + 0.5) * 10.0
+    gN = ORIGIN_Y - (ogy + 0.5) * 10.0
+    EE, NN = np.meshgrid(gE, gN, indexing="xy")
+    lat, lon = _crs.tm_inverse(np, EE.ravel(), NN.ravel(),
+                               _crs.utm_lon0(dst_zone))
+    sE, sN = _crs.tm_forward(np, lat, lon, _crs.utm_lon0(src_zone))
+    u = (sE - ORIGIN_X) / 10.0 - 0.5
+    v = (ORIGIN_Y - sN) / 10.0 - 0.5
+    uq = np.floor(u * 1024.0 + 0.5) / 1024.0
+    vq = np.floor(v * 1024.0 + 0.5) / 1024.0
+    u0 = np.floor(uq).astype(np.int64)
+    v0 = np.floor(vq).astype(np.int64)
+    wu = uq - np.floor(uq)
+    wv = vq - np.floor(vq)
+    num = np.zeros(u0.shape)
+    den = np.zeros(u0.shape)
+    for k in range(4):
+        sgx = u0 + k % 2
+        sgy = v0 + k // 2
+        w = (np.where(k % 2 == 0, 1.0 - wu, wu)
+             * np.where(k < 2, 1.0 - wv, wv))
+        ok = (sgx >= 0) & (sgx < side) & (sgy >= 0) & (sgy < side)
+        val = np.full(sgx.shape, -32768.0)
+        val[ok] = src[sgy[ok], sgx[ok]]
+        good = ok & (val != -32768.0)
+        num = num + np.where(good, w * val, 0.0)
+        den = den + np.where(good, w, 0.0)
+    out = np.where(den > 0, num / np.where(den > 0, den, 1.0), -32768.0)
+    out = out.reshape(EE.shape)
+
+    rows = {k: [] for k in ("tile_x", "tile_y", "checksum", "valid_count")}
+    for ti in range(otx0, otx1 + 1):
+        for tj in range(oty0, oty1 + 1):
+            blk = out[(tj - oty0) * t_px:(tj - oty0 + 1) * t_px,
+                      (ti - otx0) * t_px:(ti - otx0 + 1) * t_px]
+            valid = blk != -32768.0
+            fp = np.floor(blk[valid] * 1000000.0 + 0.5).astype(np.int64)
+            rows["tile_x"].append(ti)
+            rows["tile_y"].append(tj)
+            rows["checksum"].append(int(fp.sum()))
+            rows["valid_count"].append(int(valid.sum()))
+    return pa.table({
+        "tile_x": pa.array(rows["tile_x"], type=pa.int32()),
+        "tile_y": pa.array(rows["tile_y"], type=pa.int32()),
+        "checksum": pa.array(rows["checksum"], type=pa.int64()),
+        "valid_count": pa.array(rows["valid_count"], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -506,6 +582,7 @@ BUILDERS = {
     "warp_crs": build_warp_crs,
     "landscape_metrics": build_landscape_metrics,
     "warp_datum": build_warp_datum,
+    "warp_crs_bilinear": build_warp_crs_bilinear,
 }
 
 
