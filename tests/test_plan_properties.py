@@ -106,3 +106,22 @@ def test_vector_cluster_edges_are_equi_join(spark):
     # key — a nested-loop/cartesian pairing would be O(n^2) at scale
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_warp_datum_single_join_no_python(spark):
+    df = Q.REGISTRY["warp_datum"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the whole datum pipeline (TM inverse, ECEF, Helmert, Bowring, TM
+    # forward) must stay in codegen'd projections: exactly one source
+    # pixel join, zero Python operators
+    assert "Python" not in plan, plan
+    n_joins = sum(plan.count(k) for k in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_warp_crs_bilinear_no_python(spark):
+    df = Q.REGISTRY["warp_crs_bilinear"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
