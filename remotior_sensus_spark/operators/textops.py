@@ -620,3 +620,41 @@ def collocations(docs: DataFrame, min_count: int = 20) -> DataFrame:
             F.expr("(n_xy * n_tok * 1000) div (c_x * c_y)").alias("lift_fp3"),
         )
     )
+
+
+def dedup_survivors(docs: DataFrame, *, jaccard_threshold: float = 0.3
+                    ) -> DataFrame:
+    """The deduped-corpus keep-list a pipeline actually materializes:
+    a document survives iff it is (a) the smallest doc_id of its exact
+    normalized-content group AND (b) the smallest doc_id of its
+    MinHash-LSH near-dup cluster (singletons trivially survive both).
+    Emits per source: n_docs, n_survivors, survivor_id_sum (the
+    order-independent membership checksum).
+
+    Scale shape: the exact pass is one hash shuffle; the near-dup pass
+    reuses the bucketed LSH pair graph + distributed CC (pair graph
+    orders of magnitude smaller than the corpus); the two keep-sets
+    meet on the doc key. No step is all-pairs."""
+    from remotior_sensus_spark.operators.components import resolve_components
+
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    h = docs.select("doc_id", "source", F.md5(norm).alias("h"))
+    keep_exact = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_ok = h.join(keep_exact, "h").withColumn(
+        "ok_exact", (F.col("doc_id") == F.col("keep_id")).cast("int"))
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    roots = resolve_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    with_root = exact_ok.join(
+        roots, exact_ok["doc_id"] == roots["gid"], "left")
+    survives = (
+        (F.col("ok_exact") == 1)
+        & (F.col("root").isNull() | (F.col("root") == F.col("doc_id")))
+    ).cast("long")
+    return with_root.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(survives).alias("n_survivors"),
+        F.sum(F.col("doc_id") * survives).alias("survivor_id_sum"),
+    )

@@ -4150,6 +4150,45 @@ def dup_spans_q(spark, sf_dir):
     return tx.dup_span_stats(docs, n=8)
 
 
+@q("dedup_survivors", f"""
+with h as (
+  select doc_id, source,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as ch
+  from documents),
+ke as (select ch, min(doc_id) as keep_id from h group by 1),
+eo as (select h.doc_id, h.source,
+         cast(h.doc_id = ke.keep_id as int) as ok_exact
+       from h join ke using (ch)),
+mh as ({_minhash_oracle()}),
+edges as (select doc_a as src, doc_b as dst from mh),
+sym as (select src, dst from edges
+        union all select dst as src, src as dst from edges),
+nodes as (select distinct src as id from sym),
+reach as (
+  with recursive rr(id, lbl) as (
+    select id, id from nodes
+    union
+    select s.dst, r.lbl from rr r join sym s on s.src = r.id
+    where r.lbl < s.dst
+  ) select * from rr),
+mem as (select id, min(lbl) as root from reach group by id),
+j as (select eo.source,
+        case when eo.ok_exact = 1
+              and (mem.root is null or mem.root = eo.doc_id)
+             then 1 else 0 end as sv,
+        eo.doc_id
+      from eo left join mem on eo.doc_id = mem.id)
+select source, count(*) as n_docs,
+  cast(sum(sv) as bigint) as n_survivors,
+  cast(sum(doc_id * sv) as bigint) as survivor_id_sum
+from j group by source
+""")
+def dedup_survivors_q(spark, sf_dir):
+    """End-to-end dedup keep-list: exact-group representative AND
+    near-dup cluster representative, rolled up per source."""
+    return tx.dedup_survivors(cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("dedup_clusters", f"""
 with mh as ({_minhash_oracle()}),
 edges as (select doc_a as src, doc_b as dst from mh),
