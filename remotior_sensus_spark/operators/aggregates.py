@@ -277,3 +277,33 @@ def pyramid_stats(band_px: DataFrame, levels: int = 3) -> DataFrame:
     for f in level_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def zonal_median2(zone_px: DataFrame, zone_col: str = "class",
+                  value_col: str = "value") -> DataFrame:
+    """np.nanmedian parity per zone (the one statistics_list entry —
+    configurations.py:339 — the closest-observation percentile does NOT
+    reproduce: nanmedian AVERAGES the two middle observations on even
+    counts). Emits median2 = the exact integer DOUBLED median (lo + hi
+    middle value; 2*v when the count is odd), so no /2 rounding enters
+    the result — the consumer divides, both engines identically.
+
+    Same value-histogram shape as grouped_percentile: the window runs
+    over distinct DNs per zone, never a per-pixel sort."""
+    valid = zone_px.filter(F.col(value_col) != NODATA)
+    hist = valid.groupBy(zone_col, value_col).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(zone_col).orderBy(value_col)
+    cnt_w = Window.partitionBy(zone_col)
+    cum = hist.select(
+        zone_col, F.col(value_col),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(cnt_w).alias("__cnt"),
+    )
+    lo_idx = F.floor((F.col("__cnt") - 1) / 2)   # 0-based
+    hi_idx = F.col("__cnt") - 1 - lo_idx         # ceil((n-1)/2)
+    lo = (cum.filter(F.col("__cum") > lo_idx).groupBy(zone_col)
+          .agg(F.min(value_col).cast("long").alias("__lo")))
+    hi = (cum.filter(F.col("__cum") > hi_idx).groupBy(zone_col)
+          .agg(F.min(value_col).cast("long").alias("__hi")))
+    return lo.join(hi, zone_col).select(
+        zone_col, (F.col("__lo") + F.col("__hi")).alias("median2"))

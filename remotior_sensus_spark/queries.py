@@ -413,6 +413,37 @@ def zonal_stats(spark, sf_dir):
     return agg.zonal_stats(zone_px, "class", "value", percentiles=(1, 99))
 
 
+@q("zonal_median", f"""
+with m as (
+  select distinct r.class, p.gx, p.gy, p.value
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04'
+), v as (select * from m where value <> -32768),
+ranked as (
+  select class, cast(value as bigint) as value,
+    row_number() over (partition by class order by value) - 1 as rn,
+    count(*) over (partition by class) as cnt
+  from v)
+select class,
+  cast(sum(case when rn = cast(floor((cnt-1)/2.0) as bigint)
+              or rn = cnt - 1 - cast(floor((cnt-1)/2.0) as bigint)
+            then value * (case when cnt % 2 = 1 then 2 else 1 end)
+            else 0 end) as bigint) as median2
+from ranked group by class
+""")
+def zonal_median_q(spark, sf_dir):
+    """np.nanmedian parity per ROI class (statistics_list Median):
+    exact doubled median so even-count averaging never divides."""
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    px = sj.cover_pixels(tiles, geoms, rects)
+    zone_px = px.select("class", "tile_x", "tile_y", "pos", "value").distinct()
+    return agg.zonal_median2(zone_px, "class", "value")
+
+
 # ---------------------------------------------------------------------------
 # spatial join family (SURVEY §2.3, north_rule flagship)
 # ---------------------------------------------------------------------------
