@@ -658,3 +658,31 @@ def dedup_survivors(docs: DataFrame, *, jaccard_threshold: float = 0.3
         F.sum(survives).alias("n_survivors"),
         F.sum(F.col("doc_id") * survives).alias("survivor_id_sum"),
     )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style quality gate as a single pass with every
+    threshold decided by INTEGER cross-multiplication (no double ratio
+    ever enters a comparison, so the keep decision is bit-exact):
+      20 <= n_tokens <= 1000;   3*n_tok <= n_chars <= 10*n_tok
+      (mean token length 3-10); 20*stopword_hits >= n_tok
+      (stopword ratio >= 5%);   10*distinct_tokens >= 3*n_tok
+      (type-token ratio >= 0.3).
+    Emits per source: n_docs, n_kept, kept_id_sum. Zero shuffles before
+    the per-source rollup; every feature is a JVM array op."""
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    keep = (
+        (n_tok >= 20) & (n_tok <= 1000)
+        & (3 * n_tok <= n_chars) & (n_chars <= 10 * n_tok)
+        & (20 * stop_hits >= n_tok)
+        & (10 * n_distinct >= 3 * n_tok)
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(F.col("doc_id") * keep).alias("kept_id_sum"),
+    )

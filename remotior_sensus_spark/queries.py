@@ -4181,6 +4181,34 @@ def dup_spans_q(spark, sf_dir):
     return tx.dup_span_stats(docs, n=8)
 
 
+@q("quality_gate", f"""
+with t as (select doc_id, source, text, {_TOKS} as toks from documents),
+f as (select doc_id, source,
+        cast(len(toks) as bigint) as n_tok,
+        cast(length(text) as bigint) as n_chars,
+        cast(len(list_filter(toks, x -> x in
+          ('a','and','for','in','is','it','of','on','the','to'))) as bigint)
+          as stop_hits,
+        cast(len(list_distinct(toks)) as bigint) as n_distinct
+      from t),
+k as (select source, doc_id,
+        case when n_tok >= 20 and n_tok <= 1000
+              and 3*n_tok <= n_chars and n_chars <= 10*n_tok
+              and 20*stop_hits >= n_tok
+              and 10*n_distinct >= 3*n_tok
+             then 1 else 0 end as keep
+      from f)
+select source, count(*) as n_docs,
+  cast(sum(keep) as bigint) as n_kept,
+  cast(sum(doc_id * keep) as bigint) as kept_id_sum
+from k group by source
+""")
+def quality_gate_q(spark, sf_dir):
+    """C4/Gopher quality gate — integer cross-multiplied thresholds,
+    bit-exact keep decisions, per-source rollup."""
+    return tx.quality_gate(cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("dedup_survivors", f"""
 with h as (
   select doc_id, source,
