@@ -686,3 +686,45 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         F.sum(keep).alias("n_kept"),
         F.sum(F.col("doc_id") * keep).alias("kept_id_sum"),
     )
+
+
+def simhash_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup clusters with EXACT recall (unlike MinHash LSH
+    banding, which is probabilistic): the 60-bit simhash splits into 4
+    bands of 15 bits, and by pigeonhole any pair within Hamming
+    distance <= 3 agrees on at least one whole band — so the
+    band-bucket equi-join proposes every qualifying pair, the exact
+    bit_count(xor) <= max_hamming filter keeps no false positive, and
+    the distributed CC resolves clusters. One row per non-singleton
+    cluster: (cluster_root, n_docs, doc_id_sum)."""
+    from remotior_sensus_spark.operators.components import resolve_components
+
+    if max_hamming > 3:
+        raise ValueError("4 bands of 15 bits guarantee recall only "
+                         "for hamming <= 3")
+    sh = simhash64(docs)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).select(
+        "doc_id", "simhash", "b",
+        F.expr("shiftright(simhash, 15 * b) & 32767").alias("bk"),
+    )
+    a, bb = bands.alias("a"), bands.alias("b2")
+    pairs = (
+        a.join(bb, (F.col("a.b") == F.col("b2.b"))
+               & (F.col("a.bk") == F.col("b2.bk"))
+               & (F.col("a.doc_id") < F.col("b2.doc_id")))
+        .select(F.col("a.doc_id").alias("src"),
+                F.col("b2.doc_id").alias("dst"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b2.simhash").alias("sb"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                <= max_hamming)
+        .select("src", "dst").distinct()
+    )
+    roots = resolve_components(pairs)
+    return (
+        roots.groupBy(F.col("root").alias("cluster_root"))
+        .agg(F.count("*").alias("n_docs"), F.sum("gid").alias("doc_id_sum"))
+    )

@@ -4209,6 +4209,44 @@ def quality_gate_q(spark, sf_dir):
     return tx.quality_gate(cat.load_driver(spark, sf_dir, "documents"))
 
 
+@q("simhash_clusters", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+h as (select doc_id,
+        list_transform(toks, tok -> {_HEX60.format(x='tok')}) as hs from t),
+sh as (select doc_id,
+  cast(coalesce(list_sum(list_transform(range(0, 60),
+    i -> case when 2*len(list_filter(hs, hv -> (hv >> i) & 1 = 1)) > len(hs)
+              then (1::bigint << i) else 0::bigint end)), 0) as bigint)
+    as simhash
+  from h),
+bands as (
+  select doc_id, simhash, b, (simhash >> (15*b)) & 32767 as bk
+  from sh cross join (select unnest(range(4)) as b)),
+pairs as (select distinct a.doc_id as src, b2.doc_id as dst
+          from bands a join bands b2
+            on a.b = b2.b and a.bk = b2.bk and a.doc_id < b2.doc_id
+          where bit_count(xor(a.simhash, b2.simhash)) <= 3),
+sym as (select src, dst from pairs
+        union all select dst as src, src as dst from pairs),
+nodes as (select distinct src as id from sym),
+reach as (
+  with recursive rr(id, lbl) as (
+    select id, id from nodes
+    union
+    select s.dst, r.lbl from rr r join sym s on s.src = r.id
+    where r.lbl < s.dst
+  ) select * from rr),
+mem as (select id, min(lbl) as root from reach group by id)
+select root as cluster_root, count(*) as n_docs,
+  cast(sum(id) as bigint) as doc_id_sum
+from mem group by root
+""")
+def simhash_clusters_q(spark, sf_dir):
+    """SimHash Hamming<=3 clusters — pigeonhole band join gives EXACT
+    recall; the bit_count(xor) filter keeps no false positive."""
+    return tx.simhash_clusters(cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("dedup_survivors", f"""
 with h as (
   select doc_id, source,
