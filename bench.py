@@ -40,6 +40,16 @@ HEADLINE = [
     "ann_cosine_topk",
     "tpch_q1",
     "sessionize_events",
+    # round-3 heavy families (VERDICT r03 #4: without bench rows a perf
+    # regression in the newer 70% of the registry is invisible)
+    "dedup_survivors",
+    "simhash_clusters",
+    "warp_datum",
+    "glcm_texture",
+    "event_funnel",
+    "histogram_match",
+    "bap_composite",
+    "vector_cluster_dissolve",
 ]
 
 
@@ -87,17 +97,29 @@ def prepare_dims(spark, sf_dir: str):
     )
     valid = functools.reduce(op.and_, [F.col(b) != nd for b in bands])
     cls = cls_ops.min_distance_class({b: F.col(b) for b in bands}, sigs)
+    # the per-tile histogram row the doc join fans out is BIT-PACKED:
+    # px_valid + c1..c4 in 12-bit fields of ONE long (c5 is derived in
+    # the rollup — with threshold=0 min-distance assigns every valid
+    # pixel a class, so c5 = px_valid - c1 - c2 - c3 - c4).  A tile is
+    # TILE_PX^2 = 256 pixels, so every field is <= 256 << 4095; the
+    # assert below trips if the grid ever grows past the field width.
+    # This is VERDICT r03 knob #2: the doc-keyed exchange used to carry
+    # 12 columns per joined row; it now carries 4 (doc_key, cell_key,
+    # s, packed) — >2x fewer shuffle bytes on the one big exchange.
+    from remotior_sensus_spark.grid import TILE_PX
+    assert TILE_PX * TILE_PX < 4096, "packed fields are 12-bit"
+    packed = F.count("*")
+    for i, c in enumerate(range(1, 5), start=1):
+        packed = packed + F.shiftleft(
+            F.sum(F.when(F.col("cls") == c, F.lit(1)).otherwise(F.lit(0))),
+            12 * i)
     tile_hist = (
         z.filter(valid)
         .withColumn("cls", cls)
         .groupBy("bandset", "tile_x", "tile_y", "cell_key")
         .agg(
-            F.count("*").alias("px_valid"),
-            F.sum(F.col("B04").cast("long")).alias("px_sum"),
-            *[
-                F.sum(F.when(F.col("cls") == c, 1).otherwise(0)).alias(f"c{c}")
-                for c in range(1, 6)
-            ],
+            F.sum(F.col("B04").cast("long")).alias("s"),
+            packed.alias("packed"),
         )
         .withColumn("bs_key", F.xxhash64("bandset"))
         .drop("bandset")
@@ -195,16 +217,20 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
     # catalog outgrows the driver, sj.salted_equi_join is the fallback —
     # that path (histogram pre-pass + adaptive salting) is exercised by
     # the spatial_doc_tiles query and tests/test_spatial.py.
+    # both legs emit the SAME compact 4-column shape (doc_key, cell_key,
+    # s, packed) so the union needs no null padding columns; the legs
+    # stay distinguishable by cell_key nullness (tile rows always carry
+    # a cell, geom rows never do) — that one bit replaces the former
+    # g_cnt/px_valid/roi_pixels/... column split and takes the exchanged
+    # row from 12 columns to 4.
     m = spans.join(
         F.broadcast(tile_hist), ["bs_key", "tile_x", "tile_y"]
-    ).select(
-        "doc_key", "cell_key", "px_sum", "px_valid",
-        *[f"c{c}" for c in range(1, 6)],
-    )
+    ).select("doc_key", "cell_key", "s", "packed")
     g = geom_spans.join(F.broadcast(roi_zonal), "roi_key", "left").select(
         "doc_key",
         F.lit(None).cast("long").alias("cell_key"),
-        F.lit(1).alias("g_cnt"), "roi_pixels", "roi_sum",
+        F.col("roi_sum").alias("s"),
+        F.col("roi_pixels").alias("packed"),
     )
     # ONE doc-keyed shuffle for the whole job: union the two legs'
     # compact joined rows, repartition on doc_key, then BOTH the
@@ -215,26 +241,34 @@ def flagship(spark, sf_dir: str, replicate: int = 1, prepared=None):
     # (AQE respects user-specified numbers): parallelism-first coalesce
     # would make ~1 partition/core and a single straggler then idles all
     # other cores for its wave; 4 waves of smaller tasks bound the tail.
-    u = m.unionByName(g, allowMissingColumns=True)
+    u = m.unionByName(g)
     u = u.repartition(par * 4, "doc_key")
+    is_tile = F.col("cell_key").isNotNull()  # constant within each group
     cell_agg = u.groupBy("doc_key", "cell_key").agg(
-        F.count("px_valid").alias("n_tiles_c"),
-        F.sum("px_sum").alias("px_sum_c"),
-        F.sum("px_valid").alias("px_valid_c"),
-        *[F.sum(f"c{c}").alias(f"c{c}_c") for c in range(1, 6)],
-        F.sum("g_cnt").alias("n_geom_c"),
-        F.sum("roi_pixels").alias("geom_px_c"),
-        F.sum("roi_sum").alias("geom_sum_c"),
+        F.count("*").alias("n_c"),
+        F.sum("s").alias("s_c"),
+        # unpack happens AFTER the exchange: tile rows carry the 12-bit
+        # fields, geom rows carry plain roi_pixels in `packed`
+        F.sum(F.when(is_tile,
+                     F.col("packed").bitwiseAND(F.lit(4095)))
+              .otherwise(F.col("packed"))).alias("v_c"),
+        *[F.sum(F.when(is_tile,
+                       F.shiftright("packed", 12 * i).bitwiseAND(F.lit(4095))))
+          .alias(f"c{i}_c") for i in range(1, 5)],
     )
+    is_tile_c = F.col("cell_key").isNotNull()
     out = cell_agg.groupBy("doc_key").agg(
-        F.sum("n_tiles_c").alias("n_tiles"),
+        F.sum(F.when(is_tile_c, F.col("n_c")).otherwise(F.lit(0)))
+        .alias("n_tiles"),
         F.count("cell_key").alias("n_cells"),
-        F.sum("px_sum_c").alias("px_sum"),
-        F.sum("px_valid_c").alias("px_valid"),
-        *[F.sum(f"c{c}_c").alias(f"class_{c}_px") for c in range(1, 6)],
-        F.sum("n_geom_c").alias("n_geom_spans"),
-        F.sum("geom_px_c").alias("geom_pixels"),
-        F.sum("geom_sum_c").alias("geom_sum"),
+        F.sum(F.when(is_tile_c, F.col("s_c"))).alias("px_sum"),
+        F.sum(F.when(is_tile_c, F.col("v_c"))).alias("px_valid"),
+        *[F.sum(f"c{i}_c").alias(f"class_{i}_px") for i in range(1, 5)],
+        (F.sum(F.when(is_tile_c, F.col("v_c")))
+         - sum(F.sum(f"c{i}_c") for i in range(1, 5))).alias("class_5_px"),
+        F.sum(F.when(~is_tile_c, F.col("n_c"))).alias("n_geom_spans"),
+        F.sum(F.when(~is_tile_c, F.col("v_c"))).alias("geom_pixels"),
+        F.sum(F.when(~is_tile_c, F.col("s_c"))).alias("geom_sum"),
     )
     return out
 

@@ -69,7 +69,15 @@ def band_min_max(band_px: DataFrame, value_col: str = "value") -> DataFrame:
 def cumulative_min_dn(band_px: DataFrame, percent_threshold: float = 0.0001) -> DataFrame:
     """DOS1 minimum DN: first value whose cumulative count >= 0.01% of
     total (multiprocess_manager.py:2240-2277). Window cumulative sum over
-    the value histogram."""
+    the value histogram.
+
+    BOUNDED-DOMAIN CONTRACT: the per-band window here runs over the DN
+    HISTOGRAM (one row per distinct value — <= 65536 rows for UInt16
+    sensors), never over pixels, so a per-band single partition is
+    correct and cheap at any raster size. Do NOT feed an unbounded
+    value domain (e.g. float reflectances) through this path; histogram
+    it into fixed bins first. Pinned by
+    tests/test_plan_properties.py::test_histmatch_domain_bounded."""
     valid = band_px.filter(F.col("value") != NODATA)
     hist = valid.groupBy("band", "value").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("band").orderBy("value")

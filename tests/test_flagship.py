@@ -26,6 +26,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _naive(spark, prepared):
     tile_hist, roi_zonal = prepared
+    # unpack the bit-packed per-tile histogram (px_valid + c1..c4 in
+    # 12-bit fields, c5 = px_valid - c1..c4) back into plain columns so
+    # the naive plan below stays the straightforward join + agg oracle
+    px_valid = F.col("packed").bitwiseAND(F.lit(4095))
+    cs = [F.shiftright("packed", 12 * i).bitwiseAND(F.lit(4095))
+          for i in range(1, 5)]
+    tile_hist = tile_hist.select(
+        "bs_key", "tile_x", "tile_y", "cell_key",
+        F.col("s").alias("px_sum"),
+        px_valid.alias("px_valid"),
+        *[c.alias(f"c{i}") for i, c in enumerate(cs, start=1)],
+        (px_valid - sum(cs)).alias("c5"),
+    )
     docs = cat.load_geo(spark, SF_DIR, "documents")
     spans = docs.select(
         "doc_id", F.explode("spans").alias("span")
