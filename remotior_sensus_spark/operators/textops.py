@@ -728,3 +728,92 @@ def simhash_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         roots.groupBy(F.col("root").alias("cluster_root"))
         .agg(F.count("*").alias("n_docs"), F.sum("gid").alias("doc_id_sum"))
     )
+
+
+def chunk_dup_histogram(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+    """Fixed-width token-chunk exact dedup histogram (sequence-packing
+    dedup: the chunk is the unit a packer would emit, so chunk-level
+    duplication measures how much of the packed stream is repeated).
+    Every document splits into ceil(n_tokens/chunk_tokens) contiguous
+    chunks (min 1 — an empty doc contributes one empty chunk, matching
+    the oracle); chunks hash with the portable 60-bit family and ONE
+    shuffle on the chunk hash builds the global frequency table; the
+    output histogram (dup_count -> distinct chunks, instances,
+    checksum) is tiny. Text never moves after the hash projection."""
+    toks = tokens_col()
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + F.lit(1), chunk_tokens)),
+    )
+    flat = docs.select(F.explode(chunks).alias("c")).select(
+        portable_hash60(F.col("c")).alias("hv"))
+    g = flat.groupBy("hv").agg(F.count("*").alias("k"))
+    return g.groupBy(F.col("k").alias("dup_count")).agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("k").alias("n_instances"),
+        F.sum(F.col("hv") % F.lit(1000003)).alias("hash_checksum"),
+    )
+
+
+def minhash_estimator_accuracy(docs: DataFrame, shingle_n: int = 3,
+                               num_hashes: int = 32,
+                               bands: int = 8) -> DataFrame:
+    """MinHash estimator honesty check: for every LSH candidate pair,
+    compare the signature estimate (matching components nm out of
+    num_hashes) against the EXACT distinct-shingle Jaccard, aggregated
+    per exact-Jaccard decile. Every emitted measure is an integer —
+    the per-pair absolute error is the fixed-point
+    |nm*uni - num_hashes*inter| * 1e6 div (num_hashes*uni), so no
+    double ratio ever enters the aggregation and the result is
+    bit-identical across engines. Candidates come from the shared band
+    buckets (minhash_band_candidates) — never an all-pairs step."""
+    sh = shingles_col(shingle_n)
+    d = docs.select("doc_id", sh.alias("sh")).filter(
+        F.size("sh") > 0).localCheckpoint()
+    flat = d.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id",
+        (portable_hash60(F.col("shingle")) % F.lit(2_147_483_647)).alias("h"),
+    )
+    aggs = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    sig = flat.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"),
+    ).localCheckpoint()
+    pairs = minhash_band_candidates(sig, num_hashes=num_hashes, bands=bands)
+    j = (
+        pairs.join(sig.select(F.col("doc_id").alias("doc_a"),
+                              F.col("signature").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("signature").alias("sig_b")), "doc_b")
+        .join(d.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sh").alias("sh_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sh").alias("sh_b")), "doc_b")
+    )
+    nm = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    per = j.select(
+        nm.cast("long").alias("nm"), inter.alias("inter"), uni.alias("uni"))
+    err_fp = F.expr(
+        f"(abs(nm * uni - {num_hashes} * inter) * 1000000)"
+        f" div ({num_hashes} * uni)")
+    return per.select(
+        F.least(F.expr("(10 * inter) div uni"), F.lit(9))
+        .cast("int").alias("bucket"),
+        "nm", "inter", "uni", err_fp.alias("err_fp"),
+    ).groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("nm").alias("sum_nm"),
+        F.sum("inter").alias("sum_inter"),
+        F.sum("uni").alias("sum_uni"),
+        F.sum("err_fp").alias("sum_abs_err_fp"),
+    )
