@@ -155,3 +155,34 @@ def test_histmatch_domain_bounded(spark):
     n_distinct = px.filter(F.col("value") != -32768.0).select(
         "value").distinct().count()
     assert 0 < n_distinct <= 65536, n_distinct
+
+
+def test_tpch_q16_anti_join_and_distinct(spark):
+    """The supplier blacklist must compile to a LeftAnti (suppliers are
+    never materialized into the fact rows) and the part filter must
+    broadcast."""
+    df = Q.REGISTRY["tpch_q16"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q20_nested_semi_join(spark):
+    """The IN chain must stay a LeftSemi — qualifying suppliers are
+    membership-tested, never duplicated per qualifying part."""
+    df = Q.REGISTRY["tpch_q20"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q2_correlated_min_decorrelated(spark):
+    """Q2's correlated min subquery must decorrelate into an aggregate
+    joined back on (part, price) — equi joins only, no product join,
+    and the dims broadcast."""
+    df = Q.REGISTRY["tpch_q2"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
