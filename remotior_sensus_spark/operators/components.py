@@ -312,7 +312,9 @@ def _resolve_driver(edges: DataFrame) -> DataFrame:
             break
     spark = edges.sparkSession
     out = pd.DataFrame({"gid": uniq, "root": uniq[lab]})
-    return spark.createDataFrame(out)
+    # explicit schema: an EMPTY edge list (every component interior to
+    # one tile) yields a 0-row frame that schema inference rejects
+    return spark.createDataFrame(out, "gid long, root long")
 
 
 def resolve_components(edges: DataFrame, max_iter: int = 30,
