@@ -112,8 +112,12 @@ def tile_pixel_values(bs_idx: int, band_idx: int, tx: np.ndarray, ty: np.ndarray
     return vals
 
 
-def build_tiles(sf: float):
-    """tiles + exploded tile_pixels arrow tables."""
+def build_tiles(sf: float, *, skip_exploded: bool = False):
+    """tiles + exploded tile_pixels arrow tables.  ``skip_exploded``
+    skips BUILDING the oracle view entirely (returns None for it) —
+    at sf0.1 the exploded table is 52M rows with two object-dtype
+    string columns, minutes of pure-Python conversion that generate()
+    was discarding anyway for sf > 0.01."""
     n = grid_n(sf)
     rows = {k: [] for k in (
         "bandset", "band", "wavelength", "tile_x", "tile_y", "cell_key",
@@ -144,7 +148,7 @@ def build_tiles(sf: float):
             rows["nodata"].append(np.full(m, NODATA))
             vals = tile_pixel_values(bs_idx, b_idx, tx, ty)
             pixel_arrays.append(vals)
-            if bs_idx < 2:  # oracle view: bandsets 01 + 02 only
+            if bs_idx < 2 and not skip_exploded:  # oracle view: bandsets 01+02
                 exploded.append((bs, band, tx, ty, vals))
 
     cols = {k: np.concatenate(v) for k, v in rows.items()}
@@ -168,6 +172,8 @@ def build_tiles(sf: float):
     })
 
     # exploded oracle view
+    if skip_exploded:
+        return tiles_tbl, None
     px = np.tile(np.arange(TILE_PX, dtype=np.int32), TILE_PX)
     py = np.repeat(np.arange(TILE_PX, dtype=np.int32), TILE_PX)
     ex_cols = {k: [] for k in ("bandset", "band", "tile_x", "tile_y", "px",
@@ -474,7 +480,7 @@ def generate(sf: float, out_dir: str, *, skip_exploded: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     # small row groups keep single files SPLITTABLE for Spark (a single
     # row-group parquet pins all narrow stages to one task)
-    tiles_tbl, pix_tbl = build_tiles(sf)
+    tiles_tbl, pix_tbl = build_tiles(sf, skip_exploded=skip_exploded)
     pq.write_table(tiles_tbl, f"{out_dir}/tiles.parquet", compression="zstd",
                    row_group_size=8192)
     if not skip_exploded:
