@@ -346,7 +346,10 @@ def main() -> None:
 
     geo = ensure_geo(sf)
     for f in os.listdir(geo):
-        with open(f"{geo}/{f}", "rb") as fh:
+        p = f"{geo}/{f}"
+        if not os.path.isfile(p):
+            continue  # e.g. an expected/ oracle dir from a test run
+        with open(p, "rb") as fh:
             while fh.read(1 << 24):
                 pass
 
