@@ -501,24 +501,41 @@ def _region_growing_window(band_tiles: DataFrame, seed_gx: int, seed_gy: int,
             a[oy:oy + T, ox:ox + T] = px
         sy, sx = seed_gy - ty0 * T, seed_gx - tx0 * T
         seed_val = a[sy, sx]
-        out = []
-        if not np.isnan(seed_val):
+        if np.isnan(seed_val):
+            yield pd.DataFrame({"gx": pd.Series(dtype="int64"),
+                                "gy": pd.Series(dtype="int64"),
+                                "value": pd.Series(dtype="float64")})
+            return
+        # vectorized flood fill: 4-connectivity hash-to-min labeling of
+        # the in-threshold mask (the _label_batch kernel on one window —
+        # NaN comparisons are False, so nodata never joins the mask),
+        # then keep the seed's component. Replaces the per-pixel Python
+        # stack loop (the last Python-loop kernel, VERDICT r03 #3).
+        with np.errstate(invalid="ignore"):
             ok = np.abs(a - seed_val) <= max_spectral_distance
-            seen = np.zeros_like(ok, dtype=bool)
-            stack = [(sy, sx)]
-            seen[sy, sx] = True
-            while stack:
-                y, x = stack.pop()
-                out.append((tx0 * T + x, ty0 * T + y, a[y, x]))
-                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                    if (0 <= ny < a.shape[0] and 0 <= nx < a.shape[1]
-                            and ok[ny, nx] and not seen[ny, nx]):
-                        seen[ny, nx] = True
-                        stack.append((ny, nx))
-        yield pd.DataFrame(out, columns=["gx", "gy", "value"]) if out else \
-            pd.DataFrame({"gx": pd.Series(dtype="int64"),
-                          "gy": pd.Series(dtype="int64"),
-                          "value": pd.Series(dtype="float64")})
+        h, w = ok.shape
+        flat = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        conn_r = ok[:, :-1] & ok[:, 1:]
+        conn_d = ok[:-1, :] & ok[1:, :]
+        src = np.concatenate([flat[:, :-1][conn_r], flat[:-1, :][conn_d]])
+        dst = np.concatenate([flat[:, 1:][conn_r], flat[1:, :][conn_d]])
+        lab = np.where(ok.ravel(), flat.ravel(), np.int64(-1))
+        if len(src):
+            for _ in range(64):
+                np.minimum.at(lab, dst, lab[src])
+                np.minimum.at(lab, src, lab[dst])
+                m = lab >= 0
+                lab[m] = lab[lab[m]]
+                lab[m] = lab[lab[m]]
+                if np.array_equal(lab[src], lab[dst]):
+                    break
+        member = (lab == lab[sy * w + sx]).reshape(h, w)
+        ys, xs = np.nonzero(member)
+        yield pd.DataFrame({
+            "gx": (tx0 * T + xs).astype(np.int64),
+            "gy": (ty0 * T + ys).astype(np.int64),
+            "value": a[ys, xs].astype(np.float64),
+        })
 
     return window.coalesce(1).mapInPandas(
         run, schema="gx long, gy long, value double"

@@ -144,3 +144,63 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("monetary_c").alias("monetary_c_sum"),
     )
+
+
+def session_durations(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Session-duration distribution: sessions split at > gap_s idle
+    (the same rule as the sessionize query and the streaming twin),
+    duration = last-minus-first event in WHOLE SECONDS (exact integer),
+    histogrammed by whole minutes. One user-keyed window pass + one
+    bounded rollup — the per-user window is the standard sessionize
+    shuffle, never a global sort. Returns
+    (duration_min, n_sessions, sum_events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > gap_s),
+        1).otherwise(0)
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    per_session = (
+        events.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg((F.unix_timestamp(F.max("ts"))
+              - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+             F.count("*").alias("n_events"))
+    )
+    return (
+        per_session
+        .select(F.floor(F.col("dur_s") / 60).cast("int")
+                .alias("duration_min"), "n_events")
+        .groupBy("duration_min")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").alias("sum_events"))
+    )
+
+
+def user_ltv_bands(events: DataFrame) -> DataFrame:
+    """User lifetime-value distribution by power-of-two cents band —
+    floor(log2(cents)) computed exactly from the binary expansion (no
+    float log), the same lattice vocab_zipf uses. Two map-side-
+    combinable aggregates (per-user cents rollup, band rollup); cents
+    are exact fixed-point BIGINTs so the per-user sum is order-
+    independent. Users with zero purchase value land in band -1.
+    Returns (ltv_band, n_users, sum_cents)."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+             .alias("cents"))
+    )
+    band = F.when(
+        F.col("cents") > 0, (F.length(F.bin(F.col("cents"))) - 1).cast("int")
+    ).otherwise(F.lit(-1))
+    return (
+        per_user.select(band.alias("ltv_band"), "cents")
+        .groupBy("ltv_band")
+        .agg(F.count("*").alias("n_users"), F.sum("cents").alias("sum_cents"))
+    )

@@ -469,3 +469,142 @@ def glcm_texture(band_px: DataFrame, step: float = 500.0) -> DataFrame:
         (F.col("en_num").cast("double") / (tot * tot)).alias("energy"),
         "homogeneity_fp",
     )
+
+
+# D8 direction codes (ESRI convention: E=1, SE=2, S=4, SW=8, W=16,
+# NW=32, N=64, NE=128) with gx growing east and gy growing south.
+# (dx, dy, code, diag) — the neighbour in direction `code` sits at
+# (gx+dx, gy+dy) from the centre.
+_D8 = (
+    (1, 0, 1, 0), (1, 1, 2, 1), (0, 1, 4, 0), (-1, 1, 8, 1),
+    (-1, 0, 16, 0), (-1, -1, 32, 1), (0, -1, 64, 0), (1, -1, 128, 1),
+)
+
+
+def d8_flow(band_px: DataFrame) -> DataFrame:
+    """D8 steepest-descent flow direction histogram (O'Callaghan &
+    Mark 1984; the hydrology preprocessing the reference's terrain
+    tools feed — ref util/raster_vector.py slope/aspect pipeline).
+
+    Exact-integer steepness comparison: descent rate along a cardinal
+    neighbour is dv/1, along a diagonal dv/sqrt(2); squaring clears the
+    radical, so comparing 2*dv^2 (cardinal) against dv^2 (diagonal) on
+    BIGINTs ranks directions with no float anywhere. Ties break to the
+    SMALLEST code (deterministic, matching the oracle's rank order);
+    pixels with no strictly lower neighbour get code 0 (pit/flat).
+    Interior-only semantics: exactly the pixels whose full 8-neighbour
+    ring is on-raster and valid (same all-valid rule as the Horn
+    kernels).
+
+    ONE shuffle (the shifted-copy union groups on the centre key);
+    the code histogram after it is a bounded 9-row partial agg.
+    Returns (code, n_pixels, sum_gx, sum_gy) — coordinate sums pin the
+    exact membership, not just the counts."""
+    px = _valid_px(band_px)
+    centre = px.select(
+        "gx", "gy", F.lit(0).alias("code"), F.lit(0).alias("diag"),
+        F.col("v").alias("nv"))
+    shifted = [
+        px.select(
+            (F.col("gx") - F.lit(dx)).alias("gx"),
+            (F.col("gy") - F.lit(dy)).alias("gy"),
+            F.lit(code).alias("code"), F.lit(diag).alias("diag"),
+            F.col("v").alias("nv"))
+        for dx, dy, code, diag in _D8
+    ]
+    u = centre
+    for s in shifted:
+        u = u.unionByName(s)
+    # one group per centre: centre value + each direction's neighbour
+    per_dir = [
+        F.max(F.when(F.col("code") == code, F.col("nv"))).alias(f"n{code}")
+        for _, _, code, _ in _D8
+    ]
+    g = u.groupBy("gx", "gy").agg(
+        F.max(F.when(F.col("code") == 0, F.col("nv"))).alias("cv"),
+        F.sum(F.when(F.col("code") != 0, 1).otherwise(0)).alias("nbc"),
+        *per_dir,
+    ).filter(F.col("cv").isNotNull() & (F.col("nbc") == 8))
+
+    def metric(code: int, diag: int):
+        dv = F.col("cv") - F.col(f"n{code}")
+        m = dv * dv * F.lit(2 - diag)
+        return F.when(dv > 0, m).otherwise(F.lit(-1).cast("long"))
+
+    best = F.greatest(*[
+        F.struct(metric(code, diag).alias("m"),
+                 F.lit(255 - code).alias("inv"))
+        for _, _, code, diag in _D8
+    ])
+    code = F.when(best["m"] < 0, F.lit(0)).otherwise(
+        F.lit(255) - best["inv"])
+    return (
+        g.select(code.cast("int").alias("code"), "gx", "gy")
+        .groupBy("code")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("gx").alias("sum_gx"),
+             F.sum("gy").alias("sum_gy"))
+    )
+
+
+def tpi_landform(band_px: DataFrame, threshold: int = 300) -> DataFrame:
+    """Topographic Position Index landform classes (Weiss 2001): TPI =
+    centre minus mean of the 8-neighbour ring, classified ridge (+1) /
+    plane (0) / valley (-1) at +-threshold. The mean never materialises:
+    v - sum/8 > t  <=>  8*v - sum > 8*t on exact BIGINTs (the same
+    cross-multiplication trick the quality gate uses). Interior-only
+    (all 8 neighbours valid). Returns (landform, n_pixels, sum_v)."""
+    px = _valid_px(band_px)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1),
+                       (-1, 0), (-1, -1), (0, -1), (1, -1))
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum("v").alias("s8"), F.count("*").alias("c8"))
+    )
+    j = px.join(nb, ["gx", "gy"]).filter(F.col("c8") == 8)
+    t8 = F.lit(8 * threshold).cast("long")
+    diff = F.lit(8).cast("long") * F.col("v") - F.col("s8")
+    landform = (
+        F.when(diff > t8, F.lit(1))
+        .when(-diff > t8, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        j.select(landform.alias("landform"), "v")
+        .groupBy("landform")
+        .agg(F.count("*").alias("n_pixels"), F.sum("v").alias("sum_v"))
+    )
+
+
+def class_adjacency(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
+    """Unordered class-adjacency (contagion) matrix: quantize DNs to
+    classes, count rook-adjacent pixel pairs per unordered class pair
+    — the co-occurrence input to FRAGSTATS' contagion / aggregation
+    indices (complements landscape_metrics' per-patch view). Each
+    adjacency is counted once (east + south neighbours only). Two
+    equi-joins on the pixel key; the output is class-domain bounded.
+    Returns (class_a, class_b, n_adjacencies) with class_a <= class_b."""
+    px = _valid_px(band_px).select(
+        "gx", "gy",
+        F.floor(F.col("v").cast("double") / F.lit(float(step)))
+        .cast("long").alias("c"))
+    east = px.select(
+        (F.col("gx") - 1).alias("gx"), "gy", F.col("c").alias("cb"))
+    south = px.select(
+        "gx", (F.col("gy") - 1).alias("gy"), F.col("c").alias("cb"))
+    pairs = px.join(east, ["gx", "gy"]).select("c", "cb").unionByName(
+        px.join(south, ["gx", "gy"]).select("c", "cb"))
+    return (
+        pairs.select(
+            F.least("c", "cb").alias("class_a"),
+            F.greatest("c", "cb").alias("class_b"))
+        .groupBy("class_a", "class_b")
+        .agg(F.count("*").alias("n_adjacencies"))
+    )

@@ -239,3 +239,99 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+Q_SCALE = 1024.0  # centroid-assignment quantization (2^10)
+
+
+def _quant(col) -> F.Column:
+    """floor(v * 2^10 + 0.5) — coarse exact-integer embedding lattice.
+    2^10 keeps every downstream squared distance far inside int64
+    (|vq| <= ~1024, dim 64 => dist <= 64 * 2048^2 ~ 2.7e8) while the
+    half-up rounding on an exact float32->double product is the same
+    IEEE op in both engines."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(Q_SCALE) + F.lit(0.5))
+        .cast("long"))
+
+
+def centroid_assign(embeddings: DataFrame) -> DataFrame:
+    """Nearest-label-centroid assignment confusion matrix — the
+    "classify by class mean" evaluation step (the embedding analogue of
+    the reference's minimum-distance classification,
+    ref remotior_sensus/core/spectral_signatures.py signature means):
+    per-label centroids from the quantized lattice, every vector
+    assigned to the argmin squared-distance centroid (ties to the
+    smaller label), aggregated to (true label, assigned label).
+
+    All arithmetic is exact: lattice sums are BIGINT, the centroid is
+    floor(sum/count) per dimension (a float division of magnitudes
+    << 2^53, so floor() is the same integer in every engine), and
+    distances are BIGINT sums of squares. Plan: one dim-exploded
+    partial agg for the centroids (label-bounded), broadcast back, one
+    confusion rollup — the corpus never shuffles."""
+    q = embeddings.select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("vq"))
+    dims = q.select(
+        "label", F.posexplode("vq").alias("i", "x"))
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("label", "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cq"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cq"))),
+            lambda e: e["cq"]).alias("cvec"))
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    j = q.crossJoin(F.broadcast(cent))
+    dist = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+    best = (
+        j.select("vec_id", "label", "c_label", dist.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct(F.col("d"), F.col("c_label"))).alias("b"))
+    )
+    return (
+        best.select(
+            "label",
+            F.col("b.c_label").alias("assigned_label"),
+            F.col("b.d").alias("d"))
+        .groupBy("label", "assigned_label")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("sum_dist"))
+    )
+
+
+def ann_recall_audit(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 10, n_planes: int = 12) -> DataFrame:
+    """ANN estimator honesty (the embedding twin of
+    minhash_estimator_accuracy): per query, how many of the LSH
+    multi-probe top-k are in the EXACT brute-force top-k. Both sides
+    use the shared fixed-point cosine, so the per-query hit count is a
+    deterministic integer. Returns one row per query:
+    (query_id, n_hits, k, brute_id_sum, lsh_id_sum)."""
+    brute = cosine_topk_bruteforce(embeddings, query_ids, k=k).select(
+        "query_id", F.col("vec_id").alias("b_id"))
+    lsh = cosine_topk_lsh(embeddings, query_ids, k=k, n_planes=n_planes
+                          ).select("query_id", F.col("vec_id").alias("l_id"))
+    hits = (
+        lsh.join(brute, (lsh["query_id"] == brute["query_id"])
+                 & (F.col("l_id") == F.col("b_id")))
+        .groupBy(lsh["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.sum("b_id").alias("brute_id_sum"))
+        .join(lsh.groupBy("query_id").agg(F.sum("l_id").alias("lsh_id_sum")),
+              "query_id")
+        .join(hits, "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.lit(k).cast("int").alias("k"),
+        "brute_id_sum", "lsh_id_sum")

@@ -817,3 +817,99 @@ def minhash_estimator_accuracy(docs: DataFrame, shingle_n: int = 3,
         F.sum("uni").alias("sum_uni"),
         F.sum("err_fp").alias("sum_abs_err_fp"),
     )
+
+
+def vocab_zipf(docs: DataFrame) -> DataFrame:
+    """Zipf profile of the corpus vocabulary: global term frequencies
+    bucketed by floor(log2(count)) — the standard sanity plot for a
+    training corpus's token distribution (a natural corpus is ~linear
+    in this lattice; a synthetic or template-heavy one is not).
+
+    floor(log2(c)) is computed EXACTLY as length of the binary
+    expansion minus one (bin() in Spark, printf('%b') in DuckDB) — no
+    float log enters the bucket decision. Term counts take one hash
+    shuffle on the token; the band rollup is a <64-row bounded agg.
+    Returns (freq_band, n_terms, sum_count, term_hash_checksum)."""
+    terms = (
+        docs.select(F.explode(tokens_col()).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("c"))
+    )
+    band = (F.length(F.bin(F.col("c"))) - 1).cast("int")
+    return (
+        terms.select(
+            band.alias("freq_band"), "c",
+            (portable_hash60(F.col("t")) % 1000003).alias("th"))
+        .groupBy("freq_band")
+        .agg(F.count("*").alias("n_terms"),
+             F.sum("c").alias("sum_count"),
+             F.sum("th").alias("term_hash_checksum"))
+    )
+
+
+def bigram_lm_proxy(docs: DataFrame) -> DataFrame:
+    """Bigram language-model fluency proxy per language: score each
+    document by the corpus-wide conditional frequency of its token
+    bigrams, sum(count(w1,w2) * 1e6 // count(w1 as bigram head)) —
+    the integer fixed-point stand-in for a real LM perplexity filter
+    (CCNet/Gopher-style fluency scoring) that stays bit-identical
+    across engines (floor division on exact BIGINT counts, no float
+    probability anywhere).
+
+    Plan shape: one explode + hash shuffle builds the bigram counts
+    (vocabulary-bounded — at most V^2 rows, independent of corpus
+    size), which then BROADCAST back onto the exploded doc bigrams;
+    the per-language rollup is the only doc-cardinality aggregation.
+    Returns (lang, n_docs, n_bigrams, sum_score_fp)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.when(n >= 2, F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )).otherwise(F.array())
+        ).alias("bg"),
+    ).select("doc_id", "lang",
+             F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_cnt = pair_cnt.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bigrams
+        .join(F.broadcast(pair_cnt), ["w1", "w2"])
+        .join(F.broadcast(head_cnt), ["w1"])
+        .select("doc_id", "lang",
+                F.floor(F.col("c2") * F.lit(1000000) / F.col("c1"))
+                .cast("long").alias("score_fp"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_bigrams"),
+        F.sum("score_fp").alias("sum_score_fp"),
+    )
+
+
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplication report: how many of a source's
+    documents would survive global exact dedup (keep = global group's
+    min doc_id) — the per-domain dedup accounting a corpus curation
+    run publishes next to its keep-list. One hash shuffle on the
+    16-byte content digest, one bounded per-source rollup.
+    Returns (source, n_docs, n_kept, n_removed, dup_rate_fp)."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    h = docs.select("doc_id", "source", F.md5(norm).alias("h"))
+    w = Window.partitionBy("h")
+    keep = F.col("doc_id") == F.min("doc_id").over(w)
+    per_doc = h.select(
+        "source", F.when(keep, F.lit(1)).otherwise(F.lit(0)).alias("kept"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("kept").alias("n_kept"),
+             (F.count("*") - F.sum("kept")).alias("n_removed"))
+        .select(
+            "source", "n_docs", "n_kept", "n_removed",
+            F.floor(F.col("n_removed") * F.lit(1000000) / F.col("n_docs"))
+            .cast("long").alias("dup_rate_fp"))
+    )

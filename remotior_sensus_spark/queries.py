@@ -5058,6 +5058,260 @@ def minhash_accuracy_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# round-4 additions (r05 window candidates): hydrology/landform/contagion
+# raster ops, corpus-distribution text audits, embedding-centroid
+# evaluation, event-stream distributions
+# ---------------------------------------------------------------------------
+
+@q("d8_flow", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, code, diag) as (values (1,0,1,0),(1,1,2,1),(0,1,4,0),(-1,1,8,1),
+  (-1,0,16,0),(-1,-1,32,1),(0,-1,64,0),(1,-1,128,1)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, code, diag, v as nv from p, o),
+j as (select s.gx, s.gy, s.code, s.diag, s.nv, c.v as cv
+      from s join p c using (gx, gy)),
+full8 as (select gx, gy from j group by 1, 2 having count(*) = 8),
+cand as (select j.gx, j.gy, j.code,
+           case when j.cv > j.nv
+                then (j.cv - j.nv) * (j.cv - j.nv) * (2 - j.diag)
+                else -1 end as m
+         from j join full8 using (gx, gy)),
+dir as (select gx, gy, case when m < 0 then 0 else code end as code from (
+  select *, row_number() over (partition by gx, gy
+                               order by m desc, code asc) as rn from cand)
+  where rn = 1)
+select cast(code as int) as code, count(*) as n_pixels,
+  cast(sum(gx) as bigint) as sum_gx, cast(sum(gy) as bigint) as sum_gy
+from dir group by 1
+""")
+def d8_flow_q(spark, sf_dir):
+    """D8 steepest-descent flow direction histogram — exact-integer
+    steepness ranking (2*dv^2 cardinal vs dv^2 diagonal clears the
+    sqrt(2)), one shifted-copy shuffle (operators/geostats.d8_flow)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.d8_flow(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("tpi_landform", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (1,0),(1,1),(0,1),(-1,1),(-1,0),(-1,-1),(0,-1),(1,-1)),
+nb as (select gx + dx as gx, gy + dy as gy,
+              cast(sum(v) as bigint) as s8, count(*) as c8
+       from p, o group by 1, 2),
+j as (select p.v, nb.s8 from p join nb using (gx, gy) where nb.c8 = 8),
+cl as (select v, case when 8*v - s8 > 2400 then 1
+                      when s8 - 8*v > 2400 then -1 else 0 end as landform
+       from j)
+select cast(landform as int) as landform, count(*) as n_pixels,
+  cast(sum(v) as bigint) as sum_v
+from cl group by 1
+""")
+def tpi_landform_q(spark, sf_dir):
+    """TPI landform classes (ridge/plane/valley at +-300 DN): the mean
+    never materializes — 8*v - sum8 cross-multiplication on BIGINTs
+    (operators/geostats.tpi_landform)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.tpi_landform(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=300)
+
+
+@q("class_adjacency", f"""
+with p as (
+  select gx, gy, cast(floor(value/1000.0) as bigint) as c
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+e as (select p.c as ca, q.c as cb from p
+      join p q on q.gx = p.gx + 1 and q.gy = p.gy),
+s as (select p.c as ca, q.c as cb from p
+      join p q on q.gx = p.gx and q.gy = p.gy + 1),
+u as (select * from e union all select * from s)
+select least(ca, cb) as class_a, greatest(ca, cb) as class_b,
+  count(*) as n_adjacencies
+from u group by 1, 2
+""")
+def class_adjacency_q(spark, sf_dir):
+    """Rook class-adjacency (contagion) matrix, each adjacency counted
+    once via east+south neighbours (operators/geostats.class_adjacency,
+    complements landscape_metrics per FRAGSTATS contagion)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.class_adjacency(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), step=1000.0)
+
+
+@q("vocab_zipf", f"""
+with t as (select {_TOKS} as toks from documents),
+w as (select unnest(toks) as t from t),
+g as (select t, count(*) as c from w group by 1),
+b as (select length(printf('%b', c)) - 1 as freq_band, c,
+        {_HEX60.format(x='t')} % 1000003 as th from g)
+select cast(freq_band as int) as freq_band, count(*) as n_terms,
+  cast(sum(c) as bigint) as sum_count,
+  cast(sum(th) as bigint) as term_hash_checksum
+from b group by 1
+""")
+def vocab_zipf_q(spark, sf_dir):
+    """Corpus Zipf profile: term counts bucketed by floor(log2(count))
+    computed exactly from the binary expansion (textops.vocab_zipf)."""
+    return tx.vocab_zipf(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("bigram_lm_proxy", f"""
+with t as (select doc_id, lang, {_TOKS} as toks from documents),
+bgx as (select doc_id, lang, toks,
+          unnest(range(1, len(toks))) as i from t),
+bg as (select doc_id, lang, toks[i] as w1, toks[i+1] as w2 from bgx),
+c2t as (select w1, w2, count(*) as c2 from bg group by 1, 2),
+c1t as (select w1, cast(sum(c2) as bigint) as c1 from c2t group by 1),
+sc as (select bg.doc_id, bg.lang, (c2 * 1000000) // c1 as s
+       from bg join c2t using (w1, w2) join c1t using (w1))
+select lang, cast(count(distinct doc_id) as bigint) as n_docs,
+  count(*) as n_bigrams, cast(sum(s) as bigint) as sum_score_fp
+from sc group by 1
+""")
+def bigram_lm_proxy_q(spark, sf_dir):
+    """Bigram LM fluency proxy per language: integer fixed-point
+    conditional bigram frequencies, vocabulary-bounded count tables
+    broadcast back (textops.bigram_lm_proxy)."""
+    return tx.bigram_lm_proxy(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("dup_rate_by_source", r"""
+with h as (select doc_id, source,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) as h
+  from documents),
+k as (select source,
+        case when doc_id = min(doc_id) over (partition by h)
+             then 1 else 0 end as kept from h)
+select source, count(*) as n_docs, cast(sum(kept) as bigint) as n_kept,
+  cast(count(*) - sum(kept) as bigint) as n_removed,
+  cast(((count(*) - sum(kept)) * 1000000) // count(*) as bigint)
+    as dup_rate_fp
+from k group by 1
+""")
+def dup_rate_by_source_q(spark, sf_dir):
+    """Per-source exact-dedup accounting: global keep = group's min
+    doc_id, rolled up per source (textops.dup_rate_by_source)."""
+    return tx.dup_rate_by_source(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("centroid_assign", """
+with e as (select vec_id, label, embedding as emb from embeddings),
+q as (select vec_id, label,
+        list_transform(emb, x ->
+          cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from e),
+dx as (select label, vq, unnest(range(1, len(vq)+1)) as i from q),
+d as (select label, i, vq[i] as x from dx),
+cs as (select label, i,
+         cast(floor(cast(sum(x) as double) / count(*)) as bigint) as cq
+       from d group by 1, 2),
+cent as (select label as c_label, list(cq order by i) as cvec from cs
+         group by 1),
+j as (select q.vec_id, q.label, c.c_label,
+        cast(list_sum(list_transform(range(1, len(q.vq)+1),
+          i -> (q.vq[i] - c.cvec[i]) * (q.vq[i] - c.cvec[i]))) as bigint)
+          as dd
+      from q cross join cent c),
+b as (select vec_id, label, dd, c_label,
+        row_number() over (partition by vec_id
+                           order by dd asc, c_label asc) as rn from j)
+select label, c_label as assigned_label, count(*) as n_vecs,
+  cast(sum(dd) as bigint) as sum_dist
+from b where rn = 1 group by 1, 2
+""")
+def centroid_assign_q(spark, sf_dir):
+    """Nearest-label-centroid confusion matrix on the exact 2^10
+    lattice — the embedding analogue of minimum-distance
+    classification (similarity.centroid_assign)."""
+    return sim.centroid_assign(cat.load_driver(spark, sf_dir, "embeddings"))
+
+
+def _ann_recall_oracle() -> str:
+    """Brute-force and LSH top-k CTEs meeting on the query key — the
+    per-query hit count audits LSH recall against the exact ranking."""
+    lsh = _ann_lsh_oracle()
+    brute = f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id in (0, 1, 2, 3, 4)),
+j as (select e.vec_id, q.qid, e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+s as (select qid as query_id, vec_id, {_cosfp_sql('emb', 'qe')} as cos_sim
+      from j)
+select query_id, vec_id from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, vec_id) as rank from s)
+where rank <= 10
+"""
+    return f"""
+with b as ({brute}),
+l as (select query_id, vec_id from ({lsh})),
+hits as (select l.query_id, count(*) as n_hits
+         from l join b on b.query_id = l.query_id and b.vec_id = l.vec_id
+         group by 1),
+bs as (select query_id, cast(sum(vec_id) as bigint) as brute_id_sum
+       from b group by 1),
+ls as (select query_id, cast(sum(vec_id) as bigint) as lsh_id_sum
+       from l group by 1)
+select bs.query_id, cast(coalesce(hits.n_hits, 0) as bigint) as n_hits,
+  cast(10 as int) as k, brute_id_sum, lsh_id_sum
+from bs join ls using (query_id) left join hits using (query_id)
+"""
+
+
+@q("ann_recall_audit", _ann_recall_oracle())
+def ann_recall_audit_q(spark, sf_dir):
+    """ANN estimator honesty: multi-probe LSH top-10 vs exact
+    brute-force top-10 per query (similarity.ann_recall_audit)."""
+    return sim.ann_recall_audit(
+        cat.load_driver(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@q("session_durations", """
+with e as (select user_id, ts, event_id,
+    case when lag(ts) over w is null
+          or date_diff('second', lag(ts) over w, ts) > 1800
+         then 1 else 0 end as ns
+  from events window w as (partition by user_id order by ts, event_id)),
+s as (select user_id, ts,
+        sum(ns) over (partition by user_id order by ts, event_id
+                      rows between unbounded preceding and current row) as sid
+      from e),
+g as (select user_id, sid, date_diff('second', min(ts), max(ts)) as dur_s,
+        count(*) as n_events from s group by 1, 2)
+select cast(dur_s // 60 as int) as duration_min, count(*) as n_sessions,
+  cast(sum(n_events) as bigint) as sum_events
+from g group by 1
+""")
+def session_durations_q(spark, sf_dir):
+    """Session-duration distribution (30-min idle splits, whole-minute
+    histogram) — one user-keyed window pass
+    (events.session_durations)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.session_durations(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("user_ltv_bands", """
+with per as (select user_id,
+    cast(sum(cast(floor(value*100.0+0.5) as bigint)) as bigint) as cents
+  from events where event_type = 'purchase' group by 1)
+select cast(case when cents > 0 then length(printf('%b', cents)) - 1
+            else -1 end as int) as ltv_band,
+  count(*) as n_users, cast(sum(cents) as bigint) as sum_cents
+from per group by 1
+""")
+def user_ltv_bands_q(spark, sf_dir):
+    """User LTV distribution by power-of-two cents band — exact
+    binary-expansion log2, two map-side-combinable aggregates
+    (events.user_ltv_bands)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.user_ltv_bands(cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
