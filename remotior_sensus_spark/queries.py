@@ -5375,6 +5375,18 @@ _RUN_FIRST = [
     "minhash_accuracy",  # window now exactly 50
 ]
 
+# ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50
+# names above), every query registered before round 4 has a driver row
+# in r02 ∪ r03 ∪ r04. The r05 window must lead with the queries that
+# have never been driver-measured — the round-4 session additions:
+#   d8_flow, tpi_landform, class_adjacency, vocab_zipf, bigram_lm_proxy,
+#   dup_rate_by_source, centroid_assign, ann_recall_audit,
+#   session_durations, user_ltv_bands
+# (all strict driver-check green at sf0.01 in the round-4 session),
+# followed by any round-5 additions, then re-measures of the headline
+# bench queries (ndvi, zonal_stats, min_distance, minhash_lsh,
+# flagship-adjacent spatial_doc_tiles) as regression canaries.
+
 
 def _ordered() -> dict[str, tuple]:
     first = {k: REGISTRY[k] for k in _RUN_FIRST if k in REGISTRY}

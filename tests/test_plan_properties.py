@@ -186,3 +186,40 @@ def test_tpch_q2_correlated_min_decorrelated(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_d8_flow_no_cartesian_no_python(spark):
+    df = Q.REGISTRY["d8_flow"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # steepness ranking is pure Column algebra over ONE grouped union —
+    # no cartesian candidate expansion, no Python operator
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bigram_lm_counts_are_broadcast(spark):
+    df = Q.REGISTRY["bigram_lm_proxy"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the vocabulary-bounded bigram/head count tables must broadcast
+    # back onto the exploded doc stream — a shuffle join here would
+    # repartition the whole corpus twice
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    df = Q.REGISTRY["centroid_assign"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # label-bounded centroid table joins the corpus via
+    # BroadcastNestedLoopJoin (a k-row broadcast crossJoin), never a
+    # repartition of the embedding side
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_user_ltv_bands_two_hash_aggregates_no_window(spark):
+    df = Q.REGISTRY["user_ltv_bands"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # band = binary-expansion log2 is pure projection: no global-order
+    # Window (the rank-decile design this replaced would single-task)
+    assert "Window" not in plan, plan
