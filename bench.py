@@ -345,6 +345,28 @@ def main() -> None:
     # timings); page cache pre-warmed; min of 3 timed runs after an
     # untimed warmup.
     import subprocess
+    import tempfile
+
+    # build the flagship dimensions ONCE at full parallelism and hand
+    # every scaling subprocess the parquet snapshot: the dims are
+    # parallelism-independent inputs of the timed job (one build per
+    # input snapshot is exactly the production shape), and rebuilding
+    # them serially inside each local[1] subprocess was ~5 untimed
+    # minutes per measurement — half the bench wall-clock for zero
+    # signal. The JVM is fully shut down before any measurement starts.
+    dims_dir = os.environ.get("SPARK_GRAFT_DIMS_DIR")
+    if not dims_dir:
+        dims_dir = tempfile.mkdtemp(prefix="bench_dims_")
+        s = _new_spark(f"local[{cpus}]")
+        th, rz = prepare_dims(s, sf_dir)
+        th.write.mode("overwrite").parquet(f"{dims_dir}/tile_hist")
+        rz.write.mode("overwrite").parquet(f"{dims_dir}/roi_zonal")
+        s.stop()
+        try:
+            s._sc._gateway.shutdown()
+        except Exception:
+            pass
+        os.environ["SPARK_GRAFT_DIMS_DIR"] = dims_dir
 
     geo = ensure_geo(sf)
     for f in os.listdir(geo):
@@ -509,8 +531,18 @@ def _flagship_only(master: str, sf_dir: str) -> None:
     s = get_spark(master, shuffle_partitions=64)
     # dimension build once per snapshot (cached + materialized), exactly
     # like the production pipeline this job models — the timed loop is
-    # the doc-side join/assignment/aggregation throughput
-    prepared = prepare_dims(s, sf_dir)
+    # the doc-side join/assignment/aggregation throughput. When the
+    # parent bench exported a parquet snapshot of the dims
+    # (SPARK_GRAFT_DIMS_DIR), load that instead of rebuilding serially.
+    dims_dir = os.environ.get("SPARK_GRAFT_DIMS_DIR")
+    if dims_dir and os.path.isdir(f"{dims_dir}/tile_hist"):
+        th = s.read.parquet(f"{dims_dir}/tile_hist").cache()
+        rz = s.read.parquet(f"{dims_dir}/roi_zonal").cache()
+        th.count()
+        rz.count()
+        prepared = (th, rz)
+    else:
+        prepared = prepare_dims(s, sf_dir)
     # JIT/code-cache warmup at a fraction of the full replicate factor,
     # then MULTIPLE timed runs in the same JVM: the r02 lesson is that
     # single-run subprocesses scatter 4.7x on this shared host while
