@@ -204,3 +204,32 @@ def user_ltv_bands(events: DataFrame) -> DataFrame:
         .groupBy("ltv_band")
         .agg(F.count("*").alias("n_users"), F.sum("cents").alias("sum_cents"))
     )
+
+
+def conversion_lag_bands(events: DataFrame) -> DataFrame:
+    """Signup-to-purchase conversion lag distribution by power-of-two
+    seconds band (the funnel's "time to convert" companion): per user,
+    first signup, then the first purchase STRICTLY after it; lag in
+    whole seconds bands as floor(log2(lag)) from the exact binary
+    expansion, sub-second lags in band -1. Two user-keyed aggregates +
+    one user-keyed join. Returns (lag_band, n_users, sum_lag_s)."""
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    lag = (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+    band = F.when(lag > 0, (F.length(F.bin(lag)) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        pu.select(band.alias("lag_band"), lag.alias("lag_s"))
+        .groupBy("lag_band")
+        .agg(F.count("*").alias("n_users"), F.sum("lag_s").alias("sum_lag_s"))
+    )

@@ -608,3 +608,66 @@ def class_adjacency(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
         .groupBy("class_a", "class_b")
         .agg(F.count("*").alias("n_adjacencies"))
     )
+
+
+def profile_curvature(band_px: DataFrame, cellsize: float = 10.0
+                      ) -> DataFrame:
+    """Zevenbergen-Thorne (1987) profile curvature sign classes. With
+    the 3x3 cells z1..z9 (NW..SE, rows north->south) the five surface
+    coefficients have INTEGER numerators
+      d = z4+z6-2*z5   e = z2+z8-2*z5   f = -z1+z3+z7-z9
+      g = z6-z4        h = z2-z8
+    and the curvature 2(DG^2+EH^2+FGH)/(G^2+H^2) collapses to the exact
+    rational (2*d*g^2 + 2*e*h^2 + f*g*h) / (2*L^2*(g^2+h^2)) — both
+    engines build the identical BIGINT numerator/denominator and apply
+    one identical double division + fixed-point rounding, so the
+    per-pixel value is bit-deterministic. Zero-gradient pixels
+    (g=h=0, curvature undefined) class as 9; otherwise the class is
+    the exact integer SIGN of the numerator. Interior-only (full ring
+    valid). One shifted-copy shuffle, bounded rollup.
+    Returns (curv_class, n_pixels, curv_fp_sum)."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    px = _valid_px(band_px)
+    cells = (  # (dx, dy, zid) with gy growing south: z2 = north = gy-1
+        (-1, -1, 1), (0, -1, 2), (1, -1, 3),
+        (-1, 0, 4), (0, 0, 5), (1, 0, 6),
+        (-1, 1, 7), (0, 1, 8), (1, 1, 9),
+    )
+    parts = [
+        px.select((F.col("gx") - F.lit(dx)).alias("gx"),
+                  (F.col("gy") - F.lit(dy)).alias("gy"),
+                  F.lit(zid).alias("zid"), F.col("v").alias("z"))
+        for dx, dy, zid in cells
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    zcols = [
+        F.max(F.when(F.col("zid") == zid, F.col("z"))).alias(f"z{zid}")
+        for zid in range(1, 10)
+    ]
+    g9 = u.groupBy("gx", "gy").agg(
+        F.count("*").alias("nz"), *zcols).filter(F.col("nz") == 9)
+    d = F.col("z4") + F.col("z6") - 2 * F.col("z5")
+    e = F.col("z2") + F.col("z8") - 2 * F.col("z5")
+    f = -F.col("z1") + F.col("z3") + F.col("z7") - F.col("z9")
+    g = F.col("z6") - F.col("z4")
+    h = F.col("z2") - F.col("z8")
+    num = 2 * d * g * g + 2 * e * h * h + f * g * h
+    den = F.lit(int(2 * cellsize * cellsize)).cast("long") \
+        * (g * g + h * h)
+    curv_fp = fixed1e6(num.cast("double") / den.cast("double"))
+    cls = (
+        F.when(den == 0, F.lit(9))
+        .when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        g9.select(cls.alias("curv_class"),
+                  F.when(den != 0, curv_fp).otherwise(F.lit(0).cast("long"))
+                  .alias("cfp"))
+        .groupBy("curv_class")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("cfp").alias("curv_fp_sum"))
+    )

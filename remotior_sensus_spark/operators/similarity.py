@@ -335,3 +335,20 @@ def ann_recall_audit(embeddings: DataFrame, query_ids: list[int],
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         F.lit(k).cast("int").alias("k"),
         "brute_id_sum", "lsh_id_sum")
+
+
+def embedding_norm_bands(embeddings: DataFrame) -> DataFrame:
+    """Embedding-norm sanity profile: the fixed-point squared norm
+    (the shared _dot_fp lattice, exact BIGINT) bucketed by
+    floor(log2(.)) from the binary expansion — the quick audit for
+    degenerate / unnormalized vectors a pipeline runs before cosine
+    retrieval. Pure projection + one bounded rollup.
+    Returns (norm_band, n_vecs, sum_norm_fp)."""
+    nfp = _dot_fp(F.col("embedding"), F.col("embedding"))
+    band = F.when(nfp > 0, (F.length(F.bin(nfp)) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        embeddings.select(band.alias("norm_band"), nfp.alias("nfp"))
+        .groupBy("norm_band")
+        .agg(F.count("*").alias("n_vecs"), F.sum("nfp").alias("sum_norm_fp"))
+    )

@@ -5296,6 +5296,88 @@ def session_durations_q(spark, sf_dir):
     return ev_ops.session_durations(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("profile_curvature", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, zid) as (values (-1,-1,1),(0,-1,2),(1,-1,3),
+                          (-1,0,4),(0,0,5),(1,0,6),
+                          (-1,1,7),(0,1,8),(1,1,9)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, zid, v as z from p, o),
+g9 as (select gx, gy,
+         max(case when zid=1 then z end) as z1,
+         max(case when zid=2 then z end) as z2,
+         max(case when zid=3 then z end) as z3,
+         max(case when zid=4 then z end) as z4,
+         max(case when zid=5 then z end) as z5,
+         max(case when zid=6 then z end) as z6,
+         max(case when zid=7 then z end) as z7,
+         max(case when zid=8 then z end) as z8,
+         max(case when zid=9 then z end) as z9
+       from s group by 1, 2 having count(*) = 9),
+c as (select
+  2*(z4+z6-2*z5)*(z6-z4)*(z6-z4)
+    + 2*(z2+z8-2*z5)*(z2-z8)*(z2-z8)
+    + (-z1+z3+z7-z9)*(z6-z4)*(z2-z8) as num,
+  200*((z6-z4)*(z6-z4) + (z2-z8)*(z2-z8)) as den
+  from g9),
+k as (select
+  case when den = 0 then 9 when num > 0 then 1
+       when num < 0 then -1 else 0 end as curv_class,
+  case when den <> 0
+       then cast(floor(cast(num as double)/cast(den as double)
+                       * 1000000.0 + 0.5) as bigint)
+       else 0 end as cfp
+  from c)
+select cast(curv_class as int) as curv_class, count(*) as n_pixels,
+  cast(sum(cfp) as bigint) as curv_fp_sum
+from k group by 1
+""")
+def profile_curvature_q(spark, sf_dir):
+    """Zevenbergen-Thorne profile curvature sign classes — exact BIGINT
+    numerator/denominator, one identical double division + fixed-point
+    round in both engines (geostats.profile_curvature)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.profile_curvature(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), cellsize=10.0)
+
+
+@q("conversion_lag_bands", """
+with su as (select user_id, min(ts) as t0 from events
+            where event_type = 'signup' group by 1),
+pu as (select e.user_id, min(e.ts) as t1, min(su.t0) as t0
+       from events e join su using (user_id)
+       where e.event_type = 'purchase' and e.ts > su.t0
+       group by 1),
+l as (select date_diff('second', t0, t1) as lag_s from pu)
+select cast(case when lag_s > 0 then length(printf('%b', lag_s)) - 1
+            else -1 end as int) as lag_band,
+  count(*) as n_users, cast(sum(lag_s) as bigint) as sum_lag_s
+from l group by 1
+""")
+def conversion_lag_bands_q(spark, sf_dir):
+    """Signup-to-purchase conversion-lag distribution by power-of-two
+    seconds band (events.conversion_lag_bands)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.conversion_lag_bands(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("embedding_norm_bands", f"""
+with n as (select cast({_dotfp_sql('embedding', 'embedding')} as bigint)
+             as nfp from embeddings)
+select cast(case when nfp > 0 then length(printf('%b', nfp)) - 1
+            else -1 end as int) as norm_band,
+  count(*) as n_vecs, cast(sum(nfp) as bigint) as sum_norm_fp
+from n group by 1
+""")
+def embedding_norm_bands_q(spark, sf_dir):
+    """Fixed-point squared-norm profile of the embedding corpus
+    (similarity.embedding_norm_bands)."""
+    return sim.embedding_norm_bands(
+        cat.load_driver(spark, sf_dir, "embeddings"))
+
+
 @q("user_ltv_bands", """
 with per as (select user_id,
     cast(sum(cast(floor(value*100.0+0.5) as bigint)) as bigint) as cents
