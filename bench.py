@@ -293,6 +293,23 @@ def main() -> None:
 
     import __spark_entry__ as e
 
+    # flagship dimension snapshot for the scaling subprocesses: built
+    # ONCE per bench run at full parallelism (rebuilding serially inside
+    # each local[1] subprocess was ~5 untimed minutes per measurement).
+    # The build must happen inside an existing session or a SUBPROCESS:
+    # py4j cannot restart a gateway in-process after shutdown() (the
+    # first dress rehearsal hung exactly there).
+    import subprocess
+    import tempfile
+
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    dims_dir = os.environ.get("SPARK_GRAFT_DIMS_DIR")
+    need_dims = not skip_scaling and not (
+        dims_dir and os.path.isdir(f"{dims_dir}/tile_hist"))
+    if need_dims:
+        dims_dir = tempfile.mkdtemp(prefix="bench_dims_")
+        os.environ["SPARK_GRAFT_DIMS_DIR"] = dims_dir
+
     qtimes: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") != "1":
         spark = _new_spark(f"local[{cpus}]")
@@ -317,6 +334,9 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             qtimes[name] = round(time.time() - t0, 3)
         n_docs = spark.read.parquet(f"{ensure_geo(sf)}/documents.parquet").count()
+        if need_dims:
+            _write_dims(spark, sf_dir, dims_dir)
+            need_dims = False
         spark.stop()
         # fully shut down the parent gateway JVM before the scaling
         # subprocesses — a lingering multi-GiB idle JVM next to the
@@ -331,7 +351,7 @@ def main() -> None:
             f"select count(*) from '{ensure_geo(sf)}/documents.parquet'"
         ).fetchone()[0]
 
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1":
+    if skip_scaling:
         print(json.dumps({
             "metric": "headline_queries_total",
             "value": round(sum(qtimes.values()), 3), "unit": "sec",
@@ -340,33 +360,17 @@ def main() -> None:
         return
 
     # scaling protocol (BASELINE.md): same input + plan + config at N
-    # cores (8) vs 4N (32). Each measurement runs in its OWN subprocess
+    # cores vs 4N. Each measurement runs in its OWN subprocess
     # (restarting SparkSessions inside one JVM gives wildly unstable
     # timings); page cache pre-warmed; min of 3 timed runs after an
     # untimed warmup.
-    import subprocess
-    import tempfile
-
-    # build the flagship dimensions ONCE at full parallelism and hand
-    # every scaling subprocess the parquet snapshot: the dims are
-    # parallelism-independent inputs of the timed job (one build per
-    # input snapshot is exactly the production shape), and rebuilding
-    # them serially inside each local[1] subprocess was ~5 untimed
-    # minutes per measurement — half the bench wall-clock for zero
-    # signal. The JVM is fully shut down before any measurement starts.
-    dims_dir = os.environ.get("SPARK_GRAFT_DIMS_DIR")
-    if not dims_dir:
-        dims_dir = tempfile.mkdtemp(prefix="bench_dims_")
-        s = _new_spark(f"local[{cpus}]")
-        th, rz = prepare_dims(s, sf_dir)
-        th.write.mode("overwrite").parquet(f"{dims_dir}/tile_hist")
-        rz.write.mode("overwrite").parquet(f"{dims_dir}/roi_zonal")
-        s.stop()
-        try:
-            s._sc._gateway.shutdown()
-        except Exception:
-            pass
-        os.environ["SPARK_GRAFT_DIMS_DIR"] = dims_dir
+    if need_dims:
+        # headline skipped, so no in-process session existed — build in
+        # a subprocess (same no-gateway-restart rule as measure())
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-dims",
+             sf_dir, dims_dir, str(cpus)],
+            check=True, timeout=1200)
 
     geo = ensure_geo(sf)
     for f in os.listdir(geo):
@@ -520,6 +524,12 @@ def _cpu_ceiling(lo: int, hi: int, n: int = 30_000_000) -> float:
     return measure(hi) / measure(lo)
 
 
+def _write_dims(spark, sf_dir: str, out_dir: str) -> None:
+    th, rz = prepare_dims(spark, sf_dir)
+    th.write.mode("overwrite").parquet(f"{out_dir}/tile_hist")
+    rz.write.mode("overwrite").parquet(f"{out_dir}/roi_zonal")
+
+
 def _flagship_only(master: str, sf_dir: str) -> None:
     from remotior_sensus_spark.session import get_spark
 
@@ -569,5 +579,8 @@ def _flagship_only(master: str, sf_dir: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-only":
         _flagship_only(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--build-dims":
+        _write_dims(_new_spark(f"local[{sys.argv[4]}]"),
+                    sys.argv[2], sys.argv[3])
     else:
         main()

@@ -5462,9 +5462,10 @@ _RUN_FIRST = [
 # names above), every query registered before round 4 has a driver row
 # in r02 ∪ r03 ∪ r04. The r05 window must lead with the queries that
 # have never been driver-measured — the round-4 session additions:
-#   d8_flow, tpi_landform, class_adjacency, vocab_zipf, bigram_lm_proxy,
-#   dup_rate_by_source, centroid_assign, ann_recall_audit,
-#   session_durations, user_ltv_bands
+#   d8_flow, tpi_landform, class_adjacency, profile_curvature,
+#   vocab_zipf, bigram_lm_proxy, dup_rate_by_source, centroid_assign,
+#   ann_recall_audit, embedding_norm_bands, session_durations,
+#   user_ltv_bands, conversion_lag_bands
 # (all strict driver-check green at sf0.01 in the round-4 session),
 # followed by any round-5 additions, then re-measures of the headline
 # bench queries (ndvi, zonal_stats, min_distance, minhash_lsh,
