@@ -913,3 +913,37 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
             F.floor(F.col("n_removed") * F.lit(1000000) / F.col("n_docs"))
             .cast("long").alias("dup_rate_fp"))
     )
+
+
+def sequence_packing(docs: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Concatenate-then-slice sequence packing accounting (the standard
+    GPT-style pretraining packing: per source, documents concatenate in
+    deterministic doc_id order and split into fixed ``seq_len``-token
+    training sequences). Reports per source the packing outcome a
+    pipeline publishes: document count, total tokens, number of
+    sequences ceil(total/L), and how many documents straddle a sequence
+    boundary (floor(start/L) != floor((end-1)/L)) — the fraction a
+    curriculum that forbids cross-doc attention would need to mask.
+
+    One source-keyed window pass (the cumulative token offset), exact
+    integer arithmetic throughout. Returns
+    (source, n_docs, total_tokens, n_sequences, n_crossing)."""
+    per = docs.select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    per = per.withColumn("end_cum", F.sum("n_tok").over(w))
+    start = F.col("end_cum") - F.col("n_tok")
+    L = F.lit(seq_len).cast("long")
+    crosses = (
+        (F.col("n_tok") > 0)
+        & (F.floor(start / L) != F.floor((F.col("end_cum") - 1) / L))
+    ).cast("long")
+    return (
+        per.select("source", "n_tok", crosses.alias("crossing"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("total_tokens"),
+             F.floor((F.sum("n_tok") + L - 1) / L).cast("long")
+             .alias("n_sequences"),
+             F.sum("crossing").alias("n_crossing"))
+    )

@@ -5296,6 +5296,33 @@ def session_durations_q(spark, sf_dir):
     return ev_ops.session_durations(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("sequence_packing", f"""
+with t as (select doc_id, source, cast(len({_TOKS}) as bigint) as n_tok
+           from documents),
+c as (select source, n_tok,
+        sum(n_tok) over (partition by source order by doc_id
+                         rows between unbounded preceding and current row)
+          as end_cum
+      from t),
+k as (select source, n_tok,
+        case when n_tok > 0
+              and (end_cum - n_tok) // 256 <> (end_cum - 1) // 256
+             then 1 else 0 end as crossing
+      from c)
+select source, count(*) as n_docs,
+  cast(sum(n_tok) as bigint) as total_tokens,
+  cast((sum(n_tok) + 255) // 256 as bigint) as n_sequences,
+  cast(sum(crossing) as bigint) as n_crossing
+from k group by 1
+""")
+def sequence_packing_q(spark, sf_dir):
+    """GPT-style concatenate-then-slice packing accounting per source
+    (textops.sequence_packing): exact cumulative token offsets, 256-token
+    sequences, boundary-straddling document counts."""
+    return tx.sequence_packing(
+        cat.load_driver(spark, sf_dir, "documents"), seq_len=256)
+
+
 @q("profile_curvature", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -5463,9 +5490,9 @@ _RUN_FIRST = [
 # in r02 ∪ r03 ∪ r04. The r05 window must lead with the queries that
 # have never been driver-measured — the round-4 session additions:
 #   d8_flow, tpi_landform, class_adjacency, profile_curvature,
-#   vocab_zipf, bigram_lm_proxy, dup_rate_by_source, centroid_assign,
-#   ann_recall_audit, embedding_norm_bands, session_durations,
-#   user_ltv_bands, conversion_lag_bands
+#   vocab_zipf, bigram_lm_proxy, dup_rate_by_source, sequence_packing,
+#   centroid_assign, ann_recall_audit, embedding_norm_bands,
+#   session_durations, user_ltv_bands, conversion_lag_bands
 # (all strict driver-check green at sf0.01 in the round-4 session),
 # followed by any round-5 additions, then re-measures of the headline
 # bench queries (ndvi, zonal_stats, min_distance, minhash_lsh,
