@@ -420,7 +420,13 @@ def main() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(4 * lo, cpus))))
     rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "80"))
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    # 6 interleaved rounds (was 4): with the dims snapshot a full round
+    # is ~4 min, and the r04 evening run showed a single ~20-min window
+    # can be uniformly contended at the hi level (all four local[4]
+    # minima 10.1-11.5 s vs 8.9-9.5 s two hours earlier, spreads tight
+    # both times) — two more rounds widen the weather coverage the
+    # min-of-rounds protocol relies on, at ~8 min extra wall.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
     t_los, t_his = [], []
     runs_lo, runs_hi = [], []
     n_out = 0
@@ -436,7 +442,7 @@ def main() -> None:
             t_his.append(m[0])
             runs_hi.append(m[1])
         # catch-up rounds (bounded) if a level has no surviving sample yet
-        if r == rounds - 1 and (not t_los or not t_his) and rounds < 7:
+        if r == rounds - 1 and (not t_los or not t_his) and rounds < 9:
             rounds += 1
         r += 1
     if not t_los or not t_his:
