@@ -671,3 +671,77 @@ def profile_curvature(band_px: DataFrame, cellsize: float = 10.0
         .agg(F.count("*").alias("n_pixels"),
              F.sum("cfp").alias("curv_fp_sum"))
     )
+
+
+def _glcm_reduce(pairs: DataFrame) -> DataFrame:
+    """Shared GLCM reduction: (ca, cb, cnt) pair matrix ->
+    (n_pairs, contrast, energy, homogeneity_fp). Exact integer
+    numerators; homogeneity fixed-point BEFORE the sum."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    d2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    agg_row = pairs.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.sum(F.col("cnt") * d2).alias("con_num"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("en_num"),
+        F.sum(fixed1e6(
+            F.col("cnt").cast("double")
+            / (F.lit(1.0) + d2.cast("double")))).alias("homogeneity_fp"),
+    )
+    tot = F.col("n_pairs").cast("double")
+    return agg_row.select(
+        "n_pairs",
+        (F.col("con_num").cast("double") / tot).alias("contrast"),
+        (F.col("en_num").cast("double") / (tot * tot)).alias("energy"),
+        "homogeneity_fp",
+    )
+
+
+def glcm_texture_tiles(band_tiles: DataFrame, step: float = 500.0,
+                       tile_px: int | None = None) -> DataFrame:
+    """glcm_texture over tile ARRAYS — the same +x pair multiset and
+    reduction, restructured for scale: intra-tile co-occurrences are
+    extracted map-side from each tile row's adjacent elements (a
+    codegen'd filter/transform over the pixel array) and
+    partial-aggregate into the level-bounded matrix BEFORE any
+    exchange; only the tile-boundary columns cross the wire (last
+    column equi-joined to the next tile's first column, ~tile-count
+    rows). The exploded-pixel version repartitioned the full raster
+    TWICE (both self-join sides); this one shuffles a bounded pair
+    matrix plus one thin boundary frame."""
+    t = tile_px or TILE_PX
+    nd = F.lit(float(NODATA))
+
+    def lv(x):
+        return F.floor(x.cast("double") / F.lit(float(step))).cast("long")
+
+    def pair_classes(df):
+        valid = lambda s: (s["a"] != nd) & (s["b"] != nd)  # noqa: E731
+        return df.select(F.explode(F.filter(F.col("pp"), valid)).alias("s")
+                         ).select(lv(F.col("s.a")).alias("ca"),
+                                  lv(F.col("s.b")).alias("cb"))
+
+    tiles = band_tiles.select("tile_x", "tile_y", "pixels")
+    pos = F.filter(F.sequence(F.lit(0), F.lit(t * t - 1)),
+                   lambda p: p % t != t - 1)
+    intra = pair_classes(tiles.select(F.transform(pos, lambda p: F.struct(
+        F.get(F.col("pixels"), p).alias("a"),
+        F.get(F.col("pixels"), p + 1).alias("b"))).alias("pp")))
+    last_col = F.sequence(F.lit(t - 1), F.lit(t * t - 1), F.lit(t))
+    first_col = F.sequence(F.lit(0), F.lit(t * t - t), F.lit(t))
+    left = tiles.select(
+        "tile_x", "tile_y",
+        F.transform(last_col,
+                    lambda p: F.get(F.col("pixels"), p)).alias("lastc"))
+    right = tiles.select(
+        (F.col("tile_x") - 1).alias("tile_x"), "tile_y",
+        F.transform(first_col,
+                    lambda p: F.get(F.col("pixels"), p)).alias("firstc"))
+    border = pair_classes(
+        left.join(right, ["tile_x", "tile_y"]).select(
+            F.zip_with("lastc", "firstc", lambda a, b: F.struct(
+                a.alias("a"), b.alias("b"))).alias("pp")))
+    pairs = (
+        intra.unionByName(border)
+        .groupBy("ca", "cb").agg(F.count("*").alias("cnt"))
+    )
+    return _glcm_reduce(pairs)

@@ -2972,9 +2972,11 @@ from t
 def glcm_texture_q(spark, sf_dir):
     """Haralick GLCM texture for the +x offset — level-bounded pair
     matrix, exact integer contrast/energy numerators, per-pair
-    fixed-point homogeneity."""
+    fixed-point homogeneity. Tile-array plan: intra-tile pairs
+    partial-aggregate map-side, only boundary columns shuffle (the
+    exploded self-join repartitioned the raster twice)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.glcm_texture(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    return geostats.glcm_texture_tiles(_b01(spark, sf_dir, "B04"))
 
 
 @q("accuracy_area", f"""
