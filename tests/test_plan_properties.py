@@ -223,3 +223,16 @@ def test_user_ltv_bands_two_hash_aggregates_no_window(spark):
     # band = binary-expansion log2 is pure projection: no global-order
     # Window (the rank-decile design this replaced would single-task)
     assert "Window" not in plan, plan
+
+
+def test_glcm_tiles_no_pixel_exploded_shuffle(spark):
+    df = Q.REGISTRY["glcm_texture"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # intra-tile pairs must partial-aggregate map-side; the only join
+    # is the thin boundary-column equi-join — never a posexplode of the
+    # raster feeding an Exchange, and no cartesian path
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # one join (boundary columns), joined on the tile key
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") == 1, plan
