@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 from operator import or_
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -204,6 +204,110 @@ def user_ltv_bands(events: DataFrame) -> DataFrame:
         .groupBy("ltv_band")
         .agg(F.count("*").alias("n_users"), F.sum("cents").alias("sum_cents"))
     )
+
+
+def bot_bursts(events: DataFrame, window_s: int = 10, k: int = 3) -> DataFrame:
+    """Burst (bot-likeness) profile: an event is a *burst point* when it
+    and the (k-1)-th previous event of the same user are <= window_s
+    seconds apart (i.e. >= k events inside a window_s-second span). The
+    output histograms users by their burst-point count — the screening
+    pass a crawl/abuse pipeline runs before rate-limiting or dropping
+    automated traffic.
+
+    One user-keyed window pass (lag(ts, k-1)) whose sort shuffle is then
+    REUSED by the per-user conditional sum (same partitioning key), then
+    a bounded histogram rollup. Whole-second arithmetic throughout, so
+    both engines agree exactly. Returns (n_bursts, n_users)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts", k - 1).over(w)
+    flag = F.when(
+        prev.isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp(prev) <= window_s),
+        1).otherwise(0)
+    per_user = (
+        events.select("user_id", flag.alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum("b").alias("n_bursts"))
+    )
+    return per_user.groupBy("n_bursts").agg(F.count("*").alias("n_users"))
+
+
+def weekly_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/WAU engagement ("stickiness") per ISO week: WAU = distinct
+    users active in the Monday-truncated week, sum_dau = the sum of the
+    week's daily distinct-user counts, and stickiness_fp = the exact
+    fixed-point mean-DAU-per-WAU ratio sum_dau * 1e6 // (n_days * wau).
+
+    Two distinct-sets (user x day, user x week), each ONE map-side-
+    combinable shuffle on a compact key; the day rollup re-aggregates
+    into its week so the two legs meet on the week key (bounded
+    cardinality -> broadcastable join at any corpus size). Returns
+    (week, wau, n_days, sum_dau, stickiness_fp)."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    dau = (
+        events.select(week.alias("week"), day.alias("day"), "user_id")
+        .distinct()
+        .groupBy("week", "day")
+        .agg(F.count("*").alias("dau"))
+        .groupBy("week")
+        .agg(F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau"))
+    )
+    wau = (
+        events.select(week.alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("wau"))
+    )
+    j = dau.join(wau, "week")
+    fp = F.expr("(sum_dau * 1000000) div (n_days * wau)")
+    return j.select("week", "wau", "n_days", "sum_dau",
+                    fp.alias("stickiness_fp"))
+
+
+def purchase_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: each purchase is attributed to the
+    immediately preceding event (any type) of the same user; purchases
+    with no prior event attribute to '(none)'. Output: per prior type,
+    the purchase count and exact cents revenue.
+
+    One user-keyed window sort (the sessionize shuffle), then a bounded
+    rollup — the standard "which interaction drove the sale" report,
+    kept exact by fixed-point cents. Returns
+    (prior_type, n_purchases, cents_sum)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = F.coalesce(F.lag("event_type").over(w), F.lit("(none)"))
+    return (
+        events.select(
+            "event_type",
+            prior.alias("prior_type"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("prior_type")
+        .agg(F.count("*").alias("n_purchases"),
+             F.sum("cents").alias("cents_sum"))
+    )
+
+
+def hourly_error_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day error-rate profile: per hour 0-23, total events,
+    error events, and the exact fixed-point error rate
+    n_errors * 1e6 // n_events. One map-side-combinable aggregate over
+    a 24-row output — the monitoring rollup shape (conditional count
+    inside the same pass, never a second scan). Returns
+    (hour_of_day, n_events, n_errors, error_rate_fp)."""
+    g = (
+        events.select(
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("hour_of_day")
+        .agg(F.count("*").alias("n_events"), F.sum("is_err").alias("n_errors"))
+    )
+    fp = F.expr("(n_errors * 1000000) div n_events")
+    return g.select("hour_of_day", "n_events", "n_errors",
+                    fp.alias("error_rate_fp"))
 
 
 def conversion_lag_bands(events: DataFrame) -> DataFrame:

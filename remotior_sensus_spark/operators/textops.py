@@ -947,3 +947,146 @@ def sequence_packing(docs: DataFrame, seq_len: int = 256) -> DataFrame:
              .alias("n_sequences"),
              F.sum("crossing").alias("n_crossing"))
     )
+
+def doc_length_bands(docs: DataFrame) -> DataFrame:
+    """Corpus length audit: documents histogrammed by power-of-two
+    character-length band per source — floor(log2(len)) computed
+    exactly from the binary expansion (the vocab_zipf lattice), empty
+    docs in band -1. One map-side-combinable aggregate over a bounded
+    (source x ~20 bands) output. Returns
+    (source, len_band, n_docs, sum_chars)."""
+    n = F.length("text")
+    band = F.when(n > 0, (F.length(F.bin(n)) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        docs.select("source", band.alias("len_band"),
+                    n.cast("long").alias("n"))
+        .groupBy("source", "len_band")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_chars"))
+    )
+
+
+def ttr_profile(docs: DataFrame) -> DataFrame:
+    """Type-token-ratio deciles per language: per doc the exact integer
+    decile (distinct_tokens * 10) div n_tokens, histogrammed per lang.
+    ZERO shuffles before the bounded rollup — both counts come from
+    per-row array ops (size / array_distinct), never an explode.
+    Returns (lang, ttr_decile, n_docs, sum_tokens)."""
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("long")
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    d = docs.select(
+        "lang", n_tok.alias("n_tok"), n_dis.alias("n_dis")
+    ).filter(F.col("n_tok") > 0)
+    return (
+        d.select("lang", F.expr("(n_dis * 10) div n_tok")
+                 .cast("int").alias("ttr_decile"), "n_tok")
+        .groupBy("lang", "ttr_decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
+def corpus_stopword_profile(docs: DataFrame, top_k: int = 10) -> DataFrame:
+    """Corpus-derived stopword-ratio deciles: the top_k most frequent
+    corpus tokens (count desc, token asc — deterministic at the rank
+    boundary) act as the stopword list, and each document's
+    stopword-hit ratio lands in an exact integer decile.
+
+    Scale shape: one token-keyed count shuffle whose result is a
+    vocabulary-bounded table; the top-k rows broadcast back onto the
+    exploded token stream (map-side hit join), then one doc-keyed
+    rollup. The corpus never moves twice. Returns
+    (lang, stop_decile, n_docs, sum_hits)."""
+    toks = tokens_col()
+    flat = docs.select("doc_id", F.explode(toks).alias("tk"))
+    top = (
+        flat.groupBy("tk").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tk")).limit(top_k)
+        .select("tk")
+    )
+    hits = (
+        flat.join(F.broadcast(top), "tk")
+        .groupBy("doc_id").agg(F.count("*").alias("hits"))
+    )
+    d = (
+        docs.select("doc_id", "lang", F.size(toks).cast("long").alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .join(hits, "doc_id", "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0).cast("long")))
+    )
+    return (
+        d.select("lang", F.expr("(hits * 10) div n_tok").cast("int")
+                 .alias("stop_decile"), "hits")
+        .groupBy("lang", "stop_decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("hits").alias("sum_hits"))
+    )
+
+
+def dup_ngram_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Duplicated-substring CORPUS COVERAGE (the headline number of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better": what fraction of all token positions sits inside at least
+    one word n-gram that also occurs in another document). dup_span_stats
+    counts duplicated windows; this op measures their positional
+    footprint, which differs exactly by window overlap.
+
+    Per document, each duplicated n-gram start s covers token interval
+    [s, min(s+n, n_tok)); the covered total is the exact interval-union
+    length via the gaps-and-islands scan (running max of prior interval
+    ends inside one doc-keyed window).
+
+    Scale shape: the same two hash-keyed count shuffles as
+    dup_span_stats (only (hash, doc) pairs move, never text), one
+    doc-keyed window over DUPLICATED starts only (bounded by the dup
+    footprint, not the corpus), and a per-source rollup. Returns
+    (source, n_docs, total_tokens, covered_tokens, coverage_fp)."""
+    toks = tokens_col()
+    base = docs.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tok"),
+        shingles_col(n, distinct=False).alias("sh"))
+    flat = base.select(
+        "doc_id", "source", "n_tok",
+        F.posexplode("sh").alias("s", "g"),
+    ).select("doc_id", "source", "n_tok", "s",
+             portable_hash60(F.col("g")).alias("h"))
+    dup_h = (
+        flat.select("h", "doc_id").distinct()
+        .groupBy("h").agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") > 1).select("h")
+    )
+    ds = flat.join(dup_h, "h").select("doc_id", "source", "n_tok", "s")
+    e = F.least(F.col("s") + n, F.col("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    pe = F.max(e).over(w)
+    contrib = F.greatest(
+        e - F.greatest(F.coalesce(pe, F.lit(0).cast("long")), F.col("s")),
+        F.lit(0).cast("long"))
+    cov = (
+        ds.select("doc_id", "source", contrib.alias("cv"))
+        .groupBy("source").agg(F.sum("cv").alias("covered_tokens"))
+    )
+    tot = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    j = tot.join(cov, "source", "left").withColumn(
+        "covered_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")))
+    return j.select(
+        "source", "n_docs", "total_tokens", "covered_tokens",
+        F.expr("(covered_tokens * 1000000) div total_tokens")
+        .alias("coverage_fp"))
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID audit: the marker-token heuristic's prediction
+    cross-tabulated against the labeled lang column — the confusion
+    matrix a pipeline reviews before trusting the cheap classifier for
+    routing/filtering. Pure per-row prediction (lang_id) + one bounded
+    rollup. Returns (lang, pred_lang, n_docs, sum_marker_hits)."""
+    pred = lang_id(docs)
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return (
+        j.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("marker_hits").alias("sum_marker_hits"))
+    )

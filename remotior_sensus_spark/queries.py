@@ -5424,6 +5424,195 @@ def user_ltv_bands_q(spark, sf_dir):
     return ev_ops.user_ltv_bands(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("doc_length_bands", """
+with d as (select source, length(text) as n from documents)
+select source,
+  cast(case when n > 0 then length(printf('%b', n)) - 1
+       else -1 end as int) as len_band,
+  count(*) as n_docs, cast(sum(n) as bigint) as sum_chars
+from d group by 1, 2
+""")
+def doc_length_bands_q(spark, sf_dir):
+    """Corpus length audit: power-of-two char-length bands per source
+    (textops.doc_length_bands)."""
+    return tx.doc_length_bands(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("ttr_profile", f"""
+with t as (select lang, len(list_distinct({_TOKS})) as n_dis,
+             len({_TOKS}) as n_tok from documents)
+select lang, cast((n_dis * 10) // n_tok as int) as ttr_decile,
+  count(*) as n_docs, cast(sum(n_tok) as bigint) as sum_tokens
+from t where n_tok > 0 group by 1, 2
+""")
+def ttr_profile_q(spark, sf_dir):
+    """Type-token-ratio deciles per language — zero shuffles before the
+    bounded rollup (textops.ttr_profile)."""
+    return tx.ttr_profile(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("stopword_profile", f"""
+with t as (select doc_id, lang, {_TOKS} as toks from documents),
+w as (select doc_id, unnest(toks) as tk from t),
+g as (select tk, count(*) as c from w group by 1),
+top as (select tk from g order by c desc, tk asc limit 10),
+h as (select w.doc_id, count(*) as hits from w join top using (tk)
+      group by 1),
+d as (select t.doc_id, lang, len(toks) as n_tok,
+        coalesce(h.hits, 0) as hits
+      from t left join h using (doc_id))
+select lang, cast((hits * 10) // n_tok as int) as stop_decile,
+  count(*) as n_docs, cast(sum(hits) as bigint) as sum_hits
+from d where n_tok > 0 group by 1, 2
+""")
+def stopword_profile_q(spark, sf_dir):
+    """Corpus-derived stopword-ratio deciles: top-10 corpus tokens
+    broadcast back as the stopword list
+    (textops.corpus_stopword_profile)."""
+    return tx.corpus_stopword_profile(
+        cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("dup_ngram_coverage", f"""
+with t as (select doc_id, source, {_TOKS} as toks from documents),
+sx as (select doc_id, source, len(toks) as n_tok, toks,
+         unnest(range(0, greatest(len(toks)-8, 0)+1)) as s from t),
+g as (select doc_id, source, n_tok, s,
+        array_to_string(toks[s+1:s+8], ' ') as gt from sx),
+hh as (select doc_id, source, n_tok, s,
+         {_HEX60.format(x='gt')} as hv from g),
+hd as (select hv, count(distinct doc_id) as ndocs from hh group by 1),
+ds as (select hh.doc_id, hh.source, hh.n_tok, hh.s
+       from hh join hd using (hv) where hd.ndocs > 1),
+c as (select doc_id, source, n_tok, s,
+        least(s + 8, n_tok) as e,
+        max(least(s + 8, n_tok)) over (partition by doc_id order by s
+          rows between unbounded preceding and 1 preceding) as pe
+      from ds),
+cov as (select source,
+          cast(sum(greatest(e - greatest(coalesce(pe, 0), s), 0))
+               as bigint) as covered
+        from c group by 1),
+tot as (select source, count(*) as n_docs,
+          cast(sum(len(toks)) as bigint) as total_tokens from t group by 1)
+select tot.source, n_docs, total_tokens,
+  cast(coalesce(covered, 0) as bigint) as covered_tokens,
+  cast((coalesce(covered, 0) * 1000000) // total_tokens as bigint)
+    as coverage_fp
+from tot left join cov using (source)
+""")
+def dup_ngram_coverage_q(spark, sf_dir):
+    """Duplicated-8-gram positional corpus coverage per source — exact
+    interval-union length via gaps-and-islands
+    (textops.dup_ngram_coverage)."""
+    return tx.dup_ngram_coverage(
+        cat.load_driver(spark, sf_dir, "documents"), n=8)
+
+
+@q("lang_confusion", f"""
+with t as (select doc_id, lang, {_TOKS} as toks from documents),
+s as (select doc_id, lang,
+  len(list_filter(toks, x -> x in ('the','and','of'))) as s_en,
+  len(list_filter(toks, x -> x in ('el','la','de'))) as s_es,
+  len(list_filter(toks, x -> x in ('der','die','und'))) as s_de,
+  len(list_filter(toks, x -> x in ('le','la','et'))) as s_fr,
+  len(list_filter(toks, x -> x in ('de','shi','le'))) as s_zh
+from t),
+b as (select doc_id, lang,
+        greatest(s_en, s_es, s_de, s_fr, s_zh) as best,
+        s_en, s_es, s_de, s_fr, s_zh from s),
+p as (select lang,
+  case when best = 0 then 'unknown'
+       when s_zh = best then 'zh'
+       when s_fr = best then 'fr'
+       when s_es = best then 'es'
+       when s_en = best then 'en'
+       else 'de' end as pred_lang,
+  best from b)
+select lang, pred_lang, count(*) as n_docs,
+  cast(sum(best) as bigint) as sum_marker_hits
+from p group by 1, 2
+""")
+def lang_confusion_q(spark, sf_dir):
+    """Language-ID confusion matrix: the marker heuristic's prediction
+    vs the labeled lang column (textops.lang_confusion)."""
+    return tx.lang_confusion(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("bot_bursts", """
+with l as (select user_id, ts,
+    lag(ts, 2) over (partition by user_id order by ts, event_id) as p
+  from events),
+f as (select user_id,
+        case when p is not null and date_diff('second', p, ts) <= 10
+             then 1 else 0 end as b from l),
+u as (select user_id, cast(sum(b) as bigint) as n_bursts from f group by 1)
+select n_bursts, count(*) as n_users from u group by 1
+""")
+def bot_bursts_q(spark, sf_dir):
+    """Bot-burst screening: users histogrammed by how many of their
+    events complete a >=3-events-in-10-seconds burst
+    (events.bot_bursts)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.bot_bursts(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("weekly_stickiness", """
+with d as (select distinct date_trunc('week', ts) as wk,
+             date_trunc('day', ts) as dy, user_id from events),
+dau as (select wk, dy, count(*) as dau from d group by 1, 2),
+dd as (select wk, count(*) as n_days,
+         cast(sum(dau) as bigint) as sum_dau from dau group by 1),
+wz as (select date_trunc('week', ts) as wk,
+         count(distinct user_id) as wau from events group by 1)
+select strftime(wk, '%Y-%m-%d') as week, wau, n_days, sum_dau,
+  cast((sum_dau * 1000000) // (n_days * wau) as bigint) as stickiness_fp
+from dd join wz using (wk)
+""")
+def weekly_stickiness_q(spark, sf_dir):
+    """DAU/WAU stickiness per ISO week — exact integer fixed-point
+    ratio over two distinct-set rollups (events.weekly_stickiness)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.weekly_stickiness(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("purchase_attribution", """
+with l as (select event_type, value,
+    coalesce(lag(event_type) over (partition by user_id
+                                   order by ts, event_id),
+             '(none)') as prior_type
+  from events)
+select prior_type, count(*) as n_purchases,
+  cast(sum(cast(floor(value*100.0+0.5) as bigint)) as bigint) as cents_sum
+from l where event_type = 'purchase' group by 1
+""")
+def purchase_attribution_q(spark, sf_dir):
+    """Last-touch attribution: purchases attributed to the immediately
+    preceding same-user event type, exact cents revenue
+    (events.purchase_attribution)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.purchase_attribution(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("hourly_error_profile", """
+with g as (select extract(hour from ts) as hour_of_day,
+    count(*) as n_events,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint)
+      as n_errors
+  from events group by 1)
+select cast(hour_of_day as int) as hour_of_day, n_events, n_errors,
+  cast((n_errors * 1000000) // n_events as bigint) as error_rate_fp
+from g
+""")
+def hourly_error_profile_q(spark, sf_dir):
+    """Hour-of-day error-rate profile, exact fixed-point rate in one
+    map-side-combinable pass (events.hourly_error_profile)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.hourly_error_profile(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
