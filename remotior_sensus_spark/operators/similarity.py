@@ -352,3 +352,125 @@ def embedding_norm_bands(embeddings: DataFrame) -> DataFrame:
         .groupBy("norm_band")
         .agg(F.count("*").alias("n_vecs"), F.sum("nfp").alias("sum_norm_fp"))
     )
+
+def quantize_error(embeddings: DataFrame) -> DataFrame:
+    """Int8 quantization-error profile: every vector is quantized to the
+    int8 lattice floor(x*2^6+0.5) clamped to [-128, 127] (the standard
+    symmetric int8 embedding compression) and the per-vector squared
+    reconstruction error is measured EXACTLY on the shared 2^10 lattice
+    — err_dim = floor(x*1024+0.5) - 16*q8, so the error integers and
+    their power-of-two band are bit-identical in every engine. The
+    audit a pipeline runs before switching its ANN index to int8.
+
+    Zero shuffles before the bounded band rollup: both lattices and the
+    squared sum are per-row array transforms. Returns
+    (err_band, n_vecs, sum_sse)."""
+    vq = _quant(F.col("embedding"))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(
+            F.greatest(F.floor(x.cast("double") * F.lit(64.0) + F.lit(0.5))
+                       .cast("long"), F.lit(-128).cast("long")),
+            F.lit(127).cast("long")))
+    sse = F.aggregate(
+        F.zip_with(vq, q8, lambda a, b: (a - 16 * b) * (a - 16 * b)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+    d = embeddings.select(sse.alias("sse"))
+    band = F.when(F.col("sse") > 0,
+                  (F.length(F.bin(F.col("sse"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        d.select(band.alias("err_band"), "sse")
+        .groupBy("err_band")
+        .agg(F.count("*").alias("n_vecs"), F.sum("sse").alias("sum_sse"))
+    )
+
+
+def class_scatter(embeddings: DataFrame) -> DataFrame:
+    """Within-class scatter: per label, the exact sum and mean of
+    squared lattice distances from each vector to its OWN label
+    centroid — the Fisher-style compactness number that tells a
+    training pipeline whether class embeddings are separable before it
+    trusts a nearest-centroid router (centroid math identical to
+    centroid_assign). One label-bounded dim-exploded partial agg for
+    the centroids, broadcast back, one bounded rollup; the corpus
+    never shuffles. Returns (label, n_vecs, sum_dist, mean_dist_x1000)."""
+    q = embeddings.select("vec_id", "label",
+                          _quant(F.col("embedding")).alias("vq"))
+    cent = (
+        q.select("label", F.posexplode("vq").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("label", "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cq"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cq"))),
+            lambda e: e["cq"]).alias("cvec"))
+    )
+    j = q.join(F.broadcast(cent), "label")
+    dist = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+    return (
+        j.select("label", dist.alias("dd"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.sum("dd").alias("sum_dist"),
+             F.expr("(sum(dd) * 1000) div count(*)")
+             .alias("mean_dist_x1000"))
+    )
+
+
+def knn_label_vote(embeddings: DataFrame, query_ids: list[int],
+                   k: int = 5) -> DataFrame:
+    """k-NN label vote: each query vector's k exact-cosine nearest
+    neighbours (excluding itself) vote on its label; ties break to the
+    smaller label. The leave-one-out sanity check a pipeline runs on
+    its embedding space before using neighbour labels for weak
+    supervision. Query set broadcasts; the corpus is scanned once
+    (brute-force exact — the LSH/IVF paths above are the scale
+    variants). Returns (query_id, own_label, voted_label, n_votes)."""
+    q0 = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("q_emb"))
+    cand = embeddings.crossJoin(F.broadcast(q0)).filter(
+        F.col("vec_id") != F.col("query_id"))
+    cos = _cos_fp(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    top = (
+        cand.select("query_id", "own_label", "vec_id", "label",
+                    cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    votes = top.groupBy("query_id", "own_label", "label").agg(
+        F.count("*").alias("c"))
+    best = votes.groupBy("query_id", "own_label").agg(
+        F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("b"))
+    return best.select(
+        "query_id", "own_label",
+        (-F.col("b.nl")).alias("voted_label"),
+        F.col("b.c").alias("n_votes"))
+
+
+def ivf_list_balance(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """IVF inverted-list balance audit: the size of every coarse list
+    under the same codebook/assignment as cosine_topk_ivf, plus each
+    list's share of the corpus in exact fixed-point. Skewed lists are
+    the failure mode of IVF at scale (one hot Voronoi cell turns the
+    probe step back into brute force), so the balance histogram is the
+    go/no-go check before shipping the index. One corpus shuffle (the
+    assignment argmax), then a bounded rollup joined to one broadcast
+    scalar. Returns (list_id, n_vecs, share_fp)."""
+    codebook = ivf_coarse_codebook(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, codebook)
+    sizes = inv.groupBy("list_id").agg(F.count("*").alias("n_vecs"))
+    tot = embeddings.agg(F.count("*").alias("n_total"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select("list_id", "n_vecs",
+                F.expr("(n_vecs * 1000000) div n_total").alias("share_fp"))
+    )

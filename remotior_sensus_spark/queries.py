@@ -5613,6 +5613,112 @@ def hourly_error_profile_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("quantize_error", """
+with e as (select
+    list_transform(embedding, x ->
+      cast(floor(cast(x as double)*1024.0+0.5) as bigint)) as vq,
+    list_transform(embedding, x ->
+      least(greatest(cast(floor(cast(x as double)*64.0+0.5) as bigint),
+                     -128), 127)) as q8
+  from embeddings),
+s as (select cast(list_sum(list_transform(range(1, len(vq)+1),
+        i -> (vq[i]-16*q8[i])*(vq[i]-16*q8[i]))) as bigint) as sse from e)
+select cast(case when sse > 0 then length(printf('%b', sse)) - 1
+            else -1 end as int) as err_band,
+  count(*) as n_vecs, cast(sum(sse) as bigint) as sum_sse
+from s group by 1
+""")
+def quantize_error_q(spark, sf_dir):
+    """Int8 embedding quantization-error bands, exact on the shared
+    2^10 lattice (similarity.quantize_error)."""
+    return sim.quantize_error(cat.load_driver(spark, sf_dir, "embeddings"))
+
+
+@q("class_scatter", """
+with e as (select vec_id, label, embedding as emb from embeddings),
+q as (select vec_id, label,
+        list_transform(emb, x ->
+          cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from e),
+dx as (select label, vq, unnest(range(1, len(vq)+1)) as i from q),
+d as (select label, i, vq[i] as x from dx),
+cs as (select label, i,
+         cast(floor(cast(sum(x) as double) / count(*)) as bigint) as cq
+       from d group by 1, 2),
+cent as (select label, list(cq order by i) as cvec from cs group by 1),
+j as (select q.vec_id, q.label,
+        cast(list_sum(list_transform(range(1, len(q.vq)+1),
+          i -> (q.vq[i] - c.cvec[i]) * (q.vq[i] - c.cvec[i]))) as bigint)
+          as dd
+      from q join cent c using (label))
+select label, count(*) as n_vecs, cast(sum(dd) as bigint) as sum_dist,
+  cast((sum(dd) * 1000) // count(*) as bigint) as mean_dist_x1000
+from j group by 1
+""")
+def class_scatter_q(spark, sf_dir):
+    """Within-class scatter to each label's own centroid on the exact
+    lattice (similarity.class_scatter)."""
+    return sim.class_scatter(cat.load_driver(spark, sf_dir, "embeddings"))
+
+
+def _knn_vote_oracle(k: int = 5) -> str:
+    return f"""
+with q as (select vec_id as qid, label as own_label, embedding as qe
+           from embeddings
+           where vec_id in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)),
+j as (select e.vec_id, e.label, q.qid, q.own_label,
+        e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+s as (select qid, own_label, vec_id, label,
+        {_cosfp_sql('emb', 'qe')} as cs from j),
+t as (select * from (
+    select *, row_number() over (partition by qid
+                                 order by cs desc, vec_id) as rn from s)
+  where rn <= {k}),
+v as (select qid, own_label, label, count(*) as c from t group by 1, 2, 3),
+w as (select qid, own_label, label as voted_label, c as n_votes,
+        row_number() over (partition by qid
+                           order by c desc, label asc) as rn from v)
+select qid as query_id, own_label, voted_label,
+  cast(n_votes as bigint) as n_votes
+from w where rn = 1
+"""
+
+
+@q("knn_label_vote", _knn_vote_oracle())
+def knn_label_vote_q(spark, sf_dir):
+    """5-NN exact-cosine label vote for 10 query vectors — the
+    leave-one-out weak-supervision sanity check
+    (similarity.knn_label_vote)."""
+    return sim.knn_label_vote(
+        cat.load_driver(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4, 5, 6, 7, 8, 9], k=5)
+
+
+@q("ivf_list_balance", f"""
+with e as (select vec_id, embedding as emb from embeddings),
+cents as (select vec_id as cid, emb as ce from e
+          order by md5(cast(vec_id as varchar)), vec_id limit 16),
+ac as (select e.vec_id, cents.cid, {_cosfp_sql('emb', 'ce')} as c_cos
+       from e cross join cents),
+inv as (select vec_id, cid as list_id from (
+    select *, row_number() over (partition by vec_id
+                                 order by c_cos desc, cid) as rn from ac)
+  where rn = 1),
+t as (select count(*) as n_total from e),
+s as (select list_id, count(*) as n_vecs from inv group by 1)
+select list_id, n_vecs,
+  cast((n_vecs * 1000000) // n_total as bigint) as share_fp
+from s cross join t
+""")
+def ivf_list_balance_q(spark, sf_dir):
+    """IVF inverted-list balance audit under the ann_cosine_ivf
+    codebook — skew here is the IVF failure mode at scale
+    (similarity.ivf_list_balance)."""
+    return sim.ivf_list_balance(
+        cat.load_driver(spark, sf_dir, "embeddings"), n_lists=16)
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
