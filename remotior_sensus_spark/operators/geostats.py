@@ -626,6 +626,25 @@ def profile_curvature(band_px: DataFrame, cellsize: float = 10.0
     the exact integer SIGN of the numerator. Interior-only (full ring
     valid). One shifted-copy shuffle, bounded rollup.
     Returns (curv_class, n_pixels, curv_fp_sum)."""
+    num = (lambda d, e, f, g, h: 2 * d * g * g + 2 * e * h * h + f * g * h)
+    return _zt_curvature(band_px, cellsize, num)
+
+
+def plan_curvature(band_px: DataFrame, cellsize: float = 10.0) -> DataFrame:
+    """Zevenbergen-Thorne PLAN (tangential) curvature sign classes —
+    the across-slope sibling of profile_curvature: with the same exact
+    integer coefficients the numerator swaps the gradient weights and
+    the cross-term sign, 2*d*h^2 + 2*e*g^2 - f*g*h, over the identical
+    denominator. Plan curvature separates flow-CONVERGENT hollows from
+    flow-DIVERGENT noses where profile curvature reads acceleration
+    along the slope; hydrology stacks want both. Same single
+    shifted-copy shuffle, same bit-deterministic one-division contract.
+    Returns (curv_class, n_pixels, curv_fp_sum)."""
+    num = (lambda d, e, f, g, h: 2 * d * h * h + 2 * e * g * g - f * g * h)
+    return _zt_curvature(band_px, cellsize, num)
+
+
+def _zt_curvature(band_px: DataFrame, cellsize: float, num_fn) -> DataFrame:
     from remotior_sensus_spark.functions.cols import fixed1e6
     px = _valid_px(band_px)
     cells = (  # (dx, dy, zid) with gy growing south: z2 = north = gy-1
@@ -653,7 +672,7 @@ def profile_curvature(band_px: DataFrame, cellsize: float = 10.0
     f = -F.col("z1") + F.col("z3") + F.col("z7") - F.col("z9")
     g = F.col("z6") - F.col("z4")
     h = F.col("z2") - F.col("z8")
-    num = 2 * d * g * g + 2 * e * h * h + f * g * h
+    num = num_fn(d, e, f, g, h)
     den = F.lit(int(2 * cellsize * cellsize)).cast("long") \
         * (g * g + h * h)
     curv_fp = fixed1e6(num.cast("double") / den.cast("double"))
@@ -670,6 +689,40 @@ def profile_curvature(band_px: DataFrame, cellsize: float = 10.0
         .groupBy("curv_class")
         .agg(F.count("*").alias("n_pixels"),
              F.sum("cfp").alias("curv_fp_sum"))
+    )
+
+
+def morph_gradient(band_px: DataFrame, threshold: float = 3500.0
+                   ) -> DataFrame:
+    """Morphological gradient of the threshold mask: per valid pixel,
+    max(mask) - min(mask) over the rook neighborhood plus self
+    (dilation minus erosion collapsed into one pass) — 1 exactly on
+    class boundaries, 0 in interiors, the edge-detector complement of
+    the focal dilation/erosion operators. Neighbors that are nodata or
+    off-grid simply don't contribute (mask semantics match the
+    dilation/erosion oracles). One shifted-copy shuffle whose groupBy
+    key co-partitions with the join back to valid centers.
+    Returns (grad, n_pixels)."""
+    px = _valid_px(band_px)
+    m = px.select("gx", "gy",
+                  (F.col("v") > F.lit(threshold)).cast("int").alias("m"))
+    offs = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+    parts = [
+        m.select((F.col("gx") - F.lit(dx)).alias("gx"),
+                 (F.col("gy") - F.lit(dy)).alias("gy"),
+                 F.col("m").alias("nm"))
+        for dx, dy in offs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("gx", "gy").agg(
+        F.max("nm").alias("mx"), F.min("nm").alias("mn"))
+    j = g.join(m, ["gx", "gy"])
+    return (
+        j.select((F.col("mx") - F.col("mn")).cast("int").alias("grad"))
+        .groupBy("grad")
+        .agg(F.count("*").alias("n_pixels"))
     )
 
 

@@ -5719,6 +5719,167 @@ def ivf_list_balance_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "embeddings"), n_lists=16)
 
 
+@q("plan_curvature", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, zid) as (values (-1,-1,1),(0,-1,2),(1,-1,3),
+                          (-1,0,4),(0,0,5),(1,0,6),
+                          (-1,1,7),(0,1,8),(1,1,9)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, zid, v as z from p, o),
+g9 as (select gx, gy,
+         max(case when zid=1 then z end) as z1,
+         max(case when zid=2 then z end) as z2,
+         max(case when zid=3 then z end) as z3,
+         max(case when zid=4 then z end) as z4,
+         max(case when zid=5 then z end) as z5,
+         max(case when zid=6 then z end) as z6,
+         max(case when zid=7 then z end) as z7,
+         max(case when zid=8 then z end) as z8,
+         max(case when zid=9 then z end) as z9
+       from s group by 1, 2 having count(*) = 9),
+c as (select
+  2*(z4+z6-2*z5)*(z2-z8)*(z2-z8)
+    + 2*(z2+z8-2*z5)*(z6-z4)*(z6-z4)
+    - (-z1+z3+z7-z9)*(z6-z4)*(z2-z8) as num,
+  200*((z6-z4)*(z6-z4) + (z2-z8)*(z2-z8)) as den
+  from g9),
+k as (select
+  case when den = 0 then 9 when num > 0 then 1
+       when num < 0 then -1 else 0 end as curv_class,
+  case when den <> 0
+       then cast(floor(cast(num as double)/cast(den as double)
+                       * 1000000.0 + 0.5) as bigint)
+       else 0 end as cfp
+  from c)
+select cast(curv_class as int) as curv_class, count(*) as n_pixels,
+  cast(sum(cfp) as bigint) as curv_fp_sum
+from k group by 1
+""")
+def plan_curvature_q(spark, sf_dir):
+    """Zevenbergen-Thorne plan (tangential) curvature sign classes —
+    the across-slope sibling of profile_curvature, same exact BIGINT
+    num/den contract (geostats.plan_curvature)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.plan_curvature(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), cellsize=10.0)
+
+
+@q("morph_gradient", f"""
+with p as (
+  select gx, gy, case when value > 3500 then 1 else 0 end as m
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (0,0),(1,0),(-1,0),(0,1),(0,-1)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, m from p, o),
+g as (select gx, gy, max(m) as mx, min(m) as mn from s group by 1, 2),
+j as (select g.mx - g.mn as grad from g join p using (gx, gy))
+select cast(grad as int) as grad, count(*) as n_pixels
+from j group by 1
+""")
+def morph_gradient_q(spark, sf_dir):
+    """Morphological gradient (dilation minus erosion in one pass) of
+    the B04 > 3500 mask — exact boundary-pixel census
+    (geostats.morph_gradient)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.morph_gradient(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=3500.0)
+
+
+@q("evi_index", f"""
+with px as (
+  select tile_x, tile_y,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B02','B04','B08')
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when b02=-32768 or b04=-32768 or b08=-32768 then null
+         when 2*b08 + 12*b04 - 15*b02 + 20000 <= 0 then null
+         else (5*(b08-b04)) / (2*b08 + 12*b04 - 15*b02 + 20000) end as evi
+  from px)
+select tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(evi*1000000.0+0.5) as bigint)),0) as bigint)
+    as checksum,
+  count(evi) as valid_count,
+  256-count(evi) as nodata_count
+from v group by tile_x, tile_y
+""")
+def evi_index_q(spark, sf_dir):
+    """EVI (enhanced vegetation index) with the L=1, C1=6, C2=7.5, G=2.5
+    coefficients cleared to the exact integer form 5*(NIR-R) /
+    (2*NIR + 12*R - 15*B + 20000); non-positive denominators mask to
+    nodata via the expression engine's where()."""
+    return tile_checksum(band_calc(
+        _tiles(spark, sf_dir),
+        'where(2 * "B08" + 12 * "B04" - 15 * "B02" + 20000 > 0, '
+        '5 * ("B08" - "B04") / (2 * "B08" + 12 * "B04" - 15 * "B02" '
+        '+ 20000), -32768)'))
+
+
+@q("ndwi_index", f"""
+with px as (
+  select tile_x, tile_y,
+    max(case when band='B03' then value end) as grn,
+    max(case when band='B08' then value end) as nir
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band in ('B03','B08')
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when grn=-32768 or nir=-32768 then null
+         else (grn-nir)/(grn+nir) end as ndwi
+  from px)
+select tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(ndwi*1000000.0+0.5) as bigint)),0) as bigint)
+    as checksum,
+  count(ndwi) as valid_count,
+  256-count(ndwi) as nodata_count
+from v group by tile_x, tile_y
+""")
+def ndwi_index_q(spark, sf_dir):
+    """NDWI (McFeeters water index) (G-NIR)/(G+NIR) — the water-mask
+    sibling of ndvi through the same expression engine."""
+    return tile_checksum(
+        band_calc(_tiles(spark, sf_dir), '("B03" - "B08") / ("B03" + "B08")'))
+
+
+@q("brovey_sharpen", f"""
+with px as (
+  select tile_x, tile_y,
+    max(case when band='B02' then value end) as b02,
+    max(case when band='B03' then value end) as b03,
+    max(case when band='B04' then value end) as b04,
+    max(case when band='B08' then value end) as b08
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01'
+  group by tile_x, tile_y, px, py
+), v as (
+  select tile_x, tile_y,
+    case when b02=-32768 or b03=-32768 or b04=-32768 or b08=-32768 then null
+         when b04 + b03 + b02 <= 0 then null
+         else (3*b04*b08) / (b04 + b03 + b02) end as sharp
+  from px)
+select tile_x, tile_y,
+  cast(coalesce(sum(cast(floor(sharp*1000000.0+0.5) as bigint)),0) as bigint)
+    as checksum,
+  count(sharp) as valid_count,
+  256-count(sharp) as nodata_count
+from v group by tile_x, tile_y
+""")
+def brovey_sharpen_q(spark, sf_dir):
+    """Brovey-transform pansharpening of the red band (B08 standing in
+    as the pan channel): R' = 3*R*P/(R+G+B), zero-sum pixels masked —
+    the classic ratio pansharpen as one expression-engine pass."""
+    return tile_checksum(band_calc(
+        _tiles(spark, sf_dir),
+        'where("B04" + "B03" + "B02" > 0, '
+        '3 * "B04" * "B08" / ("B04" + "B03" + "B02"), -32768)'))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
