@@ -43,7 +43,17 @@ def funnel_stages(events: DataFrame, steps: list[str] | None = None) -> DataFram
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         ).alias("evs")
     )
+    return (
+        per_user.select(_funnel_depth(steps).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
 
+
+def _funnel_depth(steps: list[str]) -> F.Column:
+    """Funnel depth over a time-sorted ``evs`` struct array — the
+    greedy JVM aggregate state machine shared by funnel_stages and
+    cohort_funnel."""
     def advance(acc, e):
         conds = [
             (acc["stage"] == F.lit(k))
@@ -60,11 +70,54 @@ def funnel_stages(events: DataFrame, steps: list[str] | None = None) -> DataFram
     init = F.struct(
         F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
     )
-    depth = F.aggregate("evs", init, advance)["stage"]
+    return F.aggregate("evs", init, advance)["stage"]
+
+
+def cohort_funnel(events: DataFrame, steps: list[str] | None = None
+                  ) -> DataFrame:
+    """Funnel depth crossed with acquisition cohort: every user's
+    strictly-ordered funnel stage (the funnel_stages state machine,
+    identical semantics) broken out by the ISO week of their first
+    event — the "did onboarding quality change over time" cut of the
+    funnel. The cohort key comes from the SAME per-user groupBy that
+    builds the event array, so this is still exactly one user-keyed
+    shuffle plus a bounded rollup. Returns
+    (cohort_week, stage, n_users)."""
+    steps = steps or FUNNEL_STEPS
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd")
+        .alias("cohort_week"),
+    )
     return (
-        per_user.select(depth.alias("stage"))
-        .groupBy("stage")
+        per_user.select("cohort_week", _funnel_depth(steps).alias("stage"))
+        .groupBy("cohort_week", "stage")
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def inter_event_bands(events: DataFrame) -> DataFrame:
+    """Inter-arrival-time profile: per event type, the distribution of
+    whole-second gaps since the same user's previous event (any type)
+    on the exact power-of-two band lattice (sub-second gaps in band
+    -1; a user's first event doesn't contribute). The queueing-shape
+    audit behind bot_bursts' fixed threshold. One user-keyed window
+    pass, bounded rollup. Returns
+    (event_type, gap_band, n_events, sum_gap_s)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    band = F.when(
+        F.col("gap_s") > 0,
+        (F.length(F.bin(F.col("gap_s"))) - 1).cast("int")
+    ).otherwise(F.lit(-1))
+    return (
+        events.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .select("event_type", band.alias("gap_band"), "gap_s")
+        .groupBy("event_type", "gap_band")
+        .agg(F.count("*").alias("n_events"), F.sum("gap_s").alias("sum_gap_s"))
     )
 
 

@@ -798,3 +798,53 @@ def glcm_texture_tiles(band_tiles: DataFrame, step: float = 500.0,
         .groupBy("ca", "cb").agg(F.count("*").alias("cnt"))
     )
     return _glcm_reduce(pairs)
+
+def multi_scale_tpi(band_px: DataFrame, threshold: float = 300.0
+                    ) -> DataFrame:
+    """Nested multi-scale TPI landform classes (Weiss 2001): the sign
+    class of the topographic position index at radius 1 (8-cell
+    neighborhood) CROSSED with radius 2 (24-cell neighborhood) — the
+    3x3 grid separating e.g. local ridges on broad slopes from ridges
+    on ridgelines. The mean never materializes: class_r =
+    sign(|N|*v - sum_N) against |N|*threshold, all BIGINT
+    cross-multiplication. Interior-only (both rings complete). ONE
+    shifted-copy shuffle builds both rings — every r=2 copy carries an
+    in-small flag so the r=1 sums are conditional aggregates of the
+    same union, then one co-partitioned join back to center values.
+    Returns (landform_small, landform_large, n_pixels, sum_v)."""
+    px = _valid_px(band_px)
+    offs = [(dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+            if not (dx == 0 and dy == 0)]
+    parts = [
+        px.select((F.col("gx") + F.lit(dx)).alias("gx"),
+                  (F.col("gy") + F.lit(dy)).alias("gy"),
+                  F.col("v").alias("nv"),
+                  F.lit(1 if max(abs(dx), abs(dy)) <= 1 else 0).alias("sm"))
+        for dx, dy in offs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("gx", "gy").agg(
+        F.count("*").alias("c24"),
+        F.sum("nv").alias("s24"),
+        F.sum(F.col("sm").cast("long") * F.col("nv")).alias("s8x"),
+    )
+    t = int(threshold)
+    j = g.filter(F.col("c24") == 24).join(px, ["gx", "gy"])
+    small = (
+        F.when(8 * F.col("v") - F.col("s8x") > 8 * t, F.lit(1))
+        .when(F.col("s8x") - 8 * F.col("v") > 8 * t, F.lit(-1))
+        .otherwise(F.lit(0)).cast("int")
+    )
+    large = (
+        F.when(24 * F.col("v") - F.col("s24") > 24 * t, F.lit(1))
+        .when(F.col("s24") - 24 * F.col("v") > 24 * t, F.lit(-1))
+        .otherwise(F.lit(0)).cast("int")
+    )
+    return (
+        j.select(small.alias("landform_small"), large.alias("landform_large"),
+                 F.col("v"))
+        .groupBy("landform_small", "landform_large")
+        .agg(F.count("*").alias("n_pixels"), F.sum("v").alias("sum_v"))
+    )

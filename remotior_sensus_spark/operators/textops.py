@@ -1090,3 +1090,61 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("marker_hits").alias("sum_marker_hits"))
     )
+
+def ngram_novelty(docs: DataFrame, n: int = 8) -> DataFrame:
+    """First-occurrence novelty attribution: every distinct word
+    n-gram is OWNED by the lowest-doc_id document containing it
+    (ingestion order), and each source reports how many of the distinct
+    grams it touches it actually introduced — the marginal-value
+    question ("does this source add anything the corpus doesn't
+    already have?") a mixture curator asks before paying for another
+    crawl of it. novelty_fp = owned * 1e6 div distinct.
+
+    Scale shape: only (hash, doc, source) tuples shuffle — one
+    hash-keyed min_by for ownership, one (hash, source) distinct for
+    the touched counts, bounded rollups; text never moves. Returns
+    (source, n_instances, n_distinct, n_owned, novelty_fp)."""
+    sh = shingles_col(n, distinct=False)
+    flat = docs.select(
+        "doc_id", "source", F.explode(sh).alias("g")).select(
+        "doc_id", "source", portable_hash60(F.col("g")).alias("h"))
+    inst = flat.groupBy("source").agg(F.count("*").alias("n_instances"))
+    dist = (
+        flat.select("h", "source").distinct()
+        .groupBy("source").agg(F.count("*").alias("n_distinct"))
+    )
+    own = (
+        flat.groupBy("h").agg(F.expr("min_by(source, doc_id)").alias("osrc"))
+        .groupBy("osrc").agg(F.count("*").alias("n_owned"))
+        .withColumnRenamed("osrc", "source")
+    )
+    j = (
+        dist.join(inst, "source").join(own, "source", "left")
+        .withColumn("n_owned",
+                    F.coalesce(F.col("n_owned"), F.lit(0).cast("long")))
+    )
+    return j.select(
+        "source", "n_instances", "n_distinct", "n_owned",
+        F.expr("(n_owned * 1000000) div n_distinct").alias("novelty_fp"))
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    diversity number next to vocab_zipf's shape profile (a source whose
+    entropy collapses is boilerplate/templated). Per-term fixed-point
+    floor(p*ln(p)*1e6+0.5) BEFORE the order-independent sum, the same
+    cross-engine contract zonal_entropy uses. One (source, token)
+    count shuffle (vocabulary-bounded), bounded rollups. Returns
+    (source, n_tokens, n_terms, entropy_fp)."""
+    flat = docs.select("source", F.explode(tokens_col()).alias("tk"))
+    c = flat.groupBy("source", "tk").agg(F.count("*").alias("ck"))
+    t = c.groupBy("source").agg(F.sum("ck").alias("n"))
+    p = F.col("ck").cast("double") / F.col("n").cast("double")
+    term = F.floor(p * F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        c.join(t, "source")
+        .select("source", "n", term.alias("tfp"))
+        .groupBy("source")
+        .agg(F.max("n").alias("n_tokens"), F.count("*").alias("n_terms"),
+             (-F.sum("tfp")).alias("entropy_fp"))
+    )

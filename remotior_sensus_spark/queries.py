@@ -5880,6 +5880,137 @@ def brovey_sharpen_q(spark, sf_dir):
         '3 * "B04" * "B08" / ("B04" + "B03" + "B02"), -32768)'))
 
 
+_MSTPI_OFFS = ",".join(
+    f"({dx},{dy},{1 if max(abs(dx), abs(dy)) <= 1 else 0})"
+    for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+    if not (dx == 0 and dy == 0))
+
+
+@q("multi_scale_tpi", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, sm) as (values {_MSTPI_OFFS}),
+nb as (select p.gx + dx as gx, p.gy + dy as gy,
+         cast(sum(v) as bigint) as s24, count(*) as c24,
+         cast(sum(sm * v) as bigint) as s8x
+       from p, o group by 1, 2),
+j as (select p.v, nb.s24, nb.s8x from p join nb using (gx, gy)
+      where nb.c24 = 24),
+cl as (select v,
+  case when 8*v - s8x > 2400 then 1
+       when s8x - 8*v > 2400 then -1 else 0 end as landform_small,
+  case when 24*v - s24 > 7200 then 1
+       when s24 - 24*v > 7200 then -1 else 0 end as landform_large
+  from j)
+select cast(landform_small as int) as landform_small,
+  cast(landform_large as int) as landform_large,
+  count(*) as n_pixels, cast(sum(v) as bigint) as sum_v
+from cl group by 1, 2
+""")
+def multi_scale_tpi_q(spark, sf_dir):
+    """Nested Weiss multi-scale TPI landform classes (r=1 x r=2) —
+    both rings from ONE shifted-copy shuffle, exact BIGINT
+    cross-multiplication (geostats.multi_scale_tpi)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.multi_scale_tpi(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=300.0)
+
+
+@q("ngram_novelty", f"""
+with t as (select doc_id, source, {_TOKS} as toks from documents),
+shd as (select doc_id, source,
+  list_transform(range(0, greatest(len(toks)-8, 0)+1),
+                 i -> array_to_string(toks[i+1:i+8], ' ')) as sh from t),
+flat as (select doc_id, source, unnest(sh) as g from shd),
+h as (select doc_id, source, {_HEX60.format(x='g')} as hv from flat),
+inst as (select source, count(*) as n_instances from h group by 1),
+dist as (select source, count(distinct hv) as n_distinct from h group by 1),
+own as (select hv, arg_min(source, doc_id) as source from h group by 1),
+ow as (select source, count(*) as n_owned from own group by 1)
+select dist.source, n_instances, n_distinct,
+  cast(coalesce(n_owned, 0) as bigint) as n_owned,
+  cast((coalesce(n_owned, 0) * 1000000) // n_distinct as bigint)
+    as novelty_fp
+from dist join inst using (source) left join ow using (source)
+""")
+def ngram_novelty_q(spark, sf_dir):
+    """First-occurrence 8-gram novelty attribution per source — does a
+    source add grams the corpus doesn't already have
+    (textops.ngram_novelty)."""
+    return tx.ngram_novelty(
+        cat.load_driver(spark, sf_dir, "documents"), n=8)
+
+
+@q("token_entropy", f"""
+with w as (select source, unnest({_TOKS}) as tk from documents),
+c as (select source, tk, count(*) as ck from w group by 1, 2),
+t as (select source, cast(sum(ck) as bigint) as n from c group by 1)
+select c.source, max(n) as n_tokens, count(*) as n_terms,
+  cast(-sum(cast(floor(cast(ck as double)/cast(n as double)
+    * ln(cast(ck as double)/cast(n as double)) * 1000000.0 + 0.5)
+    as bigint)) as bigint) as entropy_fp
+from c join t using (source) group by c.source
+""")
+def token_entropy_q(spark, sf_dir):
+    """Shannon entropy of each source's token distribution — per-term
+    fixed-point before the order-independent sum
+    (textops.token_entropy)."""
+    return tx.token_entropy(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("cohort_funnel", """
+with t1 as (select user_id, min(ts) as t from events
+            where event_type = 'signup' group by 1),
+t2 as (select e.user_id, min(e.ts) as t from events e
+       join t1 on e.user_id = t1.user_id and e.ts > t1.t
+       where e.event_type = 'view' group by 1),
+t3 as (select e.user_id, min(e.ts) as t from events e
+       join t2 on e.user_id = t2.user_id and e.ts > t2.t
+       where e.event_type = 'click' group by 1),
+t4 as (select e.user_id, min(e.ts) as t from events e
+       join t3 on e.user_id = t3.user_id and e.ts > t3.t
+       where e.event_type = 'purchase' group by 1),
+u as (select user_id,
+        strftime(date_trunc('week', min(ts)), '%Y-%m-%d') as cohort_week
+      from events group by 1),
+st as (select u.user_id, u.cohort_week,
+  case when t4.t is not null then 4 when t3.t is not null then 3
+       when t2.t is not null then 2 when t1.t is not null then 1
+       else 0 end as stage
+  from u left join t1 using (user_id) left join t2 using (user_id)
+         left join t3 using (user_id) left join t4 using (user_id))
+select cohort_week, cast(stage as int) as stage, count(*) as n_users
+from st group by 1, 2
+""")
+def cohort_funnel_q(spark, sf_dir):
+    """Funnel depth crossed with acquisition-week cohort — the same
+    state machine as event_funnel, one user-keyed shuffle
+    (events.cohort_funnel)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.cohort_funnel(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("inter_event_bands", """
+with l as (select event_type, ts,
+    lag(ts) over (partition by user_id order by ts, event_id) as p
+  from events),
+g as (select event_type, date_diff('second', p, ts) as gap_s
+      from l where p is not null)
+select event_type,
+  cast(case when gap_s > 0 then length(printf('%b', gap_s)) - 1
+       else -1 end as int) as gap_band,
+  count(*) as n_events, cast(sum(gap_s) as bigint) as sum_gap_s
+from g group by 1, 2
+""")
+def inter_event_bands_q(spark, sf_dir):
+    """Inter-arrival-time power-of-two bands per event type — the
+    queueing-shape audit behind bot_bursts
+    (events.inter_event_bands)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.inter_event_bands(cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
