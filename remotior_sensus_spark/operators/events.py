@@ -390,3 +390,60 @@ def conversion_lag_bands(events: DataFrame) -> DataFrame:
         .groupBy("lag_band")
         .agg(F.count("*").alias("n_users"), F.sum("lag_s").alias("sum_lag_s"))
     )
+
+def funnel_stage_lags(events: DataFrame, steps: list[str] | None = None
+                      ) -> DataFrame:
+    """Time-to-convert per funnel transition: for every user who
+    completes stage k, the whole-second lag from their stage-(k-1)
+    completion to stage-k completion (stage_pair 1 = signup->view,
+    2 = view->click, 3 = click->purchase), with the exact fixed-point
+    mean lag. Same greedy state machine as funnel_stages — the
+    accumulator additionally records each hit's timestamp lag — so
+    still exactly ONE user-keyed shuffle. Returns
+    (stage_pair, n_users, sum_lag_s, mean_lag_fp)."""
+    steps = steps or FUNNEL_STEPS
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    n = len(steps)
+
+    def advance(acc, e):
+        conds = [
+            (acc["stage"] == F.lit(k))
+            & (e["event_type"] == F.lit(s))
+            & ((F.lit(k == 0)) | (e["ts"] > acc["t"]))
+            for k, s in enumerate(steps)
+        ]
+        hit = functools.reduce(or_, conds)
+        lag = F.unix_timestamp(e["ts"]) - F.unix_timestamp(acc["t"])
+        lag_fields = [
+            F.when(
+                conds[k], lag
+            ).otherwise(acc[f"l{k}"]).alias(f"l{k}")
+            for k in range(1, n)
+        ]
+        return F.struct(
+            F.when(hit, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
+            F.when(hit, e["ts"]).otherwise(acc["t"]).alias("t"),
+            *lag_fields,
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t"),
+        *[F.lit(None).cast("long").alias(f"l{k}") for k in range(1, n)],
+    )
+    st = per_user.select(F.aggregate("evs", init, advance).alias("a"))
+    pairs = st.select(F.explode(F.array(*[
+        F.struct(F.lit(k).alias("stage_pair"),
+                 F.col("a")[f"l{k}"].alias("lag_s"))
+        for k in range(1, n)
+    ])).alias("p")).select("p.stage_pair", "p.lag_s") \
+        .filter(F.col("lag_s").isNotNull())
+    return (
+        pairs.groupBy("stage_pair")
+        .agg(F.count("*").alias("n_users"), F.sum("lag_s").alias("sum_lag_s"),
+             F.expr("(sum(lag_s) * 1000000) div count(*)")
+             .alias("mean_lag_fp"))
+    )

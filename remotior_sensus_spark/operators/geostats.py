@@ -500,6 +500,18 @@ def d8_flow(band_px: DataFrame) -> DataFrame:
     the code histogram after it is a bounded 9-row partial agg.
     Returns (code, n_pixels, sum_gx, sum_gy) — coordinate sums pin the
     exact membership, not just the counts."""
+    return (
+        _d8_dir_px(band_px)
+        .groupBy("code")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("gx").alias("sum_gx"),
+             F.sum("gy").alias("sum_gy"))
+    )
+
+
+def _d8_dir_px(band_px: DataFrame) -> DataFrame:
+    """Per-pixel D8 steepest-descent direction (gx, gy, code) over the
+    interior set — the shared kernel of d8_flow and d8_indegree."""
     px = _valid_px(band_px)
     centre = px.select(
         "gx", "gy", F.lit(0).alias("code"), F.lit(0).alias("diag"),
@@ -538,12 +550,40 @@ def d8_flow(band_px: DataFrame) -> DataFrame:
     ])
     code = F.when(best["m"] < 0, F.lit(0)).otherwise(
         F.lit(255) - best["inv"])
+    return g.select(code.cast("int").alias("code"), "gx", "gy")
+
+
+def d8_indegree(band_px: DataFrame) -> DataFrame:
+    """D8 flow in-degree histogram — the one-step flow-accumulation
+    kernel: every interior pixel's D8 code points at one downslope
+    neighbour, and a pixel's in-degree is how many of ITS interior
+    neighbours drain into it (0..8). The in-degree census separates
+    channel-forming convergence (high in-degree) from hillslope sheets
+    (in-degree <= 1) without the iterative accumulation pass. Pits and
+    flats (code 0) drain nowhere. Shares d8_flow's single shifted-copy
+    shuffle verbatim, then one co-partitioned count join over the SAME
+    interior set. Returns (indeg, n_pixels)."""
+    dirs = _d8_dir_px(band_px)
+    off_dx = {c: dx for dx, _, c, _ in _D8}
+    off_dy = {c: dy for _, dy, c, _ in _D8}
+    tgt_dx = F.element_at(
+        F.create_map(*[x for c in off_dx
+                       for x in (F.lit(c), F.lit(off_dx[c]))]), F.col("code"))
+    tgt_dy = F.element_at(
+        F.create_map(*[x for c in off_dy
+                       for x in (F.lit(c), F.lit(off_dy[c]))]), F.col("code"))
+    tg = (
+        dirs.filter(F.col("code") != 0)
+        .select((F.col("gx") + tgt_dx).alias("gx"),
+                (F.col("gy") + tgt_dy).alias("gy"))
+        .groupBy("gx", "gy").agg(F.count("*").alias("indeg"))
+    )
+    j = dirs.select("gx", "gy").join(tg, ["gx", "gy"], "left")
     return (
-        g.select(code.cast("int").alias("code"), "gx", "gy")
-        .groupBy("code")
-        .agg(F.count("*").alias("n_pixels"),
-             F.sum("gx").alias("sum_gx"),
-             F.sum("gy").alias("sum_gy"))
+        j.select(F.coalesce("indeg", F.lit(0).cast("long"))
+                 .cast("int").alias("indeg"))
+        .groupBy("indeg")
+        .agg(F.count("*").alias("n_pixels"))
     )
 
 

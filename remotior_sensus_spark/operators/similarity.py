@@ -474,3 +474,70 @@ def ivf_list_balance(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
         .select("list_id", "n_vecs",
                 F.expr("(n_vecs * 1000000) div n_total").alias("share_fp"))
     )
+
+def lsh_bucket_balance(embeddings: DataFrame, n_planes: int = 12) -> DataFrame:
+    """Sign-LSH bucket-occupancy histogram under the same hyperplanes
+    as cosine_topk_lsh — the collision-quality audit for the LSH index
+    (one over-full bucket means candidate verification degenerates to
+    brute force there, empty regions mean recall loss; the ivf
+    counterpart is ivf_list_balance). One map-side-combinable bucket
+    count, then a bounded size-histogram rollup; the bucket-id sum per
+    size class pins exact membership. Returns
+    (bucket_size, n_buckets, bucket_id_sum)."""
+    b = lsh_sign_buckets(embeddings, n_planes=n_planes)
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"),
+             F.sum("bucket").alias("bucket_id_sum"))
+    )
+
+
+def centroid_margin_bands(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid routing-confidence audit: per vector, the exact
+    lattice-distance MARGIN between its best and second-best label
+    centroid (the same centroids as centroid_assign), histogrammed on
+    power-of-two bands and split by whether the best centroid is the
+    vector's own label. Zero margin = ambiguous routing; small margins
+    predict the confusion centroid_assign reports. Label-bounded
+    centroid build broadcast back; the per-vector two-smallest pick is
+    a sorted array over the bounded label set (no shuffle). Returns
+    (margin_band, correct, n_vecs, sum_margin)."""
+    q = embeddings.select("vec_id", "label",
+                          _quant(F.col("embedding")).alias("vq"))
+    cent = (
+        q.select("label", F.posexplode("vq").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("label", "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cq"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cq"))),
+            lambda e: e["cq"]).alias("cvec"))
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    j = q.crossJoin(F.broadcast(cent))
+    dist = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+    per = (
+        j.select("vec_id", "label", "c_label", dist.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c_label")))
+             .alias("ds"))
+    )
+    d1 = F.element_at("ds", 1)
+    d2 = F.element_at("ds", 2)
+    margin = (d2["d"] - d1["d"]).cast("long")
+    correct = (d1["c_label"] == F.col("label")).cast("int")
+    m = per.select(margin.alias("margin"), correct.alias("correct"))
+    band = F.when(F.col("margin") > 0,
+                  (F.length(F.bin(F.col("margin"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        m.select(band.alias("margin_band"), "correct", "margin")
+        .groupBy("margin_band", "correct")
+        .agg(F.count("*").alias("n_vecs"), F.sum("margin").alias("sum_margin"))
+    )

@@ -4373,16 +4373,23 @@ def ann_cosine_topk(spark, sf_dir):
     return sim.cosine_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
 
 
-def _ann_lsh_oracle() -> str:
+def _lsh_bucket_expr() -> str:
+    """DuckDB expression for the sign-LSH bucket id over column `emb` —
+    the same deterministic hyperplanes and 2^-20 fixed-point dot as
+    similarity.lsh_sign_buckets, bit i set iff dot(emb, plane_i) > 0."""
     from remotior_sensus_spark.operators.similarity import _hyperplanes
     planes = _hyperplanes(64, 12)
-    bucket = " + ".join(
+    return " + ".join(
         "(case when cast(list_sum(list_transform(range(1, len(emb)+1), "
         f"i -> cast(floor(cast(emb[i] as double) * ([{','.join(repr(v) for v in p)}])[i] "
         "* 1048576.0 + 0.5) as bigint))) as bigint) > 0 "
         f"then {1 << i}::bigint else 0::bigint end)"
         for i, p in enumerate(planes)
     )
+
+
+def _ann_lsh_oracle() -> str:
+    bucket = _lsh_bucket_expr()
     return f"""
 with e as (select vec_id, embedding as emb from embeddings),
 b as (select vec_id, emb, ({bucket}) as bucket from e),
@@ -6011,6 +6018,137 @@ def inter_event_bands_q(spark, sf_dir):
     return ev_ops.inter_event_bands(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("funnel_stage_lags", """
+with t1 as (select user_id, min(ts) as t from events
+            where event_type = 'signup' group by 1),
+t2 as (select e.user_id, min(e.ts) as t from events e
+       join t1 on e.user_id = t1.user_id and e.ts > t1.t
+       where e.event_type = 'view' group by 1),
+t3 as (select e.user_id, min(e.ts) as t from events e
+       join t2 on e.user_id = t2.user_id and e.ts > t2.t
+       where e.event_type = 'click' group by 1),
+t4 as (select e.user_id, min(e.ts) as t from events e
+       join t3 on e.user_id = t3.user_id and e.ts > t3.t
+       where e.event_type = 'purchase' group by 1),
+lg as (
+  select 1 as stage_pair, date_diff('second', t1.t, t2.t) as lag_s
+    from t2 join t1 using (user_id)
+  union all
+  select 2, date_diff('second', t2.t, t3.t)
+    from t3 join t2 using (user_id)
+  union all
+  select 3, date_diff('second', t3.t, t4.t)
+    from t4 join t3 using (user_id))
+select cast(stage_pair as int) as stage_pair, count(*) as n_users,
+  cast(sum(lag_s) as bigint) as sum_lag_s,
+  cast((sum(lag_s) * 1000000) // count(*) as bigint) as mean_lag_fp
+from lg group by 1
+""")
+def funnel_stage_lags_q(spark, sf_dir):
+    """Time-to-convert per funnel transition: the greedy state machine
+    additionally records each hit's whole-second lag, still ONE
+    user-keyed shuffle, vs the oracle's sequential conditional-min
+    joins differenced pairwise (events.funnel_stage_lags)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.funnel_stage_lags(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("d8_indegree", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, code, diag) as (values (1,0,1,0),(1,1,2,1),(0,1,4,0),(-1,1,8,1),
+  (-1,0,16,0),(-1,-1,32,1),(0,-1,64,0),(1,-1,128,1)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, code, diag, v as nv from p, o),
+j as (select s.gx, s.gy, s.code, s.diag, s.nv, c.v as cv
+      from s join p c using (gx, gy)),
+full8 as (select gx, gy from j group by 1, 2 having count(*) = 8),
+cand as (select j.gx, j.gy, j.code,
+           case when j.cv > j.nv
+                then (j.cv - j.nv) * (j.cv - j.nv) * (2 - j.diag)
+                else -1 end as m
+         from j join full8 using (gx, gy)),
+dir as (select gx, gy, case when m < 0 then 0 else code end as code from (
+  select *, row_number() over (partition by gx, gy
+                               order by m desc, code asc) as rn from cand)
+  where rn = 1),
+tgt as (select dir.gx + o.dx as gx, dir.gy + o.dy as gy
+        from dir join o on o.code = dir.code where dir.code <> 0),
+t as (select gx, gy, count(*) as indeg from tgt group by 1, 2),
+i as (select coalesce(t.indeg, 0) as indeg
+      from dir left join t using (gx, gy))
+select cast(indeg as int) as indeg, count(*) as n_pixels
+from i group by 1
+""")
+def d8_indegree_q(spark, sf_dir):
+    """D8 flow in-degree census (one-step flow accumulation): how many
+    interior neighbours drain into each pixel — channel convergence vs
+    hillslope sheets, sharing d8_flow's single shifted-copy shuffle
+    (geostats.d8_indegree)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.d8_indegree(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+def _lsh_balance_oracle() -> str:
+    return f"""
+with e as (select vec_id, embedding as emb from embeddings),
+b as (select vec_id, ({_lsh_bucket_expr()}) as bucket from e),
+s as (select bucket, count(*) as bucket_size from b group by 1)
+select bucket_size, count(*) as n_buckets,
+  cast(sum(bucket) as bigint) as bucket_id_sum
+from s group by 1
+"""
+
+
+@q("lsh_bucket_balance", _lsh_balance_oracle())
+def lsh_bucket_balance_q(spark, sf_dir):
+    """Sign-LSH bucket-occupancy histogram under the ann_cosine_lsh
+    hyperplanes — over-full buckets degenerate verification to brute
+    force, empty regions lose recall (similarity.lsh_bucket_balance)."""
+    return sim.lsh_bucket_balance(
+        cat.load_driver(spark, sf_dir, "embeddings"), n_planes=12)
+
+
+@q("centroid_margin_bands", """
+with e as (select vec_id, label, embedding as emb from embeddings),
+q as (select vec_id, label,
+        list_transform(emb, x ->
+          cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from e),
+dx as (select label, vq, unnest(range(1, len(vq)+1)) as i from q),
+d as (select label, i, vq[i] as x from dx),
+cs as (select label, i,
+         cast(floor(cast(sum(x) as double) / count(*)) as bigint) as cq
+       from d group by 1, 2),
+cent as (select label as c_label, list(cq order by i) as cvec from cs
+         group by 1),
+j as (select q.vec_id, q.label, c.c_label,
+        cast(list_sum(list_transform(range(1, len(q.vq)+1),
+          i -> (q.vq[i] - c.cvec[i]) * (q.vq[i] - c.cvec[i]))) as bigint)
+          as dd
+      from q cross join cent c),
+r as (select *, row_number() over (partition by vec_id
+                                   order by dd asc, c_label asc) as rn from j),
+m as (select r2.dd - r1.dd as margin,
+        case when r1.c_label = r1.label then 1 else 0 end as correct
+      from (select * from r where rn = 1) r1
+      join (select * from r where rn = 2) r2 using (vec_id))
+select cast(case when margin > 0 then length(printf('%b', margin)) - 1
+       else -1 end as int) as margin_band,
+  cast(correct as int) as correct,
+  count(*) as n_vecs, cast(sum(margin) as bigint) as sum_margin
+from m group by 1, 2
+""")
+def centroid_margin_bands_q(spark, sf_dir):
+    """Nearest-centroid routing-confidence margins (best vs second-best
+    label centroid on the exact 2^10 lattice), power-of-two bands split
+    by correctness — small margins predict centroid_assign's confusion
+    (similarity.centroid_margin_bands)."""
+    return sim.centroid_margin_bands(
+        cat.load_driver(spark, sf_dir, "embeddings"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
@@ -6077,15 +6215,13 @@ _RUN_FIRST = [
 # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50
 # names above), every query registered before round 4 has a driver row
 # in r02 ∪ r03 ∪ r04. The r05 window must lead with the queries that
-# have never been driver-measured — the round-4 session additions:
-#   d8_flow, tpi_landform, class_adjacency, profile_curvature,
-#   vocab_zipf, bigram_lm_proxy, dup_rate_by_source, sequence_packing,
-#   centroid_assign, ann_recall_audit, embedding_norm_bands,
-#   session_durations, user_ltv_bands, conversion_lag_bands
-# (all strict driver-check green at sf0.01 in the round-4 session),
-# followed by any round-5 additions, then re-measures of the headline
-# bench queries (ndvi, zonal_stats, min_distance, minhash_lsh,
-# flagship-adjacent spatial_doc_tiles) as regression canaries.
+# have never been driver-measured — every @q registered AFTER
+# `minhash_accuracy` in this file (the round-4 session additions, in
+# registration order: d8_flow .. centroid_margin_bands; all strict
+# driver-check green at sf0.01 in the round-4 session), followed by any
+# round-5 additions, then re-measures of the headline bench queries
+# (ndvi, zonal_stats, min_distance, minhash_lsh, flagship-adjacent
+# spatial_doc_tiles) as regression canaries.
 
 
 def _ordered() -> dict[str, tuple]:
