@@ -447,3 +447,39 @@ def funnel_stage_lags(events: DataFrame, steps: list[str] | None = None
              F.expr("(sum(lag_s) * 1000000) div count(*)")
              .alias("mean_lag_fp"))
     )
+
+
+def session_entry_exit(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Session entry/exit matrix: sessionize on the same 30-minute
+    inactivity gap as sessionize_events, then cross-tab each session's
+    first event type against its last. The landing-page ->
+    abandonment-point audit. The session id is a running sum over the
+    user-keyed sort; the per-(user, session) first/last picks and the
+    session rollup all reuse hash(user_id) partitioning (Spark's
+    ClusteredDistribution is satisfied by the subset key), so the whole
+    pipeline is ONE user-keyed exchange plus the bounded matrix rollup.
+    Returns (entry_type, exit_type, n_sessions, sum_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > gap_s),
+        1).otherwise(0)
+    e = (events.withColumn("new_session", new_s)
+         .withColumn("sid", F.sum("new_session").over(w)))
+    ws = Window.partitionBy("user_id", "sid")
+    ra = F.row_number().over(ws.orderBy("ts", "event_id"))
+    rd = F.row_number().over(ws.orderBy(F.desc("ts"), F.desc("event_id")))
+    m = e.select("user_id", "sid", "event_type",
+                 ra.alias("ra"), rd.alias("rd"))
+    per = m.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("event_type")))
+        .alias("entry_type"),
+        F.max(F.when(F.col("rd") == 1, F.col("event_type")))
+        .alias("exit_type"),
+        F.count("*").alias("n_ev"))
+    return (
+        per.groupBy("entry_type", "exit_type")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_ev").alias("sum_events"))
+    )

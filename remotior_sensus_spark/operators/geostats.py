@@ -888,3 +888,38 @@ def multi_scale_tpi(band_px: DataFrame, threshold: float = 300.0
         .groupBy("landform_small", "landform_large")
         .agg(F.count("*").alias("n_pixels"), F.sum("v").alias("sum_v"))
     )
+
+
+def focal_range_bands(band_px: DataFrame) -> DataFrame:
+    """Focal range (3x3 queen max - min, the local-relief / roughness
+    kernel GDAL exposes as the `range` focal statistic) censused on
+    power-of-two bands over the full-neighborhood interior set. One
+    shifted-copy shuffle — nine unioned copies groupBy the centre key,
+    exactly the morph_gradient shape but on raw DNs — then the
+    bounded-band rollup. Range 0 (locally flat) keeps its own -1 band.
+    Returns (range_band, n_pixels, sum_range)."""
+    px = _valid_px(band_px)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    parts = [
+        px.select((F.col("gx") - F.lit(dx)).alias("gx"),
+                  (F.col("gy") - F.lit(dy)).alias("gy"),
+                  F.col("v").alias("nv"))
+        for dx, dy in offs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("gx", "gy").agg(
+        F.max("nv").alias("mx"), F.min("nv").alias("mn"),
+        F.count("*").alias("c"))
+    j = g.filter(F.col("c") == 9).join(px, ["gx", "gy"])
+    r = j.select((F.col("mx") - F.col("mn")).alias("r"))
+    band = F.when(F.col("r") > 0,
+                  (F.length(F.bin(F.col("r"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        r.select(band.alias("range_band"), "r")
+        .groupBy("range_band")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("r").alias("sum_range"))
+    )

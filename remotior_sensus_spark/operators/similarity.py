@@ -541,3 +541,34 @@ def centroid_margin_bands(embeddings: DataFrame) -> DataFrame:
         .groupBy("margin_band", "correct")
         .agg(F.count("*").alias("n_vecs"), F.sum("margin").alias("sum_margin"))
     )
+
+
+def centroid_separation(embeddings: DataFrame) -> DataFrame:
+    """Between-class separation on the exact 2^10 lattice: the squared
+    lattice distance between every pair of label centroids — read
+    together with class_scatter it is the Fisher-style
+    separability audit (small between-distance relative to within
+    scatter predicts centroid_assign confusion between that pair).
+    One label-bounded centroid build (same as centroid_assign), then
+    an a<b pair join on the label-bounded centroid table only —
+    vectors never pair. Returns (label_a, label_b, dist_sq)."""
+    q = embeddings.select("label", _quant(F.col("embedding")).alias("vq"))
+    cent = (
+        q.select("label", F.posexplode("vq").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("label", "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cq"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cq"))),
+            lambda e: e["cq"]).alias("cvec"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
+    j = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dist = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+    return j.select("label_a", "label_b", dist.alias("dist_sq"))

@@ -1148,3 +1148,28 @@ def token_entropy(docs: DataFrame) -> DataFrame:
         .agg(F.max("n").alias("n_tokens"), F.count("*").alias("n_terms"),
              (-F.sum("tfp")).alias("entropy_fp"))
     )
+
+
+def prefix_dup(docs: DataFrame, prefix_chars: int = 200) -> DataFrame:
+    """Truncation-duplicate audit: docs sharing the same leading
+    `prefix_chars` characters but (possibly) diverging tails — the
+    crawl artifact exact dedup misses (re-crawls cut at different
+    byte limits) and MinHash dilutes on long docs. Groups on the
+    prefix digest, counts distinct full-text digests per group, then
+    rolls up the bounded (group_size, n_variants) census. Two digest
+    columns per doc cross the first shuffle, never the text. A
+    (1, 1) row is the unique-doc mass; (k, 1) is pure exact dup;
+    (k, >1) is the truncation family worth a substring-dedup pass.
+    Returns (group_size, n_variants, n_groups, min_doc_sum)."""
+    h = docs.select(
+        F.md5(F.substring("text", 1, prefix_chars)).alias("ph"),
+        F.md5("text").alias("fh"), "doc_id")
+    g = h.groupBy("ph").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("fh").alias("n_variants"),
+        F.min("doc_id").alias("min_doc"))
+    return (
+        g.groupBy("group_size", "n_variants")
+        .agg(F.count("*").alias("n_groups"),
+             F.sum("min_doc").alias("min_doc_sum"))
+    )

@@ -6149,6 +6149,159 @@ def centroid_margin_bands_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "embeddings"))
 
 
+@q("aspect_slope_cross", f"""
+with {_HORN_SQL},
+m as (select atan(sqrt(gx_*gx_ + gy_*gy_)) as sr, atan2(gy_, -gx_) as phi,
+             (gx_ = 0.0 and gy_ = 0.0) as flat from g2),
+a as (select flat, sr * (180.0/pi()) as slope_deg,
+  case when 90.0 - phi * (180.0/pi()) < 0.0
+         then 90.0 - phi * (180.0/pi()) + 360.0
+       when 90.0 - phi * (180.0/pi()) >= 360.0
+         then 90.0 - phi * (180.0/pi()) - 360.0
+       else 90.0 - phi * (180.0/pi()) end as compass
+  from m),
+c as (select
+  case when flat then -1
+       when compass + 22.5 >= 360.0
+         then cast(floor((compass + 22.5 - 360.0) / 45.0) as int)
+       else cast(floor((compass + 22.5) / 45.0) as int) end as sector,
+  cast(floor(slope_deg / 5.0) as int) as slope_class,
+  slope_deg from a)
+select sector, slope_class, count(*) as n_pixels,
+  cast(sum(cast(floor(slope_deg * 1000000.0 + 0.5) as bigint)) as bigint)
+    as slope_fp_sum
+from c group by 1, 2
+""")
+def aspect_slope_cross_q(spark, sf_dir):
+    """Aspect sector x slope class cross-tab (the exposure/steepness
+    matrix behind solar or erosion siting) — one Horn pass, both
+    derivatives from the same arrays_zip explode, one bounded-grid
+    rollup (operators/terrain.horn_terrain)."""
+    from remotior_sensus_spark.operators.terrain import horn_terrain
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    z = (
+        ter.select(F.explode(F.arrays_zip("slope", "aspect")).alias("z"))
+        .select(F.col("z.slope").alias("s"), F.col("z.aspect").alias("a"))
+        .filter(F.col("s") != float(NODATA))
+    )
+    flat = F.col("a") == F.lit(-1.0)
+    shifted = F.col("a") + F.lit(22.5)
+    sector = F.when(flat, F.lit(-1)).otherwise(
+        F.floor(
+            F.when(shifted >= 360.0, shifted - 360.0).otherwise(shifted)
+            / F.lit(45.0)
+        ).cast("int")
+    )
+    return z.groupBy(
+        sector.alias("sector"),
+        F.floor(F.col("s") / F.lit(5.0)).cast("int").alias("slope_class"),
+    ).agg(
+        F.count("*").alias("n_pixels"),
+        F.sum(fixed1e6(F.col("s"))).alias("slope_fp_sum"),
+    )
+
+
+@q("focal_range", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy) as (values (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+                     (-1,1),(0,1),(1,1)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, v from p, o),
+g as (select gx, gy, max(v) as mx, min(v) as mn, count(*) as c
+      from s group by 1, 2),
+j as (select g.mx - g.mn as r from g join p using (gx, gy) where g.c = 9)
+select cast(case when r > 0 then length(printf('%b', r)) - 1
+       else -1 end as int) as range_band,
+  count(*) as n_pixels, cast(sum(r) as bigint) as sum_range
+from j group by 1
+""")
+def focal_range_q(spark, sf_dir):
+    """Focal 3x3 range (local relief) on power-of-two bands — the
+    morph_gradient shape on raw DNs, one shifted-copy shuffle
+    (geostats.focal_range_bands)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.focal_range_bands(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("prefix_dup", """
+with h as (select md5(substr(text, 1, 200)) as ph, md5(text) as fh, doc_id
+           from documents),
+g as (select ph, count(*) as group_size, count(distinct fh) as n_variants,
+             min(doc_id) as min_doc
+      from h group by 1)
+select group_size, n_variants, count(*) as n_groups,
+  cast(sum(min_doc) as bigint) as min_doc_sum
+from g group by 1, 2
+""")
+def prefix_dup_q(spark, sf_dir):
+    """Truncation-duplicate census: same 200-char prefix, diverging
+    tails — the crawl artifact exact dedup misses; only digests cross
+    the shuffle (textops.prefix_dup)."""
+    return tx.prefix_dup(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("session_entry_exit", """
+with e as (
+  select user_id, ts, event_id, event_type,
+    case when lag(ts) over w is null
+           or date_diff('second', lag(ts) over w, ts) > 1800
+         then 1 else 0 end as new_session
+  from events window w as (partition by user_id order by ts, event_id)),
+s as (select *, sum(new_session) over (partition by user_id
+        order by ts, event_id
+        rows between unbounded preceding and current row) as sid from e),
+m as (select user_id, sid, event_type,
+        row_number() over (partition by user_id, sid
+                           order by ts, event_id) as ra,
+        row_number() over (partition by user_id, sid
+                           order by ts desc, event_id desc) as rd
+      from s),
+p as (select user_id, sid,
+        max(case when ra = 1 then event_type end) as entry_type,
+        max(case when rd = 1 then event_type end) as exit_type,
+        count(*) as n_ev
+      from m group by 1, 2)
+select entry_type, exit_type, count(*) as n_sessions,
+  cast(sum(n_ev) as bigint) as sum_events
+from p group by 1, 2
+""")
+def session_entry_exit_q(spark, sf_dir):
+    """Session entry/exit event-type matrix under the 30-minute gap
+    rule — landing page vs abandonment point, one user-keyed exchange
+    (events.session_entry_exit)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.session_entry_exit(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("centroid_separation", """
+with e as (select label,
+        list_transform(embedding, x ->
+          cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from embeddings),
+dx as (select label, vq, unnest(range(1, len(vq)+1)) as i from e),
+d as (select label, i, vq[i] as x from dx),
+cs as (select label, i,
+         cast(floor(cast(sum(x) as double) / count(*)) as bigint) as cq
+       from d group by 1, 2),
+cent as (select label, list(cq order by i) as cvec from cs group by 1)
+select a.label as label_a, b.label as label_b,
+  cast(list_sum(list_transform(range(1, len(a.cvec)+1),
+    i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i]))) as bigint)
+    as dist_sq
+from cent a join cent b on a.label < b.label
+""")
+def centroid_separation_q(spark, sf_dir):
+    """Between-class centroid distance matrix on the exact 2^10
+    lattice — with class_scatter this is the Fisher
+    separability audit; pairs form only on the label-bounded centroid
+    table (similarity.centroid_separation)."""
+    return sim.centroid_separation(
+        cat.load_driver(spark, sf_dir, "embeddings"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
