@@ -483,3 +483,24 @@ def session_entry_exit(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"),
              F.sum("n_ev").alias("sum_events"))
     )
+
+
+def event_value_bands(events: DataFrame) -> DataFrame:
+    """Per-event-type value distribution on power-of-two CENT bands:
+    value lands on the exact cent lattice (floor(v*100 + 0.5), one
+    deterministic IEEE multiply+floor in both engines), then
+    log2-banded — the order-of-magnitude revenue/latency profile that
+    reads skew without an expensive exact percentile. Zero shuffles
+    before the bounded (type, band) rollup. Returns
+    (event_type, value_band, n_events, sum_cents)."""
+    vc = F.floor(F.col("value").cast("double") * F.lit(100.0)
+                 + F.lit(0.5)).cast("long")
+    band = F.when(F.col("vc") > 0,
+                  (F.length(F.bin(F.col("vc"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        events.select("event_type", vc.alias("vc"))
+        .select("event_type", band.alias("value_band"), "vc")
+        .groupBy("event_type", "value_band")
+        .agg(F.count("*").alias("n_events"), F.sum("vc").alias("sum_cents"))
+    )

@@ -923,3 +923,40 @@ def focal_range_bands(band_px: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_pixels"),
              F.sum("r").alias("sum_range"))
     )
+
+
+def semivariogram_aniso(band_px: DataFrame,
+                        lags: tuple[int, ...] = (1, 2, 4)) -> DataFrame:
+    """Directional (anisotropic) experimental semivariogram along the
+    E, N, NE and SE axes — unequal sills/ranges across directions are
+    the anisotropy signal that decides whether a kriging model needs a
+    rotated variogram ellipse. Same ONE-hash-join shape as
+    semivariogram: every (direction, lag) shifted copy carries its
+    tag through a single equi-join, exact BIGINT d^2 sums, and the
+    gamma division is one deterministic IEEE op per output row.
+    Returns (direction, lag, n_pairs, sum_sq_diff, gamma)."""
+    px = _valid_px(band_px)
+    dirs = (("E", 1, 0), ("N", 0, 1), ("NE", 1, 1), ("SE", 1, -1))
+    arr = F.array(*[
+        F.struct(F.lit(d).alias("direction"),
+                 F.lit(h * dx).alias("ox"), F.lit(h * dy).alias("oy"),
+                 F.lit(h).alias("lag"))
+        for d, dx, dy in dirs for h in lags
+    ])
+    shifted = (
+        px.select("gx", "gy", "v", F.explode(arr).alias("o"))
+        .select((F.col("gx") + F.col("o.ox")).alias("gx"),
+                (F.col("gy") + F.col("o.oy")).alias("gy"),
+                F.col("o.direction").alias("direction"),
+                F.col("o.lag").alias("lag"), F.col("v").alias("v0"))
+    )
+    pairs = shifted.join(px, ["gx", "gy"]).select(
+        "direction", "lag",
+        ((F.col("v") - F.col("v0"))
+         * (F.col("v") - F.col("v0"))).alias("d2"))
+    g = pairs.groupBy("direction", "lag").agg(
+        F.count("*").alias("n_pairs"), F.sum("d2").alias("sum_sq_diff"))
+    return g.select(
+        "direction", "lag", "n_pairs", "sum_sq_diff",
+        (F.col("sum_sq_diff").cast("double")
+         / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"))

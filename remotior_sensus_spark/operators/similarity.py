@@ -572,3 +572,37 @@ def centroid_separation(embeddings: DataFrame) -> DataFrame:
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, d: acc + d)
     return j.select("label_a", "label_b", dist.alias("dist_sq"))
+
+
+def ivf_recall_audit(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 10, n_lists: int = 16,
+                     n_probe: int = 4) -> DataFrame:
+    """IVF estimator honesty — the cosine_topk_ivf twin of
+    ann_recall_audit: per query, how many of the IVF n_probe top-k are
+    in the EXACT brute-force top-k. Read next to ann_recall_audit it
+    answers which index family (data-adaptive Voronoi lists vs
+    data-oblivious sign hyperplanes) loses less recall on this corpus.
+    Returns (query_id, n_hits, k, brute_id_sum, ivf_id_sum)."""
+    brute = cosine_topk_bruteforce(embeddings, query_ids, k=k).select(
+        "query_id", F.col("vec_id").alias("b_id"))
+    ivf = cosine_topk_ivf(embeddings, query_ids, k=k, n_lists=n_lists,
+                          n_probe=n_probe
+                          ).select("query_id", F.col("vec_id").alias("l_id"))
+    hits = (
+        ivf.join(brute, (ivf["query_id"] == brute["query_id"])
+                 & (F.col("l_id") == F.col("b_id")))
+        .groupBy(ivf["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.sum("b_id").alias("brute_id_sum"))
+        .join(ivf.groupBy("query_id").agg(F.sum("l_id").alias("ivf_id_sum")),
+              "query_id")
+        .join(hits, "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.lit(k).cast("int").alias("k"),
+        "brute_id_sum", "ivf_id_sum")

@@ -1173,3 +1173,71 @@ def prefix_dup(docs: DataFrame, prefix_chars: int = 200) -> DataFrame:
         .agg(F.count("*").alias("n_groups"),
              F.sum("min_doc").alias("min_doc_sum"))
     )
+
+
+def cross_source_contamination(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Pairwise cross-source 8-gram overlap matrix: for every source
+    pair a<b, how many distinct word n-grams they share, and that
+    count as a fixed-point share of each side's own distinct-gram
+    vocabulary. The source-to-source contamination map a curator reads
+    before treating two crawls as independent mixture components
+    (ngram_novelty answers "who was first", this answers "how much is
+    shared at all"). Scale shape: one (hash, source) distinct shuffle,
+    then the self-join fans out per hash only by the number of sources
+    containing it (bounded by the source count, never the corpus), and
+    the totals broadcast back onto the bounded pair matrix. Returns
+    (source_a, source_b, n_shared, share_a_fp, share_b_fp)."""
+    sh = shingles_col(n, distinct=False)
+    flat = (
+        docs.select("source", F.explode(sh).alias("g"))
+        .select("source", portable_hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    tot = flat.groupBy("source").agg(F.count("*").alias("nd"))
+    a = flat.select("h", F.col("source").alias("source_a"))
+    b = flat.select("h", F.col("source").alias("source_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"),
+                    F.col("nd").alias("nd_a"))
+    tb = tot.select(F.col("source").alias("source_b"),
+                    F.col("nd").alias("nd_b"))
+    j = (shared.join(F.broadcast(ta), "source_a")
+         .join(F.broadcast(tb), "source_b"))
+    return j.select(
+        "source_a", "source_b", "n_shared",
+        F.expr("(n_shared * 1000000) div nd_a").alias("share_a_fp"),
+        F.expr("(n_shared * 1000000) div nd_b").alias("share_b_fp"))
+
+
+def doc_dup_profile(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document duplication profile: the fraction of each doc's
+    word n-gram positions whose gram also occurs in ANOTHER document,
+    censused on deciles — the doc-level complement of the corpus-level
+    dup_ngram_coverage (a corpus can have low total coverage yet hide a
+    tail of near-fully-duplicated docs that a keep-list should drop).
+    Scale shape: the same two hash-keyed shuffles as dup_span_stats
+    (per-hash distinct-doc counts joined back onto the gram stream),
+    only (hash, doc) pairs ever move. Returns
+    (dup_decile, n_docs, sum_dup, sum_grams)."""
+    sh = shingles_col(n, distinct=False)
+    flat = docs.select("doc_id", F.explode(sh).alias("g")).select(
+        "doc_id", portable_hash60(F.col("g")).alias("h"))
+    cnt = flat.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    per = (
+        flat.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum((F.col("ndocs") > 1).cast("long")).alias("n_dup"))
+    )
+    dec = F.least(F.expr("(n_dup * 10) div n_grams"), F.lit(9)).cast("int")
+    return (
+        per.groupBy(dec.alias("dup_decile"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_dup").alias("sum_dup"),
+             F.sum("n_grams").alias("sum_grams"))
+    )

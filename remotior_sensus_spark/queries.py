@@ -6302,6 +6302,143 @@ def centroid_separation_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "embeddings"))
 
 
+@q("semivariogram_aniso", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(direction, ox, oy, lag) as (values
+  ('E',1,0,1),('E',2,0,2),('E',4,0,4),
+  ('N',0,1,1),('N',0,2,2),('N',0,4,4),
+  ('NE',1,1,1),('NE',2,2,2),('NE',4,4,4),
+  ('SE',1,-1,1),('SE',2,-2,2),('SE',4,-4,4)),
+s as (select p.gx + ox as gx, p.gy + oy as gy, direction, lag, v as v0
+      from p, o),
+j as (select direction, lag, (c.v - s.v0) * (c.v - s.v0) as d2
+      from s join p c using (gx, gy))
+select direction, cast(lag as int) as lag, count(*) as n_pairs,
+  cast(sum(d2) as bigint) as sum_sq_diff,
+  cast(sum(d2) as double) / (2.0 * count(*)) as gamma
+from j group by 1, 2
+""")
+def semivariogram_aniso_q(spark, sf_dir):
+    """Directional semivariogram (E/N/NE/SE at lags 1/2/4) — the
+    anisotropy audit behind a kriging model choice, all
+    (direction, lag) pairs through ONE shifted-copy hash join
+    (geostats.semivariogram_aniso)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.semivariogram_aniso(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("cross_source_contamination", f"""
+with t as (select doc_id, source, {_TOKS} as toks from documents),
+sx as (select source, toks,
+         unnest(range(0, greatest(len(toks)-8, 0)+1)) as s from t),
+g as (select source, array_to_string(toks[s+1:s+8], ' ') as gt from sx),
+h as (select distinct source, {_HEX60.format(x='gt')} as hv from g),
+tot as (select source, count(*) as nd from h group by 1),
+sh as (select a.source as source_a, b.source as source_b,
+         count(*) as n_shared
+       from h a join h b on a.hv = b.hv and a.source < b.source
+       group by 1, 2)
+select source_a, source_b, n_shared,
+  cast((n_shared * 1000000) // ta.nd as bigint) as share_a_fp,
+  cast((n_shared * 1000000) // tb.nd as bigint) as share_b_fp
+from sh join tot ta on ta.source = sh.source_a
+        join tot tb on tb.source = sh.source_b
+""")
+def cross_source_contamination_q(spark, sf_dir):
+    """Pairwise cross-source distinct-8-gram overlap matrix with
+    fixed-point shares of each side's vocabulary — the independence
+    audit before treating two crawls as separate mixture components
+    (textops.cross_source_contamination)."""
+    return tx.cross_source_contamination(
+        cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("doc_dup_profile", f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+sx as (select doc_id, toks,
+         unnest(range(0, greatest(len(toks)-8, 0)+1)) as s from t),
+g as (select doc_id, array_to_string(toks[s+1:s+8], ' ') as gt from sx),
+h as (select doc_id, {_HEX60.format(x='gt')} as hv from g),
+hd as (select hv, count(distinct doc_id) as ndocs from h group by 1),
+per as (select h.doc_id, count(*) as n_grams,
+          cast(sum(case when hd.ndocs > 1 then 1 else 0 end) as bigint)
+            as n_dup
+        from h join hd using (hv) group by 1)
+select cast(least((n_dup * 10) // n_grams, 9) as int) as dup_decile,
+  count(*) as n_docs, cast(sum(n_dup) as bigint) as sum_dup,
+  cast(sum(n_grams) as bigint) as sum_grams
+from per group by 1
+""")
+def doc_dup_profile_q(spark, sf_dir):
+    """Per-document cross-doc duplicated-8-gram fraction on deciles —
+    the doc-level tail audit dup_ngram_coverage's corpus number hides
+    (textops.doc_dup_profile)."""
+    return tx.doc_dup_profile(cat.load_driver(spark, sf_dir, "documents"))
+
+
+def _ivf_recall_oracle() -> str:
+    """Brute-force and IVF top-k CTEs meeting on the query key — the
+    IVF twin of _ann_recall_oracle."""
+    ivf = _ann_ivf_oracle()
+    brute = f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id in (0, 1, 2, 3, 4)),
+j as (select e.vec_id, q.qid, e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+s as (select qid as query_id, vec_id, {_cosfp_sql('emb', 'qe')} as cos_sim
+      from j)
+select query_id, vec_id from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, vec_id) as rank from s)
+where rank <= 10
+"""
+    return f"""
+with b as ({brute}),
+l as (select query_id, vec_id from ({ivf})),
+hits as (select l.query_id, count(*) as n_hits
+         from l join b on b.query_id = l.query_id and b.vec_id = l.vec_id
+         group by 1),
+bs as (select query_id, cast(sum(vec_id) as bigint) as brute_id_sum
+       from b group by 1),
+ls as (select query_id, cast(sum(vec_id) as bigint) as ivf_id_sum
+       from l group by 1)
+select bs.query_id, cast(coalesce(hits.n_hits, 0) as bigint) as n_hits,
+  cast(10 as int) as k, brute_id_sum, ivf_id_sum
+from bs join ls using (query_id) left join hits using (query_id)
+"""
+
+
+@q("ivf_recall_audit", _ivf_recall_oracle())
+def ivf_recall_audit_q(spark, sf_dir):
+    """IVF recall vs the exact brute-force top-10 — read next to
+    ann_recall_audit to compare index families on this corpus
+    (similarity.ivf_recall_audit)."""
+    return sim.ivf_recall_audit(
+        cat.load_driver(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=10, n_lists=16, n_probe=4)
+
+
+@q("event_value_bands", """
+with v as (select event_type,
+    cast(floor(cast(value as double) * 100.0 + 0.5) as bigint) as vc
+  from events)
+select event_type,
+  cast(case when vc > 0 then length(printf('%b', vc)) - 1
+       else -1 end as int) as value_band,
+  count(*) as n_events, cast(sum(vc) as bigint) as sum_cents
+from v group by 1, 2
+""")
+def event_value_bands_q(spark, sf_dir):
+    """Per-event-type value distribution on power-of-two cent bands —
+    the order-of-magnitude skew profile without an exact percentile
+    (events.event_value_bands)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.event_value_bands(cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
