@@ -504,3 +504,27 @@ def event_value_bands(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "value_band")
         .agg(F.count("*").alias("n_events"), F.sum("vc").alias("sum_cents"))
     )
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of each from-state's next-event distribution
+    over the first-order Markov transition counts event_transitions
+    builds — near-zero entropy states are deterministic flows (bot
+    loops, forced redirects), high-entropy states are genuine choice
+    points. Reuses event_transitions' one shuffle+sort; the per-term
+    fixed-point (floor(p*ln p*1e6 + 0.5) BIGINT, order-independent
+    negated sum) is the same cross-engine contract as
+    textops.token_entropy. Returns
+    (prev_type, n_transitions, n_targets, entropy_fp)."""
+    c = event_transitions(events)
+    t = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("n"))
+    p = F.col("n_transitions").cast("double") / F.col("n").cast("double")
+    term = F.floor(p * F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        c.join(t, "prev_type")
+        .select("prev_type", "n", term.alias("tfp"))
+        .groupBy("prev_type")
+        .agg(F.max("n").alias("n_transitions"),
+             F.count("*").alias("n_targets"),
+             (-F.sum("tfp")).alias("entropy_fp"))
+    )

@@ -26,7 +26,7 @@ stream; no pairwise self-join ever materializes more than one row per
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from remotior_sensus_spark import NODATA
@@ -960,3 +960,68 @@ def semivariogram_aniso(band_px: DataFrame,
         "direction", "lag", "n_pairs", "sum_sq_diff",
         (F.col("sum_sq_diff").cast("double")
          / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"))
+
+
+def lbp_census(band_px: DataFrame) -> DataFrame:
+    """Local binary pattern (LBP-8) texture census: each interior
+    pixel's 8-bit code sets bit i when neighbour i >= centre
+    (E,NE,N,NW,W,SW,S,SE order), the classic rotation-variant texture
+    descriptor — uniform codes (0, 255, contiguous runs) mark flat or
+    edge regions, mixed codes mark speckle. Pure integers end to end:
+    one shifted-copy shuffle carrying each copy's bit weight, the
+    conditional bit sum folds in the same groupBy that enforces the
+    full-8 interior, then a 256-bounded rollup. Returns
+    (code, n_pixels, sum_v)."""
+    px = _valid_px(band_px)
+    offs = ((1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+            (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128))
+    arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(b).alias("bit"))
+        for dx, dy, b in offs
+    ])
+    s = (
+        px.select("gx", "gy", "v", F.explode(arr).alias("o"))
+        .select((F.col("gx") - F.col("o.dx")).alias("gx"),
+                (F.col("gy") - F.col("o.dy")).alias("gy"),
+                F.col("o.bit").alias("bit"), F.col("v").alias("nv"))
+    )
+    j = s.join(px, ["gx", "gy"])
+    g = j.groupBy("gx", "gy", "v").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("nv") >= F.col("v"), F.col("bit"))
+              .otherwise(F.lit(0))).alias("code"))
+    return (
+        g.filter(F.col("c") == 8)
+        .groupBy(F.col("code").cast("int").alias("code"))
+        .agg(F.count("*").alias("n_pixels"), F.sum("v").alias("sum_v"))
+    )
+
+
+def hypsometric_deciles(band_px: DataFrame) -> DataFrame:
+    """Hypsometric curve at area deciles: for each d in 1..10, the
+    highest DN exceeded by at least d/10 of the valid area, plus the
+    exact pixel count at-or-above it — the erosion-stage profile
+    (hypsometric integral) read off a DEM. The curve is built on the
+    VALUE-DOMAIN HISTOGRAM (one row per distinct DN, <= 65536 rows for
+    UInt16), so the single-partition ordered window is bounded and
+    cheap at any raster size — the same bounded-domain contract as
+    aggregates.cumulative_min_dn; do NOT feed an unbounded domain
+    through it. Returns (decile, elevation, cum_area)."""
+    px = _valid_px(band_px)
+    h = px.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = h.select("v", F.sum("c").over(w).alias("cum"),
+                   F.sum("c").over(wall).alias("tot"))
+    d = cum.select(
+        "v", "cum", "tot",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 11)]))
+        .alias("decile"))
+    sat = d.filter(F.col("cum") * 10 >= F.col("decile") * F.col("tot"))
+    return (
+        sat.groupBy("decile")
+        .agg(F.max("v").alias("elevation"), F.min("cum").alias("cum_area"))
+    )

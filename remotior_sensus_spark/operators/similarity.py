@@ -606,3 +606,25 @@ def ivf_recall_audit(embeddings: DataFrame, query_ids: list[int],
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         F.lit(k).cast("int").alias("k"),
         "brute_id_sum", "ivf_id_sum")
+
+
+def dim_variance_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension variance profile on the exact 2^10 lattice: for
+    every embedding dimension, the exact BIGINT variance numerator
+    n*sum(x^2) - sum(x)^2 (divide by n^2 off-engine when a float is
+    wanted) — the PCA-lite audit that finds dead dimensions (zero
+    variance: wasted index width) and dominant ones (candidates for
+    PQ subspace splits). Zero shuffles before the dim-bounded rollup.
+    int64 ceiling: |x| <= ~2^11 keeps n*sum(x^2) exact to n ~ 1e12
+    vectors per partition-tree — far past any single table here.
+    Returns (dim, n_vecs, sum_x, var_num)."""
+    q = embeddings.select(_quant(F.col("embedding")).alias("vq"))
+    d = q.select(F.posexplode("vq").alias("i", "x"))
+    return (
+        d.groupBy("i")
+        .agg(F.count("*").alias("n_vecs"), F.sum("x").alias("sum_x"),
+             F.sum(F.col("x") * F.col("x")).alias("sum_sq"))
+        .select(F.col("i").cast("int").alias("dim"), "n_vecs", "sum_x",
+                (F.col("n_vecs") * F.col("sum_sq")
+                 - F.col("sum_x") * F.col("sum_x")).alias("var_num"))
+    )

@@ -1241,3 +1241,24 @@ def doc_dup_profile(docs: DataFrame, n: int = 8) -> DataFrame:
              F.sum("n_dup").alias("sum_dup"),
              F.sum("n_grams").alias("sum_grams"))
     )
+
+
+def hapax_rate(docs: DataFrame) -> DataFrame:
+    """Hapax legomena rate per source: the share of each source's
+    distinct terms that occur exactly once — high hapax rates flag
+    OCR noise / mojibake / boilerplate-stripped fragments, low rates
+    flag template spam; alongside ttr_profile and token_entropy it
+    completes the lexical-health triptych. One vocabulary-bounded
+    (source, token) count shuffle, bounded rollup, integer div on the
+    shared fixed-point lattice. Returns
+    (source, n_tokens, n_terms, n_hapax, hapax_fp)."""
+    flat = docs.select("source", F.explode(tokens_col()).alias("tk"))
+    c = flat.groupBy("source", "tk").agg(F.count("*").alias("ck"))
+    return (
+        c.groupBy("source")
+        .agg(F.count("*").alias("n_terms"),
+             F.sum((F.col("ck") == 1).cast("long")).alias("n_hapax"),
+             F.sum("ck").alias("n_tokens"))
+        .select("source", "n_tokens", "n_terms", "n_hapax",
+                F.expr("(n_hapax * 1000000) div n_terms").alias("hapax_fp"))
+    )

@@ -6439,6 +6439,112 @@ def event_value_bands_q(spark, sf_dir):
     return ev_ops.event_value_bands(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("lbp_census", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(dx, dy, bit) as (values (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+  (-1,0,16),(-1,-1,32),(0,-1,64),(1,-1,128)),
+s as (select p.gx - dx as gx, p.gy - dy as gy, bit, v as nv from p, o),
+j as (select s.gx, s.gy, s.bit, s.nv, c.v from s join p c using (gx, gy)),
+g as (select gx, gy, v, count(*) as c,
+        sum(case when nv >= v then bit else 0 end) as code
+      from j group by 1, 2, 3)
+select cast(code as int) as code, count(*) as n_pixels,
+  cast(sum(v) as bigint) as sum_v
+from g where c = 8 group by 1
+""")
+def lbp_census_q(spark, sf_dir):
+    """Local binary pattern (LBP-8) texture code census — bit i set
+    when neighbour i >= centre, pure integers, one shifted-copy
+    shuffle, 256-bounded rollup (geostats.lbp_census)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.lbp_census(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("hypsometric_deciles", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+h as (select v, count(*) as c from p group by 1),
+cm as (select v,
+         sum(c) over (order by v desc
+           rows between unbounded preceding and current row) as cum,
+         sum(c) over () as tot from h),
+d as (select decile, v, cum
+      from cm, (select unnest(range(1, 11)) as decile)
+      where cum * 10 >= decile * tot)
+select cast(decile as int) as decile, cast(max(v) as bigint) as elevation,
+  cast(min(cum) as bigint) as cum_area
+from d group by 1
+""")
+def hypsometric_deciles_q(spark, sf_dir):
+    """Hypsometric curve at area deciles (highest DN exceeded by
+    >= d/10 of the area) — built on the value-domain histogram so the
+    ordered window is bounded, same contract as cumulative_min_dn
+    (geostats.hypsometric_deciles)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.hypsometric_deciles(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("hapax_rate", f"""
+with w as (select source, unnest({_TOKS}) as tk from documents),
+c as (select source, tk, count(*) as ck from w group by 1, 2)
+select source, cast(sum(ck) as bigint) as n_tokens,
+  count(*) as n_terms,
+  cast(sum(case when ck = 1 then 1 else 0 end) as bigint) as n_hapax,
+  cast((sum(case when ck = 1 then 1 else 0 end) * 1000000) // count(*)
+    as bigint) as hapax_fp
+from c group by 1
+""")
+def hapax_rate_q(spark, sf_dir):
+    """Hapax legomena rate per source — OCR-noise vs template-spam
+    lexical health next to ttr_profile and token_entropy
+    (textops.hapax_rate)."""
+    return tx.hapax_rate(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("transition_entropy", """
+with l as (select user_id, event_type,
+    coalesce(lag(event_type) over (partition by user_id
+      order by ts, event_id), '(start)') as prev_type
+  from events),
+c as (select prev_type, event_type, count(*) as ck from l group by 1, 2),
+t as (select prev_type, cast(sum(ck) as bigint) as n from c group by 1)
+select c.prev_type, max(n) as n_transitions, count(*) as n_targets,
+  cast(-sum(cast(floor(cast(ck as double)/cast(n as double)
+    * ln(cast(ck as double)/cast(n as double)) * 1000000.0 + 0.5)
+    as bigint)) as bigint) as entropy_fp
+from c join t using (prev_type) group by 1
+""")
+def transition_entropy_q(spark, sf_dir):
+    """Next-event Shannon entropy per from-state over the Markov
+    transition counts — bot loops vs genuine choice points, the
+    token_entropy fixed-point contract (events.transition_entropy)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.transition_entropy(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("dim_variance_profile", """
+with e as (select list_transform(embedding, x ->
+        cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from embeddings),
+dx as (select vq, unnest(range(1, len(vq)+1)) as i from e),
+d as (select cast(i - 1 as int) as dim, vq[i] as x from dx)
+select dim, count(*) as n_vecs, cast(sum(x) as bigint) as sum_x,
+  cast(count(*) * sum(x*x) - sum(x)*sum(x) as bigint) as var_num
+from d group by 1
+""")
+def dim_variance_profile_q(spark, sf_dir):
+    """Per-dimension exact variance numerators on the 2^10 lattice —
+    dead-dimension / dominant-dimension audit before a PQ subspace
+    split (similarity.dim_variance_profile)."""
+    return sim.dim_variance_profile(
+        cat.load_driver(spark, sf_dir, "embeddings"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
