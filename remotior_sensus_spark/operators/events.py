@@ -528,3 +528,43 @@ def transition_entropy(events: DataFrame) -> DataFrame:
              F.count("*").alias("n_targets"),
              (-F.sum("tfp")).alias("entropy_fp"))
     )
+
+
+def activity_deciles(events: DataFrame) -> DataFrame:
+    """Whale-concentration curve: rank users by activity and report,
+    at each user-count decile d (top 10%, top 20%, ...), the activity
+    floor of that decile and the cumulative share of ALL events it
+    owns — the Lorenz/Gini read ("top 10% of users generate X% of
+    traffic"). Scale shape mirrors geostats.hypsometric_deciles: the
+    per-user counts collapse to the COUNT-DOMAIN histogram (one row
+    per distinct activity level — bounded by max per-user activity,
+    not the user count), so the ordered decile window is
+    single-partition-bounded and cheap at any event volume. Returns
+    (decile, activity_floor, n_users_cum, events_cum, share_fp)."""
+    per = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    h = per.groupBy("c").agg(F.count("*").alias("nu"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cm = h.select(
+        "c",
+        F.sum("nu").over(w).alias("cum_users"),
+        F.sum(F.col("nu") * F.col("c")).over(w).alias("cum_events"),
+        F.sum("nu").over(wall).alias("tot_users"),
+        F.sum(F.col("nu") * F.col("c")).over(wall).alias("tot_events"))
+    d = cm.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 11)]))
+        .alias("decile"))
+    sat = d.filter(F.col("cum_users") * 10 >= F.col("decile")
+                   * F.col("tot_users"))
+    return (
+        sat.groupBy("decile")
+        .agg(F.max("c").alias("activity_floor"),
+             F.min("cum_users").alias("n_users_cum"),
+             F.min("cum_events").alias("events_cum"),
+             F.max("tot_events").alias("te"))
+        .select("decile", "activity_floor", "n_users_cum", "events_cum",
+                F.expr("(events_cum * 1000000) div te").alias("share_fp"))
+    )

@@ -628,3 +628,49 @@ def dim_variance_profile(embeddings: DataFrame) -> DataFrame:
                 (F.col("n_vecs") * F.col("sum_sq")
                  - F.col("sum_x") * F.col("sum_x")).alias("var_num"))
     )
+
+
+def pq_assign_audit(embeddings: DataFrame, n_codes: int = 16,
+                    n_sub: int = 4, dim: int = 64) -> DataFrame:
+    """Product-quantization assignment census: the 64-dim lattice
+    vector splits into `n_sub` contiguous subspaces, each assigned to
+    its nearest of `n_codes` codewords (the md5-order deterministic
+    sample codebook ivf_coarse_codebook uses, sliced per subspace;
+    ties to the smaller code id). The per-(subspace, code) population
+    and exact distortion sum are the two numbers that decide whether a
+    PQ index is balanced enough to build — one hot code in one
+    subspace halves that subspace's effective bits. Codebook
+    broadcast, all subspace distances from ONE corpus pass, one
+    vec-keyed argmin groupBy, bounded rollup. Returns
+    (subspace, code_id, n_vecs, sum_dist)."""
+    sub_d = dim // n_sub
+    q = embeddings.select("vec_id", _quant(F.col("embedding")).alias("vq"))
+    cb = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")),
+                           F.col("vec_id"))
+        .limit(n_codes)
+        .select(F.col("vec_id").alias("cid"),
+                _quant(F.col("embedding")).alias("cq"))
+    )
+    j = q.crossJoin(F.broadcast(cb))
+    outs = []
+    for s in range(n_sub):
+        sv = F.slice(F.col("vq"), s * sub_d + 1, sub_d)
+        sc = F.slice(F.col("cq"), s * sub_d + 1, sub_d)
+        dist = F.aggregate(
+            F.zip_with(sv, sc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        outs.append(F.struct(F.lit(s).alias("subspace"), dist.alias("d")))
+    ex = (
+        j.select("vec_id", "cid", F.explode(F.array(*outs)).alias("o"))
+        .select("vec_id", F.col("o.subspace").alias("subspace"), "cid",
+                F.col("o.d").alias("d"))
+    )
+    per = ex.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d", "cid")).alias("m"))
+    return (
+        per.select("subspace", F.col("m.cid").alias("code_id"),
+                   F.col("m.d").alias("d"))
+        .groupBy(F.col("subspace").cast("int").alias("subspace"), "code_id")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("sum_dist"))
+    )

@@ -220,3 +220,55 @@ def bap_composite_tiles(tiles: DataFrame, bandsets: list[str],
         .agg(F.count("*").alias("pixel_count"),
              F.sum("nfp").alias("ndvi_fp_sum"))
     )
+
+
+def cva_change(px: DataFrame, date_a: str, date_b: str,
+               band_x: str = "B04", band_y: str = "B08") -> DataFrame:
+    """Change vector analysis between two dates: per pixel, the change
+    vector (dx, dy) = (x_b - x_a, y_b - y_a) over two bands (default
+    red/NIR — the brightness/greenness plane), censused by direction
+    class and exact squared-magnitude power-of-two band. The direction
+    class 3*(sign(dx)+1) + (sign(dy)+1) keeps the zero axes exact
+    (class 4 = no change), so greening (dx<0, dy>0 -> class 2) and
+    senescence/clearing quadrants separate without any angle math.
+    ONE pixel-keyed shuffle pivots all four (date, band) frames with
+    conditional aggregates; magnitude is exact BIGINT; the rollup is
+    bounded (9 classes x ~32 bands). Returns
+    (quad, mag_band, n_pixels, sum_mag_sq)."""
+    from remotior_sensus_spark.grid import TILE_PX
+
+    sel = px.filter(
+        F.col("bandset").isin(date_a, date_b)
+        & F.col("band").isin(band_x, band_y)
+        & (F.col("value") != NODATA))
+    t = sel.select(
+        (F.col("tile_x") * TILE_PX + F.col("pos") % TILE_PX).alias("gx"),
+        (F.col("tile_y") * TILE_PX
+         + (F.col("pos") / TILE_PX).cast("int")).alias("gy"),
+        "bandset", "band", F.col("value").cast("long").alias("v"))
+
+    def pick(ds, bd):
+        return F.max(F.when((F.col("bandset") == ds)
+                            & (F.col("band") == bd), F.col("v")))
+
+    g = t.groupBy("gx", "gy").agg(
+        pick(date_a, band_x).alias("xa"), pick(date_b, band_x).alias("xb"),
+        pick(date_a, band_y).alias("ya"), pick(date_b, band_y).alias("yb"))
+    full = g.filter(
+        F.col("xa").isNotNull() & F.col("xb").isNotNull()
+        & F.col("ya").isNotNull() & F.col("yb").isNotNull())
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    d = full.select(
+        ((F.signum(dx).cast("int") + 1) * 3
+         + (F.signum(dy).cast("int") + 1)).alias("quad"),
+        (dx * dx + dy * dy).alias("mag"))
+    band = F.when(F.col("mag") > 0,
+                  (F.length(F.bin(F.col("mag"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        d.select("quad", band.alias("mag_band"), "mag")
+        .groupBy("quad", "mag_band")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("mag").alias("sum_mag_sq"))
+    )

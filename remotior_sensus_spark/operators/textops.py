@@ -1262,3 +1262,27 @@ def hapax_rate(docs: DataFrame) -> DataFrame:
         .select("source", "n_tokens", "n_terms", "n_hapax",
                 F.expr("(n_hapax * 1000000) div n_terms").alias("hapax_fp"))
     )
+
+
+def yule_k(docs: DataFrame) -> DataFrame:
+    """Yule's characteristic K per source — the classic repeat-rate
+    lexical-richness constant K = 1e4 * (S2 - S1) / S1^2 with
+    S1 = total tokens and S2 = sum of squared term counts. K is
+    sample-size-stable where TTR is not, so it is the cross-source
+    comparison number (template spam drives K up an order of
+    magnitude). S1 and S2 are exact BIGINTs off one vocabulary-bounded
+    (source, term) count shuffle; the final K is one deterministic
+    IEEE division of the two exact integers, rounded on the 1e6
+    lattice. Returns (source, n_tokens, sum_cnt_sq, yule_k_fp)."""
+    flat = docs.select("source", F.explode(tokens_col()).alias("tk"))
+    c = flat.groupBy("source", "tk").agg(F.count("*").alias("ck"))
+    s = c.groupBy("source").agg(
+        F.sum("ck").alias("s1"),
+        F.sum(F.col("ck") * F.col("ck")).alias("s2"))
+    k = F.floor(
+        (F.col("s2") - F.col("s1")).cast("double")
+        / (F.col("s1").cast("double") * F.col("s1").cast("double"))
+        * F.lit(10000.0) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return s.select(
+        F.col("source"), F.col("s1").alias("n_tokens"),
+        F.col("s2").alias("sum_cnt_sq"), k.alias("yule_k_fp"))

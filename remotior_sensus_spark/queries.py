@@ -6545,6 +6545,119 @@ def dim_variance_profile_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "embeddings"))
 
 
+@q("cva_change", f"""
+with p as (
+  select bandset, band, gx, gy, cast(value as bigint) as v
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset in ('S2_2020-01-01', 'S2_2020-01-02')
+    and band in ('B04', 'B08') and value <> -32768),
+g as (select gx, gy,
+    max(case when bandset='S2_2020-01-01' and band='B04' then v end) as xa,
+    max(case when bandset='S2_2020-01-02' and band='B04' then v end) as xb,
+    max(case when bandset='S2_2020-01-01' and band='B08' then v end) as ya,
+    max(case when bandset='S2_2020-01-02' and band='B08' then v end) as yb
+  from p group by 1, 2),
+f as (select xb - xa as dx, yb - ya as dy from g
+      where xa is not null and xb is not null
+        and ya is not null and yb is not null),
+m as (select (cast(sign(dx) as int) + 1) * 3
+        + (cast(sign(dy) as int) + 1) as quad,
+        dx*dx + dy*dy as mag from f)
+select cast(quad as int) as quad,
+  cast(case when mag > 0 then length(printf('%b', mag)) - 1
+       else -1 end as int) as mag_band,
+  count(*) as n_pixels, cast(sum(mag) as bigint) as sum_mag_sq
+from m group by 1, 2
+""")
+def cva_change_q(spark, sf_dir):
+    """Change vector analysis red/NIR between the two dates —
+    direction class x exact squared-magnitude band, one pixel-keyed
+    pivot shuffle (temporal.cva_change)."""
+    from remotior_sensus_spark.operators import temporal
+    t = _tiles(spark, sf_dir).filter(
+        F.col("bandset").isin("S2_2020-01-01", "S2_2020-01-02")
+        & F.col("band").isin("B04", "B08"))
+    return temporal.cva_change(
+        agg.explode_pixels(t), "S2_2020-01-01", "S2_2020-01-02")
+
+
+@q("yule_k", f"""
+with w as (select source, unnest({_TOKS}) as tk from documents),
+c as (select source, tk, count(*) as ck from w group by 1, 2),
+s as (select source, cast(sum(ck) as bigint) as s1,
+        cast(sum(ck * ck) as bigint) as s2
+      from c group by 1)
+select source, s1 as n_tokens, s2 as sum_cnt_sq,
+  cast(floor(cast(s2 - s1 as double)
+    / (cast(s1 as double) * cast(s1 as double))
+    * 10000.0 * 1000000.0 + 0.5) as bigint) as yule_k_fp
+from s
+""")
+def yule_k_q(spark, sf_dir):
+    """Yule's K repeat-rate per source — the sample-size-stable
+    lexical-richness constant, one deterministic IEEE division of two
+    exact BIGINTs (textops.yule_k)."""
+    return tx.yule_k(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("activity_deciles", """
+with per as (select user_id, count(*) as c from events group by 1),
+h as (select c, count(*) as nu from per group by 1),
+cm as (select c,
+    sum(nu) over (order by c desc
+      rows between unbounded preceding and current row) as cum_users,
+    sum(nu * c) over (order by c desc
+      rows between unbounded preceding and current row) as cum_events,
+    sum(nu) over () as tot_users,
+    sum(nu * c) over () as tot_events
+  from h),
+d as (select decile, c, cum_users, cum_events, tot_events
+      from cm, (select unnest(range(1, 11)) as decile)
+      where cum_users * 10 >= decile * tot_users)
+select cast(decile as int) as decile,
+  cast(max(c) as bigint) as activity_floor,
+  cast(min(cum_users) as bigint) as n_users_cum,
+  cast(min(cum_events) as bigint) as events_cum,
+  cast((min(cum_events) * 1000000) // max(tot_events) as bigint) as share_fp
+from d group by 1
+""")
+def activity_deciles_q(spark, sf_dir):
+    """Whale-concentration (Lorenz) curve at user deciles — built on
+    the count-domain histogram so the ordered window is bounded by max
+    per-user activity, not user count (events.activity_deciles)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.activity_deciles(cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("pq_assign_audit", """
+with e as (select vec_id,
+        list_transform(embedding, x ->
+          cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint)) as vq
+      from embeddings),
+cents as (select vec_id as cid, vq as cq from e
+          order by md5(cast(vec_id as varchar)), vec_id limit 16),
+sp as (select unnest(range(0, 4)) as s),
+j as (select e.vec_id, sp.s, cents.cid,
+        cast(list_sum(list_transform(range(1, 17),
+          i -> (e.vq[s*16 + i] - cents.cq[s*16 + i])
+             * (e.vq[s*16 + i] - cents.cq[s*16 + i]))) as bigint) as d
+      from e cross join cents cross join sp),
+b as (select vec_id, s, cid, d,
+        row_number() over (partition by vec_id, s
+                           order by d asc, cid asc) as rn from j)
+select cast(s as int) as subspace, cid as code_id, count(*) as n_vecs,
+  cast(sum(d) as bigint) as sum_dist
+from b where rn = 1 group by 1, 2
+""")
+def pq_assign_audit_q(spark, sf_dir):
+    """Product-quantization assignment census: 4 subspaces x 16
+    codewords, per-(subspace, code) population and exact distortion —
+    the balance check before building a PQ index
+    (similarity.pq_assign_audit)."""
+    return sim.pq_assign_audit(
+        cat.load_driver(spark, sf_dir, "embeddings"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
