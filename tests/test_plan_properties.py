@@ -236,3 +236,109 @@ def test_glcm_tiles_no_pixel_exploded_shuffle(spark):
     # one join (boundary columns), joined on the tile key
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
         + plan.count("ShuffledHashJoin") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation additions: lock the physical shapes of the new
+# audit queries (no cartesian pairing, no Python operators, the designed
+# exchange budgets)
+# ---------------------------------------------------------------------------
+
+def _shape(spark, name):
+    df = Q.REGISTRY[name][0](spark, SF_DIR)
+    return _plan(df)
+
+
+def _assert_clean(plan):
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        plan
+
+
+def test_session_entry_exit_one_user_exchange(spark):
+    plan = _shape(spark, "session_entry_exit")
+    # session ids, per-session first/last picks and the session rollup
+    # all reuse hash(user_id); the only second exchange is the bounded
+    # (entry, exit) matrix rollup
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    _assert_clean(plan)
+
+
+def test_funnel_stage_lags_single_event_shuffle(spark):
+    plan = _shape(spark, "funnel_stage_lags")
+    # same budget as event_funnel: user-keyed shuffle + bounded rollup
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    _assert_clean(plan)
+
+
+def test_shifted_copy_rasters_no_cartesian_no_python(spark):
+    for name in ("lbp_census", "focal_range", "d8_indegree"):
+        _assert_clean(_shape(spark, name))
+
+
+def test_semivariogram_aniso_one_join_shuffle(spark):
+    plan = _shape(spark, "semivariogram_aniso")
+    # all 12 (direction, lag) copies resolve through ONE hash join;
+    # the rollup rides the AQE-coalesced same exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    _assert_clean(plan)
+
+
+def test_cva_change_single_pivot_shuffle(spark):
+    plan = _shape(spark, "cva_change")
+    # one pixel-keyed pivot of all four (date, band) frames + the
+    # bounded (quad, band) rollup — never one shuffle per frame
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    _assert_clean(plan)
+
+
+def test_prefix_dup_no_joins_no_window(spark):
+    plan = _shape(spark, "prefix_dup")
+    # pure digest aggregation: no join operator of any kind and no
+    # global-order window — only the digest and census groupBys
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "Window"):
+        assert op not in plan, plan
+    _assert_clean(plan)
+
+
+def test_embedding_audits_broadcast_bounded_tables(spark):
+    # codebooks / centroid tables are label- or code-bounded: they must
+    # broadcast onto the corpus, never repartition the embedding side
+    for name in ("pq_assign_audit", "centroid_margin_bands",
+                 "centroid_separation"):
+        plan = _shape(spark, name)
+        assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan, \
+            (name, plan)
+        _assert_clean(plan)
+
+
+def test_dim_variance_profile_single_exchange(spark):
+    plan = _shape(spark, "dim_variance_profile")
+    # posexplode partial-aggregates map-side; one dim-keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    _assert_clean(plan)
+
+
+def test_event_value_bands_zero_prerollup_shuffles(spark):
+    plan = _shape(spark, "event_value_bands")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    _assert_clean(plan)
+
+
+def test_lexical_profiles_two_exchanges_no_window(spark):
+    for name in ("yule_k", "hapax_rate"):
+        plan = _shape(spark, name)
+        # (source, term) count shuffle + source rollup, nothing else
+        assert plan.count("Exchange hashpartitioning") == 2, (name, plan)
+        assert "Window" not in plan, (name, plan)
+        _assert_clean(plan)
+
+
+def test_cross_source_contamination_broadcast_totals(spark):
+    plan = _shape(spark, "cross_source_contamination")
+    # the per-source totals must broadcast back onto the bounded pair
+    # matrix; pair formation itself is a hash equi-join on the gram key
+    assert "BroadcastHashJoin" in plan, plan
+    _assert_clean(plan)
