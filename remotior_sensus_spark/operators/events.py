@@ -568,3 +568,31 @@ def activity_deciles(events: DataFrame) -> DataFrame:
         .select("decile", "activity_floor", "n_users_cum", "events_cum",
                 F.expr("(events_cum * 1000000) div te").alias("share_fp"))
     )
+
+
+def engagement_ltv_matrix(events: DataFrame) -> DataFrame:
+    """First-week engagement vs lifetime purchases: each user's event
+    count inside their first 7 days crossed with their lifetime
+    purchase count, both on power-of-two bands — the activation-to-LTV
+    matrix growth teams read before changing onboarding. The first-ts
+    window and the per-user conditional rollup share hash(user_id), so
+    the whole pipeline is ONE user-keyed exchange plus the bounded
+    matrix rollup. Returns
+    (week1_band, purchase_band, n_users, sum_purchases)."""
+    w = Window.partitionBy("user_id")
+    f0 = F.min("ts").over(w)
+    e = events.withColumn("f0", f0)
+    per = e.groupBy("user_id").agg(
+        F.sum((F.unix_timestamp("ts") - F.unix_timestamp("f0")
+               < 7 * 86400).cast("long")).alias("w1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"))
+    w1_band = (F.length(F.bin(F.col("w1"))) - 1).cast("int")
+    p_band = F.when(F.col("np") > 0,
+                    (F.length(F.bin(F.col("np"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        per.select(w1_band.alias("week1_band"), p_band.alias("purchase_band"),
+                   "np")
+        .groupBy("week1_band", "purchase_band")
+        .agg(F.count("*").alias("n_users"), F.sum("np").alias("sum_purchases"))
+    )

@@ -272,3 +272,51 @@ def cva_change(px: DataFrame, date_a: str, date_b: str,
         .agg(F.count("*").alias("n_pixels"),
              F.sum("mag").alias("sum_mag_sq"))
     )
+
+
+def ndvi_change_classes(px: DataFrame, date_a: str, date_b: str,
+                        red: str = "B04", nir: str = "B08") -> DataFrame:
+    """NDVI-class transition matrix between two dates — the land-cover
+    change-detection cross-tab (bare/sparse/dense at the 0.2 / 0.5
+    thresholds). The NDVI never materializes as a float: class 2 is
+    2*(n-r) > (n+r), class 1 is 5*(n-r) >= (n+r), all exact BIGINT
+    cross-multiplication, so the transition cell counts are integers
+    end to end (non-positive denominators class as -1, matching the
+    expression engine's where() nodata contract). Same ONE pixel-keyed
+    pivot shuffle as cva_change over the four (date, band) frames,
+    then a 16-bounded rollup. Returns
+    (class_a, class_b, n_pixels, sum_nir_b)."""
+    sel = px.filter(
+        F.col("bandset").isin(date_a, date_b)
+        & F.col("band").isin(red, nir)
+        & (F.col("value") != NODATA))
+    t = sel.select("tile_x", "tile_y", "pos", "bandset", "band",
+                   F.col("value").cast("long").alias("v"))
+
+    def pick(ds, bd):
+        return F.max(F.when((F.col("bandset") == ds)
+                            & (F.col("band") == bd), F.col("v")))
+
+    g = t.groupBy("tile_x", "tile_y", "pos").agg(
+        pick(date_a, red).alias("ra"), pick(date_a, nir).alias("na"),
+        pick(date_b, red).alias("rb"), pick(date_b, nir).alias("nb"))
+    full = g.filter(
+        F.col("ra").isNotNull() & F.col("na").isNotNull()
+        & F.col("rb").isNotNull() & F.col("nb").isNotNull())
+
+    def ndvi_class(n, r):
+        return (
+            F.when(n + r <= 0, F.lit(-1))
+            .when(2 * (n - r) > (n + r), F.lit(2))
+            .when(5 * (n - r) >= (n + r), F.lit(1))
+            .otherwise(F.lit(0)).cast("int")
+        )
+
+    d = full.select(
+        ndvi_class(F.col("na"), F.col("ra")).alias("class_a"),
+        ndvi_class(F.col("nb"), F.col("rb")).alias("class_b"),
+        F.col("nb"))
+    return (
+        d.groupBy("class_a", "class_b")
+        .agg(F.count("*").alias("n_pixels"), F.sum("nb").alias("sum_nir_b"))
+    )

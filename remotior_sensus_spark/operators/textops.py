@@ -1286,3 +1286,66 @@ def yule_k(docs: DataFrame) -> DataFrame:
     return s.select(
         F.col("source"), F.col("s1").alias("n_tokens"),
         F.col("s2").alias("sum_cnt_sq"), k.alias("yule_k_fp"))
+
+
+def bigram_entropy_rate(docs: DataFrame) -> DataFrame:
+    """Conditional bigram entropy H(next|current) per source — the
+    sequence-predictability complement of token_entropy's unigram
+    number: templated/boilerplate text has high unigram entropy but
+    LOW conditional entropy (every word determines the next), which is
+    exactly the spam signature the unigram profile misses.
+    H = -sum over bigrams of (c2/N) * ln(c2/c1), per-term fixed-point
+    on the shared 1e6 lattice before the order-independent sum. One
+    (source, bigram) count shuffle (vocabulary-bounded per source),
+    head counts fold on the same key prefix. Returns
+    (source, n_bigrams, n_pairs, cond_entropy_fp)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.when(n >= 2, F.zip_with(
+                F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )).otherwise(F.array())
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    c2 = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("source", "w1").agg(F.sum("c2").alias("c1"))
+    tot = c2.groupBy("source").agg(F.sum("c2").alias("n"))
+    term = F.floor(
+        F.col("c2").cast("double") / F.col("n").cast("double")
+        * F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        c2.join(c1, ["source", "w1"]).join(tot, "source")
+        .select("source", "n", term.alias("tfp"))
+        .groupBy("source")
+        .agg(F.max("n").alias("n_bigrams"), F.count("*").alias("n_pairs"),
+             (-F.sum("tfp")).alias("cond_entropy_fp"))
+    )
+
+
+def case_profile(docs: DataFrame) -> DataFrame:
+    """Orthographic-case profile per source: capitalized-token,
+    ALL-CAPS-token and pure-numeric-token shares of the token stream —
+    shoutcase spam and table/number dumps separate from prose here
+    before any model sees the text. Pure column predicates (ASCII
+    classes, identical RE semantics in both engines), zero shuffles
+    before the source-bounded rollup. Returns
+    (source, n_tokens, n_capitalized, n_allcaps, n_numeric, caps_fp)."""
+    flat = docs.select("source", F.explode(tokens_col()).alias("tk"))
+    first = F.substring("tk", 1, 1)
+    cap = ((first >= "A") & (first <= "Z")).cast("long")
+    allcaps = (F.col("tk").rlike("^[A-Z]+$")
+               & (F.length("tk") > 1)).cast("long")
+    num = F.col("tk").rlike("^[0-9]+$").cast("long")
+    g = flat.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(cap).alias("n_capitalized"),
+        F.sum(allcaps).alias("n_allcaps"),
+        F.sum(num).alias("n_numeric"))
+    return g.select(
+        "source", "n_tokens", "n_capitalized", "n_allcaps", "n_numeric",
+        F.expr("(n_capitalized * 1000000) div n_tokens").alias("caps_fp"))

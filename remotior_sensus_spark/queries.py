@@ -6658,6 +6658,119 @@ def pq_assign_audit_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "embeddings"))
 
 
+@q("ndvi_change_classes", f"""
+with p as (
+  select bandset, band, gx, gy, cast(value as bigint) as v
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset in ('S2_2020-01-01', 'S2_2020-01-02')
+    and band in ('B04', 'B08') and value <> -32768),
+g as (select gx, gy,
+    max(case when bandset='S2_2020-01-01' and band='B04' then v end) as ra,
+    max(case when bandset='S2_2020-01-01' and band='B08' then v end) as na,
+    max(case when bandset='S2_2020-01-02' and band='B04' then v end) as rb,
+    max(case when bandset='S2_2020-01-02' and band='B08' then v end) as nb
+  from p group by 1, 2),
+f as (select * from g
+      where ra is not null and na is not null
+        and rb is not null and nb is not null),
+c as (select
+  case when na + ra <= 0 then -1
+       when 2*(na - ra) > (na + ra) then 2
+       when 5*(na - ra) >= (na + ra) then 1
+       else 0 end as class_a,
+  case when nb + rb <= 0 then -1
+       when 2*(nb - rb) > (nb + rb) then 2
+       when 5*(nb - rb) >= (nb + rb) then 1
+       else 0 end as class_b,
+  nb from f)
+select cast(class_a as int) as class_a, cast(class_b as int) as class_b,
+  count(*) as n_pixels, cast(sum(nb) as bigint) as sum_nir_b
+from c group by 1, 2
+""")
+def ndvi_change_classes_q(spark, sf_dir):
+    """NDVI-class transition matrix between the two dates (bare /
+    sparse / dense at 0.2 / 0.5) — the NDVI never materializes as a
+    float, one pixel-keyed pivot shuffle
+    (temporal.ndvi_change_classes)."""
+    from remotior_sensus_spark.operators import temporal
+    t = _tiles(spark, sf_dir).filter(
+        F.col("bandset").isin("S2_2020-01-01", "S2_2020-01-02")
+        & F.col("band").isin("B04", "B08"))
+    return temporal.ndvi_change_classes(
+        agg.explode_pixels(t), "S2_2020-01-01", "S2_2020-01-02")
+
+
+@q("bigram_entropy_rate", f"""
+with t as (select doc_id, source, {_TOKS} as toks from documents),
+bg as (select source,
+         unnest(list_transform(generate_series(1, len(toks)-1),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) as b
+       from t where len(toks) > 1),
+c2 as (select source, b.w1 as w1, b.w2 as w2, count(*) as c2
+       from bg group by 1, 2, 3),
+c1 as (select source, w1, cast(sum(c2) as bigint) as c1
+       from c2 group by 1, 2),
+tot as (select source, cast(sum(c2) as bigint) as n from c2 group by 1)
+select c2.source, max(n) as n_bigrams, count(*) as n_pairs,
+  cast(-sum(cast(floor(cast(c2 as double)/cast(n as double)
+    * ln(cast(c2 as double)/cast(c1 as double)) * 1000000.0 + 0.5)
+    as bigint)) as bigint) as cond_entropy_fp
+from c2 join c1 using (source, w1) join tot using (source)
+group by c2.source
+""")
+def bigram_entropy_rate_q(spark, sf_dir):
+    """Conditional bigram entropy H(next|current) per source — the
+    templated-text signature unigram entropy misses, shared per-term
+    fixed-point contract (textops.bigram_entropy_rate)."""
+    return tx.bigram_entropy_rate(
+        cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("case_profile", f"""
+with w as (select source, unnest({_TOKS}) as tk from documents)
+select source, count(*) as n_tokens,
+  cast(sum(case when substr(tk, 1, 1) >= 'A' and substr(tk, 1, 1) <= 'Z'
+       then 1 else 0 end) as bigint) as n_capitalized,
+  cast(sum(case when regexp_matches(tk, '^[A-Z]+$') and length(tk) > 1
+       then 1 else 0 end) as bigint) as n_allcaps,
+  cast(sum(case when regexp_matches(tk, '^[0-9]+$')
+       then 1 else 0 end) as bigint) as n_numeric,
+  cast((sum(case when substr(tk, 1, 1) >= 'A' and substr(tk, 1, 1) <= 'Z'
+       then 1 else 0 end) * 1000000) // count(*) as bigint) as caps_fp
+from w group by 1
+""")
+def case_profile_q(spark, sf_dir):
+    """Orthographic-case shares per source (capitalized / ALL-CAPS /
+    numeric tokens) — shoutcase spam and number dumps, zero shuffles
+    before the bounded rollup (textops.case_profile)."""
+    return tx.case_profile(cat.load_driver(spark, sf_dir, "documents"))
+
+
+@q("engagement_ltv_matrix", """
+with f as (select user_id, ts, event_type,
+    min(ts) over (partition by user_id) as f0
+  from events),
+per as (select user_id,
+    cast(sum(case when date_diff('second', f0, ts) < 604800
+         then 1 else 0 end) as bigint) as w1,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+      as bigint) as np
+  from f group by 1)
+select cast(length(printf('%b', w1)) - 1 as int) as week1_band,
+  cast(case when np > 0 then length(printf('%b', np)) - 1
+       else -1 end as int) as purchase_band,
+  count(*) as n_users, cast(sum(np) as bigint) as sum_purchases
+from per group by 1, 2
+""")
+def engagement_ltv_matrix_q(spark, sf_dir):
+    """First-week engagement vs lifetime purchases on power-of-two
+    bands — the activation-to-LTV matrix, ONE user-keyed exchange
+    (events.engagement_ltv_matrix)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.engagement_ltv_matrix(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
