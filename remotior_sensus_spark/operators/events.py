@@ -596,3 +596,33 @@ def engagement_ltv_matrix(events: DataFrame) -> DataFrame:
         .groupBy("week1_band", "purchase_band")
         .agg(F.count("*").alias("n_users"), F.sum("np").alias("sum_purchases"))
     )
+
+
+def value_median_by_type(events: DataFrame) -> DataFrame:
+    """Exact per-type value median on the cent lattice: lower and
+    upper medians (equal when the count is odd) read off the
+    CENT-DOMAIN histogram — one row per distinct cent value per type,
+    bounded by the value domain, not the event count, so the per-type
+    ordered window is cheap at any volume (the grouped twin of the
+    hypsometric/activity decile scans; same bounded-domain contract).
+    This is the exact-percentile aggregate shape the raster side's
+    zonal_median provides, on the events table. Returns
+    (event_type, n_events, median_lo_cents, median_hi_cents)."""
+    vc = F.floor(F.col("value").cast("double") * F.lit(100.0)
+                 + F.lit(0.5)).cast("long")
+    h = (events.select("event_type", vc.alias("vc"))
+         .groupBy("event_type", "vc").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("event_type").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("event_type")
+    cm = h.select("event_type", "vc",
+                  F.sum("c").over(w).alias("cum"),
+                  F.sum("c").over(wt).alias("n"))
+    return (
+        cm.groupBy("event_type")
+        .agg(F.max("n").alias("n_events"),
+             F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"),
+                          F.col("vc"))).alias("median_lo_cents"),
+             F.min(F.when(F.col("cum") >= F.expr("n div 2 + 1"),
+                          F.col("vc"))).alias("median_hi_cents"))
+    )

@@ -1349,3 +1349,33 @@ def case_profile(docs: DataFrame) -> DataFrame:
     return g.select(
         "source", "n_tokens", "n_capitalized", "n_allcaps", "n_numeric",
         F.expr("(n_capitalized * 1000000) div n_tokens").alias("caps_fp"))
+
+
+def dedup_degree_bands(docs: DataFrame,
+                       jaccard_threshold: float = 0.3) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: per document,
+    how many MinHash-LSH-estimated near-dup partners it has, censused
+    on power-of-two bands (degree 0 keeps band -1). The graph-shape
+    audit behind dedup_clusters — a heavy-tailed degree profile means
+    a few boilerplate hubs chain unrelated docs into one giant cluster
+    (the classic transitive-closure dedup failure), which the cluster
+    SIZE histogram alone cannot distinguish from many honest pairs.
+    Reuses minhash_lsh_pairs' banded candidate join (never all-pairs);
+    the degree count is one union + groupBy on doc ids only. Returns
+    (degree_band, n_docs, sum_degree)."""
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    deg0 = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id")))
+    deg = deg0.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    alld = (
+        docs.select("doc_id").join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0).cast("long")).alias("degree"))
+    )
+    band = F.when(F.col("degree") > 0,
+                  (F.length(F.bin(F.col("degree"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        alld.select(band.alias("degree_band"), "degree")
+        .groupBy("degree_band")
+        .agg(F.count("*").alias("n_docs"), F.sum("degree").alias("sum_degree"))
+    )

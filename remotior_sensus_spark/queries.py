@@ -6771,6 +6771,59 @@ def engagement_ltv_matrix_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "events"))
 
 
+def _dedup_degree_oracle() -> str:
+    return f"""
+with p as ({_minhash_oracle()}),
+deg0 as (select doc_a as doc_id from p
+         union all
+         select doc_b as doc_id from p),
+deg as (select doc_id, count(*) as degree from deg0 group by 1),
+alld as (select coalesce(deg.degree, 0) as degree
+         from documents d left join deg on d.doc_id = deg.doc_id)
+select cast(case when degree > 0 then length(printf('%b', degree)) - 1
+       else -1 end as int) as degree_band,
+  count(*) as n_docs, cast(sum(degree) as bigint) as sum_degree
+from alld group by 1
+"""
+
+
+@q("dedup_degree_bands", _dedup_degree_oracle())
+def dedup_degree_bands_q(spark, sf_dir):
+    """Near-duplicate graph degree distribution on power-of-two bands
+    — the boilerplate-hub audit behind transitive-closure dedup
+    failures, reusing the banded LSH candidate join
+    (textops.dedup_degree_bands)."""
+    return tx.dedup_degree_bands(
+        cat.load_driver(spark, sf_dir, "documents"), jaccard_threshold=0.3)
+
+
+@q("value_median_by_type", """
+with v as (select event_type,
+    cast(floor(cast(value as double) * 100.0 + 0.5) as bigint) as vc
+  from events),
+h as (select event_type, vc, count(*) as c from v group by 1, 2),
+cm as (select event_type, vc,
+    sum(c) over (partition by event_type order by vc
+      rows between unbounded preceding and current row) as cum,
+    sum(c) over (partition by event_type) as n
+  from h)
+select event_type, cast(max(n) as bigint) as n_events,
+  cast(min(case when cum >= (n + 1) // 2 then vc end) as bigint)
+    as median_lo_cents,
+  cast(min(case when cum >= n // 2 + 1 then vc end) as bigint)
+    as median_hi_cents
+from cm group by 1
+""")
+def value_median_by_type_q(spark, sf_dir):
+    """Exact per-event-type value median (lower/upper) off the
+    cent-domain histogram — the bounded-domain grouped-percentile
+    shape, zonal_median's twin on events
+    (events.value_median_by_type)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.value_median_by_type(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
