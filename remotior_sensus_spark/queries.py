@@ -6889,14 +6889,35 @@ _RUN_FIRST = [
 
 # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50
 # names above), every query registered before round 4 has a driver row
-# in r02 ∪ r03 ∪ r04. The r05 window must lead with the queries that
-# have never been driver-measured — every @q registered AFTER
-# `minhash_accuracy` in this file (the round-4 session additions, in
-# registration order: d8_flow .. centroid_margin_bands; all strict
-# driver-check green at sf0.01 in the round-4 session), followed by any
-# round-5 additions, then re-measures of the headline bench queries
-# (ndvi, zonal_stats, min_distance, minhash_lsh, flagship-adjacent
-# spatial_doc_tiles) as regression canaries.
+# in r02 ∪ r03 ∪ r04. 66 round-4 session additions have never been
+# driver-measured (all strict driver-check green at sf0.01 the session
+# each landed); the r05 window holds 50, so set round 5's _RUN_FIRST to
+# EXACTLY this prioritized list (one driver-proof representative per
+# operator family; the 16 spilled are near-siblings of a measured or
+# listed query and keep the strict sf0.01 check as permanent evidence):
+#   d8_flow, tpi_landform, class_adjacency, vocab_zipf,
+#   bigram_lm_proxy, dup_rate_by_source, centroid_assign,
+#   ann_recall_audit, sequence_packing, profile_curvature,
+#   conversion_lag_bands, embedding_norm_bands, user_ltv_bands,
+#   ttr_profile, stopword_profile, dup_ngram_coverage, lang_confusion,
+#   bot_bursts, purchase_attribution, quantize_error, class_scatter,
+#   ivf_list_balance, evi_index, ngram_novelty, token_entropy,
+#   inter_event_bands, funnel_stage_lags, d8_indegree, prefix_dup,
+#   session_entry_exit, centroid_separation, semivariogram_aniso,
+#   cross_source_contamination, doc_dup_profile, ivf_recall_audit,
+#   event_value_bands, lbp_census, hypsometric_deciles, hapax_rate,
+#   transition_entropy, dim_variance_profile, cva_change, yule_k,
+#   activity_deciles, pq_assign_audit, ndvi_change_classes,
+#   bigram_entropy_rate, engagement_ltv_matrix, dedup_degree_bands,
+#   value_median_by_type
+# Spilled (strict-only siblings): aspect_slope_cross, brovey_sharpen,
+#   case_profile, centroid_margin_bands, cohort_funnel,
+#   doc_length_bands, focal_range, hourly_error_profile,
+#   knn_label_vote, lsh_bucket_balance, morph_gradient,
+#   multi_scale_tpi, ndwi_index, plan_curvature, session_durations,
+#   weekly_stickiness.
+# Round-5 additions should REPLACE spilled names (stay at 50), not
+# push measured families out.
 
 
 def _ordered() -> dict[str, tuple]:
