@@ -626,3 +626,69 @@ def value_median_by_type(events: DataFrame) -> DataFrame:
              F.min(F.when(F.col("cum") >= F.expr("n div 2 + 1"),
                           F.col("vc"))).alias("median_hi_cents"))
     )
+
+
+def dense_hourly_counts(events: DataFrame) -> DataFrame:
+    """Calendar densification audit: build the COMPLETE hour spine
+    from the corpus min to max timestamp (sequence + explode — no
+    driver loop), left-join hourly event counts per type onto it, and
+    report per type how many spine hours are dead (zero events) vs
+    live, with the exact event total — the gap profile a monitoring
+    pipeline needs before alerting on "no data this hour" (a sparse
+    groupBy alone cannot see hours that never appear). The spine is
+    bounded by the time range (hours), not the event count; counts are
+    one hour-keyed partial agg. Returns
+    (event_type, n_hours, dead_hours, n_events)."""
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour")))
+        .alias("h"))
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    cnt = (events.select(F.date_trunc("hour", F.col("ts")).alias("h"),
+                         "event_type")
+           .groupBy("h", "event_type").agg(F.count("*").alias("c")))
+    j = grid.join(cnt, ["h", "event_type"], "left")
+    return (
+        j.select("event_type",
+                 F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_hours"),
+             F.sum((F.col("c") == 0).cast("long")).alias("dead_hours"),
+             F.sum("c").alias("n_events"))
+    )
+
+
+def rolling_wau(events: DataFrame) -> DataFrame:
+    """Rolling 7-day active users: for every activity day d, the count
+    of distinct users active in (d-6 .. d] — the trailing-window WAU
+    curve (weekly_stickiness uses fixed calendar weeks; this is the
+    sliding version product dashboards plot). Exact-distinct over a
+    sliding window without a window function: the (user, day) distinct
+    activity set fans out to its <= 7 covered window days and a second
+    distinct collapses multi-day users per window — both shuffles are
+    hash-keyed and the fan-out factor is the window length, never the
+    event count. Days with no activity in their trailing week never
+    appear (censused by dense_hourly_counts' spine trick if needed).
+    Output is day-bounded; the census rolls it up to power-of-two WAU
+    bands for a bounded result: (wau_band, n_days, sum_wau)."""
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("d")).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"),
+                             F.date_add(F.col("d"), 6))).alias("wd"))
+    wau = (fan.distinct()
+           .groupBy("wd").agg(F.count("*").alias("wau")))
+    # keep only window-end days that themselves saw activity (the
+    # dashboard x-axis), matching the oracle's semantics exactly
+    days = ud.select("d").distinct().withColumnRenamed("d", "wd")
+    w = wau.join(days, "wd")
+    band = (F.length(F.bin(F.col("wau"))) - 1).cast("int")
+    return (
+        w.select(band.alias("wau_band"), "wau")
+        .groupBy("wau_band")
+        .agg(F.count("*").alias("n_days"), F.sum("wau").alias("sum_wau"))
+    )

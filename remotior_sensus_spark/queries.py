@@ -6824,6 +6824,53 @@ def value_median_by_type_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("dense_hourly_counts", """
+with b as (select date_trunc('hour', min(ts)) as lo,
+                  date_trunc('hour', max(ts)) as hi from events),
+spine as (select unnest(generate_series(lo, hi, interval 1 hour)) as h
+          from b),
+types as (select distinct event_type from events),
+grid as (select h, event_type from spine cross join types),
+cnt as (select date_trunc('hour', ts) as h, event_type, count(*) as c
+        from events group by 1, 2),
+j as (select grid.event_type, coalesce(cnt.c, 0) as c
+      from grid left join cnt using (h, event_type))
+select event_type, count(*) as n_hours,
+  cast(sum(case when c = 0 then 1 else 0 end) as bigint) as dead_hours,
+  cast(sum(c) as bigint) as n_events
+from j group by 1
+""")
+def dense_hourly_counts_q(spark, sf_dir):
+    """Calendar densification: complete hour spine (sequence+explode,
+    no driver loop) left-joined with hourly counts — dead-hour census
+    per type, the gap a sparse groupBy cannot see
+    (events.dense_hourly_counts)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.dense_hourly_counts(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
+@q("rolling_wau", """
+with ud as (select distinct user_id, cast(ts as date) as d from events),
+fan as (select distinct user_id, d + cast(x as int) as wd
+        from ud, (select unnest(range(0, 7)) as x)),
+wau as (select wd, count(*) as wau from fan group by 1),
+days as (select distinct d as wd from ud),
+w as (select wau.wau from wau join days using (wd))
+select cast(length(printf('%b', wau)) - 1 as int) as wau_band,
+  count(*) as n_days, cast(sum(wau) as bigint) as sum_wau
+from w group by 1
+""")
+def rolling_wau_q(spark, sf_dir):
+    """Rolling 7-day active users (sliding WAU) without a window
+    function: the distinct (user, day) set fans out to its <=7 covered
+    window days, a second distinct collapses multi-day users — fan-out
+    bounded by the window length, never the event count
+    (events.rolling_wau)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.rolling_wau(cat.load_driver(spark, sf_dir, "events"))
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths
@@ -6898,24 +6945,26 @@ _RUN_FIRST = [
 #   d8_flow, tpi_landform, class_adjacency, vocab_zipf,
 #   bigram_lm_proxy, dup_rate_by_source, centroid_assign,
 #   ann_recall_audit, sequence_packing, profile_curvature,
-#   conversion_lag_bands, embedding_norm_bands, user_ltv_bands,
+#   conversion_lag_bands, user_ltv_bands,
 #   ttr_profile, stopword_profile, dup_ngram_coverage, lang_confusion,
 #   bot_bursts, purchase_attribution, quantize_error, class_scatter,
 #   ivf_list_balance, evi_index, ngram_novelty, token_entropy,
-#   inter_event_bands, funnel_stage_lags, d8_indegree, prefix_dup,
+#   funnel_stage_lags, d8_indegree, prefix_dup,
 #   session_entry_exit, centroid_separation, semivariogram_aniso,
 #   cross_source_contamination, doc_dup_profile, ivf_recall_audit,
 #   event_value_bands, lbp_census, hypsometric_deciles, hapax_rate,
 #   transition_entropy, dim_variance_profile, cva_change, yule_k,
 #   activity_deciles, pq_assign_audit, ndvi_change_classes,
 #   bigram_entropy_rate, engagement_ltv_matrix, dedup_degree_bands,
-#   value_median_by_type
+#   value_median_by_type, dense_hourly_counts, rolling_wau
 # Spilled (strict-only siblings): aspect_slope_cross, brovey_sharpen,
 #   case_profile, centroid_margin_bands, cohort_funnel,
-#   doc_length_bands, focal_range, hourly_error_profile,
-#   knn_label_vote, lsh_bucket_balance, morph_gradient,
-#   multi_scale_tpi, ndwi_index, plan_curvature, session_durations,
-#   weekly_stickiness.
+#   doc_length_bands, embedding_norm_bands (quantize_error +
+#   dim_variance_profile cover the lattice), focal_range,
+#   hourly_error_profile, inter_event_bands (event_value_bands is the
+#   banding representative), knn_label_vote, lsh_bucket_balance,
+#   morph_gradient, multi_scale_tpi, ndwi_index, plan_curvature,
+#   session_durations, weekly_stickiness.
 # Round-5 additions should REPLACE spilled names (stay at 50), not
 # push measured families out.
 
