@@ -1,0 +1,169 @@
+"""Pure-Python reference tests for the round-4 text operators over
+small synthetic corpora with known structure (exact duplicates,
+truncation families, shared grams, template spam). The DuckDB oracles
+share the repo's relational formulation; these references are written
+independently from the definition in each docstring."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from remotior_sensus_spark.operators import textops as tx
+
+
+DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "the cat sat on the mat and then the cat sat again today", "en", "s0"),
+    (1, "the cat sat on the mat and then the cat sat again today", "en", "s0"),
+    (2, "the cat sat on the mat and then the dog ran away home", "en", "s1"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s1"),
+    (4, "SPAM SPAM SPAM buy NOW 100 percent FREE offer 42 clicks", "en", "s2"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s2"),
+    (6, "one two three four five six seven eight nine ten eleven twelve", "en", "s2"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [Row(doc_id=i, text=t, lang=lg, source=s,
+                n_chars=len(t)) for i, t, lg, s in DOCS]
+    return spark.createDataFrame(rows)
+
+
+def _toks(t):
+    return [w for w in t.strip().split() if w]
+
+
+def _grams(t, n=8):
+    toks = _toks(t)
+    if len(toks) <= n:
+        return [" ".join(toks[:n])]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_yule_k_matches_reference(spark, docs_df):
+    by_src = {}
+    for _i, t, _lg, s in DOCS:
+        by_src.setdefault(s, []).extend(_toks(t))
+    ref = {}
+    for s, toks in by_src.items():
+        from collections import Counter
+        c = Counter(toks)
+        s1, s2 = sum(c.values()), sum(v * v for v in c.values())
+        kfp = math.floor((s2 - s1) / (float(s1) * float(s1))
+                         * 10000.0 * 1000000.0 + 0.5)
+        ref[s] = (s1, s2, kfp)
+    got = {r["source"]: (r["n_tokens"], r["sum_cnt_sq"], r["yule_k_fp"])
+           for r in tx.yule_k(docs_df).collect()}
+    assert got == ref
+
+
+def test_hapax_rate_matches_reference(spark, docs_df):
+    from collections import Counter
+    ref = {}
+    for s in {d[3] for d in DOCS}:
+        c = Counter(w for _i, t, _lg, src in DOCS if src == s
+                    for w in _toks(t))
+        hap = sum(1 for v in c.values() if v == 1)
+        ref[s] = (sum(c.values()), len(c), hap, hap * 1000000 // len(c))
+    got = {r["source"]: (r["n_tokens"], r["n_terms"], r["n_hapax"],
+                         r["hapax_fp"])
+           for r in tx.hapax_rate(docs_df).collect()}
+    assert got == ref
+
+
+def test_case_profile_matches_reference(spark, docs_df):
+    ref = {}
+    for s in {d[3] for d in DOCS}:
+        toks = [w for _i, t, _lg, src in DOCS if src == s
+                for w in _toks(t)]
+        cap = sum(1 for w in toks if "A" <= w[0] <= "Z")
+        allc = sum(1 for w in toks
+                   if len(w) > 1 and all("A" <= ch <= "Z" for ch in w))
+        num = sum(1 for w in toks if all("0" <= ch <= "9" for ch in w))
+        ref[s] = (len(toks), cap, allc, num, cap * 1000000 // len(toks))
+    got = {r["source"]: (r["n_tokens"], r["n_capitalized"], r["n_allcaps"],
+                         r["n_numeric"], r["caps_fp"])
+           for r in tx.case_profile(docs_df).collect()}
+    assert got == ref
+
+
+def test_prefix_dup_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, t, _lg, _s in DOCS:
+        groups[t[:200]].append((i, t))
+    cens = defaultdict(lambda: [0, 0])
+    for _p, members in groups.items():
+        k = len(members)
+        v = len({t for _i, t in members})
+        cens[(k, v)][0] += 1
+        cens[(k, v)][1] += min(i for i, _t in members)
+    ref = {kv: tuple(x) for kv, x in cens.items()}
+    got = {(r["group_size"], r["n_variants"]): (r["n_groups"],
+                                                r["min_doc_sum"])
+           for r in tx.prefix_dup(docs_df).collect()}
+    assert got == ref
+
+
+def test_doc_dup_profile_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    where = defaultdict(set)
+    for i, t, _lg, _s in DOCS:
+        for g in _grams(t):
+            where[g].add(i)
+    cens = defaultdict(lambda: [0, 0, 0])
+    for i, t, _lg, _s in DOCS:
+        gs = _grams(t)
+        dup = sum(1 for g in gs if len(where[g]) > 1)
+        dec = min((dup * 10) // len(gs), 9)
+        cens[dec][0] += 1
+        cens[dec][1] += dup
+        cens[dec][2] += len(gs)
+    ref = {d: tuple(x) for d, x in cens.items()}
+    got = {r["dup_decile"]: (r["n_docs"], r["sum_dup"], r["sum_grams"])
+           for r in tx.doc_dup_profile(docs_df).collect()}
+    assert got == ref
+
+
+def test_cross_source_contamination_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    per_src = defaultdict(set)
+    for _i, t, _lg, s in DOCS:
+        per_src[s].update(_grams(t))
+    srcs = sorted(per_src)
+    ref = {}
+    for ia, a in enumerate(srcs):
+        for b in srcs[ia + 1:]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                ref[(a, b)] = (shared,
+                               shared * 1000000 // len(per_src[a]),
+                               shared * 1000000 // len(per_src[b]))
+    got = {(r["source_a"], r["source_b"]): (r["n_shared"], r["share_a_fp"],
+                                            r["share_b_fp"])
+           for r in tx.cross_source_contamination(docs_df).collect()}
+    assert got == ref
+
+
+def test_bigram_entropy_rate_matches_reference(spark, docs_df):
+    from collections import Counter, defaultdict
+    c2 = defaultdict(Counter)
+    for _i, t, _lg, s in DOCS:
+        toks = _toks(t)
+        for a, b in zip(toks, toks[1:]):
+            c2[s][(a, b)] += 1
+    ref = {}
+    for s, c in c2.items():
+        n = sum(c.values())
+        c1 = Counter()
+        for (a, _b), v in c.items():
+            c1[a] += v
+        acc = 0
+        for (a, _b), v in c.items():
+            acc += math.floor(v / n * math.log(v / c1[a]) * 1e6 + 0.5)
+        ref[s] = (n, len(c), -acc)
+    got = {r["source"]: (r["n_bigrams"], r["n_pairs"], r["cond_entropy_fp"])
+           for r in tx.bigram_entropy_rate(docs_df).collect()}
+    assert got == ref
