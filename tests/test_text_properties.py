@@ -23,6 +23,14 @@ DOCS = [
     (6, "one two three four five six seven eight nine ten eleven twelve", "en", "s2"),
 ]
 
+# a genuine truncation family: two docs sharing the first 200+ chars,
+# diverging after (the (group_size, n_variants>1) branch of prefix_dup)
+_LONG = " ".join(f"token{i:03d}" for i in range(30))  # 269 chars
+DOCS += [
+    (7, _LONG + " ending alpha omega", "en", "s1"),
+    (8, _LONG + " different closing words", "en", "s2"),
+]
+
 
 @pytest.fixture(scope="module")
 def docs_df(spark):
