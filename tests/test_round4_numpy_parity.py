@@ -131,3 +131,85 @@ def test_d8_indegree_matches_dense_numpy(spark, dense, geo001_dir):
     got = {r["indeg"]: r["n_pixels"] for r in
            Q.REGISTRY["d8_indegree"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+@pytest.fixture(scope="module")
+def dense2(geo001_dir):
+    """Dense arrays for both dates x (B04, B08)."""
+    con = duckdb.connect()
+    out = {}
+    for ds in ("S2_2020-01-01", "S2_2020-01-02"):
+        for bd in ("B04", "B08"):
+            px = con.sql(f"""select gx, gy, value
+              from '{geo001_dir}/tile_pixels.parquet'
+              where bandset='{ds}' and band='{bd}'""").df()
+            h, w = int(px.gy.max()) + 1, int(px.gx.max()) + 1
+            a = np.full((h, w), -32768, dtype=np.int64)
+            a[px.gy, px.gx] = px.value
+            out[(ds, bd)] = a
+    return out
+
+
+def test_cva_change_matches_dense_numpy(spark, dense2, geo001_dir):
+    xa = dense2[("S2_2020-01-01", "B04")]
+    xb = dense2[("S2_2020-01-02", "B04")]
+    ya = dense2[("S2_2020-01-01", "B08")]
+    yb = dense2[("S2_2020-01-02", "B08")]
+    ok = (xa != -32768) & (xb != -32768) & (ya != -32768) & (yb != -32768)
+    dx, dy = (xb - xa)[ok], (yb - ya)[ok]
+    quad = (np.sign(dx) + 1) * 3 + (np.sign(dy) + 1)
+    mag = dx * dx + dy * dy
+    band = np.where(mag > 0,
+                    np.floor(np.log2(np.maximum(mag, 1))).astype(int), -1)
+    ref = {}
+    for q in np.unique(quad):
+        for b in np.unique(band[quad == q]):
+            sel = (quad == q) & (band == b)
+            ref[(int(q), int(b))] = (int(sel.sum()), int(mag[sel].sum()))
+    got = {(r["quad"], r["mag_band"]): (r["n_pixels"], r["sum_mag_sq"])
+           for r in Q.REGISTRY["cva_change"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_ndvi_change_classes_match_dense_numpy(spark, dense2, geo001_dir):
+    def cls(n, r):
+        c = np.zeros(n.shape, dtype=int)
+        c = np.where(5 * (n - r) >= (n + r), 1, c)
+        c = np.where(2 * (n - r) > (n + r), 2, c)
+        return np.where(n + r <= 0, -1, c)
+
+    ra = dense2[("S2_2020-01-01", "B04")]
+    na = dense2[("S2_2020-01-01", "B08")]
+    rb = dense2[("S2_2020-01-02", "B04")]
+    nb = dense2[("S2_2020-01-02", "B08")]
+    ok = (ra != -32768) & (na != -32768) & (rb != -32768) & (nb != -32768)
+    ca, cb = cls(na, ra)[ok], cls(nb, rb)[ok]
+    nbv = nb[ok]
+    ref = {}
+    for a in np.unique(ca):
+        for b in np.unique(cb[ca == a]):
+            sel = (ca == a) & (cb == b)
+            ref[(int(a), int(b))] = (int(sel.sum()), int(nbv[sel].sum()))
+    got = {(r["class_a"], r["class_b"]): (r["n_pixels"], r["sum_nir_b"])
+           for r in Q.REGISTRY["ndvi_change_classes"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_semivariogram_aniso_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    dirs = {"E": (1, 0), "N": (0, 1), "NE": (1, 1), "SE": (1, -1)}
+    ref = {}
+    for dname, (ux, uy) in dirs.items():
+        for lag in (1, 2, 4):
+            nb, nv = _neighbor(a, valid, ux * lag, uy * lag)
+            sel = valid & nv
+            d2 = (nb[sel] - a[sel]) ** 2
+            n = int(sel.sum())
+            s = int(d2.sum())
+            ref[(dname, lag)] = (n, s, s / (2.0 * n))
+    got = {(r["direction"], r["lag"]): (r["n_pairs"], r["sum_sq_diff"],
+                                        r["gamma"])
+           for r in Q.REGISTRY["semivariogram_aniso"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref
