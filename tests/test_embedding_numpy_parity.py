@@ -1,0 +1,116 @@
+"""Dense-numpy parity for the round-4 embedding audits: every lattice
+quantity (2^10 vector lattice, 2^-20 fixed-point dots) is rebuilt with
+plain numpy/hashlib, independent of the relational formulation the
+DuckDB oracles mirror."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from remotior_sensus_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vq = np.floor(v * 1024.0 + 0.5).astype(np.int64)
+    return df["vec_id"].to_numpy(), df["label"].to_numpy(), v, vq
+
+
+def _centroids(labels, vq):
+    out = {}
+    for lb in np.unique(labels):
+        m = vq[labels == lb]
+        out[int(lb)] = np.floor(m.sum(axis=0) / len(m)).astype(np.int64)
+    return out
+
+
+def test_centroid_separation_matches_numpy(spark, emb):
+    _ids, labels, _v, vq = emb
+    cent = _centroids(labels, vq)
+    ls = sorted(cent)
+    ref = {(a, b): int(((cent[a] - cent[b]) ** 2).sum())
+           for i, a in enumerate(ls) for b in ls[i + 1:]}
+    got = {(r["label_a"], r["label_b"]): r["dist_sq"] for r in
+           Q.REGISTRY["centroid_separation"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_dim_variance_profile_matches_numpy(spark, emb):
+    _ids, _labels, _v, vq = emb
+    n = len(vq)
+    s = vq.sum(axis=0)
+    s2 = (vq * vq).sum(axis=0)
+    ref = {d: (n, int(s[d]), int(n * s2[d] - s[d] * s[d]))
+           for d in range(vq.shape[1])}
+    got = {r["dim"]: (r["n_vecs"], r["sum_x"], r["var_num"]) for r in
+           Q.REGISTRY["dim_variance_profile"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_centroid_margin_bands_match_numpy(spark, emb):
+    _ids, labels, _v, vq = emb
+    cent = _centroids(labels, vq)
+    ls = sorted(cent)
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for i in range(len(vq)):
+        ds = sorted((int(((vq[i] - cent[lb]) ** 2).sum()), lb) for lb in ls)
+        margin = ds[1][0] - ds[0][0]
+        correct = int(ds[0][1] == labels[i])
+        band = margin.bit_length() - 1 if margin > 0 else -1
+        cens[(band, correct)][0] += 1
+        cens[(band, correct)][1] += margin
+    ref = {k: tuple(x) for k, x in cens.items()}
+    got = {(r["margin_band"], r["correct"]): (r["n_vecs"], r["sum_margin"])
+           for r in Q.REGISTRY["centroid_margin_bands"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_pq_assign_audit_matches_numpy(spark, emb):
+    ids, _labels, _v, vq = emb
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    cb = [(int(ids[i]), vq[i]) for i in order[:16]]
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for i in range(len(vq)):
+        for s in range(4):
+            sl = slice(s * 16, (s + 1) * 16)
+            best = min((int(((vq[i][sl] - cq[sl]) ** 2).sum()), cid)
+                       for cid, cq in cb)
+            cens[(s, best[1])][0] += 1
+            cens[(s, best[1])][1] += best[0]
+    ref = {k: tuple(x) for k, x in cens.items()}
+    got = {(r["subspace"], r["code_id"]): (r["n_vecs"], r["sum_dist"])
+           for r in Q.REGISTRY["pq_assign_audit"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_lsh_bucket_balance_matches_numpy(spark, emb):
+    from remotior_sensus_spark.operators.similarity import _hyperplanes
+    _ids, _labels, v, _vq = emb
+    planes = np.array(_hyperplanes(64, 12))  # (12, 64) float64
+    # elementwise fixed-point sign dot, same IEEE sequence as _dot_fp
+    buckets = np.zeros(len(v), dtype=np.int64)
+    for i, p in enumerate(planes):
+        d = np.floor(v * p * 1048576.0 + 0.5).astype(np.int64).sum(axis=1)
+        buckets |= (d > 0).astype(np.int64) << i
+    from collections import Counter, defaultdict
+    sizes = Counter(buckets.tolist())
+    cens = defaultdict(lambda: [0, 0])
+    for bk, sz in sizes.items():
+        cens[sz][0] += 1
+        cens[sz][1] += bk
+    ref = {k: tuple(x) for k, x in cens.items()}
+    got = {r["bucket_size"]: (r["n_buckets"], r["bucket_id_sum"]) for r in
+           Q.REGISTRY["lsh_bucket_balance"][0](spark, SF_DIR).collect()}
+    assert got == ref
