@@ -43,6 +43,19 @@ def _valid_px(band_px: DataFrame) -> DataFrame:
     )
 
 
+
+def _gj(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+    """(gx, gy)-keyed join of two PIXEL-SCALE frames, pinned to a
+    shuffle hash join. Catalyst's compile-time size estimate under a
+    filter+posexplode lineage can come out absurdly small, flipping
+    these corpus-x-corpus joins into a broadcast build that is
+    driver-fatal at scale (caught at sf0.1: semivariogram_aniso OOMed
+    the broadcast exchange while siblings silently broadcast 52M-row
+    sides). The hint pins the co-partitioned hash join a
+    1000-executor plan needs; AQE skew handling still applies."""
+    return a.join(b.hint("shuffle_hash"), ["gx", "gy"], how)
+
+
 def morans_i(band_px: DataFrame) -> DataFrame:
     """Global Moran's I with rook (4-neighbour, binary) weights.
     Returns ONE row: (n_pixels, w_sum, morans_i)."""
@@ -59,7 +72,7 @@ def morans_i(band_px: DataFrame) -> DataFrame:
         )
         .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
     )
-    j = px.join(nb, ["gx", "gy"], "left").select(
+    j = _gj(px, nb, "left").select(
         "v",
         F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
         F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
@@ -113,7 +126,7 @@ def gearys_c(band_px: DataFrame) -> DataFrame:
              F.sum(F.col("v") * F.col("v")).alias("nbs2"),
              F.count("*").alias("nbc"))
     )
-    j = px.join(nb, ["gx", "gy"], "left").select(
+    j = _gj(px, nb, "left").select(
         "v",
         F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
         F.coalesce("nbs2", F.lit(0).cast("long")).alias("s2"),
@@ -159,7 +172,7 @@ def semivariogram(band_px: DataFrame,
         .select((F.col("gx") + F.col("lag")).alias("gx"), "gy", "lag",
                 F.col("v").alias("v0"))
     )
-    pairs = shifted.join(px, ["gx", "gy"]).select(
+    pairs = _gj(shifted, px).select(
         "lag", ((F.col("v") - F.col("v0"))
                 * (F.col("v") - F.col("v0"))).alias("d2")
     )
@@ -195,7 +208,7 @@ def getis_g(band_px: DataFrame) -> DataFrame:
         )
         .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
     )
-    j = px.join(nb, ["gx", "gy"], "left").select(
+    j = _gj(px, nb, "left").select(
         "v",
         F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
         F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
@@ -239,7 +252,7 @@ def tri_classes(band_px: DataFrame, class_width: float = 500.0) -> DataFrame:
              F.sum(F.col("v") * F.col("v")).alias("nbs2"),
              F.count("*").alias("nbc"))
     )
-    j = px.join(nb, ["gx", "gy"]).select(
+    j = _gj(px, nb).select(
         "v", F.col("nbs").alias("s"), F.col("nbs2").alias("s2"),
         F.col("nbc").alias("c"),
     )
@@ -307,7 +320,7 @@ def lisa_quadrants(band_px: DataFrame) -> DataFrame:
         )
         .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
     )
-    j = px.join(nb, ["gx", "gy"], "left").select(
+    j = _gj(px, nb, "left").select(
         "v",
         F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
         F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
@@ -377,7 +390,7 @@ def focal_majority(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
     winners = counts.groupBy("gx", "gy").agg(
         F.max(F.col("cnt") * F.lit(1048576).cast("long")
               + (F.lit(1048575).cast("long") - F.col("cls"))).alias("mo"))
-    centers = winners.join(px.select("gx", "gy"), ["gx", "gy"], "leftsemi")
+    centers = _gj(winners, px.select("gx", "gy"), "leftsemi")
     maj = F.lit(1048575).cast("long") - F.col("mo") % F.lit(1048576).cast("long")
     return (
         centers.select(maj.alias("majority_class"))
@@ -418,7 +431,7 @@ def proximity_classes(band_px: DataFrame, target_class: int = 4,
         )
         .agg(F.min("o.d2").alias("min_d2"))
     )
-    j = px.join(near, ["gx", "gy"], "left")
+    j = _gj(px, near, "left")
     band = F.when(
         F.col("min_d2").isNotNull(),
         F.floor(F.sqrt(F.col("min_d2").cast("double"))).cast("int"),
@@ -449,7 +462,7 @@ def glcm_texture(band_px: DataFrame, step: float = 500.0) -> DataFrame:
     shifted = px.select(
         (F.col("gx") - 1).alias("gx"), "gy", F.col("c").alias("cb"))
     pairs = (
-        px.join(shifted, ["gx", "gy"])
+        _gj(px, shifted)
         .groupBy(F.col("c").alias("ca"), "cb")
         .agg(F.count("*").alias("cnt"))
     )
@@ -578,7 +591,7 @@ def d8_indegree(band_px: DataFrame) -> DataFrame:
                 (F.col("gy") + tgt_dy).alias("gy"))
         .groupBy("gx", "gy").agg(F.count("*").alias("indeg"))
     )
-    j = dirs.select("gx", "gy").join(tg, ["gx", "gy"], "left")
+    j = _gj(dirs.select("gx", "gy"), tg, "left")
     return (
         j.select(F.coalesce("indeg", F.lit(0).cast("long"))
                  .cast("int").alias("indeg"))
@@ -608,7 +621,7 @@ def tpi_landform(band_px: DataFrame, threshold: int = 300) -> DataFrame:
         )
         .agg(F.sum("v").alias("s8"), F.count("*").alias("c8"))
     )
-    j = px.join(nb, ["gx", "gy"]).filter(F.col("c8") == 8)
+    j = _gj(px, nb).filter(F.col("c8") == 8)
     t8 = F.lit(8 * threshold).cast("long")
     diff = F.lit(8).cast("long") * F.col("v") - F.col("s8")
     landform = (
@@ -639,8 +652,8 @@ def class_adjacency(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
         (F.col("gx") - 1).alias("gx"), "gy", F.col("c").alias("cb"))
     south = px.select(
         "gx", (F.col("gy") - 1).alias("gy"), F.col("c").alias("cb"))
-    pairs = px.join(east, ["gx", "gy"]).select("c", "cb").unionByName(
-        px.join(south, ["gx", "gy"]).select("c", "cb"))
+    pairs = _gj(px, east).select("c", "cb").unionByName(
+        _gj(px, south).select("c", "cb"))
     return (
         pairs.select(
             F.least("c", "cb").alias("class_a"),
@@ -758,7 +771,7 @@ def morph_gradient(band_px: DataFrame, threshold: float = 3500.0
         u = u.unionByName(p)
     g = u.groupBy("gx", "gy").agg(
         F.max("nm").alias("mx"), F.min("nm").alias("mn"))
-    j = g.join(m, ["gx", "gy"])
+    j = _gj(g, m)
     return (
         j.select((F.col("mx") - F.col("mn")).cast("int").alias("grad"))
         .groupBy("grad")
@@ -871,7 +884,7 @@ def multi_scale_tpi(band_px: DataFrame, threshold: float = 300.0
         F.sum(F.col("sm").cast("long") * F.col("nv")).alias("s8x"),
     )
     t = int(threshold)
-    j = g.filter(F.col("c24") == 24).join(px, ["gx", "gy"])
+    j = _gj(g.filter(F.col("c24") == 24), px)
     small = (
         F.when(8 * F.col("v") - F.col("s8x") > 8 * t, F.lit(1))
         .when(F.col("s8x") - 8 * F.col("v") > 8 * t, F.lit(-1))
@@ -912,7 +925,7 @@ def focal_range_bands(band_px: DataFrame) -> DataFrame:
     g = u.groupBy("gx", "gy").agg(
         F.max("nv").alias("mx"), F.min("nv").alias("mn"),
         F.count("*").alias("c"))
-    j = g.filter(F.col("c") == 9).join(px, ["gx", "gy"])
+    j = _gj(g.filter(F.col("c") == 9), px)
     r = j.select((F.col("mx") - F.col("mn")).alias("r"))
     band = F.when(F.col("r") > 0,
                   (F.length(F.bin(F.col("r"))) - 1).cast("int")) \
@@ -950,7 +963,7 @@ def semivariogram_aniso(band_px: DataFrame,
                 F.col("o.direction").alias("direction"),
                 F.col("o.lag").alias("lag"), F.col("v").alias("v0"))
     )
-    pairs = shifted.join(px, ["gx", "gy"]).select(
+    pairs = _gj(shifted, px).select(
         "direction", "lag",
         ((F.col("v") - F.col("v0"))
          * (F.col("v") - F.col("v0"))).alias("d2"))
@@ -986,7 +999,7 @@ def lbp_census(band_px: DataFrame) -> DataFrame:
                 (F.col("gy") - F.col("o.dy")).alias("gy"),
                 F.col("o.bit").alias("bit"), F.col("v").alias("nv"))
     )
-    j = s.join(px, ["gx", "gy"])
+    j = _gj(s, px)
     g = j.groupBy("gx", "gy", "v").agg(
         F.count("*").alias("c"),
         F.sum(F.when(F.col("nv") >= F.col("v"), F.col("bit"))
