@@ -143,13 +143,18 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
             F.coalesce(F.col("rv"), F.lit(float(nodata))).alias("value"),
         )
 
+    # every source-pixel equi-join below pins shuffle_hash: src is a
+    # posexploded raster-scale frame with NO shuffle beneath it, so a
+    # bogus compile-time size estimate would statically BROADCAST the
+    # whole source raster (the geostats _gj bug class) and AQE never
+    # gets a chance to demote it — fatal on a real cluster
     if resampling == "nearest":
         out = out.withColumn(
             "sgx", F.floor((sx - F.lit(ORIGIN_X)) / F.lit(PIXEL_SIZE)).cast("long")
         ).withColumn(
             "sgy", F.floor((F.lit(ORIGIN_Y) - sy) / F.lit(PIXEL_SIZE)).cast("long")
         )
-        j = out.join(src, ["sgx", "sgy"], "left")
+        j = out.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
         return j.select(
             "tile_x", "tile_y", "pos",
             F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
@@ -180,7 +185,7 @@ def warp_affine(band_tiles: DataFrame, forward: Affine,
          * (F.when(F.col("corner") < 2, F.lit(1.0) - F.col("wv"))
             .otherwise(F.col("wv")))).alias("w"),
     )
-    j = corners.join(src, ["sgx", "sgy"], "left")
+    j = corners.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
     wide = j.groupBy("tile_x", "tile_y", "pos").agg(
         *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
           for k in range(4)],
@@ -314,7 +319,7 @@ def _cubic_combine(out: DataFrame, src: DataFrame, nodata: float) -> DataFrame:
         (_keys_weight(F.col("wu"), cxi)
          * _keys_weight(F.col("wv"), cyi)).alias("w"),
     )
-    j = taps.join(src, ["sgx", "sgy"], "left")
+    j = taps.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
     wide = j.groupBy("tile_x", "tile_y", "pos").agg(
         *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
           for k in range(16)],
@@ -414,7 +419,7 @@ def warp_crs(band_tiles: DataFrame, src_zone: int, dst_zone: int,
         "sgy", F.floor((F.lit(ORIGIN_Y) - sN) / F.lit(PIXEL_SIZE)).cast("long")
     )
     out = sm.drop_bindings(out)
-    j = out.join(src, ["sgx", "sgy"], "left")
+    j = out.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
     return j.select(
         "tile_x", "tile_y", "pos",
         F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
@@ -525,7 +530,7 @@ def warp_datum(band_tiles: DataFrame, zone: int,
         "sgy", F.floor((F.lit(ORIGIN_Y) - sN) / F.lit(PIXEL_SIZE)).cast("long")
     )
     out = sm.drop_bindings(out)
-    j = out.join(src, ["sgx", "sgy"], "left")
+    j = out.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
     return j.select(
         "tile_x", "tile_y", "pos",
         F.coalesce(F.col("value"), F.lit(float(nodata))).alias("value"),
@@ -586,7 +591,7 @@ def warp_crs_bilinear(band_tiles: DataFrame, src_zone: int, dst_zone: int,
          * (F.when(F.col("corner") < 2, F.lit(1.0) - F.col("wv"))
             .otherwise(F.col("wv")))).alias("w"),
     )
-    j = corners.join(src, ["sgx", "sgy"], "left")
+    j = corners.join(src.hint("shuffle_hash"), ["sgx", "sgy"], "left")
     wide = j.groupBy("tile_x", "tile_y", "pos").agg(
         *[F.max(F.when(F.col("corner") == k, F.col("value"))).alias(f"v{k}")
           for k in range(4)],
