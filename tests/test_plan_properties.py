@@ -342,3 +342,30 @@ def test_cross_source_contamination_broadcast_totals(spark):
     # matrix; pair formation itself is a hash equi-join on the gram key
     assert "BroadcastHashJoin" in plan, plan
     _assert_clean(plan)
+
+
+def _static_pixel_broadcasts(plan: str) -> int:
+    """Count BroadcastExchange nodes whose build subtree contains a
+    posexplode with NO shuffle in between — the statically-planned
+    broadcast of a raster/corpus-scale frame that AQE can never demote
+    (it only re-decides joins whose build side materialized through an
+    exchange). This is the bug class caught at sf0.1: geostats and
+    warp joins silently broadcasting 52M-row exploded-pixel sides."""
+    import re
+    n = 0
+    for m in re.finditer(r"BroadcastExchange HashedRelation", plan):
+        sub = plan[m.start():m.start() + 3000]
+        if "posexplode" in sub and "Exchange hashpartitioning" not in \
+                sub.split("posexplode")[0]:
+            n += 1
+    return n
+
+
+def test_no_static_pixel_broadcasts_geostats_and_warp(spark):
+    for name in ("semivariogram", "semivariogram_aniso", "morans_i",
+                 "lbp_census", "focal_range", "d8_indegree",
+                 "tpi_landform", "morph_gradient", "warp_affine",
+                 "warp_bilinear", "warp_cubic", "warp_crs",
+                 "warp_crs_bilinear", "warp_datum"):
+        plan = _shape(spark, name)
+        assert _static_pixel_broadcasts(plan) == 0, (name, plan)
