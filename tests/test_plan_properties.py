@@ -278,9 +278,11 @@ def test_shifted_copy_rasters_no_cartesian_no_python(spark):
 
 def test_semivariogram_aniso_one_join_shuffle(spark):
     plan = _shape(spark, "semivariogram_aniso")
-    # all 12 (direction, lag) copies resolve through ONE hash join;
-    # the rollup rides the AQE-coalesced same exchange
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # all 12 (direction, lag) copies resolve through ONE hash join —
+    # a pinned shuffle_hash (one exchange per side, never the static
+    # broadcast of the 52M-row pixel frame that OOMed at sf0.1)
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     _assert_clean(plan)
 
 
