@@ -282,7 +282,9 @@ def test_semivariogram_aniso_one_join_shuffle(spark):
     # a pinned shuffle_hash (one exchange per side, never the static
     # broadcast of the 52M-row pixel frame that OOMed at sf0.1)
     assert plan.count("ShuffledHashJoin") == 1, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # two join-side exchanges + at most the bounded rollup exchange
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
     _assert_clean(plan)
 
 
