@@ -98,7 +98,10 @@ def histogram_2d(px_x: DataFrame, px_y: DataFrame, step: float = 500.0) -> DataF
     """Value-pair binning of two aligned bands (shared_tools.py:527-563)."""
     a = px_x.select("tile_x", "tile_y", "pos", F.col("value").alias("vx"))
     b = px_y.select("tile_x", "tile_y", "pos", F.col("value").alias("vy"))
-    j = a.join(b, ["tile_x", "tile_y", "pos"])
+    # both sides are exploded PIXEL frames: pin the shuffle hash join so
+    # a bogus compile-time estimate under the posexplode lineage can't
+    # statically broadcast a whole band (the geostats._gj bug class)
+    j = a.join(b.hint("shuffle_hash"), ["tile_x", "tile_y", "pos"])
     j = j.filter((F.col("vx") != NODATA) & (F.col("vy") != NODATA))
     return (
         j.groupBy(

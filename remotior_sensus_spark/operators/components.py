@@ -858,7 +858,10 @@ def landscape_metrics(band_tiles: DataFrame,
              (F.col("gy") + F.col("o.dy")).alias("gy"),
              F.col("v").alias("vs"))
     adj = (
-        px.join(shifted, ["gx", "gy"])
+        # pixel x pixel equi-join: pin shuffle hash so the posexplode
+        # lineage's bogus static estimate can't broadcast a whole band
+        # (the geostats._gj bug class)
+        px.join(shifted.hint("shuffle_hash"), ["gx", "gy"])
         .filter(F.col("v") == F.col("vs"))
         .groupBy(F.col("v").alias("class_value"))
         .agg(F.count("*").alias("n_adj"))
