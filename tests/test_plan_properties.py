@@ -370,6 +370,7 @@ def test_no_static_pixel_broadcasts_geostats_and_warp(spark):
                  "lbp_census", "focal_range", "d8_indegree",
                  "tpi_landform", "morph_gradient", "warp_affine",
                  "warp_bilinear", "warp_cubic", "warp_crs",
-                 "warp_crs_bilinear", "warp_datum"):
+                 "warp_crs_bilinear", "warp_datum", "histogram_2d",
+                 "landscape_metrics"):
         plan = _shape(spark, name)
         assert _static_pixel_broadcasts(plan) == 0, (name, plan)
