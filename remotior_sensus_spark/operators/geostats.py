@@ -26,6 +26,7 @@ stream; no pairwise self-join ever materializes more than one row per
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1037,4 +1038,129 @@ def hypsometric_deciles(band_px: DataFrame) -> DataFrame:
     return (
         sat.groupBy("decile")
         .agg(F.max("v").alias("elevation"), F.min("cum").alias("cum_area"))
+    )
+
+
+def _d8_best(pad, rows, cols):
+    """Vectorized D8 pick over pad for the region [rows, cols) (pad
+    coords): returns (code int64 array, interior mask). Exact-integer
+    ranking in float64 (DNs and squared drops stay far inside 2^53),
+    first-in-code-order tie-break — the same semantics as the
+    relational _d8_dir_px, kernel-for-kernel with the dense parity
+    test."""
+    c = pad[rows, cols]
+    best_m = np.full(c.shape, -1.0)
+    best_code = np.zeros(c.shape, dtype=np.int64)
+    nvalid = np.zeros(c.shape, dtype=np.int64)
+    for dx, dy, code, diag in _D8:
+        n = pad[rows.start + dy:rows.stop + dy, cols.start + dx:cols.stop + dx]
+        ok = ~np.isnan(n)
+        nvalid += ok
+        m = np.where(ok & (c > n), (c - n) * (c - n) * (2 - diag), -1.0)
+        take = ok & (m > best_m)
+        best_m = np.where(take, m, best_m)
+        best_code = np.where(take, code, best_code)
+    interior = (~np.isnan(c)) & (nvalid == 8)
+    codes = np.where(best_m < 0, 0, best_code)
+    return codes, interior
+
+
+def d8_flow_tiles(band_tiles: DataFrame,
+                  tile_px: int | None = None) -> DataFrame:
+    """d8_flow on the focal halo path: one halo shuffle ships each tile
+    with its 8 neighbours, the D8 pick runs as one vectorized numpy
+    pass per Arrow group, and only the 9-row-per-tile code census
+    crosses the second (bounded) exchange — replacing the 9-way
+    shifted-copy union whose 470M-row hash aggregate dominated sf0.1
+    (20 s -> ~4 s). Identical output to d8_flow (same exact-integer
+    ranking; dense-parity-tested)."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+
+    def kernel(pdf):
+        import pandas as pd
+        cols = ["code", "n_pixels", "sum_gx", "sum_gy"]
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        tx = int(pdf["target_tx"].iloc[0])
+        ty = int(pdf["target_ty"].iloc[0])
+        pad = _assemble_padded(pdf, tile_px=T)
+        codes, interior = _d8_best(pad, slice(T, 2 * T), slice(T, 2 * T))
+        if not interior.any():
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        yy, xx = np.nonzero(interior)
+        gx = tx * T + xx.astype(np.int64)
+        gy = ty * T + yy.astype(np.int64)
+        cc = codes[interior]
+        out = {}
+        for code in np.unique(cc):
+            sel = cc == code
+            out[int(code)] = (int(sel.sum()), int(gx[sel].sum()),
+                              int(gy[sel].sum()))
+        return pd.DataFrame(
+            {"code": list(out), "n_pixels": [v[0] for v in out.values()],
+             "sum_gx": [v[1] for v in out.values()],
+             "sum_gy": [v[2] for v in out.values()]})
+
+    per_tile = _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty"
+    ).applyInPandas(
+        kernel, "code long, n_pixels long, sum_gx long, sum_gy long")
+    return (
+        per_tile.groupBy(F.col("code").cast("int").alias("code"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_gx").alias("sum_gx"),
+             F.sum("sum_gy").alias("sum_gy"))
+    )
+
+
+def d8_indegree_tiles(band_tiles: DataFrame,
+                      tile_px: int | None = None) -> DataFrame:
+    """d8_indegree on the focal halo path: codes resolve for the
+    1-px-EXPANDED centre region (every drainer of an owned pixel lies
+    inside it, and its own 3x3 fits inside the 3T pad), the in-degree
+    accumulates with eight vectorized shift-adds, and only the bounded
+    (indeg, count) census leaves each Arrow group — replacing the two
+    corpus-scale exchanges of the relational form (27 s -> ~4 s at
+    sf0.1). Identical output (dense-parity-tested)."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+
+    def kernel(pdf):
+        import pandas as pd
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({"indeg": pd.Series(dtype="int64"),
+                                 "n_pixels": pd.Series(dtype="int64")})
+        pad = _assemble_padded(pdf, tile_px=T)
+        rows, cols = slice(T - 1, 2 * T + 1), slice(T - 1, 2 * T + 1)
+        codes, interior = _d8_best(pad, rows, cols)
+        indeg = np.zeros(codes.shape, dtype=np.int64)
+        for dx, dy, code, _diag in _D8:
+            src = interior & (codes == code)
+            # drain target = source + (dx, dy); shift the source mask
+            h, w = src.shape
+            ty0, ty1 = max(dy, 0), h + min(dy, 0)
+            tx0, tx1 = max(dx, 0), w + min(dx, 0)
+            indeg[ty0:ty1, tx0:tx1] += src[ty0 - dy:ty1 - dy,
+                                           tx0 - dx:tx1 - dx]
+        own = np.zeros(codes.shape, dtype=bool)
+        own[1:T + 1, 1:T + 1] = True
+        sel = interior & own
+        if not sel.any():
+            return pd.DataFrame({"indeg": pd.Series(dtype="int64"),
+                                 "n_pixels": pd.Series(dtype="int64")})
+        vals, counts = np.unique(indeg[sel], return_counts=True)
+        return pd.DataFrame({"indeg": vals.astype(np.int64),
+                             "n_pixels": counts.astype(np.int64)})
+
+    per_tile = _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty"
+    ).applyInPandas(kernel, "indeg long, n_pixels long")
+    return (
+        per_tile.groupBy(F.col("indeg").cast("int").alias("indeg"))
+        .agg(F.sum("n_pixels").alias("n_pixels"))
     )

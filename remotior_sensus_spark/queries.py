@@ -5100,9 +5100,12 @@ from dir group by 1
 def d8_flow_q(spark, sf_dir):
     """D8 steepest-descent flow direction histogram — exact-integer
     steepness ranking (2*dv^2 cardinal vs dv^2 diagonal clears the
-    sqrt(2)), one shifted-copy shuffle (operators/geostats.d8_flow)."""
+    sqrt(2)), one focal-halo shuffle + vectorized numpy pick per tile
+    (geostats.d8_flow_tiles; the relational d8_flow is the
+    cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.d8_flow(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.d8_flow_tiles(t64, tile_px=t_px)
 
 
 @q("tpi_landform", f"""
@@ -6083,11 +6086,13 @@ from i group by 1
 def d8_indegree_q(spark, sf_dir):
     """D8 flow in-degree census (one-step flow accumulation): how many
     interior neighbours drain into each pixel — channel convergence vs
-    hillslope sheets, sharing d8_flow's single shifted-copy shuffle
-    (geostats.d8_indegree)."""
+    hillslope sheets, one focal-halo shuffle with the in-degree
+    accumulated by eight vectorized shift-adds per tile
+    (geostats.d8_indegree_tiles; the relational d8_indegree is the
+    cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.d8_indegree(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.d8_indegree_tiles(t64, tile_px=t_px)
 
 
 def _lsh_balance_oracle() -> str:
