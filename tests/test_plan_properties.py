@@ -188,13 +188,15 @@ def test_tpch_q2_correlated_min_decorrelated(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_d8_flow_no_cartesian_no_python(spark):
+def test_d8_flow_no_cartesian_no_rowwise_python(spark):
     df = Q.REGISTRY["d8_flow"][0](spark, SF_DIR)
     plan = _plan(df)
-    # steepness ranking is pure Column algebra over ONE grouped union —
-    # no cartesian candidate expansion, no Python operator
+    # the halo path: one FlatMapGroupsInPandas (the SURVEY tile
+    # contract, Arrow-batched) fed by the single halo exchange — no
+    # cartesian expansion, no row-at-a-time Python operator
     assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
 
 
 def test_bigram_lm_counts_are_broadcast(spark):
