@@ -196,7 +196,9 @@ def test_d8_flow_no_cartesian_no_rowwise_python(spark):
     # cartesian expansion, no row-at-a-time Python operator
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # exactly two Arrow groupings: the 64-px retile assembly + the D8
+    # halo kernel — both the SURVEY tile contract, nothing row-wise
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
 
 
 def test_bigram_lm_counts_are_broadcast(spark):
