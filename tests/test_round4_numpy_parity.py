@@ -213,3 +213,59 @@ def test_semivariogram_aniso_matches_dense_numpy(spark, dense, geo001_dir):
            for r in Q.REGISTRY["semivariogram_aniso"][0](
                spark, SF_DIR).collect()}
     assert got == ref
+
+
+def test_morph_gradient_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    m = np.where(valid & (a > 3500), 1, 0)
+    mx = np.zeros_like(a)
+    mn = np.ones_like(a)
+    for dx, dy in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)):
+        nb, nv = _neighbor(a, valid, dx, dy)
+        nm = np.where(nv & (nb > 3500), 1, 0)
+        mx = np.where(nv, np.maximum(mx, nm), mx)
+        mn = np.where(nv, np.minimum(mn, nm), mn)
+    grad = (mx - mn)[valid]
+    ref = {int(g): int((grad == g).sum()) for g in np.unique(grad)}
+    got = {r["grad"]: r["n_pixels"] for r in
+           Q.REGISTRY["morph_gradient"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_tpi_landform_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    s8 = np.zeros_like(a)
+    cnt = np.zeros_like(a)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb, nv = _neighbor(a, valid, dx, dy)
+            s8 += np.where(nv, nb, 0)
+            cnt += nv
+    interior = valid & (cnt == 8)
+    v, s = a[interior], s8[interior]
+    lf = np.where(8 * v - s > 2400, 1, np.where(s - 8 * v > 2400, -1, 0))
+    ref = {int(c): (int((lf == c).sum()), int(v[lf == c].sum()))
+           for c in np.unique(lf)}
+    got = {r["landform"]: (r["n_pixels"], r["sum_v"]) for r in
+           Q.REGISTRY["tpi_landform"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_class_adjacency_matches_dense_numpy(spark, dense, geo001_dir):
+    from collections import Counter
+    a, valid = dense
+    cls = np.where(valid, a // 1000, -1)
+    cens = Counter()
+    for dx, dy in ((1, 0), (0, 1)):
+        nb, nv = _neighbor(cls, valid, dx, dy)
+        ok = valid & nv
+        pa, pb = cls[ok], nb[ok]
+        lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
+        for x, y in zip(lo.tolist(), hi.tolist()):
+            cens[(x, y)] += 1
+    ref = dict(cens)
+    got = {(r["class_a"], r["class_b"]): r["n_adjacencies"] for r in
+           Q.REGISTRY["class_adjacency"][0](spark, SF_DIR).collect()}
+    assert got == ref
