@@ -138,3 +138,84 @@ def test_activity_deciles_matches_reference(spark, seed):
         for r in ev.activity_deciles(_df(spark, rows)).collect()
     }
     assert got == _ref_activity_deciles(rows)
+
+
+def _ref_rolling_wau(rows):
+    from collections import defaultdict
+    ud = {(u, ts.date()) for _eid, ts, u, _et, _v in rows}
+    per_day = defaultdict(set)
+    for u, d in ud:
+        per_day[d].add(u)
+    days = sorted(per_day)
+    out = {}
+    for d in days:
+        users = set()
+        for k in range(7):
+            users |= per_day.get(d - dt.timedelta(days=k), set())
+        b = len(users).bit_length() - 1
+        n, s = out.get(b, (0, 0))
+        out[b] = (n + 1, s + len(users))
+    return out
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_rolling_wau_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=40, max_ev=30)
+    got = {r["wau_band"]: (r["n_days"], r["sum_wau"]) for r in
+           ev.rolling_wau(_df(spark, rows)).collect()}
+    assert got == _ref_rolling_wau(rows)
+
+
+def _ref_dense_hourly(rows):
+    from collections import Counter
+    hours = [ts.replace(minute=0, second=0, microsecond=0)
+             for _eid, ts, _u, _et, _v in rows]
+    lo, hi = min(hours), max(hours)
+    n_hours = int((hi - lo).total_seconds() // 3600) + 1
+    types = {et for _eid, _ts, _u, et, _v in rows}
+    cnt = Counter((h, et) for h, (_eid, ts, _u, et, _v)
+                  in zip(hours, rows))
+    out = {}
+    for et in types:
+        live = sum(1 for (h, t), c in cnt.items() if t == et and c > 0)
+        total = sum(c for (h, t), c in cnt.items() if t == et)
+        out[et] = (n_hours, n_hours - live, total)
+    return out
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_dense_hourly_counts_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=25, max_ev=20)
+    got = {r["event_type"]: (r["n_hours"], r["dead_hours"], r["n_events"])
+           for r in ev.dense_hourly_counts(_df(spark, rows)).collect()}
+    assert got == _ref_dense_hourly(rows)
+
+
+def _ref_entry_exit(rows, gap_s=1800):
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for eid, ts, u, et, _v in rows:
+        by_user[u].append((ts, eid, et))
+    cens = defaultdict(lambda: [0, 0])
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for ts, eid, et in evs:
+            if not sessions or (ts - sessions[-1][-1][0]).total_seconds() \
+                    > gap_s:
+                sessions.append([])
+            sessions[-1].append((ts, eid, et))
+        for sess in sessions:
+            k = (sess[0][2], sess[-1][2])
+            cens[k][0] += 1
+            cens[k][1] += len(sess)
+    return {k: tuple(v) for k, v in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [12, 13])
+def test_session_entry_exit_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=35, max_ev=25)
+    got = {(r["entry_type"], r["exit_type"]): (r["n_sessions"],
+                                               r["sum_events"])
+           for r in ev.session_entry_exit(_df(spark, rows)).collect()}
+    assert got == _ref_entry_exit(rows)
