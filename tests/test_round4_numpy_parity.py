@@ -269,3 +269,58 @@ def test_class_adjacency_matches_dense_numpy(spark, dense, geo001_dir):
     got = {(r["class_a"], r["class_b"]): r["n_adjacencies"] for r in
            Q.REGISTRY["class_adjacency"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+def _z9(a, valid):
+    """z1..z9 int64 arrays + full-9 interior mask (z_k at center +
+    (dx, dy) for the 3x3 zid grid)."""
+    zs = {}
+    cnt = np.zeros_like(a)
+    offs = {1: (-1, -1), 2: (0, -1), 3: (1, -1), 4: (-1, 0), 5: (0, 0),
+            6: (1, 0), 7: (-1, 1), 8: (0, 1), 9: (1, 1)}
+    for zid, (dx, dy) in offs.items():
+        nb, nv = _neighbor(a, valid, dx, dy)
+        zs[zid] = nb
+        cnt += nv
+    return zs, valid & (cnt == 9)
+
+
+def _curv_census(num, den, interior):
+    nu, de = num[interior], den[interior]
+    cls = np.where(de == 0, 9, np.where(nu > 0, 1, np.where(nu < 0, -1, 0)))
+    with np.errstate(all="ignore"):
+        cfp = np.where(
+            de != 0,
+            np.floor(nu.astype(np.float64) / de.astype(np.float64)
+                     * 1e6 + 0.5),
+            0.0).astype(np.int64)
+    return {int(c): (int((cls == c).sum()), int(cfp[cls == c].sum()))
+            for c in np.unique(cls)}
+
+
+def test_profile_curvature_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    z, interior = _z9(a, valid)
+    num = (2 * (z[4] + z[6] - 2 * z[5]) * (z[6] - z[4]) * (z[6] - z[4])
+           + 2 * (z[2] + z[8] - 2 * z[5]) * (z[2] - z[8]) * (z[2] - z[8])
+           + (-z[1] + z[3] + z[7] - z[9]) * (z[6] - z[4]) * (z[2] - z[8]))
+    den = 200 * ((z[6] - z[4]) * (z[6] - z[4])
+                 + (z[2] - z[8]) * (z[2] - z[8]))
+    ref = _curv_census(num, den, interior)
+    got = {r["curv_class"]: (r["n_pixels"], r["curv_fp_sum"]) for r in
+           Q.REGISTRY["profile_curvature"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_plan_curvature_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    z, interior = _z9(a, valid)
+    num = (2 * (z[4] + z[6] - 2 * z[5]) * (z[2] - z[8]) * (z[2] - z[8])
+           + 2 * (z[2] + z[8] - 2 * z[5]) * (z[6] - z[4]) * (z[6] - z[4])
+           - (-z[1] + z[3] + z[7] - z[9]) * (z[6] - z[4]) * (z[2] - z[8]))
+    den = 200 * ((z[6] - z[4]) * (z[6] - z[4])
+                 + (z[2] - z[8]) * (z[2] - z[8]))
+    ref = _curv_census(num, den, interior)
+    got = {r["curv_class"]: (r["n_pixels"], r["curv_fp_sum"]) for r in
+           Q.REGISTRY["plan_curvature"][0](spark, SF_DIR).collect()}
+    assert got == ref
