@@ -114,3 +114,35 @@ def test_lsh_bucket_balance_matches_numpy(spark, emb):
     got = {r["bucket_size"]: (r["n_buckets"], r["bucket_id_sum"]) for r in
            Q.REGISTRY["lsh_bucket_balance"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+def test_quantize_error_matches_numpy(spark, emb):
+    _ids, _labels, v, vq = emb
+    q8 = np.clip(np.floor(v * 64.0 + 0.5).astype(np.int64), -128, 127)
+    sse = ((vq - 16 * q8) ** 2).sum(axis=1)
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for x in sse.tolist():
+        b = x.bit_length() - 1 if x > 0 else -1
+        cens[b][0] += 1
+        cens[b][1] += x
+    ref = {k: tuple(t) for k, t in cens.items()}
+    got = {r["err_band"]: (r["n_vecs"], r["sum_sse"]) for r in
+           Q.REGISTRY["quantize_error"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_embedding_norm_bands_match_numpy(spark, emb):
+    _ids, _labels, v, _vq = emb
+    # the exact 2^-20 fixed-point self-dot, elementwise IEEE sequence
+    nfp = np.floor(v * v * 1048576.0 + 0.5).astype(np.int64).sum(axis=1)
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for x in nfp.tolist():
+        b = x.bit_length() - 1 if x > 0 else -1
+        cens[b][0] += 1
+        cens[b][1] += x
+    ref = {k: tuple(t) for k, t in cens.items()}
+    got = {r["norm_band"]: (r["n_vecs"], r["sum_norm_fp"]) for r in
+           Q.REGISTRY["embedding_norm_bands"][0](spark, SF_DIR).collect()}
+    assert got == ref

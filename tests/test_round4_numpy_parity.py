@@ -131,6 +131,18 @@ def test_d8_indegree_matches_dense_numpy(spark, dense, geo001_dir):
     got = {r["indeg"]: r["n_pixels"] for r in
            Q.REGISTRY["d8_indegree"][0](spark, SF_DIR).collect()}
     assert got == ref
+    # pin d8_flow's census off the SAME independent reference (the
+    # registry now runs the halo-kernel path for both)
+    ys2, xs2 = np.nonzero(interior)
+    cc = dcode[interior]
+    ref_flow = {}
+    for code in np.unique(cc):
+        sel = cc == code
+        ref_flow[int(code)] = (int(sel.sum()), int(xs2[sel].sum()),
+                               int(ys2[sel].sum()))
+    got_flow = {r["code"]: (r["n_pixels"], r["sum_gx"], r["sum_gy"])
+                for r in Q.REGISTRY["d8_flow"][0](spark, SF_DIR).collect()}
+    assert got_flow == ref_flow
 
 
 @pytest.fixture(scope="module")
