@@ -336,3 +336,70 @@ def test_plan_curvature_matches_dense_numpy(spark, dense, geo001_dir):
     got = {r["curv_class"]: (r["n_pixels"], r["curv_fp_sum"]) for r in
            Q.REGISTRY["plan_curvature"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+@pytest.fixture(scope="module")
+def dense_bands(geo001_dir):
+    con = duckdb.connect()
+    out = {}
+    for bd in ("B02", "B03", "B04", "B08"):
+        px = con.sql(f"""select gx, gy, value
+          from '{geo001_dir}/tile_pixels.parquet'
+          where bandset='S2_2020-01-01' and band='{bd}'""").df()
+        h, w = int(px.gy.max()) + 1, int(px.gx.max()) + 1
+        a = np.full((h, w), -32768, dtype=np.int64)
+        a[px.gy, px.gx] = px.value
+        out[bd] = a
+    return out
+
+
+def _tile_census(val, ok, t=16):
+    """Per-tile (checksum, valid, nodata) dict from a per-pixel value
+    array and validity mask."""
+    h, w = val.shape
+    fp = np.where(ok, np.floor(val * 1e6 + 0.5), 0.0).astype(np.int64)
+    ref = {}
+    for ty in range(h // t):
+        for tx in range(w // t):
+            s = (slice(ty * t, (ty + 1) * t), slice(tx * t, (tx + 1) * t))
+            nv = int(ok[s].sum())
+            ref[(tx, ty)] = (int(fp[s].sum()), nv, t * t - nv)
+    return ref
+
+
+def _spectral_ref_vs_query(spark, name, val, ok):
+    ref = _tile_census(val, ok)
+    got = {(r["tile_x"], r["tile_y"]): (r["checksum"], r["valid_count"],
+                                        r["nodata_count"])
+           for r in Q.REGISTRY[name][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_evi_index_matches_dense_numpy(spark, dense_bands, geo001_dir):
+    b02, b04, b08 = (dense_bands[b] for b in ("B02", "B04", "B08"))
+    valid = (b02 != -32768) & (b04 != -32768) & (b08 != -32768)
+    den = 2 * b08 + 12 * b04 - 15 * b02 + 20000
+    ok = valid & (den > 0)
+    with np.errstate(all="ignore"):
+        evi = (5.0 * (b08 - b04)) / den.astype(np.float64)
+    _spectral_ref_vs_query(spark, "evi_index", evi, ok)
+
+
+def test_ndwi_index_matches_dense_numpy(spark, dense_bands, geo001_dir):
+    g, n = dense_bands["B03"], dense_bands["B08"]
+    ok = (g != -32768) & (n != -32768)
+    with np.errstate(all="ignore"):
+        ndwi = (g - n).astype(np.float64) / (g + n).astype(np.float64)
+    _spectral_ref_vs_query(spark, "ndwi_index", ndwi, ok)
+
+
+def test_brovey_sharpen_matches_dense_numpy(spark, dense_bands, geo001_dir):
+    b02, b03, b04, b08 = (dense_bands[b]
+                          for b in ("B02", "B03", "B04", "B08"))
+    valid = ((b02 != -32768) & (b03 != -32768)
+             & (b04 != -32768) & (b08 != -32768))
+    den = b04 + b03 + b02
+    ok = valid & (den > 0)
+    with np.errstate(all="ignore"):
+        sharp = (3.0 * b04 * b08) / den.astype(np.float64)
+    _spectral_ref_vs_query(spark, "brovey_sharpen", sharp, ok)
