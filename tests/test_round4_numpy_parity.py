@@ -403,3 +403,37 @@ def test_brovey_sharpen_matches_dense_numpy(spark, dense_bands, geo001_dir):
     with np.errstate(all="ignore"):
         sharp = (3.0 * b04 * b08) / den.astype(np.float64)
     _spectral_ref_vs_query(spark, "brovey_sharpen", sharp, ok)
+
+
+def test_multi_scale_tpi_matches_dense_numpy(spark, dense, geo001_dir):
+    a, valid = dense
+    s8 = np.zeros_like(a)
+    c8 = np.zeros_like(a)
+    s24 = np.zeros_like(a)
+    c24 = np.zeros_like(a)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dx == 0 and dy == 0:
+                continue
+            nb, nv = _neighbor(a, valid, dx, dy)
+            s24 += np.where(nv, nb, 0)
+            c24 += nv
+            if abs(dx) <= 1 and abs(dy) <= 1:
+                s8 += np.where(nv, nb, 0)
+                c8 += nv
+    interior = valid & (c24 == 24)
+    v = a[interior]
+    t = 300
+    small = np.where(8 * v - s8[interior] > 8 * t, 1,
+                     np.where(s8[interior] - 8 * v > 8 * t, -1, 0))
+    large = np.where(24 * v - s24[interior] > 24 * t, 1,
+                     np.where(s24[interior] - 24 * v > 24 * t, -1, 0))
+    ref = {}
+    for cs in np.unique(small):
+        for cl in np.unique(large[small == cs]):
+            sel = (small == cs) & (large == cl)
+            ref[(int(cs), int(cl))] = (int(sel.sum()), int(v[sel].sum()))
+    got = {(r["landform_small"], r["landform_large"]):
+           (r["n_pixels"], r["sum_v"]) for r in
+           Q.REGISTRY["multi_scale_tpi"][0](spark, SF_DIR).collect()}
+    assert got == ref
