@@ -219,3 +219,105 @@ def test_session_entry_exit_matches_reference(spark, seed):
                                                r["sum_events"])
            for r in ev.session_entry_exit(_df(spark, rows)).collect()}
     assert got == _ref_entry_exit(rows)
+
+
+def _ref_session_durations(rows, gap_s=1800):
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for eid, ts, u, et, _v in rows:
+        by_user[u].append((ts, eid))
+    cens = defaultdict(lambda: [0, 0])
+    for _u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for ts, eid in evs:
+            if not sessions or (ts - sessions[-1][-1]).total_seconds() \
+                    > gap_s:
+                sessions.append([])
+            sessions[-1].append(ts)
+        for sess in sessions:
+            m = int((sess[-1] - sess[0]).total_seconds()) // 60
+            cens[m][0] += 1
+            cens[m][1] += len(sess)
+    return {k: tuple(v) for k, v in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [14, 15])
+def test_session_durations_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=35, max_ev=25)
+    got = {r["duration_min"]: (r["n_sessions"], r["sum_events"]) for r in
+           ev.session_durations(_df(spark, rows)).collect()}
+    assert got == _ref_session_durations(rows)
+
+
+def _ref_ltv(rows):
+    from collections import defaultdict
+    cents = defaultdict(int)
+    for _eid, _ts, u, et, v in rows:
+        if et == "purchase":
+            cents[u] += int(v * 100.0 + 0.5)
+    cens = defaultdict(lambda: [0, 0])
+    for _u, c in cents.items():
+        b = c.bit_length() - 1 if c > 0 else -1
+        cens[b][0] += 1
+        cens[b][1] += c
+    return {k: tuple(v) for k, v in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [16, 17])
+def test_user_ltv_bands_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=40, max_ev=30)
+    got = {r["ltv_band"]: (r["n_users"], r["sum_cents"]) for r in
+           ev.user_ltv_bands(_df(spark, rows)).collect()}
+    assert got == _ref_ltv(rows)
+
+
+def _ref_bot_bursts(rows, window_s=10, k=3):
+    from collections import Counter, defaultdict
+    by_user = defaultdict(list)
+    for eid, ts, u, _et, _v in rows:
+        by_user[u].append((ts, eid))
+    out = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        n = sum(1 for i in range(len(evs))
+                if i >= k - 1 and (evs[i][0] - evs[i - (k - 1)][0])
+                .total_seconds() <= window_s)
+        out[n] += 1
+    return dict(out)
+
+
+@pytest.mark.parametrize("seed", [18, 19])
+def test_bot_bursts_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=30, max_ev=40)
+    got = {r["n_bursts"]: r["n_users"] for r in
+           ev.bot_bursts(_df(spark, rows)).collect()}
+    assert got == _ref_bot_bursts(rows)
+
+
+def _ref_conversion_lags(rows):
+    from collections import defaultdict
+    su, pu = {}, defaultdict(list)
+    for _eid, ts, u, et, _v in rows:
+        if et == "signup":
+            su[u] = min(su.get(u, ts), ts)
+        elif et == "purchase":
+            pu[u].append(ts)
+    cens = defaultdict(lambda: [0, 0])
+    for u, t0 in su.items():
+        after = [t for t in pu.get(u, []) if t > t0]
+        if not after:
+            continue
+        lag = int((min(after) - t0).total_seconds())
+        b = lag.bit_length() - 1 if lag > 0 else -1
+        cens[b][0] += 1
+        cens[b][1] += lag
+    return {k: tuple(v) for k, v in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_conversion_lag_bands_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=45, max_ev=30)
+    got = {r["lag_band"]: (r["n_users"], r["sum_lag_s"]) for r in
+           ev.conversion_lag_bands(_df(spark, rows)).collect()}
+    assert got == _ref_conversion_lags(rows)
