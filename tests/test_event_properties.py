@@ -321,3 +321,75 @@ def test_conversion_lag_bands_matches_reference(spark, seed):
     got = {r["lag_band"]: (r["n_users"], r["sum_lag_s"]) for r in
            ev.conversion_lag_bands(_df(spark, rows)).collect()}
     assert got == _ref_conversion_lags(rows)
+
+
+def _ref_weekly_stickiness(rows):
+    from collections import defaultdict
+    days = defaultdict(set)   # (week, day) -> users
+    weeks = defaultdict(set)  # week -> users
+    for _eid, ts, u, _et, _v in rows:
+        d = ts.date()
+        wk = d - dt.timedelta(days=d.weekday())
+        days[(wk, d)].add(u)
+        weeks[wk].add(u)
+    out = {}
+    for wk, users in weeks.items():
+        wdays = [dd for (w, dd) in days if w == wk]
+        sum_dau = sum(len(days[(wk, dd)]) for dd in wdays)
+        n_days = len(wdays)
+        wau = len(users)
+        out[wk.strftime("%Y-%m-%d")] = (
+            wau, n_days, sum_dau, sum_dau * 1000000 // (n_days * wau))
+    return out
+
+
+@pytest.mark.parametrize("seed", [22, 23])
+def test_weekly_stickiness_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=40, max_ev=30)
+    got = {r["week"]: (r["wau"], r["n_days"], r["sum_dau"],
+                       r["stickiness_fp"]) for r in
+           ev.weekly_stickiness(_df(spark, rows)).collect()}
+    assert got == _ref_weekly_stickiness(rows)
+
+
+def _ref_purchase_attribution(rows):
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for eid, ts, u, et, v in rows:
+        by_user[u].append((ts, eid, et, v))
+    cens = defaultdict(lambda: [0, 0])
+    for _u, evs in by_user.items():
+        evs.sort()
+        for i, (_ts, _eid, et, v) in enumerate(evs):
+            if et != "purchase":
+                continue
+            prior = evs[i - 1][2] if i > 0 else "(none)"
+            cens[prior][0] += 1
+            cens[prior][1] += int(v * 100.0 + 0.5)
+    return {k: tuple(x) for k, x in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [24, 25])
+def test_purchase_attribution_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=35, max_ev=25)
+    got = {r["prior_type"]: (r["n_purchases"], r["cents_sum"]) for r in
+           ev.purchase_attribution(_df(spark, rows)).collect()}
+    assert got == _ref_purchase_attribution(rows)
+
+
+def _ref_hourly_errors(rows):
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for _eid, ts, _u, et, _v in rows:
+        cens[ts.hour][0] += 1
+        cens[ts.hour][1] += et == "error"
+    return {h: (n, e, e * 1000000 // n) for h, (n, e) in cens.items()}
+
+
+@pytest.mark.parametrize("seed", [26])
+def test_hourly_error_profile_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=30, max_ev=30)
+    got = {r["hour_of_day"]: (r["n_events"], r["n_errors"],
+                              r["error_rate_fp"]) for r in
+           ev.hourly_error_profile(_df(spark, rows)).collect()}
+    assert got == _ref_hourly_errors(rows)
