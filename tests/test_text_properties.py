@@ -175,3 +175,98 @@ def test_bigram_entropy_rate_matches_reference(spark, docs_df):
     got = {r["source"]: (r["n_bigrams"], r["n_pairs"], r["cond_entropy_fp"])
            for r in tx.bigram_entropy_rate(docs_df).collect()}
     assert got == ref
+
+
+def _hex60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_vocab_zipf_matches_reference(spark, docs_df):
+    from collections import Counter, defaultdict
+    c = Counter(w for _i, t, _lg, _s in DOCS for w in _toks(t))
+    cens = defaultdict(lambda: [0, 0, 0])
+    for term, n in c.items():
+        b = n.bit_length() - 1
+        cens[b][0] += 1
+        cens[b][1] += n
+        cens[b][2] += _hex60(term) % 1000003
+    ref = {k: tuple(v) for k, v in cens.items()}
+    got = {r["freq_band"]: (r["n_terms"], r["sum_count"],
+                            r["term_hash_checksum"]) for r in
+           tx.vocab_zipf(docs_df).collect()}
+    assert got == ref
+
+
+def test_dup_rate_by_source_matches_reference(spark, docs_df):
+    import re as _re
+    from collections import defaultdict
+    norm = {i: _re.sub(r"\s+", " ", t.strip()).lower()
+            for i, t, _lg, _s in DOCS}
+    keep_of = {}
+    for i, t, _lg, _s in DOCS:
+        h = norm[i]
+        keep_of[h] = min(keep_of.get(h, i), i)
+    cens = defaultdict(lambda: [0, 0])
+    for i, t, _lg, s in DOCS:
+        cens[s][0] += 1
+        cens[s][1] += keep_of[norm[i]] == i
+    ref = {s: (n, k, n - k, (n - k) * 1000000 // n)
+           for s, (n, k) in cens.items()}
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["n_removed"],
+                         r["dup_rate_fp"]) for r in
+           tx.dup_rate_by_source(docs_df).collect()}
+    assert got == ref
+
+
+def test_sequence_packing_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    L = 256
+    by_src = defaultdict(list)
+    for i, t, _lg, s in DOCS:
+        by_src[s].append((i, len(_toks(t))))
+    ref = {}
+    for s, docs in by_src.items():
+        docs.sort()
+        cum = 0
+        crossing = 0
+        for _i, n in docs:
+            start, end = cum, cum + n
+            if n > 0 and start // L != (end - 1) // L:
+                crossing += 1
+            cum = end
+        ref[s] = (len(docs), cum, -(-cum // L), crossing)
+    got = {r["source"]: (r["n_docs"], r["total_tokens"], r["n_sequences"],
+                         r["n_crossing"]) for r in
+           tx.sequence_packing(docs_df).collect()}
+    assert got == ref
+
+
+def test_doc_length_bands_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for _i, t, _lg, s in DOCS:
+        n = len(t)
+        b = n.bit_length() - 1 if n > 0 else -1
+        cens[(s, b)][0] += 1
+        cens[(s, b)][1] += n
+    ref = {k: tuple(v) for k, v in cens.items()}
+    got = {(r["source"], r["len_band"]): (r["n_docs"], r["sum_chars"])
+           for r in tx.doc_length_bands(docs_df).collect()}
+    assert got == ref
+
+
+def test_ttr_profile_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0])
+    for _i, t, lg, _s in DOCS:
+        toks = _toks(t)
+        if not toks:
+            continue
+        dec = (len(set(toks)) * 10) // len(toks)
+        cens[(lg, dec)][0] += 1
+        cens[(lg, dec)][1] += len(toks)
+    ref = {k: tuple(v) for k, v in cens.items()}
+    got = {(r["lang"], r["ttr_decile"]): (r["n_docs"], r["sum_tokens"])
+           for r in tx.ttr_profile(docs_df).collect()}
+    assert got == ref
