@@ -270,3 +270,89 @@ def test_ttr_profile_matches_reference(spark, docs_df):
     got = {(r["lang"], r["ttr_decile"]): (r["n_docs"], r["sum_tokens"])
            for r in tx.ttr_profile(docs_df).collect()}
     assert got == ref
+
+
+def test_token_entropy_matches_reference(spark, docs_df):
+    from collections import Counter
+    ref = {}
+    for s in {d[3] for d in DOCS}:
+        c = Counter(w for _i, t, _lg, src in DOCS if src == s
+                    for w in _toks(t))
+        n = sum(c.values())
+        acc = sum(math.floor(v / n * math.log(v / n) * 1e6 + 0.5)
+                  for v in c.values())
+        ref[s] = (n, len(c), -acc)
+    got = {r["source"]: (r["n_tokens"], r["n_terms"], r["entropy_fp"])
+           for r in tx.token_entropy(docs_df).collect()}
+    assert got == ref
+
+
+def test_ngram_novelty_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    inst = defaultdict(int)
+    touched = defaultdict(set)
+    owner = {}
+    for i, t, _lg, s in sorted(DOCS):
+        for g in _grams(t):
+            inst[s] += 1
+            touched[g].add(s)
+            owner.setdefault(g, (i, s))
+    owned = defaultdict(int)
+    for g, (_i, s) in owner.items():
+        owned[s] += 1
+    dist = defaultdict(int)
+    for g, srcs in touched.items():
+        for s in srcs:
+            dist[s] += 1
+    ref = {s: (inst[s], dist[s], owned[s],
+               owned[s] * 1000000 // dist[s]) for s in inst}
+    got = {r["source"]: (r["n_instances"], r["n_distinct"], r["n_owned"],
+                         r["novelty_fp"])
+           for r in tx.ngram_novelty(docs_df).collect()}
+    assert got == ref
+
+
+def test_dup_ngram_coverage_matches_reference(spark, docs_df):
+    from collections import defaultdict
+    where = defaultdict(set)
+    for i, t, _lg, _s in DOCS:
+        for g in _grams(t):
+            where[g].add(i)
+    cov = defaultdict(int)
+    tot = defaultdict(lambda: [0, 0])
+    for i, t, _lg, s in DOCS:
+        toks = _toks(t)
+        gs = _grams(t)
+        tot[s][0] += 1
+        tot[s][1] += len(toks)
+        covered = set()
+        for k, g in enumerate(gs):
+            if len(where[g]) > 1:
+                covered.update(range(k, min(k + 8, len(toks))))
+        cov[s] += len(covered)
+    ref = {s: (n, ntok, cov[s], cov[s] * 1000000 // ntok)
+           for s, (n, ntok) in tot.items()}
+    got = {r["source"]: (r["n_docs"], r["total_tokens"],
+                         r["covered_tokens"], r["coverage_fp"])
+           for r in tx.dup_ngram_coverage(docs_df).collect()}
+    assert got == ref
+
+
+def test_stopword_profile_matches_reference(spark, docs_df):
+    from collections import Counter, defaultdict
+    c = Counter(w for _i, t, _lg, _s in DOCS for w in _toks(t))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    stop = {w for w, _n in top}
+    cens = defaultdict(lambda: [0, 0])
+    for _i, t, lg, _s in DOCS:
+        toks = _toks(t)
+        if not toks:
+            continue
+        hits = sum(1 for w in toks if w in stop)
+        dec = (hits * 10) // len(toks)
+        cens[(lg, dec)][0] += 1
+        cens[(lg, dec)][1] += hits
+    ref = {k: tuple(v) for k, v in cens.items()}
+    got = {(r["lang"], r["stop_decile"]): (r["n_docs"], r["sum_hits"])
+           for r in tx.corpus_stopword_profile(docs_df).collect()}
+    assert got == ref
