@@ -356,3 +356,42 @@ def test_stopword_profile_matches_reference(spark, docs_df):
     got = {(r["lang"], r["stop_decile"]): (r["n_docs"], r["sum_hits"])
            for r in tx.corpus_stopword_profile(docs_df).collect()}
     assert got == ref
+
+
+def test_bigram_lm_proxy_matches_reference(spark, docs_df):
+    from collections import Counter, defaultdict
+    c2 = Counter()
+    for _i, t, _lg, _s in DOCS:
+        toks = _toks(t)
+        c2.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (a, _b), v in c2.items():
+        c1[a] += v
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for i, t, lg, _s in DOCS:
+        toks = _toks(t)
+        for bg in zip(toks, toks[1:]):
+            agg[lg][0].add(i)
+            agg[lg][1] += 1
+            agg[lg][2] += c2[bg] * 1000000 // c1[bg[0]]
+    ref = {lg: (len(d), n, s) for lg, (d, n, s) in agg.items()}
+    got = {r["lang"]: (r["n_docs"], r["n_bigrams"], r["sum_score_fp"])
+           for r in tx.bigram_lm_proxy(docs_df).collect()}
+    assert got == ref
+
+
+def test_mixture_sample_matches_reference(spark, docs_df):
+    import hashlib
+    from collections import defaultdict
+    cens = defaultdict(lambda: [0, 0, 0])
+    for i, _t, _lg, s in DOCS:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        srcnum = int("".join(ch for ch in s if ch.isdigit()) or 0)
+        keep = h % 1000 < 900 - 80 * (srcnum % 10)
+        cens[s][0] += 1
+        cens[s][1] += keep
+        cens[s][2] += i if keep else 0
+    ref = {s: tuple(v) for s, v in cens.items()}
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_id_sum"])
+           for r in tx.mixture_sample(docs_df).collect()}
+    assert got == ref
