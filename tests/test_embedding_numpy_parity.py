@@ -146,3 +146,41 @@ def test_embedding_norm_bands_match_numpy(spark, emb):
     got = {r["norm_band"]: (r["n_vecs"], r["sum_norm_fp"]) for r in
            Q.REGISTRY["embedding_norm_bands"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+def test_class_scatter_matches_numpy(spark, emb):
+    _ids, labels, _v, vq = emb
+    from collections import defaultdict
+    cents = {}
+    for lb in np.unique(labels):
+        m = vq[labels == lb]
+        cents[int(lb)] = np.floor(m.sum(axis=0) / len(m)).astype(np.int64)
+    ref = {}
+    for lb, cq in cents.items():
+        m = vq[labels == lb]
+        dd = ((m - cq) ** 2).sum(axis=1)
+        ref[lb] = (len(m), int(dd.sum()), int(dd.sum()) * 1000 // len(m))
+    got = {r["label"]: (r["n_vecs"], r["sum_dist"], r["mean_dist_x1000"])
+           for r in Q.REGISTRY["class_scatter"][0](spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_knn_label_vote_matches_numpy(spark, emb):
+    ids, labels, v, _vq = emb
+    dfp = lambda a, b: np.floor(a * b * 1048576.0 + 0.5).astype(
+        np.int64).sum(axis=-1)
+    norms = np.sqrt(dfp(v, v).astype(np.float64))
+    ref = {}
+    for qid in range(10):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        with np.errstate(all="ignore"):
+            cos = dfp(v, v[qi]).astype(np.float64) / (norms * norms[qi])
+        order = sorted((i for i in range(len(ids)) if i != qi),
+                       key=lambda i: (-cos[i], ids[i]))[:5]
+        from collections import Counter
+        c = Counter(int(labels[i]) for i in order)
+        voted = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+        ref[qid] = (int(labels[qi]), voted[0], voted[1])
+    got = {r["query_id"]: (r["own_label"], r["voted_label"], r["n_votes"])
+           for r in Q.REGISTRY["knn_label_vote"][0](spark, SF_DIR).collect()}
+    assert got == ref
