@@ -177,6 +177,28 @@ def dos1_correction(band_px: DataFrame, *, percent_threshold: float = 0.0001) ->
     return j.withColumn("corrected", corrected)
 
 
+def thermal_brightness(band_px: DataFrame, *, ml: float, al: float,
+                       k1: float, k2: float) -> DataFrame:
+    """Landsat at-sensor brightness temperature (reference
+    tools/preprocess_products.py:305-330): at-sensor radiance
+    L = ML*DN + AL (RADIANCE_MULT/ADD scene metadata), then
+    BT = K2 / ln(K1 / L + 1).  Pure whole-stage-codegen column math —
+    one fma-shaped mul+add, one div, one natural log, one div per
+    pixel; no Python, no shuffle (the caller aggregates).  Nodata rows
+    keep NODATA in the output column.  The K1/K2/ML/AL constants are
+    per-scene metadata passed by the caller exactly as the reference
+    reads them from MTL files; the registered query injects the same
+    double literals into both engines so the fixed-point checksums
+    compare exactly."""
+    dn = F.col("value")
+    radiance = dn * F.lit(ml) + F.lit(al)
+    bt = F.lit(k2) / F.log(F.lit(k1) / radiance + F.lit(1.0))
+    return band_px.withColumn(
+        "bt",
+        F.when(dn == NODATA, F.lit(float(NODATA))).otherwise(bt),
+    )
+
+
 def scale_offset(tiles: DataFrame, scale: float, offset: float,
                  nodata: float = NODATA) -> DataFrame:
     """Per-band a*x + b at read time (core/processor.py:2566)."""

@@ -3672,6 +3672,60 @@ def toa_reflectance_q(spark, sf_dir):
     )
 
 
+# Landsat-8 TIRS band-10 scene metadata (MTL RADIANCE_MULT_BAND_10 /
+# RADIANCE_ADD_BAND_10 / K1_CONSTANT_BAND_10 / K2_CONSTANT_BAND_10),
+# injected as the SAME double literals into both engines.
+_L8_ML = 3.342e-04
+_L8_AL = 0.1
+_L8_K1 = 774.8853
+_L8_K2 = 1321.0789
+
+
+@q("thermal_brightness", f"""
+with px as (
+  select value from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-02' and band='B08' and value <> -32768),
+bt as (
+  select {_L8_K2!r} / ln({_L8_K1!r} / (value * {_L8_ML!r} + {_L8_AL!r})
+         + 1.0) as bt from px)
+select cast(floor(bt) as bigint) as kelvin_bin,
+  count(*) as n_px,
+  cast(sum(cast(floor(bt * 10000.0 + 0.5) as bigint)) as bigint)
+    as sum_bt_fp,
+  cast(min(cast(floor(bt * 10000.0 + 0.5) as bigint)) as bigint)
+    as min_bt_fp,
+  cast(max(cast(floor(bt * 10000.0 + 0.5) as bigint)) as bigint)
+    as max_bt_fp
+from bt group by 1
+""")
+def thermal_brightness_q(spark, sf_dir):
+    """Landsat at-sensor brightness temperature (reference
+    tools/preprocess_products.py:305-330): L = ML*DN + AL, then
+    BT = K2 / ln(K1/L + 1), binned into whole-Kelvin histogram rows
+    with 0.1 mK fixed-point sum/min/max checksums.  The synthetic
+    S2_2020-01-02/B08 band stands in for the TIRS DN plane (same int
+    DN + nodata shape); ML/AL/K1/K2 are the L8 band-10 constants as
+    read from an MTL file, shared verbatim by both engines.  Both
+    plans evaluate the identical IEEE op sequence (mul, add, div, ln,
+    div), and JVM/libm natural logs agree bit-for-bit on this domain
+    (verified like signature_similarity's acos); the 1e4 fixed point
+    leaves ~4 ulps of slack at 300 K regardless."""
+    from remotior_sensus_spark.operators.raster_edit import thermal_brightness
+    t = _tiles(spark, sf_dir).filter(
+        (F.col("bandset") == "S2_2020-01-02") & (F.col("band") == "B08"))
+    px = agg.explode_pixels(t).filter(F.col("value") != NODATA)
+    out = thermal_brightness(px, ml=_L8_ML, al=_L8_AL, k1=_L8_K1, k2=_L8_K2)
+    bt_fp = F.floor(F.col("bt") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return out.groupBy(
+        F.floor(F.col("bt")).cast("long").alias("kelvin_bin")
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(bt_fp).alias("sum_bt_fp"),
+        F.min(bt_fp).alias("min_bt_fp"),
+        F.max(bt_fp).alias("max_bt_fp"),
+    )
+
+
 @q("tile_features", f"""
 with v as (
   select tile_x, tile_y, band, value
@@ -6900,43 +6954,44 @@ ORACLE_BUILDERS = {
 }
 
 
-# The driver measures the FIRST 50 registered queries.  r02 ∪ r03
-# proved 100 of 140 fully green across two disjoint windows; the 40
-# that have never had a driver row (VERDICT r03 "Next round" #1 —
-# the round-3 session-2 wave: geostats, temporal composites, TPC-H
-# q7–q22, event analytics, dedup end-game, datum warps, zonal median,
-# vector dissolve) rotate to the FRONT this round, followed by the
-# round-4 additions (never measured by construction).  Window = 50 ⇒
-# after r04 every registered query has a green driver row in
-# r02 ∪ r03 ∪ r04.
+# The driver measures the FIRST 50 registered queries.  r02 ∪ r03 ∪
+# r04 proved 150 of 218 fully green across three disjoint windows;
+# the round-5 window holds EXACTLY the keep-50 list written down in
+# round 4's ROTATION NOTE (below): one driver-proof representative
+# per round-4 operator family (D8/TPI/curvature/LBP rasters, the
+# text-curation wave, event analytics wave 2, embedding audits) so
+# that CORRECTNESS_r05 lands 50/50 green ⇒ 200/218+ driver-proven.
+# Per the note's rule, round-5 additions replace near-siblings whose
+# family keeps another representative in the window:
+#   thermal_brightness (new, closes the Landsat preprocess sliver —
+#   VERDICT r04 #5) takes the slot of ndvi_change_classes, whose
+#   change-detection family stays represented by cva_change.
 _RUN_FIRST = [
-    # §2-core reference-parity closers first (VERDICT #7)
-    "vector_cluster_dissolve", "zonal_median",
-    # warps / preprocess
-    "warp_crs_bilinear", "warp_datum", "toa_reflectance",
-    # geostatistics family
-    "gearys_c", "getis_g", "semivariogram", "lisa_quadrants",
-    "tri_ruggedness", "zonal_entropy", "focal_majority",
-    "proximity_bands", "glcm_texture", "landscape_metrics",
-    "accuracy_area",
-    # temporal family
-    "bap_composite", "temporal_fill", "ndvi_trend", "histogram_match",
-    "band_correlation",
-    # event analytics
-    "event_funnel", "event_transitions", "retention_cohorts",
-    "rfm_segments",
-    # TPC-H shapes
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    # dedup / LLM-pipeline end-game
-    "dedup_survivors", "simhash_clusters", "quality_gate",
-    "mixture_sample", "collocations", "dup_spans",
-    # round-4 additions (never measured by construction): the 8
-    # remaining TPC-H shapes — all 22 now covered — plus chunk-level
-    # exact dedup and the MinHash estimator-accuracy audit.
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
-    "tpch_q16", "tpch_q20", "tpch_q21", "chunk_dedup",
-    "minhash_accuracy",  # window now exactly 50
+    # hydrology / landform / texture rasters (round-4 wave)
+    "d8_flow", "tpi_landform", "class_adjacency",
+    "profile_curvature", "d8_indegree", "semivariogram_aniso",
+    "lbp_census", "hypsometric_deciles", "cva_change",
+    # preprocess closer (new round 5)
+    "thermal_brightness",
+    # spectral index family
+    "evi_index",
+    # text-curation / LLM-pipeline wave
+    "vocab_zipf", "bigram_lm_proxy", "dup_rate_by_source",
+    "sequence_packing", "ttr_profile", "stopword_profile",
+    "dup_ngram_coverage", "lang_confusion", "ngram_novelty",
+    "token_entropy", "prefix_dup", "cross_source_contamination",
+    "doc_dup_profile", "hapax_rate", "yule_k", "bigram_entropy_rate",
+    "dedup_degree_bands",
+    # embedding audits
+    "centroid_assign", "ann_recall_audit", "quantize_error",
+    "class_scatter", "ivf_list_balance", "centroid_separation",
+    "ivf_recall_audit", "dim_variance_profile", "pq_assign_audit",
+    # event analytics wave 2
+    "conversion_lag_bands", "user_ltv_bands", "bot_bursts",
+    "purchase_attribution", "funnel_stage_lags", "session_entry_exit",
+    "event_value_bands", "transition_entropy", "activity_deciles",
+    "engagement_ltv_matrix", "value_median_by_type",
+    "dense_hourly_counts", "rolling_wau",  # window now exactly 50
 ]
 
 # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50
