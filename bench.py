@@ -52,6 +52,19 @@ HEADLINE = [
     "histogram_match",
     "bap_composite",
     "vector_cluster_dissolve",
+    # round-4 heavy kernels (VERDICT r04 #3: the slowest family carries
+    # the newest rewrites — the halo Arrow D8 path, the pre-aggregated
+    # gram multiplicities — and a regression there must show up in the
+    # per-round BENCH diff, not only in the one-off sweep note)
+    "d8_flow",
+    "d8_indegree",
+    "lbp_census",
+    "semivariogram_aniso",
+    "doc_dup_profile",
+    "dup_ngram_coverage",
+    # round-5 addition (Landsat thermal BT — closes the preprocess
+    # sliver; cheap, pure-codegen)
+    "thermal_brightness",
 ]
 
 
@@ -420,15 +433,20 @@ def main() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(4 * lo, cpus))))
     rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "80"))
-    # 6 interleaved rounds (was 4): with the dims snapshot a full round
-    # is ~4 min, and the r04 evening run showed a single ~20-min window
-    # can be uniformly contended at the hi level (all four local[4]
-    # minima 10.1-11.5 s vs 8.9-9.5 s two hours earlier, spreads tight
-    # both times) — two more rounds widen the weather coverage the
-    # min-of-rounds protocol relies on, at ~8 min extra wall.
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
+    # 8 interleaved rounds (4 -> 6 -> 8 across rounds): with the dims
+    # snapshot a full round is ~4 min, and the r04 evening run showed a
+    # single ~20-min window can be uniformly contended at the hi level
+    # (all four local[4] minima 10.1-11.5 s vs 8.9-9.5 s two hours
+    # earlier, spreads tight both times). The MIN axis resists one bad
+    # window, but the r04 driver artifact's MEDIAN axis (0.771 < 0.8
+    # while min 0.842 and vs-ceiling 0.843 cleared) moves as soon as
+    # half the samples land in contention — at 8 rounds the median
+    # needs 4 contended samples of 8 spanning ~45 min of host weather,
+    # at ~8 min extra wall. Catch-up cap rises accordingly.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "8"))
     t_los, t_his = [], []
     runs_lo, runs_hi = [], []
+    pairs = []  # (lo, hi) from the SAME round — both subprocesses alive
     n_out = 0
     r = 0
     while r < rounds:
@@ -437,12 +455,14 @@ def main() -> None:
             t_los.append(m[0])
             runs_lo.append(m[1])
             n_out = m[2]
-        m = measure(f"local[{hi}]")
-        if m:
-            t_his.append(m[0])
-            runs_hi.append(m[1])
+        m2 = measure(f"local[{hi}]")
+        if m2:
+            t_his.append(m2[0])
+            runs_hi.append(m2[1])
+        if m and m2:
+            pairs.append((m[0], m2[0]))
         # catch-up rounds (bounded) if a level has no surviving sample yet
-        if r == rounds - 1 and (not t_los or not t_his) and rounds < 9:
+        if r == rounds - 1 and (not t_los or not t_his) and rounds < 11:
             rounds += 1
         r += 1
     if not t_los or not t_his:
@@ -461,6 +481,11 @@ def main() -> None:
 
     t_lo, t_hi = min(t_los), min(t_his)
     med_lo, med_hi = statistics.median(t_los), statistics.median(t_his)
+    # paired per-round ratios: round i's lo and hi subprocesses run
+    # back-to-back, so the ratio cancels slow common-mode host drift
+    # that the independent medians cannot (reported ALONGSIDE the
+    # min/median/ceiling axes, not replacing them)
+    paired = [a / b for a, b in pairs]
     qtimes["flagship_spatial_join"] = round(t_hi, 3)
 
     thr_hi = n_docs * rep / t_hi
@@ -495,6 +520,9 @@ def main() -> None:
             f"docs_per_sec_local{hi}": round(thr_hi, 1),
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
             f"scaling_efficiency_{lo}_to_{hi}_median": round(eff_med, 3),
+            f"scaling_efficiency_{lo}_to_{hi}_paired_median": round(
+                statistics.median(paired) / (hi / lo), 3)
+            if len(paired) >= 2 else None,
             f"host_cpu_speedup_{lo}_to_{hi}": round(cpu_speedup, 3),
             "scaling_efficiency_vs_host_ceiling": round(
                 eff / (cpu_speedup / (hi / lo)), 3

@@ -44,6 +44,59 @@ def test_thermal_brightness_matches_scalar_python(spark, geo001_dir):
     assert got == agg
 
 
+def test_simhash_clusters_collapses_identical_hashes(spark):
+    """Scale-shape pin for the r04 VERDICT fix: the band self-join must
+    run over DISTINCT simhashes (one node per hash), so the plan
+    carries a simhash-keyed aggregate and an identical-text corpus of
+    1000 docs produces ZERO band-join candidates (a single hash cannot
+    self-pair under the strict < predicate) yet still one cluster of
+    1000 via the group rollup."""
+    from pyspark.sql import Row
+    from remotior_sensus_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat today again",
+             lang="en", source="s0") for i in range(1000)])
+    out = tx.simhash_clusters(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[simhash" in plan, "identical-hash collapse missing"
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cluster_root"], r["n_docs"], r["doc_id_sum"]) == (
+        0, 1000, 999 * 1000 // 2)
+
+
+def test_simhash_clusters_merges_across_hash_groups(spark):
+    """Two Hamming-close hash groups (each with internal exact dups)
+    plus one far singleton: the hash-level CC must merge the two
+    groups into one cluster carrying every member doc, and the
+    singleton must not appear."""
+    from pyspark.sql import Row
+    from remotior_sensus_spark.operators import textops as tx
+
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappb"
+    far = "one two three four five six seven eight nine ten eleven"
+    rows = ([Row(doc_id=i, text=near_a, lang="en", source="s")
+             for i in range(3)]
+            + [Row(doc_id=10 + i, text=near_b, lang="en", source="s")
+               for i in range(2)]
+            + [Row(doc_id=99, text=far, lang="en", source="s")])
+    docs = spark.createDataFrame(rows)
+    sh = {r["doc_id"]: r["simhash"]
+          for r in tx.simhash64(docs).collect()}
+    ham_ab = bin(sh[0] ^ sh[10]).count("1")
+    ham_af = bin(sh[0] ^ sh[99]).count("1")
+    got = {r["cluster_root"]: (r["n_docs"], r["doc_id_sum"])
+           for r in tx.simhash_clusters(docs).collect()}
+    if ham_ab <= 3:  # the two groups merge
+        assert got == {0: (5, 0 + 1 + 2 + 10 + 11)}
+    else:  # defensive: corpus drifted — still two separate clusters
+        assert got == {0: (3, 3), 10: (2, 21)}
+    assert ham_af > 3 and 99 not in got
+
+
 def test_thermal_brightness_plan_is_pure_codegen(spark):
     """The per-pixel BT math must stay JVM-side: no Python evaluation
     nodes, exactly one aggregation exchange."""
