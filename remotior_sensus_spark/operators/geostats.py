@@ -948,9 +948,14 @@ def semivariogram_aniso(band_px: DataFrame,
     semivariogram: every (direction, lag) shifted copy carries its
     tag through a single equi-join, exact BIGINT d^2 sums, and the
     gamma division is one deterministic IEEE op per output row.
-    Returns (direction, lag, n_pairs, sum_sq_diff, gamma)."""
+    Returns (direction, lag, n_pairs, sum_sq_diff, gamma).
+
+    Direction labels are GEOGRAPHIC under this repo's gy-grows-south
+    raster convention (see the _D8 and curvature kernels): +gy is
+    south, so the NE diagonal is offset (+1, -1) and SE is (+1, +1) —
+    the r04 ADVICE note caught the screen-coordinate swap here."""
     px = _valid_px(band_px)
-    dirs = (("E", 1, 0), ("N", 0, 1), ("NE", 1, 1), ("SE", 1, -1))
+    dirs = (("E", 1, 0), ("N", 0, -1), ("NE", 1, -1), ("SE", 1, 1))
     arr = F.array(*[
         F.struct(F.lit(d).alias("direction"),
                  F.lit(h * dx).alias("ox"), F.lit(h * dy).alias("oy"),

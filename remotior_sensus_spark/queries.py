@@ -6367,9 +6367,9 @@ with p as (
   where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
 o(direction, ox, oy, lag) as (values
   ('E',1,0,1),('E',2,0,2),('E',4,0,4),
-  ('N',0,1,1),('N',0,2,2),('N',0,4,4),
-  ('NE',1,1,1),('NE',2,2,2),('NE',4,4,4),
-  ('SE',1,-1,1),('SE',2,-2,2),('SE',4,-4,4)),
+  ('N',0,-1,1),('N',0,-2,2),('N',0,-4,4),
+  ('NE',1,-1,1),('NE',2,-2,2),('NE',4,-4,4),
+  ('SE',1,1,1),('SE',2,2,2),('SE',4,4,4)),
 s as (select p.gx + ox as gx, p.gy + oy as gy, direction, lag, v as v0
       from p, o),
 j as (select direction, lag, (c.v - s.v0) * (c.v - s.v0) as d2

@@ -210,7 +210,8 @@ def test_ndvi_change_classes_match_dense_numpy(spark, dense2, geo001_dir):
 
 def test_semivariogram_aniso_matches_dense_numpy(spark, dense, geo001_dir):
     a, valid = dense
-    dirs = {"E": (1, 0), "N": (0, 1), "NE": (1, 1), "SE": (1, -1)}
+    # geographic axes under gy-grows-south: N is (0,-1), NE (1,-1)
+    dirs = {"E": (1, 0), "N": (0, -1), "NE": (1, -1), "SE": (1, 1)}
     ref = {}
     for dname, (ux, uy) in dirs.items():
         for lag in (1, 2, 4):
