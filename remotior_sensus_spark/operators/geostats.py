@@ -981,6 +981,120 @@ def semivariogram_aniso(band_px: DataFrame,
          / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"))
 
 
+def lbp_census_tiles(band_tiles: DataFrame,
+                     tile_px: int | None = None) -> DataFrame:
+    """lbp_census on the focal halo path: one halo shuffle ships each
+    tile with its 8 neighbours, the 8 bit-comparisons run as one
+    vectorized numpy pass per Arrow group, and only the 256-bounded
+    (code, count, sum_v) census leaves each group — replacing the
+    8-way shifted-copy union whose corpus-scale hash aggregate
+    dominated sf0.1 (~9 s -> halo path). Identical output to
+    lbp_census (dense-parity-tested through the registered query)."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+    offs = ((1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+            (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128))
+
+    def kernel(pdf):
+        import pandas as pd
+        cols = ["code", "n_pixels", "sum_v"]
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        pad = _assemble_padded(pdf, tile_px=T)
+        c = pad[T:2 * T, T:2 * T]
+        code = np.zeros(c.shape, dtype=np.int64)
+        nvalid = np.zeros(c.shape, dtype=np.int64)
+        for dx, dy, bit in offs:
+            n = pad[T + dy:2 * T + dy, T + dx:2 * T + dx]
+            ok = ~np.isnan(n)
+            nvalid += ok
+            code += bit * (ok & (n >= c))
+        interior = (~np.isnan(c)) & (nvalid == 8)
+        if not interior.any():
+            return pd.DataFrame({c2: pd.Series(dtype="int64")
+                                 for c2 in cols})
+        cc = code[interior]
+        vv = c[interior].astype(np.int64)
+        out = {}
+        for cd in np.unique(cc):
+            sel = cc == cd
+            out[int(cd)] = (int(sel.sum()), int(vv[sel].sum()))
+        return pd.DataFrame(
+            {"code": list(out), "n_pixels": [v[0] for v in out.values()],
+             "sum_v": [v[1] for v in out.values()]})
+
+    per_tile = _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty"
+    ).applyInPandas(kernel, "code long, n_pixels long, sum_v long")
+    return (
+        per_tile.groupBy(F.col("code").cast("int").alias("code"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_v").alias("sum_v"))
+    )
+
+
+def semivariogram_aniso_tiles(band_tiles: DataFrame,
+                              lags: tuple[int, ...] = (1, 2, 4),
+                              tile_px: int | None = None) -> DataFrame:
+    """semivariogram_aniso on the focal halo path: the 12
+    (direction, lag) shifted relations collapse into 12 vectorized
+    array shifts inside one Arrow group per tile, and only the
+    12-row-bounded (direction, lag, n_pairs, sum_sq_diff) census
+    crosses the second exchange — replacing the 12-way posexplode
+    lineage whose shuffle_hash join dominated sf0.1 (~13 s -> halo
+    path). Pair attribution follows the relational head-ownership
+    (each pair counted once at its + offset end); max(lags) must be
+    <= tile_px so the 3T pad contains every tail. Exact int64 d²
+    sums; the gamma division is the same single IEEE op per output
+    row. Identical output to semivariogram_aniso."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+    if max(lags) > T:
+        raise ValueError("halo path requires max(lags) <= tile_px")
+    dirs = (("E", 1, 0), ("N", 0, -1), ("NE", 1, -1), ("SE", 1, 1))
+
+    def kernel(pdf):
+        import pandas as pd
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({"direction": pd.Series(dtype="object"),
+                                 "lag": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64"),
+                                 "sum_sq_diff": pd.Series(dtype="int64")})
+        pad = _assemble_padded(pdf, tile_px=T)
+        c = pad[T:2 * T, T:2 * T]
+        cv = ~np.isnan(c)
+        rows = []
+        for d, dx, dy in dirs:
+            for h in lags:
+                ox, oy = h * dx, h * dy
+                # tail value at head - offset (head = owned pixel)
+                n = pad[T - oy:2 * T - oy, T - ox:2 * T - ox]
+                sel = cv & ~np.isnan(n)
+                npairs = int(sel.sum())
+                if npairs == 0:
+                    continue
+                diff = c[sel] - n[sel]
+                rows.append((d, h, npairs, int((diff * diff).sum())))
+        return pd.DataFrame(rows, columns=["direction", "lag",
+                                           "n_pairs", "sum_sq_diff"])
+
+    per_tile = _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty"
+    ).applyInPandas(
+        kernel, "direction string, lag long, n_pairs long, sum_sq_diff long")
+    g = per_tile.groupBy("direction", F.col("lag").cast("int").alias("lag")
+                         ).agg(F.sum("n_pairs").alias("n_pairs"),
+                               F.sum("sum_sq_diff").alias("sum_sq_diff"))
+    return g.select(
+        "direction", "lag", "n_pairs", "sum_sq_diff",
+        (F.col("sum_sq_diff").cast("double")
+         / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"))
+
+
 def lbp_census(band_px: DataFrame) -> DataFrame:
     """Local binary pattern (LBP-8) texture census: each interior
     pixel's 8-bit code sets bit i when neighbour i >= centre

@@ -6381,12 +6381,14 @@ from j group by 1, 2
 """)
 def semivariogram_aniso_q(spark, sf_dir):
     """Directional semivariogram (E/N/NE/SE at lags 1/2/4) — the
-    anisotropy audit behind a kriging model choice, all
-    (direction, lag) pairs through ONE shifted-copy hash join
-    (geostats.semivariogram_aniso)."""
+    anisotropy audit behind a kriging model choice, all 12
+    (direction, lag) pairs as vectorized array shifts inside one
+    focal-halo Arrow pass per tile
+    (geostats.semivariogram_aniso_tiles; the relational
+    semivariogram_aniso is the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.semivariogram_aniso(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.semivariogram_aniso_tiles(t64, tile_px=t_px)
 
 
 @q("cross_source_contamination", f"""
@@ -6515,11 +6517,13 @@ from g where c = 8 group by 1
 """)
 def lbp_census_q(spark, sf_dir):
     """Local binary pattern (LBP-8) texture code census — bit i set
-    when neighbour i >= centre, pure integers, one shifted-copy
-    shuffle, 256-bounded rollup (geostats.lbp_census)."""
+    when neighbour i >= centre, pure integers, one focal-halo shuffle
+    + vectorized numpy bit pass per tile, 256-bounded rollup
+    (geostats.lbp_census_tiles; the relational lbp_census is the
+    cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.lbp_census(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.lbp_census_tiles(t64, tile_px=t_px)
 
 
 @q("hypsometric_deciles", f"""

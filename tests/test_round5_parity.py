@@ -44,6 +44,36 @@ def test_thermal_brightness_matches_scalar_python(spark, geo001_dir):
     assert got == agg
 
 
+def test_lbp_and_aniso_halo_match_relational(spark, geo001_dir):
+    """The halo Arrow kernels (lbp_census_tiles,
+    semivariogram_aniso_tiles — the registered hot paths) must equal
+    the relational shifted-copy forms row-for-row; the relational
+    forms stay covered as the cross-checked reference shapes, the
+    same contract d8_flow/d8_flow_tiles carry."""
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+    from remotior_sensus_spark.sources import catalog as cat
+    from pyspark.sql import functions as F
+
+    tiles = cat.load_geo(spark, SF_DIR, "tiles").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    px = agg.explode_pixels(tiles)
+
+    a = {r["code"]: (r["n_pixels"], r["sum_v"])
+         for r in geostats.lbp_census(px).collect()}
+    b = {r["code"]: (r["n_pixels"], r["sum_v"])
+         for r in geostats.lbp_census_tiles(tiles).collect()}
+    assert a == b and a
+
+    c = {(r["direction"], r["lag"]): (r["n_pairs"], r["sum_sq_diff"],
+                                      r["gamma"])
+         for r in geostats.semivariogram_aniso(px).collect()}
+    d = {(r["direction"], r["lag"]): (r["n_pairs"], r["sum_sq_diff"],
+                                      r["gamma"])
+         for r in geostats.semivariogram_aniso_tiles(tiles).collect()}
+    assert c == d and len(c) == 12
+
+
 def test_simhash_clusters_collapses_identical_hashes(spark):
     """Scale-shape pin for the r04 VERDICT fix: the band self-join must
     run over DISTINCT simhashes (one node per hash), so the plan
