@@ -1184,6 +1184,250 @@ def _d8_best(pad, rows, cols):
     return codes, interior
 
 
+def _halo_census(band_tiles: DataFrame, tile_fn, schema: str,
+                 out_cols: tuple, tile_px: int | None = None) -> DataFrame:
+    """Shared focal-halo census runner (the d8_flow_tiles shape,
+    factored): ONE halo shuffle ships each tile with its 8 neighbours,
+    `tile_fn(pad, T)` runs a vectorized numpy pass over the 3Tx3T pad
+    and returns a BOUNDED list of census tuples, and only those rows
+    leave the Arrow group — the caller adds the final bounded rollup.
+    This is the scale contract for every 3x3/5x5 raster census: the
+    corpus-size data moves once (tile arrays, not exploded pixels),
+    Python sees Arrow batches only, and the second exchange carries
+    rows proportional to the census domain, not the raster."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+
+    def kernel(pdf):
+        import pandas as pd
+        rows = []
+        if ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            rows = tile_fn(_assemble_padded(pdf, tile_px=T), T)
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols})
+        return pd.DataFrame(rows, columns=[c for c, _ in out_cols])
+
+    return _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty").applyInPandas(kernel, schema)
+
+
+def _ring_shifts(pad, T, offs):
+    """(centre, list of (shifted view, valid mask)) for the centre
+    region [T:2T) of pad."""
+    c = pad[T:2 * T, T:2 * T]
+    out = []
+    for dx, dy in offs:
+        n = pad[T + dy:2 * T + dy, T + dx:2 * T + dx]
+        out.append((n, ~np.isnan(n)))
+    return c, out
+
+
+def tpi_landform_tiles(band_tiles: DataFrame, threshold: int = 300,
+                       tile_px: int | None = None) -> DataFrame:
+    """tpi_landform on the focal halo path (identical output; the
+    relational form is the cross-checked reference shape). Same exact
+    integer cross-multiplication: 8v - s8 vs 8*threshold."""
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+
+    def tile_fn(pad, T):
+        c, sh = _ring_shifts(pad, T, offs)
+        s8 = np.zeros(c.shape)
+        n8 = np.zeros(c.shape, dtype=np.int64)
+        for n, ok in sh:
+            s8 += np.where(ok, n, 0.0)
+            n8 += ok
+        interior = (~np.isnan(c)) & (n8 == 8)
+        if not interior.any():
+            return []
+        cv = c[interior].astype(np.int64)
+        diff = 8 * cv - s8[interior].astype(np.int64)
+        t8 = 8 * threshold
+        lf = np.where(diff > t8, 1, np.where(-diff > t8, -1, 0))
+        return [(int(k), int((lf == k).sum()), int(cv[lf == k].sum()))
+                for k in np.unique(lf)]
+
+    per = _halo_census(band_tiles, tile_fn,
+                       "landform long, n_pixels long, sum_v long",
+                       (("landform", "int64"), ("n_pixels", "int64"),
+                        ("sum_v", "int64")), tile_px)
+    return per.groupBy(F.col("landform").cast("int").alias("landform")).agg(
+        F.sum("n_pixels").alias("n_pixels"), F.sum("sum_v").alias("sum_v"))
+
+
+def multi_scale_tpi_tiles(band_tiles: DataFrame, threshold: float = 300.0,
+                          tile_px: int | None = None) -> DataFrame:
+    """multi_scale_tpi on the focal halo path (identical output). Both
+    rings from the same pad; interior requires the full 24-cell ring."""
+    offs = [(dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+            if (dx, dy) != (0, 0)]
+
+    def tile_fn(pad, T):
+        c, sh = _ring_shifts(pad, T, offs)
+        s24 = np.zeros(c.shape)
+        s8 = np.zeros(c.shape)
+        n24 = np.zeros(c.shape, dtype=np.int64)
+        for (dx, dy), (n, ok) in zip(offs, sh):
+            s24 += np.where(ok, n, 0.0)
+            n24 += ok
+            if max(abs(dx), abs(dy)) <= 1:
+                s8 += np.where(ok, n, 0.0)
+        interior = (~np.isnan(c)) & (n24 == 24)
+        if not interior.any():
+            return []
+        cv = c[interior].astype(np.int64)
+        s8i = s8[interior].astype(np.int64)
+        s24i = s24[interior].astype(np.int64)
+        t = int(threshold)
+        small = np.where(8 * cv - s8i > 8 * t, 1,
+                         np.where(s8i - 8 * cv > 8 * t, -1, 0))
+        large = np.where(24 * cv - s24i > 24 * t, 1,
+                         np.where(s24i - 24 * cv > 24 * t, -1, 0))
+        key = small * 3 + large  # both in {-1,0,1}: key is injective
+        return [(int(s), int(g), int(cnt), int(sv))
+                for _k, s, g, cnt, sv in _msk_rollup(key, small, large, cv)]
+
+    per = _halo_census(
+        band_tiles, tile_fn,
+        "landform_small long, landform_large long, n_pixels long, sum_v long",
+        (("landform_small", "int64"), ("landform_large", "int64"),
+         ("n_pixels", "int64"), ("sum_v", "int64")), tile_px)
+    return per.groupBy(
+        F.col("landform_small").cast("int").alias("landform_small"),
+        F.col("landform_large").cast("int").alias("landform_large")).agg(
+        F.sum("n_pixels").alias("n_pixels"), F.sum("sum_v").alias("sum_v"))
+
+
+def _msk_rollup(key, small, large, cv):
+    for k in np.unique(key):
+        sel = key == k
+        yield (k, small[sel][0], large[sel][0], sel.sum(), cv[sel].sum())
+
+
+def _zt_curvature_tiles(band_tiles: DataFrame, cellsize: float, num_fn,
+                        tile_px: int | None = None) -> DataFrame:
+    """Zevenbergen-Thorne curvature sign census on the halo path —
+    identical exact BIGINT numerator/denominator and the one IEEE
+    double division of _zt_curvature, vectorized per tile."""
+    cells = ((-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+             (-1, 1), (0, 1), (1, 1))  # z1..z9 row-major, gy grows south
+
+    def tile_fn(pad, T):
+        c, sh = _ring_shifts(pad, T, cells)
+        allv = np.ones(c.shape, dtype=bool)
+        for _, ok in sh:
+            allv &= ok
+        if not allv.any():
+            return []
+        z = [n[allv].astype(np.int64) for n, _ in sh]
+        z1, z2, z3, z4, z5, z6, z7, z8, z9 = z
+        d = z4 + z6 - 2 * z5
+        e = z2 + z8 - 2 * z5
+        f = -z1 + z3 + z7 - z9
+        g = z6 - z4
+        h = z2 - z8
+        num = num_fn(d, e, f, g, h)
+        den = int(2 * cellsize * cellsize) * (g * g + h * h)
+        cls = np.where(den == 0, 9, np.sign(num)).astype(np.int64)
+        fp = np.zeros(num.shape, dtype=np.int64)
+        nz = den != 0
+        fp[nz] = np.floor(num[nz].astype(np.float64)
+                          / den[nz].astype(np.float64)
+                          * 1000000.0 + 0.5).astype(np.int64)
+        return [(int(k), int((cls == k).sum()), int(fp[cls == k].sum()))
+                for k in np.unique(cls)]
+
+    per = _halo_census(band_tiles, tile_fn,
+                       "curv_class long, n_pixels long, curv_fp_sum long",
+                       (("curv_class", "int64"), ("n_pixels", "int64"),
+                        ("curv_fp_sum", "int64")), tile_px)
+    return per.groupBy(
+        F.col("curv_class").cast("int").alias("curv_class")).agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("curv_fp_sum").alias("curv_fp_sum"))
+
+
+def profile_curvature_tiles(band_tiles: DataFrame, cellsize: float = 10.0,
+                            tile_px: int | None = None) -> DataFrame:
+    return _zt_curvature_tiles(
+        band_tiles, cellsize,
+        lambda d, e, f, g, h: 2 * d * g * g + 2 * e * h * h + f * g * h,
+        tile_px)
+
+
+def plan_curvature_tiles(band_tiles: DataFrame, cellsize: float = 10.0,
+                         tile_px: int | None = None) -> DataFrame:
+    return _zt_curvature_tiles(
+        band_tiles, cellsize,
+        lambda d, e, f, g, h: 2 * d * h * h + 2 * e * g * g - f * g * h,
+        tile_px)
+
+
+def focal_range_tiles(band_tiles: DataFrame,
+                      tile_px: int | None = None) -> DataFrame:
+    """focal_range_bands on the focal halo path (identical output):
+    3x3 queen max-min over the full-neighbourhood interior, bit-length
+    band via exact frexp exponents."""
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def tile_fn(pad, T):
+        c, sh = _ring_shifts(pad, T, offs)
+        mx = np.full(c.shape, -np.inf)
+        mn = np.full(c.shape, np.inf)
+        cnt = np.zeros(c.shape, dtype=np.int64)
+        for n, ok in sh:
+            mx = np.where(ok & (n > mx), n, mx)
+            mn = np.where(ok & (n < mn), n, mn)
+            cnt += ok
+        interior = cnt == 9  # includes (0,0): centre valid
+        if not interior.any():
+            return []
+        r = (mx[interior] - mn[interior]).astype(np.int64)
+        band = np.full(r.shape, -1, dtype=np.int64)
+        pos = r > 0
+        band[pos] = np.frexp(r[pos].astype(np.float64))[1] - 1
+        return [(int(b), int((band == b).sum()), int(r[band == b].sum()))
+                for b in np.unique(band)]
+
+    per = _halo_census(band_tiles, tile_fn,
+                       "range_band long, n_pixels long, sum_range long",
+                       (("range_band", "int64"), ("n_pixels", "int64"),
+                        ("sum_range", "int64")), tile_px)
+    return per.groupBy(
+        F.col("range_band").cast("int").alias("range_band")).agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("sum_range").alias("sum_range"))
+
+
+def morph_gradient_tiles(band_tiles: DataFrame, threshold: float = 3500.0,
+                         tile_px: int | None = None) -> DataFrame:
+    """morph_gradient on the focal halo path (identical output): rook
+    + self threshold-mask max-min per VALID centre; invalid/off-grid
+    neighbours simply don't contribute."""
+    offs = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def tile_fn(pad, T):
+        c, sh = _ring_shifts(pad, T, offs)
+        mx = np.zeros(c.shape, dtype=np.int64)
+        mn = np.ones(c.shape, dtype=np.int64)
+        for n, ok in sh:
+            m = (n > threshold).astype(np.int64)
+            mx = np.where(ok & (m > mx), m, mx)
+            mn = np.where(ok & (m < mn), m, mn)
+        valid = ~np.isnan(c)  # centre contributes, so mx>=mn always set
+        if not valid.any():
+            return []
+        grad = (mx - mn)[valid]
+        return [(int(g), int((grad == g).sum())) for g in np.unique(grad)]
+
+    per = _halo_census(band_tiles, tile_fn, "grad long, n_pixels long",
+                       (("grad", "int64"), ("n_pixels", "int64")), tile_px)
+    return per.groupBy(F.col("grad").cast("int").alias("grad")).agg(
+        F.sum("n_pixels").alias("n_pixels"))
+
+
 def d8_flow_tiles(band_tiles: DataFrame,
                   tile_px: int | None = None) -> DataFrame:
     """d8_flow on the focal halo path: one halo shuffle ships each tile

@@ -5181,10 +5181,11 @@ from cl group by 1
 def tpi_landform_q(spark, sf_dir):
     """TPI landform classes (ridge/plane/valley at +-300 DN): the mean
     never materializes — 8*v - sum8 cross-multiplication on BIGINTs
-    (operators/geostats.tpi_landform)."""
+    (geostats.tpi_landform_tiles, focal-halo path; the relational
+    tpi_landform is the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.tpi_landform(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=300)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.tpi_landform_tiles(t64, threshold=300, tile_px=t_px)
 
 
 @q("class_adjacency", f"""
@@ -5429,10 +5430,11 @@ from k group by 1
 def profile_curvature_q(spark, sf_dir):
     """Zevenbergen-Thorne profile curvature sign classes — exact BIGINT
     numerator/denominator, one identical double division + fixed-point
-    round in both engines (geostats.profile_curvature)."""
+    round in both engines (geostats.profile_curvature_tiles, focal-halo
+    path; relational profile_curvature is the reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.profile_curvature(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")), cellsize=10.0)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.profile_curvature_tiles(t64, cellsize=10.0, tile_px=t_px)
 
 
 @q("conversion_lag_bands", """
@@ -5823,10 +5825,10 @@ from k group by 1
 def plan_curvature_q(spark, sf_dir):
     """Zevenbergen-Thorne plan (tangential) curvature sign classes —
     the across-slope sibling of profile_curvature, same exact BIGINT
-    num/den contract (geostats.plan_curvature)."""
+    num/den contract (geostats.plan_curvature_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.plan_curvature(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")), cellsize=10.0)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.plan_curvature_tiles(t64, cellsize=10.0, tile_px=t_px)
 
 
 @q("morph_gradient", f"""
@@ -5844,10 +5846,11 @@ from j group by 1
 def morph_gradient_q(spark, sf_dir):
     """Morphological gradient (dilation minus erosion in one pass) of
     the B04 > 3500 mask — exact boundary-pixel census
-    (geostats.morph_gradient)."""
+    (geostats.morph_gradient_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.morph_gradient(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=3500.0)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.morph_gradient_tiles(t64, threshold=3500.0,
+                                         tile_px=t_px)
 
 
 @q("evi_index", f"""
@@ -5975,10 +5978,12 @@ from cl group by 1, 2
 def multi_scale_tpi_q(spark, sf_dir):
     """Nested Weiss multi-scale TPI landform classes (r=1 x r=2) —
     both rings from ONE shifted-copy shuffle, exact BIGINT
-    cross-multiplication (geostats.multi_scale_tpi)."""
+    cross-multiplication (geostats.multi_scale_tpi_tiles, focal-halo
+    path)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.multi_scale_tpi(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")), threshold=300.0)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.multi_scale_tpi_tiles(t64, threshold=300.0,
+                                          tile_px=t_px)
 
 
 @q("ngram_novelty", f"""
@@ -6279,10 +6284,10 @@ from j group by 1
 def focal_range_q(spark, sf_dir):
     """Focal 3x3 range (local relief) on power-of-two bands — the
     morph_gradient shape on raw DNs, one shifted-copy shuffle
-    (geostats.focal_range_bands)."""
+    (geostats.focal_range_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.focal_range_bands(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.focal_range_tiles(t64, tile_px=t_px)
 
 
 @q("prefix_dup", """

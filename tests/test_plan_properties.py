@@ -286,16 +286,36 @@ def test_shifted_copy_rasters_no_cartesian_no_python(spark):
         _assert_clean(_shape(spark, name))
 
 
-def test_semivariogram_aniso_one_join_shuffle(spark):
+def test_semivariogram_aniso_halo_no_join(spark):
     plan = _shape(spark, "semivariogram_aniso")
-    # all 12 (direction, lag) copies resolve through ONE hash join —
-    # a pinned shuffle_hash (one exchange per side, never the static
-    # broadcast of the 52M-row pixel frame that OOMed at sf0.1)
-    assert plan.count("ShuffledHashJoin") == 1, plan
-    assert "BroadcastHashJoin" not in plan, plan
-    # two join-side exchanges + at most the bounded rollup exchange
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
-    _assert_clean(plan)
+    # round-5 halo migration: the 12 (direction, lag) shifted
+    # relations are vectorized array shifts inside ONE Arrow group per
+    # tile — the d8_flow contract: FlatMapGroupsInPandas present, no
+    # join operator of any kind, no row-wise Python. (The former pin
+    # held the relational shape: one pinned shuffle_hash join; that
+    # shape lives on in geostats.semivariogram_aniso, equivalence-
+    # tested in test_round5_parity.py.)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_round5_halo_family_no_join(spark):
+    # the same contract for every census moved to _halo_census this
+    # round: lbp, tpi (both scales), both ZT curvatures, focal range,
+    # morphological gradient
+    for name in ("lbp_census", "tpi_landform", "multi_scale_tpi",
+                 "profile_curvature", "plan_curvature", "focal_range",
+                 "morph_gradient"):
+        plan = _shape(spark, name)
+        assert "FlatMapGroupsInPandas" in plan, (name, plan)
+        for op in ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                   "CartesianProduct"):
+            assert op not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
 
 
 def test_cva_change_single_pivot_shuffle(spark):

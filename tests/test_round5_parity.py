@@ -74,6 +74,38 @@ def test_lbp_and_aniso_halo_match_relational(spark, geo001_dir):
     assert c == d and len(c) == 12
 
 
+def test_focal_census_halo_kernels_match_relational(spark, geo001_dir):
+    """Row-for-row equivalence of every round-5 halo migration against
+    its relational reference shape (tpi, multi-scale tpi, both ZT
+    curvatures, focal range, morphological gradient)."""
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+    from remotior_sensus_spark.sources import catalog as cat
+    from pyspark.sql import functions as F
+
+    tiles = cat.load_geo(spark, SF_DIR, "tiles").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    px = agg.explode_pixels(tiles)
+
+    pairs = [
+        (geostats.tpi_landform(px, threshold=300),
+         geostats.tpi_landform_tiles(tiles, threshold=300)),
+        (geostats.multi_scale_tpi(px, threshold=300.0),
+         geostats.multi_scale_tpi_tiles(tiles, threshold=300.0)),
+        (geostats.profile_curvature(px, cellsize=10.0),
+         geostats.profile_curvature_tiles(tiles, cellsize=10.0)),
+        (geostats.plan_curvature(px, cellsize=10.0),
+         geostats.plan_curvature_tiles(tiles, cellsize=10.0)),
+        (geostats.focal_range_bands(px), geostats.focal_range_tiles(tiles)),
+        (geostats.morph_gradient(px, threshold=3500.0),
+         geostats.morph_gradient_tiles(tiles, threshold=3500.0)),
+    ]
+    for rel, halo in pairs:
+        a = sorted(tuple(r) for r in rel.collect())
+        b = sorted(tuple(r) for r in halo.collect())
+        assert a == b and a, rel
+
+
 def test_simhash_clusters_collapses_identical_hashes(spark):
     """Scale-shape pin for the r04 VERDICT fix: the band self-join must
     run over DISTINCT simhashes (one node per hash), so the plan
