@@ -320,3 +320,91 @@ def ndvi_change_classes(px: DataFrame, date_a: str, date_b: str,
         d.groupBy("class_a", "class_b")
         .agg(F.count("*").alias("n_pixels"), F.sum("nb").alias("sum_nir_b"))
     )
+
+
+def _four_frame_zip(tiles: DataFrame, date_a: str, date_b: str,
+                    band_x: str, band_y: str) -> DataFrame:
+    """(xa, xb, ya, yb) BIGINT columns per pixel with ALL FOUR frames
+    valid — built from TILE ARRAYS: the pivot groupBy shuffles ~4
+    compact array rows per TILE instead of 4 exploded rows per PIXEL
+    (a 100 TB raster moves once as arrays, never as pixel rows), and
+    the zip/explode + validity filter run map-side after that one
+    exchange. Shared by cva_change_tiles / ndvi_change_tiles; the
+    exploded-pixel pivots remain as the cross-checked reference
+    shapes."""
+    sel = tiles.filter(
+        F.col("bandset").isin(date_a, date_b)
+        & F.col("band").isin(band_x, band_y))
+
+    def pick(ds, bd):
+        return F.first(F.when((F.col("bandset") == ds)
+                              & (F.col("band") == bd), F.col("pixels")),
+                       ignorenulls=True)
+
+    g = sel.groupBy("tile_x", "tile_y").agg(
+        pick(date_a, band_x).alias("pxa"), pick(date_b, band_x).alias("pxb"),
+        pick(date_a, band_y).alias("pya"), pick(date_b, band_y).alias("pyb"))
+    g = g.filter(F.col("pxa").isNotNull() & F.col("pxb").isNotNull()
+                 & F.col("pya").isNotNull() & F.col("pyb").isNotNull())
+    z = g.select(
+        F.explode(F.arrays_zip("pxa", "pxb", "pya", "pyb")).alias("z")
+    ).select(
+        F.col("z.pxa").alias("fxa"), F.col("z.pxb").alias("fxb"),
+        F.col("z.pya").alias("fya"), F.col("z.pyb").alias("fyb"))
+    nd = F.lit(float(NODATA))
+    valid = ((F.col("fxa") != nd) & (F.col("fxb") != nd)
+             & (F.col("fya") != nd) & (F.col("fyb") != nd))
+    return z.filter(valid).select(
+        F.col("fxa").cast("long").alias("xa"),
+        F.col("fxb").cast("long").alias("xb"),
+        F.col("fya").cast("long").alias("ya"),
+        F.col("fyb").cast("long").alias("yb"))
+
+
+def cva_change_tiles(tiles: DataFrame, date_a: str, date_b: str,
+                     band_x: str = "B04", band_y: str = "B08") -> DataFrame:
+    """cva_change over tile arrays (identical output): the four
+    (date, band) frames meet in ONE tile-keyed array pivot, the change
+    vector census is pure codegen after the explode, and the rollup is
+    the same bounded (quad, mag_band) grid."""
+    full = _four_frame_zip(tiles, date_a, date_b, band_x, band_y)
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    d = full.select(
+        ((F.signum(dx).cast("int") + 1) * 3
+         + (F.signum(dy).cast("int") + 1)).alias("quad"),
+        (dx * dx + dy * dy).alias("mag"))
+    band = F.when(F.col("mag") > 0,
+                  (F.length(F.bin(F.col("mag"))) - 1).cast("int")) \
+        .otherwise(F.lit(-1))
+    return (
+        d.select("quad", band.alias("mag_band"), "mag")
+        .groupBy("quad", "mag_band")
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("mag").alias("sum_mag_sq"))
+    )
+
+
+def ndvi_change_tiles(tiles: DataFrame, date_a: str, date_b: str,
+                      red: str = "B04", nir: str = "B08") -> DataFrame:
+    """ndvi_change_classes over tile arrays (identical output): same
+    one tile-keyed array pivot; the exact BIGINT cross-multiplied
+    class thresholds and the 16-bounded rollup are unchanged."""
+    full = _four_frame_zip(tiles, date_a, date_b, red, nir)
+
+    def ndvi_class(n, r):
+        return (
+            F.when(n + r <= 0, F.lit(-1))
+            .when(2 * (n - r) > (n + r), F.lit(2))
+            .when(5 * (n - r) >= (n + r), F.lit(1))
+            .otherwise(F.lit(0)).cast("int")
+        )
+
+    d = full.select(
+        ndvi_class(F.col("ya"), F.col("xa")).alias("class_a"),
+        ndvi_class(F.col("yb"), F.col("xb")).alias("class_b"),
+        F.col("yb").alias("nb"))
+    return (
+        d.groupBy("class_a", "class_b")
+        .agg(F.count("*").alias("n_pixels"), F.sum("nb").alias("sum_nir_b"))
+    )

@@ -6640,13 +6640,13 @@ from m group by 1, 2
 def cva_change_q(spark, sf_dir):
     """Change vector analysis red/NIR between the two dates —
     direction class x exact squared-magnitude band, one pixel-keyed
-    pivot shuffle (temporal.cva_change)."""
+    tile-keyed ARRAY pivot (temporal.cva_change_tiles; the
+    exploded-pixel cva_change is the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import temporal
     t = _tiles(spark, sf_dir).filter(
         F.col("bandset").isin("S2_2020-01-01", "S2_2020-01-02")
         & F.col("band").isin("B04", "B08"))
-    return temporal.cva_change(
-        agg.explode_pixels(t), "S2_2020-01-01", "S2_2020-01-02")
+    return temporal.cva_change_tiles(t, "S2_2020-01-01", "S2_2020-01-02")
 
 
 @q("yule_k", f"""
@@ -6759,13 +6759,12 @@ def ndvi_change_classes_q(spark, sf_dir):
     """NDVI-class transition matrix between the two dates (bare /
     sparse / dense at 0.2 / 0.5) — the NDVI never materializes as a
     float, one pixel-keyed pivot shuffle
-    (temporal.ndvi_change_classes)."""
+    (temporal.ndvi_change_tiles, tile-keyed array pivot)."""
     from remotior_sensus_spark.operators import temporal
     t = _tiles(spark, sf_dir).filter(
         F.col("bandset").isin("S2_2020-01-01", "S2_2020-01-02")
         & F.col("band").isin("B04", "B08"))
-    return temporal.ndvi_change_classes(
-        agg.explode_pixels(t), "S2_2020-01-01", "S2_2020-01-02")
+    return temporal.ndvi_change_tiles(t, "S2_2020-01-01", "S2_2020-01-02")
 
 
 @q("bigram_entropy_rate", f"""

@@ -106,6 +106,28 @@ def test_focal_census_halo_kernels_match_relational(spark, geo001_dir):
         assert a == b and a, rel
 
 
+def test_change_detection_tile_pivot_matches_exploded(spark, geo001_dir):
+    """cva_change_tiles / ndvi_change_tiles (the registered tile-array
+    pivots) must equal the exploded-pixel reference shapes
+    row-for-row."""
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import temporal
+    from remotior_sensus_spark.sources import catalog as cat
+    from pyspark.sql import functions as F
+
+    a, b = "S2_2020-01-01", "S2_2020-01-02"
+    tiles = cat.load_geo(spark, SF_DIR, "tiles").filter(
+        F.col("bandset").isin(a, b) & F.col("band").isin("B04", "B08"))
+    px = agg.explode_pixels(tiles)
+    for rel, halo in (
+            (temporal.cva_change(px, a, b), temporal.cva_change_tiles(tiles, a, b)),
+            (temporal.ndvi_change_classes(px, a, b),
+             temporal.ndvi_change_tiles(tiles, a, b))):
+        x = sorted(tuple(r) for r in rel.collect())
+        y = sorted(tuple(r) for r in halo.collect())
+        assert x == y and x
+
+
 def test_simhash_clusters_collapses_identical_hashes(spark):
     """Scale-shape pin for the r04 VERDICT fix: the band self-join must
     run over DISTINCT simhashes (one node per hash), so the plan
