@@ -15,7 +15,11 @@ from pyspark.sql import SparkSession
 def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # cluster launch: SPARK_GRAFT_MASTER=spark://... (or yarn, k8s://…)
+    # redirects every entry point — bench.py, tests, driver_check —
+    # without code changes; the explicit argument still wins.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: match cores; on a real cluster this would be
         # 2-3x total executor cores (AQE coalesces the excess anyway).
@@ -41,7 +45,9 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         # local-scale split tuning: test files are 10-150 MB, so the
         # 128 MB default would pin scans to 1-2 tasks; on a real cluster
         # against TB-scale inputs this goes back to the default
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(8 * 1024 * 1024)))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # zstd shuffle/broadcast compression: on a real cluster shuffle
         # compression buys NETWORK bytes; on this single box it relieves
