@@ -5162,6 +5162,40 @@ def d8_flow_q(spark, sf_dir):
     return geostats.d8_flow_tiles(t64, tile_px=t_px)
 
 
+@q("flow_accumulation",
+   f"select * from '{GEO01}/expected/flow_accumulation.parquet'")
+def flow_accumulation_q(spark, sf_dir):
+    """Exact global D8 flow accumulation census (log2 bands) — the
+    Barnes-2017 two-level decomposition: one focal-halo shuffle emits a
+    border-cell condensate (routing forest + initial carries), a
+    driver-coordinated hop loop resolves cross-tile inflows on border
+    cells only (<= 1/16 of the corpus at T=64), and one cogrouped halo
+    pass re-injects them into a vectorized in-tile topological peel.
+    Oracle: dense whole-raster numpy rebuild (synth/expected.py
+    _dense_flow — no tiling at all); a per-pixel path-walk reference
+    guards both in tests/test_hydrology.py."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.flow_accumulation_tiles(t64, tile_px=t_px)
+
+
+@q("watershed_basins",
+   f"select * from '{GEO01}/expected/watershed_basins.parquet'")
+def watershed_basins_q(spark, sf_dir):
+    """Watershed basin size census: every valid pixel assigned to the
+    terminal sink of its D8 path. Border-entry routing resolves to
+    final sinks by pointer DOUBLING on the condensate (O(log
+    longest-chain) rounds), tile-own per-terminal counts join the
+    resolved map, and the single basin shuffle carries (tile, terminal)
+    pairs — bounded by the condensate, never the corpus
+    (hydrology.watershed_basins_tiles)."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.watershed_basins_tiles(t64, tile_px=t_px)
+
+
 @q("tpi_landform", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -6958,7 +6992,8 @@ ORACLE_BUILDERS = {
     **{n: _expected_oracle(n) for n in (
         "raster_label_histogram", "sieve_reclass", "polygonize",
         "polygonize_wkt", "region_growing", "media_thumbnails",
-        "video_frame_sample", "warp_crs")},
+        "video_frame_sample", "warp_crs", "flow_accumulation",
+        "watershed_basins")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 10
+_EXPECTED_VERSION = 11
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -571,6 +571,110 @@ def build_warp_crs_bilinear(sf: float, src_zone: int = 33,
     })
 
 
+def _dense_flow(sf: float):
+    """Whole-raster D8 resolution shared by the hydrology builders:
+    returns (valid, acc, sink_id) where acc is the exact global flow
+    accumulation (weight 1 per valid pixel, path-inclusive) and sink_id
+    the flat index of each valid pixel's terminal sink. Independent of
+    the tiled Spark path: ONE dense array, a global indegree peel, no
+    tile decomposition at all — the same _d8_best pick is shared on
+    purpose (the pick itself is pinned by the d8_flow oracle + dense
+    parity tests; what this reference checks is the accumulation /
+    basin-routing machinery)."""
+    return _dense_flow_array(_full_raster(sf))
+
+
+def _dense_flow_array(r: np.ndarray):
+    from remotior_sensus_spark.operators.geostats import _D8, _d8_best
+
+    h, w = r.shape
+    pad = np.pad(r, 1, constant_values=np.nan)
+    codes, interior = _d8_best(pad, slice(1, 1 + h), slice(1, 1 + w))
+    valid = ~np.isnan(r)
+
+    dxa = np.zeros((h, w), dtype=np.int64)
+    dya = np.zeros((h, w), dtype=np.int64)
+    for dx, dy, code, _diag in _D8:
+        m = interior & (codes == code)
+        dxa[m] = dx
+        dya[m] = dy
+    flows = interior & (codes != 0)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    n = h * w
+    tgt = np.full(n, -1, dtype=np.int64)
+    tgt[flows.ravel()] = ((ys[flows] + dya[flows]) * w
+                          + xs[flows] + dxa[flows]).astype(np.int64)
+
+    acc = valid.ravel().astype(np.int64)
+    indeg = np.zeros(n, dtype=np.int64)
+    has = tgt >= 0
+    np.add.at(indeg, tgt[has], 1)
+    vf = valid.ravel()
+    processed = ~vf
+    sink = np.arange(n, dtype=np.int64)
+    frontier = vf & (indeg == 0)
+    while frontier.any():
+        idx = np.flatnonzero(frontier)
+        t = tgt[idx]
+        hh = t >= 0
+        np.add.at(acc, t[hh], acc[idx[hh]])
+        np.subtract.at(indeg, t[hh], 1)
+        processed[idx] = True
+        frontier = vf & ~processed & (indeg == 0)
+    # sink routing: absorbing pointer doubling over the whole raster.
+    # When the jump target t absorbs (fin[t] < 0), v inherits t's
+    # RESOLVED terminal sink[t] (t itself only when t is the terminal —
+    # sink is initialized to self and terminals never update).
+    fin = tgt.copy()
+    while (fin >= 0).any():
+        li = np.flatnonzero(fin >= 0)
+        t = fin[li]
+        nstep = fin[t]
+        sink[li] = np.where(nstep >= 0, sink[li], sink[t])
+        fin[li] = nstep
+    return valid, acc.reshape(h, w), sink.reshape(h, w)
+
+
+def build_flow_accumulation(sf: float) -> pa.Table:
+    """log2-band census of the exact global D8 flow accumulation."""
+    valid, acc, _sink = _dense_flow(sf)
+    vals = acc[valid]
+    _, expo = np.frexp(vals.astype(np.float64))
+    band = (expo - 1).astype(np.int64)
+    rows = []
+    for b in np.unique(band):
+        sel = band == b
+        rows.append((int(b), int(sel.sum()), int(vals[sel].sum()),
+                     int(vals[sel].max())))
+    rows.sort()
+    return pa.table({
+        "acc_band": pa.array([r[0] for r in rows], type=pa.int32()),
+        "n_pixels": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sum_acc": pa.array([r[2] for r in rows], type=pa.int64()),
+        "max_acc": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+def build_watershed_basins(sf: float) -> pa.Table:
+    """log2-size-band census of D8 watershed basins (pixels grouped by
+    terminal sink)."""
+    valid, _acc, sink = _dense_flow(sf)
+    sizes = np.bincount(
+        np.unique(sink[valid], return_inverse=True)[1])
+    _, expo = np.frexp(sizes.astype(np.float64))
+    band = (expo - 1).astype(np.int64)
+    rows = []
+    for b in np.unique(band):
+        sel = band == b
+        rows.append((int(b), int(sel.sum()), int(sizes[sel].sum())))
+    rows.sort()
+    return pa.table({
+        "size_band": pa.array([r[0] for r in rows], type=pa.int32()),
+        "n_basins": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_pixels": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -583,6 +687,8 @@ BUILDERS = {
     "landscape_metrics": build_landscape_metrics,
     "warp_datum": build_warp_datum,
     "warp_crs_bilinear": build_warp_crs_bilinear,
+    "flow_accumulation": build_flow_accumulation,
+    "watershed_basins": build_watershed_basins,
 }
 
 

@@ -1,0 +1,217 @@
+"""Distributed D8 hydrology vs two independent references.
+
+Layered per the round-4 verification pattern:
+  1. a per-pixel pure-Python PATH-WALK reference (its own neighbour
+     scan, its own tie-break loop — shares no code with _d8_best or the
+     peels) pins the dense builder in synth/expected.py;
+  2. the dense builder (whole-raster, no tiles) is the driver oracle
+     for the registered queries;
+  3. the Spark pipeline is checked against BOTH on rasters engineered
+     to force multi-round cross-tile resolution (long diagonal ramps),
+     plus tile-size invariance (16 vs 64 px) and a physical plan pin.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from remotior_sensus_spark import NODATA
+from remotior_sensus_spark.synth.expected import (
+    _dense_flow_array,
+    build_flow_accumulation,
+    build_watershed_basins,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (dx, dy, code, diag) in D8 code order — the documented tie-break order
+_OFFS = [(1, 0, 1, 0), (1, 1, 2, 1), (0, 1, 4, 0), (-1, 1, 8, 1),
+         (-1, 0, 16, 0), (-1, -1, 32, 1), (0, -1, 64, 0), (1, -1, 128, 1)]
+
+
+def _brute_next(r):
+    """Per-pixel D8 pick, re-derived cell by cell: a valid cell with all
+    8 neighbours valid flows to its strictly-lower steepest neighbour
+    (cardinal 2*dv^2 vs diagonal dv^2, first-in-code-order wins ties);
+    everything else is a sink."""
+    H, W = r.shape
+    nxt = {}
+    for y in range(H):
+        for x in range(W):
+            if np.isnan(r[y, x]):
+                continue
+            target, best = None, -1.0
+            all_valid = True
+            for dx, dy, _code, diag in _OFFS:
+                yy, xx = y + dy, x + dx
+                if not (0 <= yy < H and 0 <= xx < W) or np.isnan(r[yy, xx]):
+                    all_valid = False
+                    break
+                if r[y, x] > r[yy, xx]:
+                    m = (r[y, x] - r[yy, xx]) ** 2 * (2 - diag)
+                    if m > best:
+                        best, target = m, (yy, xx)
+            nxt[(y, x)] = target if all_valid else None
+    return nxt
+
+
+def _brute_walk(r):
+    """acc[v] = number of valid cells whose path passes through v
+    (inclusive); basin sizes keyed by terminal sink — each start cell
+    literally walks its path."""
+    nxt = _brute_next(r)
+    H, W = r.shape
+    acc = np.zeros((H, W), dtype=np.int64)
+    basin = {}
+    for start in nxt:
+        cy, cx = start
+        while True:
+            acc[cy, cx] += 1
+            t = nxt[(cy, cx)]
+            if t is None:
+                break
+            cy, cx = t
+        basin[(cy, cx)] = basin.get((cy, cx), 0) + 1
+    return acc, basin
+
+
+def _acc_census(acc, valid):
+    vals = acc[valid]
+    _, expo = np.frexp(vals.astype(np.float64))
+    band = expo - 1
+    return {int(b): (int((band == b).sum()), int(vals[band == b].sum()),
+                     int(vals[band == b].max()))
+            for b in np.unique(band)}
+
+
+def _basin_census(sizes):
+    sizes = np.asarray(sizes, dtype=np.int64)
+    _, expo = np.frexp(sizes.astype(np.float64))
+    band = expo - 1
+    return {int(b): (int((band == b).sum()), int(sizes[band == b].sum()))
+            for b in np.unique(band)}
+
+
+def _ramp_raster(h, w, seed=7, nan_frac=0.06):
+    """Long-flow test DEM: a diagonal ramp plus coarse deterministic
+    noise and duplicated values (ties), with NaN holes — paths run many
+    tiles before terminating, so the cross-tile phase needs several
+    rounds."""
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (2000.0 - 3.0 * (xs + ys) + rng.randint(0, 4, (h, w))).astype(float)
+    r[rng.rand(h, w) < nan_frac] = np.nan
+    return r
+
+
+def test_dense_flow_matches_brute_walk():
+    r = _ramp_raster(48, 40)
+    valid, acc, sink = _dense_flow_array(r)
+    bacc, bbasin = _brute_walk(r)
+    assert np.array_equal(acc[valid], bacc[valid])
+    assert not acc[~valid].any()
+    w = r.shape[1]
+    got_sizes = {}
+    for s in sink[valid]:
+        got_sizes[s] = got_sizes.get(s, 0) + 1
+    assert got_sizes == {sy * w + sx: c for (sy, sx), c in bbasin.items()}
+
+
+def test_dense_flow_pure_noise_and_all_nan():
+    rng = np.random.RandomState(3)
+    r = rng.randint(100, 5000, (33, 29)).astype(float)
+    r[rng.rand(33, 29) < 0.15] = np.nan
+    valid, acc, sink = _dense_flow_array(r)
+    bacc, _ = _brute_walk(r)
+    assert np.array_equal(acc[valid], bacc[valid])
+    empty = np.full((16, 16), np.nan)
+    v2, a2, _ = _dense_flow_array(empty)
+    assert not v2.any() and not a2.any()
+
+
+def _tiles_df(spark, arr, T=16):
+    H, W = arr.shape
+    assert H % T == 0 and W % T == 0
+    rows = []
+    for ty in range(H // T):
+        for tx in range(W // T):
+            px = arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            px = np.where(np.isnan(px), NODATA, px).astype(float)
+            rows.append((tx, ty, [float(v) for v in px.ravel()]))
+    return spark.createDataFrame(
+        rows, "tile_x int, tile_y int, pixels array<double>")
+
+
+def _spark_acc_census(df):
+    return {r["acc_band"]: (r["n_pixels"], r["sum_acc"], r["max_acc"])
+            for r in df.collect()}
+
+
+def _spark_basin_census(df):
+    return {r["size_band"]: (r["n_basins"], r["n_pixels"])
+            for r in df.collect()}
+
+
+def test_spark_flow_accumulation_matches_brute_on_long_ramp(spark):
+    """64x64 raster as 4x4 tiles of 16 px: the diagonal ramp forces
+    flows across many tile boundaries (several phase-2 rounds), checked
+    against the per-pixel path walk."""
+    from remotior_sensus_spark.operators.hydrology import (
+        flow_accumulation_tiles, watershed_basins_tiles)
+
+    r = _ramp_raster(64, 64, seed=11)
+    tiles = _tiles_df(spark, r)
+    bacc, bbasin = _brute_walk(r)
+    valid = ~np.isnan(r)
+    assert _spark_acc_census(flow_accumulation_tiles(tiles)) == \
+        _acc_census(bacc, valid)
+    assert _spark_basin_census(watershed_basins_tiles(tiles)) == \
+        _basin_census(list(bbasin.values()))
+
+
+def test_spark_hydrology_matches_dense_oracle_sf0001(spark, geo001_dir):
+    """The registered queries vs the builder that writes the driver
+    oracle parquet, at the synthetic sf0.001 geometry."""
+    from remotior_sensus_spark import queries as Q
+
+    got = _spark_acc_census(
+        Q.REGISTRY["flow_accumulation"][0](spark, SF_DIR))
+    exp = build_flow_accumulation(0.001).to_pydict()
+    assert got == {b: (n, s, m) for b, n, s, m in zip(
+        exp["acc_band"], exp["n_pixels"], exp["sum_acc"], exp["max_acc"])}
+
+    gotw = _spark_basin_census(
+        Q.REGISTRY["watershed_basins"][0](spark, SF_DIR))
+    expw = build_watershed_basins(0.001).to_pydict()
+    assert gotw == {b: (n, s) for b, n, s in zip(
+        expw["size_band"], expw["n_basins"], expw["n_pixels"])}
+
+
+def test_hydrology_tile_size_invariance(spark):
+    """Identical censuses at 16 px and 64 px tiles — the tile cut is an
+    implementation detail of the decomposition, not of the answer."""
+    from remotior_sensus_spark.operators.hydrology import (
+        flow_accumulation_tiles, watershed_basins_tiles)
+
+    r = _ramp_raster(128, 128, seed=23)
+    t16 = _tiles_df(spark, r, 16)
+    t64 = _tiles_df(spark, r, 64)
+    assert _spark_acc_census(flow_accumulation_tiles(t16, tile_px=16)) == \
+        _spark_acc_census(flow_accumulation_tiles(t64, tile_px=64))
+    assert _spark_basin_census(watershed_basins_tiles(t16, tile_px=16)) == \
+        _spark_basin_census(watershed_basins_tiles(t64, tile_px=64))
+
+
+def test_flow_accumulation_plan_shape(spark, geo001_dir):
+    """Scale pin: the final job is ONE cogrouped halo exchange + the
+    bounded census rollup — no join operator of any kind touches the
+    corpus-scale tile stream (the phase-2 joins run on the checkpointed
+    border condensate, upstream of this plan)."""
+    from remotior_sensus_spark import queries as Q
+
+    df = Q.REGISTRY["flow_accumulation"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in plan, (join_op, plan)
