@@ -65,6 +65,12 @@ HEADLINE = [
     # round-5 addition (Landsat thermal BT — closes the preprocess
     # sliver; cheap, pure-codegen)
     "thermal_brightness",
+    # round-5 hydrology (two-level Barnes decomposition: halo condensate
+    # + cross-tile resolve + re-injection peel — the heaviest new family,
+    # benched so a regression in either halo pass or the phase-2 branch
+    # shows in the per-round diff)
+    "flow_accumulation",
+    "watershed_basins",
 ]
 
 

@@ -160,15 +160,15 @@ def _phase1_kernel(pdf: pd.DataFrame, T: int, want_pits: bool):
         return empty
     vflat = valid.ravel()
     ox, oy = tx * T, ty * T
+    parts = []
 
-    rows = []
     # kind 1: initial carries — tile-own valid cells per crossing
-    cross_ids = -(final[vflat]) - 2
-    has_cross = cross_ids >= 0
+    has_cross = vflat & (final <= -2)
     if has_cross.any():
-        ids, cnts = np.unique(cross_ids[has_cross], return_counts=True)
-        for i, c in zip(ids, cnts):
-            rows.append((1, ox + cgx[i], oy + cgy[i], -1, -1, int(c)))
+        ids, cnts = np.unique(-(final[has_cross]) - 2, return_counts=True)
+        parts.append(pd.DataFrame({
+            "kind": 1, "gx": ox + cgx[ids], "gy": oy + cgy[ids],
+            "nx": -1, "ny": -1, "cnt": cnts}))
 
     # kind 0: routing for every valid border cell (the only cells that
     # can receive cross-tile inflow)
@@ -176,31 +176,35 @@ def _phase1_kernel(pdf: pd.DataFrame, T: int, want_pits: bool):
     border[0, :] = border[-1, :] = True
     border[:, 0] = border[:, -1] = True
     bidx = np.flatnonzero((border & valid).ravel())
-    for i in bidx:
-        f = final[i]
-        g_x, g_y = ox + int(i % T), oy + int(i // T)
-        if f <= -2:
-            ci = -f - 2
-            rows.append((0, g_x, g_y, ox + int(cgx[ci]), oy + int(cgy[ci]),
-                         0))
-        elif want_pits:
-            p = int(pit_of[i])
-            rows.append((0, g_x, g_y, -(ox + p % T) - 1,
-                         -(oy + p // T) - 1, 0))
-        else:
-            rows.append((0, g_x, g_y, -1, -1, 0))
+    if len(bidx):
+        f = final[bidx]
+        cross = f <= -2
+        nx = np.full(len(bidx), -1, dtype=np.int64)
+        ny = np.full(len(bidx), -1, dtype=np.int64)
+        ci = -(f[cross]) - 2
+        nx[cross] = ox + cgx[ci]
+        ny[cross] = oy + cgy[ci]
+        if want_pits:
+            pit = ~cross
+            p = pit_of[bidx[pit]]
+            nx[pit] = -(ox + p % T) - 1
+            ny[pit] = -(oy + p // T) - 1
+        parts.append(pd.DataFrame({
+            "kind": 0, "gx": ox + bidx % T, "gy": oy + bidx // T,
+            "nx": nx, "ny": ny, "cnt": 0}))
 
     # kind 2: tile-own counts per in-tile terminal (watershed only)
     if want_pits:
         pit_cells = vflat & (final == -1)
         if pit_cells.any():
-            pits = pit_of[pit_cells]
-            uniq, cnts = np.unique(pits, return_counts=True)
-            for p, c in zip(uniq, cnts):
-                rows.append((2, ox + int(p % T), oy + int(p // T),
-                             -1, -1, int(c)))
+            uniq, cnts = np.unique(pit_of[pit_cells], return_counts=True)
+            parts.append(pd.DataFrame({
+                "kind": 2, "gx": ox + uniq % T, "gy": oy + uniq // T,
+                "nx": -1, "ny": -1, "cnt": cnts}))
 
-    return pd.DataFrame(rows, columns=cols).astype("int64")
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True).astype("int64")
 
 
 _PH1_SCHEMA = "kind long, gx long, gy long, nx long, ny long, cnt long"
@@ -216,9 +220,71 @@ def _phase1(band_tiles: DataFrame, T: int, want_pits: bool) -> DataFrame:
         "target_tx", "target_ty").applyInPandas(kern, _PH1_SCHEMA)
 
 
+def _phase2_driver_inflow(routing_pdf: pd.DataFrame,
+                          carries_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side phase 2 (the resolve_components precedent: below the
+    threshold a single collected pass beats O(tile-hop-chain) Spark
+    rounds). Vectorized carry propagation over the border forest;
+    returns (k, c) total external inflow per entry cell."""
+    k = routing_pdf["k"].to_numpy(np.int64)
+    nk = routing_pdf["nk"].to_numpy(np.int64)
+    order = np.argsort(k)
+    ks = k[order]
+
+    def idx_of(keys):
+        i = np.searchsorted(ks, keys)
+        return order[i]
+
+    m = nk >= 0
+    nxt = np.full(len(k), -1, dtype=np.int64)
+    nxt[m] = idx_of(nk[m])
+
+    inflow = np.zeros(len(k), dtype=np.int64)
+    cur_i = idx_of(carries_pdf["k"].to_numpy(np.int64))
+    cur_c = carries_pdf["c"].to_numpy(np.int64)
+    for _ in range(len(k) + 1):  # hop count <= entry count (acyclic)
+        if not len(cur_i):
+            break
+        np.add.at(inflow, cur_i, cur_c)
+        nx = nxt[cur_i]
+        keep = nx >= 0
+        if not keep.any():
+            break
+        uniq, inv = np.unique(nx[keep], return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(summed, inv, cur_c[keep])
+        cur_i, cur_c = uniq, summed
+    else:
+        raise AssertionError("carry propagation did not terminate "
+                             "(cycle in border forest?)")
+    hit = inflow > 0
+    return pd.DataFrame({"k": k[hit], "c": inflow[hit]})
+
+
+def _sink_driver(routing_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side sink resolution: numpy pointer doubling over the
+    collected border forest; returns (k, sink)."""
+    k = routing_pdf["k"].to_numpy(np.int64)
+    nk = routing_pdf["nk"].to_numpy(np.int64)
+    order = np.argsort(k)
+    ks = k[order]
+    val = nk.copy()
+    for _ in range(66):  # doubling: 2^66 hops >> any chain
+        if not (val >= 0).any():
+            break
+        li = np.flatnonzero(val >= 0)
+        ti = order[np.searchsorted(ks, val[li])]
+        val[li] = val[ti]
+    else:
+        raise AssertionError("sink doubling did not converge "
+                             "(cycle in border forest?)")
+    return pd.DataFrame({"k": k, "sink": -(val + 1)})
+
+
 def flow_accumulation_tiles(band_tiles: DataFrame,
                             tile_px: int | None = None,
-                            max_rounds: int = 100_000) -> DataFrame:
+                            max_rounds: int = 100_000,
+                            driver_threshold: int = 2_000_000) -> DataFrame:
     """Exact global D8 flow accumulation census: one row per log2 band
     of the per-pixel accumulation, with (acc_band, n_pixels, sum_acc,
     max_acc). See the module docstring for the three-phase design; the
@@ -227,42 +293,66 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
     tests/test_hydrology.py."""
     T = tile_px or TILE_PX
 
+    # the tile stream feeds BOTH halo passes (phase 1 and phase 3);
+    # materialize it once so the upstream lineage (source scan, retile
+    # shuffle) doesn't execute twice — one block-manager write
+    # (memory-and-disk, spillable) buys back a full corpus shuffle
+    band_tiles = band_tiles.localCheckpoint()
+
     ph1 = _phase1(band_tiles, T, want_pits=False).localCheckpoint()
 
+    # routing/carries are cheap projections of the checkpointed
+    # condensate — no extra materialization needed
     routing = ph1.filter(F.col("kind") == 0).select(
         _pack_col(F.col("gx"), F.col("gy")).alias("k"),
         F.when(F.col("nx") >= 0,
                _pack_col(F.col("nx"), F.col("ny"))).alias("nk"),
-    ).localCheckpoint()
+    )
     carries = ph1.filter(F.col("kind") == 1).groupBy(
         _pack_col(F.col("gx"), F.col("gy")).alias("k")
     ).agg(F.sum("cnt").alias("c")).localCheckpoint()
 
     # Phase 2: advance carries through the border-entry forest,
-    # recording arrival totals at every hop. The active set shrinks to
-    # empty because strict-descent flow is acyclic.
-    inflow_rounds = [carries]
-    cur = carries
-    rounds = 0
-    while not cur.isEmpty():
-        rounds += 1
-        if rounds > max_rounds:
-            raise RuntimeError(
-                "flow_accumulation: tile-hop chain exceeded "
-                f"{max_rounds} rounds — raise tile_px (halo width trades "
-                "against rounds; see module docstring)")
-        cur = (cur.join(routing, "k")
-                  .filter(F.col("nk").isNotNull())
-                  .groupBy(F.col("nk").alias("k"))
-                  .agg(F.sum("c").alias("c"))).localCheckpoint()
-        if cur.isEmpty():
-            break
-        inflow_rounds.append(cur)
+    # recording arrival totals at every hop. Two branches, both exact
+    # and cross-tested (the resolve_components precedent): below
+    # `driver_threshold` border cells the collected condensate resolves
+    # in one vectorized driver pass (a documented small-table collect —
+    # the condensate is ~4/T of the corpus, so the threshold covers
+    # everything up to ~10^8-pixel rasters at T=64); above it, the
+    # iterative join loop runs, active set shrinking to empty because
+    # strict-descent flow is acyclic.
+    n_border = routing.count()
+    if n_border <= driver_threshold:
+        r_pdf = routing.select(
+            "k", F.coalesce("nk", F.lit(-1)).alias("nk")).toPandas()
+        inflow_pdf = _phase2_driver_inflow(r_pdf, carries.toPandas())
+        spark = band_tiles.sparkSession
+        inflow = spark.createDataFrame(
+            inflow_pdf, schema="k long, c long")
+    else:
+        inflow_rounds = [carries]
+        cur = carries
+        rounds = 0
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    "flow_accumulation: tile-hop chain exceeded "
+                    f"{max_rounds} rounds — raise tile_px (halo width "
+                    "trades against rounds; see module docstring)")
+            cur = (cur.join(routing, "k")
+                      .filter(F.col("nk").isNotNull())
+                      .groupBy(F.col("nk").alias("k"))
+                      .agg(F.sum("c").alias("c"))).localCheckpoint()
+            if cur.isEmpty():
+                break
+            inflow_rounds.append(cur)
+        inflow = inflow_rounds[0]
+        for r in inflow_rounds[1:]:
+            inflow = inflow.unionByName(r)
+        inflow = inflow.groupBy("k").agg(F.sum("c").alias("c"))
 
-    inflow = inflow_rounds[0]
-    for r in inflow_rounds[1:]:
-        inflow = inflow.unionByName(r)
-    inflow = inflow.groupBy("k").agg(F.sum("c").alias("c")).select(
+    inflow = inflow.select(
         F.shiftright("k", 31).alias("gx"),
         F.col("k").bitwiseAND(F.lit(int(_PACK) - 1)).alias("gy"),
         "c",
@@ -383,7 +473,8 @@ def _tile_accumulate(pad: np.ndarray, T: int, inflow_pdf, tx: int, ty: int):
 
 def watershed_basins_tiles(band_tiles: DataFrame,
                            tile_px: int | None = None,
-                           max_rounds: int = 100_000) -> DataFrame:
+                           max_rounds: int = 100_000,
+                           driver_threshold: int = 2_000_000) -> DataFrame:
     """Watershed basin census: every valid pixel is assigned to the
     terminal sink of its D8 flow path, and basins are summarized by
     log2 size band as (size_band, n_basins, n_pixels). Reuses the
@@ -396,6 +487,8 @@ def watershed_basins_tiles(band_tiles: DataFrame,
     condensate size, not the corpus)."""
     T = tile_px or TILE_PX
 
+    # single halo pass — the tile stream is consumed once, so no
+    # input materialization (unlike flow_accumulation's two passes)
     ph1 = _phase1(band_tiles, T, want_pits=True).localCheckpoint()
 
     # routing: entry k -> (nk, sink?) — nk >= 0 means another entry,
@@ -409,27 +502,32 @@ def watershed_basins_tiles(band_tiles: DataFrame,
         ).alias("nk"),
     ).localCheckpoint()
 
-    # resolve every entry to its final sink by POINTER DOUBLING on the
-    # entry forest: joining live rows against the current state (which
-    # already encodes 2^r-hop jumps) doubles the resolved distance per
-    # round, so rounds = O(log longest-chain), not O(chain)
-    state = routing
-    rounds = 0
-    while not state.filter(F.col("nk") >= 0).isEmpty():
-        rounds += 1
-        if rounds > max_rounds:
-            raise RuntimeError(
-                "watershed_basins: tile-hop chain exceeded "
-                f"2^{max_rounds} hops — raise tile_px")
-        live = state.filter(F.col("nk") >= 0)
-        donef = state.filter(F.col("nk") < 0)
-        stepped = live.alias("s").join(
-            state.alias("r"), F.col("s.nk") == F.col("r.k")
-        ).select(F.col("s.k").alias("k"), F.col("r.nk").alias("nk"))
-        state = donef.unionByName(stepped).localCheckpoint()
-
-    sink_of = state.select(
-        "k", (-(F.col("nk") + 1)).alias("sink"))
+    # resolve every entry to its final sink — driver branch below the
+    # condensate threshold (one collected numpy doubling pass), else
+    # POINTER DOUBLING on DataFrames: joining live rows against the
+    # current state (which already encodes 2^r-hop jumps) doubles the
+    # resolved distance per round, so rounds = O(log longest-chain)
+    n_border = routing.count()
+    if n_border <= driver_threshold:
+        sink_of = band_tiles.sparkSession.createDataFrame(
+            _sink_driver(routing.toPandas()), schema="k long, sink long")
+    else:
+        state = routing
+        rounds = 0
+        while not state.filter(F.col("nk") >= 0).isEmpty():
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    "watershed_basins: tile-hop chain exceeded "
+                    f"2^{max_rounds} hops — raise tile_px")
+            live = state.filter(F.col("nk") >= 0)
+            donef = state.filter(F.col("nk") < 0)
+            stepped = live.alias("s").join(
+                state.alias("r"), F.col("s.nk") == F.col("r.k")
+            ).select(F.col("s.k").alias("k"), F.col("r.nk").alias("nk"))
+            state = donef.unionByName(stepped).localCheckpoint()
+        sink_of = state.select(
+            "k", (-(F.col("nk") + 1)).alias("sink"))
 
     # tile-own counts: kind 2 rows sink directly; kind 1 rows (carries
     # into a neighbour entry) resolve through sink_of

@@ -187,6 +187,28 @@ def test_spark_hydrology_matches_dense_oracle_sf0001(spark, geo001_dir):
         expw["size_band"], expw["n_basins"], expw["n_pixels"])}
 
 
+def test_phase2_branches_agree(spark):
+    """Driver and iterative phase-2 branches are exact twins (the
+    resolve_components cross-test pattern): driver_threshold=0 forces
+    the distributed loop; the default resolves on the driver."""
+    from remotior_sensus_spark.operators.hydrology import (
+        flow_accumulation_tiles, watershed_basins_tiles)
+
+    r = _ramp_raster(64, 64, seed=31)
+    tiles = _tiles_df(spark, r)
+    bacc, bbasin = _brute_walk(r)
+    valid = ~np.isnan(r)
+    want_acc = _acc_census(bacc, valid)
+    want_bas = _basin_census(list(bbasin.values()))
+    for thr in (0, 2_000_000):
+        got = _spark_acc_census(
+            flow_accumulation_tiles(tiles, driver_threshold=thr))
+        assert got == want_acc, thr
+        gotw = _spark_basin_census(
+            watershed_basins_tiles(tiles, driver_threshold=thr))
+        assert gotw == want_bas, thr
+
+
 def test_hydrology_tile_size_invariance(spark):
     """Identical censuses at 16 px and 64 px tiles — the tile cut is an
     implementation detail of the decomposition, not of the answer."""
