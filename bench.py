@@ -346,12 +346,22 @@ def main() -> None:
                         qs[name](spark, warm_dir).count()
                     except Exception:
                         pass  # warmup is best-effort
+        # min-of-N per query (default 3): the same noise-floor estimator
+        # the flagship section already uses (min of 3) — a single-shot
+        # headline row conflates host-steal spikes with regressions
+        # (an Aug-19 rehearsal measured warp_datum 14.2 s single-shot vs
+        # 2.0 s isolated, with flagship spread 1.45x in the same window)
+        runs = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
         for name in HEADLINE:
             if name not in qs:
                 continue
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            qtimes[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(max(1, runs)):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            qtimes[name] = round(best, 3)
         n_docs = spark.read.parquet(f"{ensure_geo(sf)}/documents.parquet").count()
         if need_dims:
             _write_dims(spark, sf_dir, dims_dir)
@@ -375,6 +385,8 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": round(sum(qtimes.values()), 3), "unit": "sec",
             "queries": qtimes, "sf": sf,
+            "headline_runs": int(os.environ.get(
+                "SPARK_GRAFT_HEADLINE_RUNS", "3")),
         }))
         return
 
@@ -478,6 +490,8 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": round(sum(qtimes.values()), 3), "unit": "sec",
             "queries": qtimes, "sf": sf,
+            "headline_runs": int(os.environ.get(
+                "SPARK_GRAFT_HEADLINE_RUNS", "3")),
             "flagship": {"error": "scaling level lost all samples",
                          f"sec_local{lo}_runs": t_los,
                          f"sec_local{hi}_runs": t_his},
@@ -505,6 +519,8 @@ def main() -> None:
         "value": round(sum(qtimes.values()), 3),
         "unit": "sec",
         "queries": qtimes,
+        "headline_runs": int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS",
+                                            "3")),
         "sf": sf,
         "flagship": {
             "docs": n_docs,
