@@ -298,7 +298,34 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
     # shuffle) doesn't execute twice — one block-manager write
     # (memory-and-disk, spillable) buys back a full corpus shuffle
     band_tiles = band_tiles.localCheckpoint()
+    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
 
+    def census(pad, acc):
+        vals = acc[acc > 0]
+        if not len(vals):
+            return []
+        _, expo = np.frexp(vals.astype(np.float64))
+        band = (expo - 1).astype(np.int64)
+        return [(int(b), int((band == b).sum()),
+                 int(vals[band == b].sum()), int(vals[band == b].max()))
+                for b in np.unique(band)]
+
+    per_tile = _phase3_cogroup(
+        band_tiles, T, inflow, census,
+        "acc_band long, n_pixels long, sum_acc long, max_acc long",
+        ["acc_band", "n_pixels", "sum_acc", "max_acc"])
+    return (per_tile.groupBy(F.col("acc_band").cast("int").alias("acc_band"))
+            .agg(F.sum("n_pixels").alias("n_pixels"),
+                 F.sum("sum_acc").alias("sum_acc"),
+                 F.max("max_acc").alias("max_acc")))
+
+
+def _entry_inflow(band_tiles: DataFrame, T: int, max_rounds: int,
+                  driver_threshold: int) -> DataFrame:
+    """Phases 1+2 shared by the accumulation-derived operators: the
+    border condensate and its resolved per-entry external inflows.
+    `band_tiles` must already be materialized (localCheckpoint) by the
+    caller — it is consumed again by the phase-3 halo pass."""
     ph1 = _phase1(band_tiles, T, want_pits=False).localCheckpoint()
 
     # routing/carries are cheap projections of the checkpointed
@@ -352,7 +379,7 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
             inflow = inflow.unionByName(r)
         inflow = inflow.groupBy("k").agg(F.sum("c").alias("c"))
 
-    inflow = inflow.select(
+    return inflow.select(
         F.shiftright("k", 31).alias("gx"),
         F.col("k").bitwiseAND(F.lit(int(_PACK) - 1)).alias("gy"),
         "c",
@@ -366,13 +393,16 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
         "gx", "gy", "c",
     )
 
-    # Phase 3: cogroup tiles with their entry inflows; in-tile
-    # topological peel with the inflows injected as source weight.
+
+def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
+                    census_fn, schema: str, cols: list) -> DataFrame:
+    """Phase 3: cogroup tiles with their entry inflows; in-tile
+    topological peel with the inflows injected as source weight, then
+    `census_fn(pad, acc) -> bounded row list` per tile."""
     from remotior_sensus_spark.operators.focal import (
         _assemble_padded, _with_halo_groups)
 
     def kern3(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = ["acc_band", "n_pixels", "sum_acc", "max_acc"]
         empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         if len(left) == 0 or not ((left["dx"] == 0) & (left["dy"] == 0)).any():
             # inflow always targets an existing tile (D8 never flows
@@ -390,27 +420,72 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
         acc = _tile_accumulate(pad, T, right, tx, ty)
         if acc is None:
             return empty
-        vals = acc[acc > 0]
-        if not len(vals):
+        out = census_fn(pad, acc)
+        if not out:
             return empty
-        _, expo = np.frexp(vals.astype(np.float64))
-        band = (expo - 1).astype(np.int64)
-        out = []
-        for b in np.unique(band):
-            sel = band == b
-            out.append((int(b), int(sel.sum()), int(vals[sel].sum()),
-                        int(vals[sel].max())))
         return pd.DataFrame(out, columns=cols).astype("int64")
 
     halo = _with_halo_groups(band_tiles)
-    per_tile = halo.groupBy("target_tx", "target_ty").cogroup(
+    return halo.groupBy("target_tx", "target_ty").cogroup(
         inflow.groupBy("tx", "ty")
-    ).applyInPandas(
-        kern3, "acc_band long, n_pixels long, sum_acc long, max_acc long")
-    return (per_tile.groupBy(F.col("acc_band").cast("int").alias("acc_band"))
+    ).applyInPandas(kern3, schema)
+
+
+def twi_census_tiles(band_tiles: DataFrame, tile_px: int | None = None,
+                     cellsize: float = 10.0, max_rounds: int = 100_000,
+                     driver_threshold: int = 2_000_000) -> DataFrame:
+    """Topographic wetness index census: TWI = ln(a / tan beta) with
+    a = flow_accumulation * cellsize (specific catchment area per unit
+    contour width) and tan beta from the Horn 3x3 gradient (the same
+    formula/orientation as terrain.horn_terrain), clamped to >= 1e-3 on
+    flats. Defined on cells with a complete 3x3 window (the D8 interior
+    set). Output: one row per integer TWI band with (twi_band,
+    n_pixels, checksum) — checksum is the repo's fixed-point convention
+    floor(twi * 1e6 + 0.5) summed as int64, so the dense reference
+    (synth/expected.py build_twi_census, its own independently written
+    Horn expression) must match bit-for-bit.
+
+    Same three-phase machinery as flow_accumulation_tiles: the only new
+    work is the in-kernel gradient over the pad already in memory."""
+    T = tile_px or TILE_PX
+    band_tiles = band_tiles.localCheckpoint()
+    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
+
+    denom = 8.0 * cellsize
+
+    def census(pad, acc):
+        rn = slice(T - 1, 2 * T - 1)
+        r0 = slice(T, 2 * T)
+        rs = slice(T + 1, 2 * T + 1)
+        cw, cc, ce = rn, r0, rs
+        a, b, c = pad[rn, cw], pad[rn, cc], pad[rn, ce]
+        d, e, f_ = pad[r0, cw], pad[r0, cc], pad[r0, ce]
+        g, h, i = pad[rs, cw], pad[rs, cc], pad[rs, ce]
+        ok = ~(np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d)
+               | np.isnan(e) | np.isnan(f_) | np.isnan(g) | np.isnan(h)
+               | np.isnan(i))
+        ok &= acc > 0
+        if not ok.any():
+            return []
+        with np.errstate(all="ignore"):
+            dzdx = ((c + 2.0 * f_ + i) - (a + 2.0 * d + g)) / denom
+            dzdy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / denom
+            tanb = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+            tanb = np.maximum(tanb, 1e-3)
+            twi = np.log(acc.astype(np.float64) * cellsize / tanb)
+        vals = twi[ok]
+        band = np.floor(vals).astype(np.int64)
+        fp = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        return [(int(bb), int((band == bb).sum()), int(fp[band == bb].sum()))
+                for bb in np.unique(band)]
+
+    per_tile = _phase3_cogroup(
+        band_tiles, T, inflow, census,
+        "twi_band long, n_pixels long, checksum long",
+        ["twi_band", "n_pixels", "checksum"])
+    return (per_tile.groupBy(F.col("twi_band").cast("int").alias("twi_band"))
             .agg(F.sum("n_pixels").alias("n_pixels"),
-                 F.sum("sum_acc").alias("sum_acc"),
-                 F.max("max_acc").alias("max_acc")))
+                 F.sum("checksum").alias("checksum")))
 
 
 def _tile_accumulate(pad: np.ndarray, T: int, inflow_pdf, tx: int, ty: int):

@@ -5196,6 +5196,21 @@ def watershed_basins_q(spark, sf_dir):
     return hydrology.watershed_basins_tiles(t64, tile_px=t_px)
 
 
+@q("twi_census",
+   f"select * from '{GEO01}/expected/twi_census.parquet'")
+def twi_census_q(spark, sf_dir):
+    """Topographic wetness index ln(a / tan beta) census — the flow
+    accumulation machinery (same condensate + inflow resolve) with the
+    Horn gradient computed in the SAME phase-3 kernel over the pad
+    already in memory: no extra shuffle beyond flow_accumulation's.
+    Oracle: dense whole-raster rebuild with an independently written
+    Horn expression (synth/expected.py build_twi_census)."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.twi_census_tiles(t64, tile_px=t_px)
+
+
 @q("tpi_landform", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -6993,7 +7008,7 @@ ORACLE_BUILDERS = {
         "raster_label_histogram", "sieve_reclass", "polygonize",
         "polygonize_wkt", "region_growing", "media_thumbnails",
         "video_frame_sample", "warp_crs", "flow_accumulation",
-        "watershed_basins")},
+        "watershed_basins", "twi_census")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 11
+_EXPECTED_VERSION = 12
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -675,6 +675,43 @@ def build_watershed_basins(sf: float) -> pa.Table:
     })
 
 
+def build_twi_census(sf: float, cellsize: float = 10.0) -> pa.Table:
+    """TWI = ln(acc * cellsize / tan beta) census over Horn-interior
+    cells — the Horn gradient written out independently here (dense
+    whole-raster shifts, no tiling), acc from _dense_flow."""
+    r = _full_raster(sf)
+    valid, acc, _sink = _dense_flow(sf)
+    h, w = r.shape
+    p = np.pad(r, 1, constant_values=np.nan)
+    a = p[0:h, 0:w]
+    b = p[0:h, 1:w + 1]
+    c = p[0:h, 2:w + 2]
+    d = p[1:h + 1, 0:w]
+    f_ = p[1:h + 1, 2:w + 2]
+    g = p[2:h + 2, 0:w]
+    hh = p[2:h + 2, 1:w + 1]
+    i = p[2:h + 2, 2:w + 2]
+    ok = valid & ~(np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d)
+                   | np.isnan(f_) | np.isnan(g) | np.isnan(hh)
+                   | np.isnan(i))
+    ok &= acc > 0
+    with np.errstate(all="ignore"):
+        dzdx = ((c + 2.0 * f_ + i) - (a + 2.0 * d + g)) / (8.0 * cellsize)
+        dzdy = ((g + 2.0 * hh + i) - (a + 2.0 * b + c)) / (8.0 * cellsize)
+        tanb = np.maximum(np.sqrt(dzdx * dzdx + dzdy * dzdy), 1e-3)
+        twi = np.log(acc.astype(np.float64) * cellsize / tanb)
+    vals = twi[ok]
+    band = np.floor(vals).astype(np.int64)
+    fp = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+    rows = sorted((int(bb), int((band == bb).sum()),
+                   int(fp[band == bb].sum())) for bb in np.unique(band))
+    return pa.table({
+        "twi_band": pa.array([r_[0] for r_ in rows], type=pa.int32()),
+        "n_pixels": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "checksum": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -689,6 +726,7 @@ BUILDERS = {
     "warp_crs_bilinear": build_warp_crs_bilinear,
     "flow_accumulation": build_flow_accumulation,
     "watershed_basins": build_watershed_basins,
+    "twi_census": build_twi_census,
 }
 
 

@@ -19,6 +19,7 @@ from remotior_sensus_spark import NODATA
 from remotior_sensus_spark.synth.expected import (
     _dense_flow_array,
     build_flow_accumulation,
+    build_twi_census,
     build_watershed_basins,
 )
 
@@ -222,6 +223,53 @@ def test_hydrology_tile_size_invariance(spark):
         _spark_acc_census(flow_accumulation_tiles(t64, tile_px=64))
     assert _spark_basin_census(watershed_basins_tiles(t16, tile_px=16)) == \
         _spark_basin_census(watershed_basins_tiles(t64, tile_px=64))
+
+
+def _brute_twi_census(r, cellsize=10.0):
+    """Per-pixel TWI census: brute path-walk accumulation + a cell-by-
+    cell Horn gradient loop (no array shifts, no shared code)."""
+    import math
+    bacc, _ = _brute_walk(r)
+    H, W = r.shape
+    census = {}
+    for y in range(H):
+        for x in range(W):
+            if np.isnan(r[y, x]) or not (0 < y < H - 1 and 0 < x < W - 1):
+                continue
+            win = r[y - 1:y + 2, x - 1:x + 2]
+            if np.isnan(win).any():
+                continue
+            a, b, c = win[0, 0], win[0, 1], win[0, 2]
+            d, f_ = win[1, 0], win[1, 2]
+            g, h, i = win[2, 0], win[2, 1], win[2, 2]
+            dzdx = ((c + 2.0 * f_ + i) - (a + 2.0 * d + g)) / (8.0 * cellsize)
+            dzdy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * cellsize)
+            tanb = max(math.sqrt(dzdx * dzdx + dzdy * dzdy), 1e-3)
+            twi = math.log(bacc[y, x] * cellsize / tanb)
+            band = math.floor(twi)
+            n, s = census.get(band, (0, 0))
+            census[band] = (n + 1, s + math.floor(twi * 1e6 + 0.5))
+    return census
+
+
+def test_spark_twi_matches_brute_on_long_ramp(spark):
+    from remotior_sensus_spark.operators.hydrology import twi_census_tiles
+
+    r = _ramp_raster(64, 64, seed=11)
+    tiles = _tiles_df(spark, r)
+    got = {row["twi_band"]: (row["n_pixels"], row["checksum"])
+           for row in twi_census_tiles(tiles).collect()}
+    assert got == _brute_twi_census(r)
+
+
+def test_spark_twi_matches_dense_oracle_sf0001(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+
+    got = {row["twi_band"]: (row["n_pixels"], row["checksum"])
+           for row in Q.REGISTRY["twi_census"][0](spark, SF_DIR).collect()}
+    exp = build_twi_census(0.001).to_pydict()
+    assert got == {b: (n, s) for b, n, s in zip(
+        exp["twi_band"], exp["n_pixels"], exp["checksum"])}
 
 
 def test_flow_accumulation_plan_shape(spark, geo001_dir):
