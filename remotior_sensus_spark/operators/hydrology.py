@@ -67,25 +67,21 @@ def _pack_col(gx, gy):
     return (gx.cast("long") * int(_PACK) + gy.cast("long"))
 
 
-def _resolve_tile_flow(pad: np.ndarray, T: int):
-    """Vectorized in-tile flow resolution over the 3T x 3T halo pad.
+def _tile_pointers(pad: np.ndarray, T: int):
+    """Shared per-tile D8 pointer setup over the 3T x 3T halo pad.
 
-    Returns (valid, final, cross_gx, cross_gy) where, per centre cell
-    (flattened T*T):
-      final == -1          -> the path terminates INSIDE this tile
-                              (pit / no-code cell); the terminal cell's
-                              flat index is in `pit_of`
-      final == -(2 + i)    -> the path leaves the tile; crossing i
-                              enters the neighbour raster cell
-                              (cross_gx[i], cross_gy[i]) — tile-LOCAL
-                              coords relative to this tile's origin
-                              (may be -1 or T, i.e. outside [0, T))
-    plus pit_of: per-cell flat index of the terminal cell when the path
-    ends in-tile (undefined where final != -1).
-
-    The absorbing pointer-doubling loop converges in O(log T^2) rounds:
-    each round replaces every live pointer with its pointer's pointer,
-    so the remaining hop distance halves.
+    Returns (valid, nxt, cross_gx, cross_gy, edge_a, edge_b, inside,
+    tx_, ty_) where, per centre cell (flattened T*T):
+      nxt >= 0        -> in-tile flow target (flat index)
+      nxt == -1       -> terminal (pit / no-code cell)
+      nxt == -(2 + i) -> the single D8 step leaves the tile; crossing i
+                         enters the neighbour raster cell
+                         (cross_gx[i], cross_gy[i]) — tile-LOCAL coords
+                         relative to this tile's origin (may be -1 or
+                         T, i.e. outside [0, T))
+    edge_a / edge_b split the cell's single outgoing step into cardinal
+    / diagonal counts (both 0 for terminals) — the exact-integer step
+    weights the flow-length resolver accumulates.
     """
     codes, interior = _d8_best(pad, slice(T, 2 * T), slice(T, 2 * T))
     centre = pad[T:2 * T, T:2 * T]
@@ -93,10 +89,12 @@ def _resolve_tile_flow(pad: np.ndarray, T: int):
 
     dxa = np.zeros((T, T), dtype=np.int64)
     dya = np.zeros((T, T), dtype=np.int64)
-    for dx, dy, code, _diag in _D8:
+    dga = np.zeros((T, T), dtype=np.int64)
+    for dx, dy, code, diag in _D8:
         m = interior & (codes == code)
         dxa[m] = dx
         dya[m] = dy
+        dga[m] = diag
     flows = interior & (codes != 0)
 
     ys, xs = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
@@ -115,6 +113,33 @@ def _resolve_tile_flow(pad: np.ndarray, T: int):
     nxt[crossing.ravel()] = -(2 + inv)
     cross_gx = (uniq // _PACK).astype(np.int64)
     cross_gy = (uniq % _PACK).astype(np.int64)
+
+    edge_a = np.where(flows, 1 - dga, 0).ravel().astype(np.int64)
+    edge_b = np.where(flows, dga, 0).ravel().astype(np.int64)
+    return (valid, nxt, cross_gx, cross_gy, edge_a, edge_b,
+            inside, tx_, ty_)
+
+
+def _resolve_tile_flow(pad: np.ndarray, T: int):
+    """Vectorized in-tile flow resolution over the 3T x 3T halo pad.
+
+    Returns (valid, final, pit_of, cross_gx, cross_gy, inside, tx_,
+    ty_) where, per centre cell (flattened T*T):
+      final == -1          -> the path terminates INSIDE this tile
+                              (pit / no-code cell); the terminal cell's
+                              flat index is in `pit_of`
+      final == -(2 + i)    -> the path leaves the tile via crossing i
+                              (see _tile_pointers)
+    pit_of: per-cell flat index of the terminal cell when the path
+    ends in-tile (undefined where final != -1).
+
+    The absorbing pointer-doubling loop converges in O(log T^2) rounds:
+    each round replaces every live pointer with its pointer's pointer,
+    so the remaining hop distance halves.
+    """
+    (valid, nxt, cross_gx, cross_gy, _ea, _eb,
+     inside, tx_, ty_) = _tile_pointers(pad, T)
+    n = T * T
 
     # absorbing pointer doubling; pit_of tracks the terminal cell for
     # in-tile paths: when the jump target absorbs to -1 the live cell
@@ -136,6 +161,43 @@ def _resolve_tile_flow(pad: np.ndarray, T: int):
     # cells that ARE their own terminal (no code / invalid) keep
     # final == -1, pit_of == self
     return valid, final, pit_of, cross_gx, cross_gy, inside, tx_, ty_
+
+
+def _resolve_tile_dist(pad: np.ndarray, T: int):
+    """Weighted absorbing pointer doubling: per centre cell, the EXACT
+    (cardinal, diagonal) step counts from the cell to the end of its
+    in-tile path — its in-tile terminal (final == -1, steps to the
+    terminal cell) or the neighbour-tile cell it enters (final ==
+    -(2 + i), steps INCLUDING the crossing step). Cardinal and diagonal
+    steps stay separate int64 counts so no irrational length ever
+    touches the distributed path: length = a + b*sqrt(2) is resolved to
+    a fixed-point checksum only at census time.
+
+    Invariant per doubling round: A/B[v] = steps from v along the path
+    segment already covered, final[v] = the cell reached after those
+    steps (or the absorbing sentinel once the whole path is covered);
+    replacing (A[v], final[v]) with (A[v] + A[u], final[u]) for
+    u = final[v] doubles the covered distance, so O(log T^2) rounds.
+    """
+    valid, nxt, cross_gx, cross_gy, ea, eb, *_ = _tile_pointers(pad, T)
+    n = T * T
+    final = nxt.copy()
+    A, B = ea.copy(), eb.copy()
+    for _ in range(int(np.ceil(np.log2(n))) + 3):
+        if not (final >= 0).any():
+            break
+        li = np.flatnonzero(final >= 0)
+        t = final[li]
+        new_a = A[li] + A[t]
+        new_b = B[li] + B[t]
+        new_f = final[t]
+        A[li] = new_a
+        B[li] = new_b
+        final[li] = new_f
+    else:
+        raise AssertionError("distance pointer doubling did not "
+                             "converge (cycle in D8 graph?)")
+    return valid, final, A, B, cross_gx, cross_gy
 
 
 def _phase1_kernel(pdf: pd.DataFrame, T: int, want_pits: bool):
@@ -300,7 +362,7 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
     band_tiles = band_tiles.localCheckpoint()
     inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
 
-    def census(pad, acc):
+    def census(pad, acc, _tx, _ty):
         vals = acc[acc > 0]
         if not len(vals):
             return []
@@ -398,7 +460,9 @@ def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
                     census_fn, schema: str, cols: list) -> DataFrame:
     """Phase 3: cogroup tiles with their entry inflows; in-tile
     topological peel with the inflows injected as source weight, then
-    `census_fn(pad, acc) -> bounded row list` per tile."""
+    `census_fn(pad, acc, tx, ty) -> bounded row list` per tile (tx/ty
+    let emission-style consumers such as stream_order key rows by
+    global coordinates)."""
     from remotior_sensus_spark.operators.focal import (
         _assemble_padded, _with_halo_groups)
 
@@ -420,7 +484,7 @@ def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
         acc = _tile_accumulate(pad, T, right, tx, ty)
         if acc is None:
             return empty
-        out = census_fn(pad, acc)
+        out = census_fn(pad, acc, tx, ty)
         if not out:
             return empty
         return pd.DataFrame(out, columns=cols).astype("int64")
@@ -453,7 +517,7 @@ def twi_census_tiles(band_tiles: DataFrame, tile_px: int | None = None,
 
     denom = 8.0 * cellsize
 
-    def census(pad, acc):
+    def census(pad, acc, _tx, _ty):
         rn = slice(T - 1, 2 * T - 1)
         r0 = slice(T, 2 * T)
         rs = slice(T + 1, 2 * T + 1)
@@ -494,9 +558,7 @@ def _tile_accumulate(pad: np.ndarray, T: int, inflow_pdf, tx: int, ty: int):
     int64 accumulation of VALID centre cells (0 where invalid), or None
     when the tile holds no valid pixel. Rounds are bounded by the
     longest in-tile flow path; every round is whole-array numpy."""
-    codes, interior = _d8_best(pad, slice(T, 2 * T), slice(T, 2 * T))
-    centre = pad[T:2 * T, T:2 * T]
-    valid = ~np.isnan(centre)
+    valid, nxt, *_ = _tile_pointers(pad, T)
     if not valid.any():
         return None
 
@@ -510,20 +572,9 @@ def _tile_accumulate(pad: np.ndarray, T: int, inflow_pdf, tx: int, ty: int):
                 f"{inflow_pdf[(lx < 0) | (lx >= T) | (ly < 0) | (ly >= T)]}")
         np.add.at(w, (ly, lx), inflow_pdf["c"].to_numpy().astype(np.int64))
 
-    dxa = np.zeros((T, T), dtype=np.int64)
-    dya = np.zeros((T, T), dtype=np.int64)
-    for dx, dy, code, _diag in _D8:
-        m = interior & (codes == code)
-        dxa[m] = dx
-        dya[m] = dy
-    flows = interior & (codes != 0)
-    ys, xs = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
-    tx_, ty_ = xs + dxa, ys + dya
-    inside = flows & (tx_ >= 0) & (tx_ < T) & (ty_ >= 0) & (ty_ < T)
-
     n = T * T
-    tgt = np.full(n, -1, dtype=np.int64)
-    tgt[inside.ravel()] = (ty_[inside] * T + tx_[inside]).astype(np.int64)
+    # in-tile topological targets only (crossings drain out of scope)
+    tgt = np.where(nxt >= 0, nxt, -1)
 
     accf = w.ravel().copy()
     indeg = np.zeros(n, dtype=np.int64)
@@ -620,3 +671,499 @@ def watershed_basins_tiles(band_tiles: DataFrame,
         .alias("size_band"), "size")
     return banded.groupBy("size_band").agg(
         F.count("*").alias("n_basins"), F.sum("size").alias("n_pixels"))
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order
+# ---------------------------------------------------------------------------
+
+def _strahler_driver(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side Strahler resolution: vectorized topological peel
+    over the collected channel forest (k, nk, acc). Per round the
+    frontier resolves its order and pushes (target, order); the
+    per-target (max, count-at-max) merge is one lexsort + reduceat
+    pass, so every round is whole-array numpy."""
+    k = pdf["k"].to_numpy(np.int64)
+    nk = pdf["nk"].to_numpy(np.int64)
+    acc = pdf["acc"].to_numpy(np.int64)
+    order_idx = np.argsort(k)
+    ks = k[order_idx]
+
+    n = len(k)
+    tgt = np.full(n, -1, dtype=np.int64)
+    m = nk >= 0
+    if m.any():
+        pos = np.searchsorted(ks, nk[m])
+        if (pos >= n).any() or (ks[np.minimum(pos, n - 1)] != nk[m]).any():
+            raise AssertionError(
+                "channel edge target not in the channel set (acc "
+                "monotonicity violated?)")
+        tgt[m] = order_idx[pos]
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, tgt[m], 1)
+
+    order = np.zeros(n, dtype=np.int64)
+    maxo = np.zeros(n, dtype=np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    unres = indeg.copy()
+    done = np.zeros(n, dtype=bool)
+    frontier = unres == 0
+    for _ in range(n + 1):
+        if not frontier.any():
+            break
+        idx = np.flatnonzero(frontier)
+        o = np.where(maxo[idx] == 0, 1, maxo[idx] + (cnt[idx] >= 2))
+        order[idx] = o
+        done[idx] = True
+        t = tgt[idx]
+        hh = t >= 0
+        ti, oi = t[hh], o[hh]
+        if len(ti):
+            srt = np.lexsort((-oi, ti))
+            ts, os_ = ti[srt], oi[srt]
+            uniq, start = np.unique(ts, return_index=True)
+            sizes = np.diff(np.append(start, len(ts)))
+            mx = os_[start]
+            grp = np.repeat(np.arange(len(uniq)), sizes)
+            cmx = np.add.reduceat((os_ == mx[grp]).astype(np.int64), start)
+            better = mx > maxo[uniq]
+            equal = mx == maxo[uniq]
+            maxo[uniq] = np.where(better, mx, maxo[uniq])
+            cnt[uniq] = np.where(
+                better, cmx, np.where(equal, cnt[uniq] + cmx, cnt[uniq]))
+            np.subtract.at(unres, uniq, sizes)
+        frontier = ~done & (unres == 0)
+    else:
+        raise AssertionError("strahler peel did not terminate")
+    if not done.all():
+        raise AssertionError("strahler peel left unresolved cells "
+                             "(cycle in channel forest?)")
+    rows = []
+    for o in np.unique(order):
+        sel = order == o
+        rows.append((int(o), int(sel.sum()), int(acc[sel].max())))
+    return pd.DataFrame(
+        rows, columns=["strahler_order", "n_cells", "max_acc"])
+
+
+def _strahler_distributed(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Distributed Strahler on the channel-edge DataFrame (k, nk, acc).
+
+    Order is CONSTANT along a unary chain (it only changes where >= 2
+    children meet), so the network contracts before any peel runs:
+
+      1. child counts split nodes into heads (0), pass-throughs (1)
+         and junctions (>= 2);
+      2. every pass-through resolves the head-or-junction at the TOP
+         of its chain by upstream pointer doubling (the state row's
+         `cur` doubles its covered distance each round -> O(log
+         longest-chain) rounds);
+      3. the junction-contracted graph peels level by level — heads
+         resolve order 1, each round pushes resolved orders to
+         contracted parents and merges per-(parent, order) counts; a
+         junction resolves once its push count equals its child count
+         (rounds = junction depth, guarded by max_rounds);
+      4. pass-throughs inherit their chain top's order.
+
+    Every join in here runs on the channel condensate (<= N/threshold
+    rows), never the pixel corpus; per-(parent, order) state is
+    bounded by ~55 distinct orders (order k needs 2^(k-1) heads)."""
+    spark = edges.sparkSession
+
+    ch_cnt = (edges.filter(F.col("nk") >= 0)
+              .groupBy(F.col("nk").alias("k"))
+              .agg(F.count("*").alias("n_children")))
+    nodes = (edges.select("k").join(ch_cnt, "k", "left")
+             .fillna(0, subset=["n_children"]).localCheckpoint())
+
+    # 2. chain contraction: state (k = pass-through, cur = upstream)
+    pt = nodes.filter(F.col("n_children") == 1).select("k")
+    state = (edges.filter(F.col("nk") >= 0)
+             .select(F.col("k").alias("child"), F.col("nk").alias("k"))
+             .join(pt, "k")
+             .select("k", F.col("child").alias("cur"))
+             .localCheckpoint())
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("stream_order: chain contraction exceeded "
+                               f"{max_rounds} doubling rounds")
+        jumped = state.alias("s").join(
+            state.alias("t").select(F.col("k").alias("cur"),
+                                    F.col("cur").alias("cur2")),
+            "cur", "left").localCheckpoint()
+        if jumped.filter(F.col("cur2").isNotNull()).isEmpty():
+            src = jumped.select("k", "cur")
+            break
+        state = jumped.select(
+            "k", F.coalesce("cur2", "cur").alias("cur")).localCheckpoint()
+
+    # 3. contracted edges: (src-or-self(child) -> junction parent)
+    junc = nodes.filter(F.col("n_children") >= 2).select("k")
+    e2j = (edges.filter(F.col("nk") >= 0)
+           .select(F.col("k").alias("child"), F.col("nk").alias("k"))
+           .join(junc, "k")
+           .select("child", F.col("k").alias("parent")))
+    cedges = (e2j.join(src.withColumnRenamed("k", "child")
+                       .withColumnRenamed("cur", "top"), "child", "left")
+              .select(F.coalesce("top", "child").alias("child"), "parent")
+              .localCheckpoint())
+    need = cedges.groupBy("parent").agg(F.count("*").alias("need")) \
+                 .localCheckpoint()
+
+    resolved = (nodes.filter(F.col("n_children") == 0)
+                .select("k", F.lit(1).cast("long").alias("order"))
+                .localCheckpoint())
+    frontier = resolved
+    pend = spark.createDataFrame([], "parent long, order long, c long") \
+                .localCheckpoint()
+    rounds = 0
+    while not frontier.isEmpty():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("stream_order: junction peel exceeded "
+                               f"{max_rounds} rounds — junction depth "
+                               "beyond guard")
+        pushes = (frontier.withColumnRenamed("k", "child")
+                  .join(cedges, "child")
+                  .groupBy("parent", "order").agg(F.count("*").alias("c")))
+        pend = (pend.unionByName(pushes)
+                .groupBy("parent", "order").agg(F.sum("c").alias("c"))
+                .localCheckpoint())
+        ready = (pend.groupBy("parent").agg(F.sum("c").alias("got"))
+                 .join(need, "parent")
+                 .filter(F.col("got") == F.col("need")).select("parent"))
+        mx = (pend.join(ready, "parent")
+              .groupBy("parent").agg(F.max("order").alias("mx")))
+        newly = (pend.join(mx, "parent")
+                 .filter(F.col("order") == F.col("mx"))
+                 .select(F.col("parent").alias("k"),
+                         (F.col("mx") + (F.col("c") >= 2).cast("long"))
+                         .alias("order")))
+        pend = pend.join(ready, "parent", "left_anti").localCheckpoint()
+        frontier = newly.localCheckpoint()
+        resolved = resolved.unionByName(frontier).localCheckpoint()
+
+    pt_orders = (src.select("k", F.col("cur").alias("sk"))
+                 .join(resolved.withColumnRenamed("k", "sk"), "sk")
+                 .select("k", "order"))
+    all_orders = resolved.unionByName(pt_orders).localCheckpoint()
+    n_edges = edges.count()
+    n_orders = all_orders.count()
+    if n_edges != n_orders:
+        raise AssertionError(
+            f"stream_order: {n_orders} orders for {n_edges} channel "
+            "cells — unresolved junctions (cycle or stranded chain?)")
+    return (edges.select("k", "acc").join(all_orders, "k")
+            .groupBy(F.col("order").alias("strahler_order"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.max("acc").alias("max_acc")))
+
+
+def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
+                       tile_px: int | None = None,
+                       max_rounds: int = 100_000,
+                       driver_threshold: int = 2_000_000) -> DataFrame:
+    """Strahler stream-order census of the D8 channel network.
+
+    Channel cells are valid pixels whose GLOBAL flow accumulation is
+    >= `threshold`. Accumulation is strictly monotone downstream
+    (acc(target) > acc(cell) — the target drains the cell plus itself),
+    so the channel set is closed under D8 flow and the channel network
+    is a forest. Strahler semantics: heads (no channel inflow) are
+    order 1; elsewhere order = max(child orders), +1 when the max is
+    attained by >= 2 children. Output: (strahler_order, n_cells,
+    max_acc) — one bounded row per order.
+
+    Scale shape: per-pixel accumulation reuses the flow_accumulation
+    three-phase machinery unchanged; the phase-3 kernel then emits
+    CHANNEL EDGES only — bounded by channel density (~N/threshold),
+    never the corpus. Order resolution on the edge forest runs on the
+    driver below `driver_threshold` channel cells (one vectorized
+    numpy peel — the resolve_components precedent), else fully
+    distributed via chain contraction + junction peel
+    (_strahler_distributed); both branches are exact twins and
+    cross-tested in tests/test_hydrology.py.
+
+    Reference scope: the reference has no stream-order operator (its
+    terrain family shells to gdaldem — see geostats.py provenance);
+    this is the scale-path design for the standard GIS operator
+    (Strahler 1957 ordering over the D8 network)."""
+    T = tile_px or TILE_PX
+    band_tiles = band_tiles.localCheckpoint()
+    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
+
+    def edges_fn(pad, acc, tx, ty):
+        valid, nxt, cgx, cgy, *_ = _tile_pointers(pad, T)
+        chan = valid & (acc >= threshold)
+        if not chan.any():
+            return []
+        ox, oy = tx * T, ty * T
+        ci = np.flatnonzero(chan.ravel())
+        f = nxt[ci]
+        k = (ox + ci % T) * int(_PACK) + (oy + ci // T)
+        nk = np.full(len(ci), -1, dtype=np.int64)
+        ins = f >= 0
+        nk[ins] = ((ox + f[ins] % T) * int(_PACK) + (oy + f[ins] // T))
+        crs = f <= -2
+        cidx = -(f[crs]) - 2
+        nk[crs] = (ox + cgx[cidx]) * int(_PACK) + (oy + cgy[cidx])
+        a = acc.ravel()[ci]
+        return list(zip(k.tolist(), nk.tolist(), a.tolist()))
+
+    edges = _phase3_cogroup(
+        band_tiles, T, inflow, edges_fn,
+        "k long, nk long, acc long", ["k", "nk", "acc"]).localCheckpoint()
+
+    spark = band_tiles.sparkSession
+    n_chan = edges.count()
+    if n_chan == 0:
+        out = spark.createDataFrame(
+            [], "strahler_order long, n_cells long, max_acc long")
+    elif n_chan <= driver_threshold:
+        out = spark.createDataFrame(
+            _strahler_driver(edges.toPandas()),
+            schema="strahler_order long, n_cells long, max_acc long")
+    else:
+        out = _strahler_distributed(edges, max_rounds)
+    return out.select(
+        F.col("strahler_order").cast("int").alias("strahler_order"),
+        "n_cells", "max_acc")
+
+
+# ---------------------------------------------------------------------------
+# Downstream flow length
+# ---------------------------------------------------------------------------
+
+_PH1D_SCHEMA = "gx long, gy long, nx long, ny long, a long, b long"
+
+
+def _phase1_dist(band_tiles: DataFrame, T: int) -> DataFrame:
+    """Weighted phase 1 for flow length: one focal-halo shuffle; per
+    valid BORDER cell, the exact (cardinal, diagonal) step counts from
+    the cell to its in-tile terminal ((nx, ny) = (-1, -1)) or to the
+    neighbour-tile cell it enters ((nx, ny) = global coords, steps
+    include the crossing step). O(tile perimeter) rows per group."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    cols = ["gx", "gy", "nx", "ny", "a", "b"]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return empty
+        tx = int(pdf["target_tx"].iloc[0])
+        ty = int(pdf["target_ty"].iloc[0])
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid, final, A, B, cgx, cgy = _resolve_tile_dist(pad, T)
+        if not valid.any():
+            return empty
+        ox, oy = tx * T, ty * T
+        border = np.zeros((T, T), dtype=bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        bidx = np.flatnonzero((border & valid).ravel())
+        if not len(bidx):
+            return empty
+        f = final[bidx]
+        cross = f <= -2
+        nx = np.full(len(bidx), -1, dtype=np.int64)
+        ny = np.full(len(bidx), -1, dtype=np.int64)
+        ci = -(f[cross]) - 2
+        nx[cross] = ox + cgx[ci]
+        ny[cross] = oy + cgy[ci]
+        return pd.DataFrame({
+            "gx": ox + bidx % T, "gy": oy + bidx // T,
+            "nx": nx, "ny": ny,
+            "a": A[bidx], "b": B[bidx]}).astype("int64")
+
+    return _with_halo_groups(band_tiles).groupBy(
+        "target_tx", "target_ty").applyInPandas(kern, _PH1D_SCHEMA)
+
+
+def _dist_driver(routing_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side remaining-distance resolution: weighted numpy
+    pointer doubling over the collected border forest. Returns (k, a,
+    b) — TOTAL (cardinal, diagonal) steps from each entry cell to its
+    final sink. Invariant per round: (a, b) = steps covered so far,
+    val = the entry reached after them (or < 0 once fully covered)."""
+    k = routing_pdf["k"].to_numpy(np.int64)
+    nk = routing_pdf["nk"].to_numpy(np.int64)
+    A = routing_pdf["a"].to_numpy(np.int64).copy()
+    B = routing_pdf["b"].to_numpy(np.int64).copy()
+    order = np.argsort(k)
+    ks = k[order]
+    val = nk.copy()
+    for _ in range(66):  # doubling: 2^66 hops >> any chain
+        if not (val >= 0).any():
+            break
+        li = np.flatnonzero(val >= 0)
+        pos = np.searchsorted(ks, val[li])
+        if (pos >= len(ks)).any() or \
+                (ks[np.minimum(pos, len(ks) - 1)] != val[li]).any():
+            raise AssertionError(
+                "crossing target missing from border routing")
+        ti = order[pos]
+        A[li] = A[li] + A[ti]
+        B[li] = B[li] + B[ti]
+        val[li] = val[ti]
+    else:
+        raise AssertionError("distance doubling did not converge "
+                             "(cycle in border forest?)")
+    return pd.DataFrame({"k": k, "a": A, "b": B})
+
+
+def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
+                      max_rounds: int = 100_000,
+                      driver_threshold: int = 2_000_000) -> DataFrame:
+    """Downstream flow-length census: per valid pixel, the EXACT
+    (cardinal, diagonal) step counts along its D8 path to the terminal
+    sink. Length = cardinal + sqrt(2)*diagonal cell units, carried end
+    to end as the integer fixed point a*1_000_000 + b*1_414_214 — no
+    irrational arithmetic anywhere, so the census is bit-exact across
+    the Spark path, the dense builder and the per-pixel walk. Output:
+    one row per log2 band of the total STEP count (band -1 = sinks,
+    0 steps) with (len_band, n_pixels, sum_len_fp, max_steps).
+
+    Scale shape: phase 1 is ONE focal-halo shuffle emitting a weighted
+    border condensate (_phase1_dist); phase 2 resolves total remaining
+    steps per entry cell by weighted pointer doubling (driver below
+    `driver_threshold` border cells — the resolve_components precedent
+    — else O(log longest-chain) DataFrame doubling rounds, both exact
+    twins); phase 3 fans the resolved entries to the 8 adjacent tiles
+    (a bounded x8 expansion of condensate-scale rows — every crossing
+    target is a border cell of the tile an adjacent tile steps into)
+    and ONE cogrouped halo pass adds in-tile steps to the entered
+    cell's remaining steps. No corpus-scale join anywhere: the tile
+    stream is consumed by the two halo exchanges only.
+
+    Reference scope: the reference has no flow-length operator (see
+    stream_order_tiles provenance note); standard GIS downstream flow
+    length over the D8 network."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+    band_tiles = band_tiles.localCheckpoint()
+    ph1 = _phase1_dist(band_tiles, T).localCheckpoint()
+    routing = ph1.select(
+        _pack_col(F.col("gx"), F.col("gy")).alias("k"),
+        F.when(F.col("nx") >= 0,
+               _pack_col(F.col("nx"), F.col("ny")))
+        .otherwise(F.lit(-1)).alias("nk"),
+        "a", "b")
+
+    spark = band_tiles.sparkSession
+    n_border = routing.count()
+    if n_border == 0:
+        rem = spark.createDataFrame([], "k long, a long, b long")
+    elif n_border <= driver_threshold:
+        rem = spark.createDataFrame(
+            _dist_driver(routing.toPandas()),
+            schema="k long, a long, b long")
+    else:
+        state = routing.localCheckpoint()
+        rounds = 0
+        while not state.filter(F.col("nk") >= 0).isEmpty():
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    "flow_length: doubling exceeded "
+                    f"{max_rounds} rounds — raise tile_px")
+            live = state.filter(F.col("nk") >= 0)
+            donef = state.filter(F.col("nk") < 0)
+            stepped = live.alias("s").join(
+                state.alias("r"), F.col("s.nk") == F.col("r.k")
+            ).select(F.col("s.k").alias("k"), F.col("r.nk").alias("nk"),
+                     (F.col("s.a") + F.col("r.a")).alias("a"),
+                     (F.col("s.b") + F.col("r.b")).alias("b"))
+            state = donef.unionByName(stepped).localCheckpoint()
+        rem = state.select("k", "a", "b")
+
+    # fan each resolved entry to the 8 adjacent tiles: any tile whose
+    # cells cross into entry cell c is one of c's tile's 8 neighbours
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    off_arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])
+    fanned = rem.select(
+        F.shiftright("k", 31).alias("gx"),
+        F.col("k").bitwiseAND(F.lit(int(_PACK) - 1)).alias("gy"),
+        "a", "b",
+        F.explode(off_arr).alias("o")
+    ).select(
+        # cast to INT to match the halo side's key type (the cogroup
+        # key-encoding contract — see _entry_inflow's note)
+        (F.expr(f"gx div {T}") + F.col("o.dx")).cast("int").alias("tx"),
+        (F.expr(f"gy div {T}") + F.col("o.dy")).cast("int").alias("ty"),
+        "gx", "gy", "a", "b")
+
+    cols = ["len_band", "n_pixels", "sum_len_fp", "max_steps"]
+
+    def kern3(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        if len(left) == 0 or not ((left["dx"] == 0)
+                                  & (left["dy"] == 0)).any():
+            # fan-out overshoot (off-raster neighbour tiles) is
+            # expected here, unlike _phase3_cogroup's inflow contract
+            return empty
+        tx = int(left["target_tx"].iloc[0])
+        ty = int(left["target_ty"].iloc[0])
+        pad = _assemble_padded(left, tile_px=T)
+        valid, final, A, B, cgx, cgy = _resolve_tile_dist(pad, T)
+        if not valid.any():
+            return empty
+        At, Bt = A.copy(), B.copy()
+        crs_cells = np.flatnonzero(final <= -2)
+        if len(crs_cells):
+            ox, oy = tx * T, ty * T
+            ci = -(final[crs_cells]) - 2
+            tk = (ox + cgx[ci]) * int(_PACK) + (oy + cgy[ci])
+            lut = {}
+            if len(right):
+                rk = (right["gx"].to_numpy(np.int64) * int(_PACK)
+                      + right["gy"].to_numpy(np.int64))
+                lut = dict(zip(
+                    rk.tolist(),
+                    zip(right["a"].to_numpy(np.int64).tolist(),
+                        right["b"].to_numpy(np.int64).tolist())))
+            ra = np.empty(len(crs_cells), dtype=np.int64)
+            rb = np.empty(len(crs_cells), dtype=np.int64)
+            for j, key in enumerate(tk.tolist()):
+                got = lut.get(key)
+                if got is None:
+                    # fail LOUDLY: every crossing target is a valid
+                    # border cell of an existing tile, so its remaining
+                    # distance must have been fanned here
+                    raise AssertionError(
+                        "missing remaining-distance row for crossing "
+                        f"target {key} (tile {tx},{ty})")
+                ra[j], rb[j] = got
+            At[crs_cells] += ra
+            Bt[crs_cells] += rb
+        vf = valid.ravel()
+        a, b = At[vf], Bt[vf]
+        steps = a + b
+        band = np.full(len(steps), -1, dtype=np.int64)
+        pos = steps > 0
+        _, expo = np.frexp(steps[pos].astype(np.float64))
+        band[pos] = expo - 1
+        fp = a * 1_000_000 + b * 1_414_214
+        out = [(int(bb), int((band == bb).sum()),
+                int(fp[band == bb].sum()), int(steps[band == bb].max()))
+               for bb in np.unique(band)]
+        return pd.DataFrame(out, columns=cols).astype("int64")
+
+    halo = _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy("target_tx", "target_ty").cogroup(
+        fanned.groupBy("tx", "ty")
+    ).applyInPandas(
+        kern3,
+        "len_band long, n_pixels long, sum_len_fp long, max_steps long")
+    return (per_tile.groupBy(F.col("len_band").cast("int").alias("len_band"))
+            .agg(F.sum("n_pixels").alias("n_pixels"),
+                 F.sum("sum_len_fp").alias("sum_len_fp"),
+                 F.max("max_steps").alias("max_steps")))

@@ -5211,6 +5211,43 @@ def twi_census_q(spark, sf_dir):
     return hydrology.twi_census_tiles(t64, tile_px=t_px)
 
 
+@q("stream_order",
+   f"select * from '{GEO01}/expected/stream_order.parquet'")
+def stream_order_q(spark, sf_dir):
+    """Strahler stream-order census of the D8 channel network (cells
+    with global accumulation >= 2; monotone accumulation makes the
+    channel set flow-closed, so the network is a forest). The
+    flow-accumulation machinery emits channel EDGES from the phase-3
+    kernel (bounded by channel density, never the corpus); the order
+    peel runs on the driver below 2M channel cells, else distributed
+    via chain contraction (O(log chain) doubling) + junction peel
+    (hydrology.stream_order_tiles — branches cross-tested). Oracle:
+    dense queue-based rebuild (synth/expected.py build_stream_order);
+    per-pixel recursive reference in tests/test_hydrology.py."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.stream_order_tiles(t64, tile_px=t_px)
+
+
+@q("flow_length",
+   f"select * from '{GEO01}/expected/flow_length.parquet'")
+def flow_length_q(spark, sf_dir):
+    """Downstream flow-length census: exact (cardinal, diagonal) step
+    counts to each pixel's terminal sink, fixed-point length checksum
+    a*1e6 + b*1414214 — integer end to end. One weighted focal-halo
+    condensate, pointer-doubled remaining distances (driver /
+    distributed twins), and one cogrouped halo pass; the resolved
+    entries fan x8 to adjacent tiles, condensate-scale only
+    (hydrology.flow_length_tiles). Oracle: dense memoized path-walk
+    (synth/expected.py build_flow_length); per-pixel walking reference
+    in tests/test_hydrology.py."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.flow_length_tiles(t64, tile_px=t_px)
+
+
 @q("tpi_landform", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -7008,7 +7045,8 @@ ORACLE_BUILDERS = {
         "raster_label_histogram", "sieve_reclass", "polygonize",
         "polygonize_wkt", "region_growing", "media_thumbnails",
         "video_frame_sample", "warp_crs", "flow_accumulation",
-        "watershed_basins", "twi_census")},
+        "watershed_basins", "twi_census", "stream_order",
+        "flow_length")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 12
+_EXPECTED_VERSION = 13
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -712,6 +712,131 @@ def build_twi_census(sf: float, cellsize: float = 10.0) -> pa.Table:
     })
 
 
+def _dense_tgt(r: np.ndarray):
+    """Per-cell D8 flat target (-1 = sink) plus the outgoing step's
+    diagonal flag, rebuilt dense over the whole raster (no tiling);
+    shared by the stream-order and flow-length builders."""
+    from remotior_sensus_spark.operators.geostats import _D8, _d8_best
+
+    h, w = r.shape
+    pad = np.pad(r, 1, constant_values=np.nan)
+    codes, interior = _d8_best(pad, slice(1, 1 + h), slice(1, 1 + w))
+    dxa = np.zeros((h, w), dtype=np.int64)
+    dya = np.zeros((h, w), dtype=np.int64)
+    dga = np.zeros((h, w), dtype=np.int64)
+    for dx, dy, code, diag in _D8:
+        m = interior & (codes == code)
+        dxa[m] = dx
+        dya[m] = dy
+        dga[m] = diag
+    flows = interior & (codes != 0)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    n = h * w
+    tgt = np.full(n, -1, dtype=np.int64)
+    tgt[flows.ravel()] = ((ys[flows] + dya[flows]) * w
+                          + xs[flows] + dxa[flows]).astype(np.int64)
+    diag_step = np.zeros(n, dtype=np.int64)
+    diag_step[flows.ravel()] = dga[flows]
+    return tgt, diag_step
+
+
+def build_stream_order(sf: float, threshold: int = 2) -> pa.Table:
+    """Strahler stream-order census over channel cells (global flow
+    accumulation >= threshold), resolved by a plain per-node
+    topological queue — a deliberately simple dict + deque
+    implementation, independent of the engine's vectorized peels.
+    Heads are order 1; elsewhere order = max child order, +1 when the
+    max is attained by >= 2 children."""
+    from collections import defaultdict, deque
+
+    valid, acc, _sink = _dense_flow(sf)
+    tgt, _diag = _dense_tgt(_full_raster(sf))
+    accf = acc.ravel()
+    chan = valid.ravel() & (accf >= threshold)
+    cells = np.flatnonzero(chan).tolist()
+    cellset = set(cells)
+    children = defaultdict(int)
+    for v in cells:
+        t = int(tgt[v])
+        if t >= 0:
+            assert t in cellset, "channel set not closed downstream"
+            children[t] += 1
+    maxo = defaultdict(int)
+    cmx = defaultdict(int)
+    q = deque(v for v in cells if children[v] == 0)
+    order = {}
+    while q:
+        v = q.popleft()
+        o = 1 if maxo[v] == 0 else maxo[v] + (1 if cmx[v] >= 2 else 0)
+        order[v] = o
+        t = int(tgt[v])
+        if t >= 0:
+            if o > maxo[t]:
+                maxo[t], cmx[t] = o, 1
+            elif o == maxo[t]:
+                cmx[t] += 1
+            children[t] -= 1
+            if children[t] == 0:
+                q.append(t)
+    assert len(order) == len(cells), "strahler queue left cells unresolved"
+    agg = {}
+    for v, o in order.items():
+        n, mx = agg.get(o, (0, 0))
+        agg[o] = (n + 1, max(mx, int(accf[v])))
+    rows = sorted((o, n, mx) for o, (n, mx) in agg.items())
+    return pa.table({
+        "strahler_order": pa.array([r[0] for r in rows], type=pa.int32()),
+        "n_cells": pa.array([r[1] for r in rows], type=pa.int64()),
+        "max_acc": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def build_flow_length(sf: float) -> pa.Table:
+    """Downstream flow-length census: per valid cell, walk the D8
+    pointer chain counting cardinal/diagonal steps (plain memoized
+    per-cell Python walk — independent of the engine's weighted
+    pointer doubling). Length fixed point = a*1_000_000 + b*1_414_214;
+    band = log2 of total step count, -1 for sinks."""
+    r = _full_raster(sf)
+    valid = ~np.isnan(r)
+    tgt, diag = _dense_tgt(r)
+    n = tgt.size
+    A = np.full(n, -1, dtype=np.int64)
+    B = np.full(n, -1, dtype=np.int64)
+    for v in np.flatnonzero(valid.ravel()).tolist():
+        path = []
+        cur = v
+        while A[cur] < 0:
+            if tgt[cur] < 0:
+                A[cur] = 0
+                B[cur] = 0
+                break
+            path.append(cur)
+            cur = int(tgt[cur])
+        for u in reversed(path):
+            t = int(tgt[u])
+            A[u] = A[t] + (1 - diag[u])
+            B[u] = B[t] + diag[u]
+    vf = valid.ravel()
+    a, b = A[vf], B[vf]
+    steps = a + b
+    band = np.full(len(steps), -1, dtype=np.int64)
+    pos = steps > 0
+    _, expo = np.frexp(steps[pos].astype(np.float64))
+    band[pos] = expo - 1
+    fp = a * 1_000_000 + b * 1_414_214
+    rows = sorted(
+        (int(bb), int((band == bb).sum()), int(fp[band == bb].sum()),
+         int(steps[band == bb].max()))
+        for bb in np.unique(band))
+    return pa.table({
+        "len_band": pa.array([r_[0] for r_ in rows], type=pa.int32()),
+        "n_pixels": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "sum_len_fp": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+        "max_steps": pa.array([r_[3] for r_ in rows], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -727,6 +852,8 @@ BUILDERS = {
     "flow_accumulation": build_flow_accumulation,
     "watershed_basins": build_watershed_basins,
     "twi_census": build_twi_census,
+    "stream_order": build_stream_order,
+    "flow_length": build_flow_length,
 }
 
 

@@ -285,3 +285,166 @@ def test_flow_accumulation_plan_shape(spark, geo001_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join_op not in plan, (join_op, plan)
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order + downstream flow length (round-5 additions)
+# ---------------------------------------------------------------------------
+
+def _brute_strahler(r, threshold=2):
+    """Per-pixel Strahler reference: channel set from the brute
+    path-walk accumulation, children lists from _brute_next, orders by
+    a repeated 'resolve whoever's children are all resolved' sweep —
+    no queue, no vectorization, no shared code with the engine."""
+    nxt = _brute_next(r)
+    bacc, _ = _brute_walk(r)
+    chan = {v for v in nxt if bacc[v] >= threshold}
+    children = {v: [] for v in chan}
+    for v in chan:
+        t = nxt[v]
+        if t is not None:
+            assert t in chan
+            children[t].append(v)
+    order = {}
+    remaining = set(chan)
+    while remaining:
+        progressed = False
+        for v in list(remaining):
+            ch = children[v]
+            if all(c in order for c in ch):
+                if not ch:
+                    order[v] = 1
+                else:
+                    mo = max(order[c] for c in ch)
+                    order[v] = mo + (
+                        1 if sum(order[c] == mo for c in ch) >= 2 else 0)
+                remaining.remove(v)
+                progressed = True
+        assert progressed, "cycle in channel network?"
+    census = {}
+    for v, o in order.items():
+        n, mx = census.get(o, (0, 0))
+        census[o] = (n + 1, max(mx, int(bacc[v])))
+    return census
+
+
+def _brute_flow_length(r):
+    """Per-pixel flow-length reference: every valid cell literally
+    walks its path counting cardinal vs diagonal steps."""
+    nxt = _brute_next(r)
+    census = {}
+    for start in nxt:
+        a = b = 0
+        cy, cx = start
+        while True:
+            t = nxt[(cy, cx)]
+            if t is None:
+                break
+            if t[0] == cy or t[1] == cx:
+                a += 1
+            else:
+                b += 1
+            cy, cx = t
+        steps = a + b
+        band = -1 if steps == 0 else int(np.floor(np.log2(steps)))
+        fp = a * 1_000_000 + b * 1_414_214
+        n, s, mx = census.get(band, (0, 0, 0))
+        census[band] = (n + 1, s + fp, max(mx, steps))
+    return census
+
+
+def _spark_order_census(df):
+    return {r["strahler_order"]: (r["n_cells"], r["max_acc"])
+            for r in df.collect()}
+
+
+def _spark_len_census(df):
+    return {r["len_band"]: (r["n_pixels"], r["sum_len_fp"], r["max_steps"])
+            for r in df.collect()}
+
+
+def test_spark_stream_order_matches_brute_on_long_ramp(spark):
+    from remotior_sensus_spark.operators.hydrology import stream_order_tiles
+
+    r = _ramp_raster(64, 64, seed=11)
+    tiles = _tiles_df(spark, r)
+    got = _spark_order_census(stream_order_tiles(tiles, threshold=2))
+    assert got == _brute_strahler(r, threshold=2)
+
+
+def test_spark_flow_length_matches_brute_on_long_ramp(spark):
+    from remotior_sensus_spark.operators.hydrology import flow_length_tiles
+
+    r = _ramp_raster(64, 64, seed=11)
+    tiles = _tiles_df(spark, r)
+    got = _spark_len_census(flow_length_tiles(tiles))
+    assert got == _brute_flow_length(r)
+
+
+def test_stream_order_flow_length_branches_agree(spark):
+    """driver_threshold=0 forces BOTH distributed paths (the
+    DataFrame chain-contraction + junction peel for stream order, the
+    weighted DataFrame doubling for flow length) — exact twins of the
+    driver branches, checked against the per-pixel references."""
+    from remotior_sensus_spark.operators.hydrology import (
+        flow_length_tiles, stream_order_tiles)
+
+    r = _ramp_raster(64, 64, seed=31)
+    tiles = _tiles_df(spark, r)
+    want_so = _brute_strahler(r, threshold=2)
+    want_fl = _brute_flow_length(r)
+    for thr in (0, 2_000_000):
+        assert _spark_order_census(stream_order_tiles(
+            tiles, threshold=2, driver_threshold=thr)) == want_so, thr
+        assert _spark_len_census(flow_length_tiles(
+            tiles, driver_threshold=thr)) == want_fl, thr
+
+
+def test_stream_order_flow_length_tile_size_invariance(spark):
+    from remotior_sensus_spark.operators.hydrology import (
+        flow_length_tiles, stream_order_tiles)
+
+    r = _ramp_raster(128, 128, seed=23)
+    t16 = _tiles_df(spark, r, 16)
+    t64 = _tiles_df(spark, r, 64)
+    assert _spark_order_census(stream_order_tiles(t16, tile_px=16)) == \
+        _spark_order_census(stream_order_tiles(t64, tile_px=64))
+    assert _spark_len_census(flow_length_tiles(t16, tile_px=16)) == \
+        _spark_len_census(flow_length_tiles(t64, tile_px=64))
+
+
+def test_spark_stream_order_flow_length_match_dense_oracle_sf0001(
+        spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.synth.expected import (
+        build_flow_length, build_stream_order)
+
+    got = _spark_order_census(
+        Q.REGISTRY["stream_order"][0](spark, SF_DIR))
+    exp = build_stream_order(0.001).to_pydict()
+    assert got == {o: (n, mx) for o, n, mx in zip(
+        exp["strahler_order"], exp["n_cells"], exp["max_acc"])}
+
+    gotl = _spark_len_census(Q.REGISTRY["flow_length"][0](spark, SF_DIR))
+    expl = build_flow_length(0.001).to_pydict()
+    assert gotl == {b: (n, s, mx) for b, n, s, mx in zip(
+        expl["len_band"], expl["n_pixels"], expl["sum_len_fp"],
+        expl["max_steps"])}
+
+
+def test_flow_length_plan_shape(spark, geo001_dir):
+    """Scale pin (the flow_accumulation pin's twin): the final job is
+    the cogrouped halo exchange + bounded census rollup — no join
+    operator of any kind touches the corpus-scale tile stream, and the
+    x8 fan-out of the resolved entries is a Generate (explode) over
+    the condensate, not a join."""
+    from remotior_sensus_spark import queries as Q
+
+    df = Q.REGISTRY["flow_length"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin"):
+        assert join_op not in plan, (join_op, plan)
