@@ -71,6 +71,11 @@ HEADLINE = [
     # shows in the per-round diff)
     "flow_accumulation",
     "watershed_basins",
+    # round-5 session 2: the hydrology family's two newest derivatives
+    # (channel-edge emission + order peel; weighted condensate + x8
+    # fan-out) — benched for the same per-round-diff reason
+    "stream_order",
+    "flow_length",
 ]
 
 
