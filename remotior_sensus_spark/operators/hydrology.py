@@ -1167,3 +1167,251 @@ def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
             .agg(F.sum("n_pixels").alias("n_pixels"),
                  F.sum("sum_len_fp").alias("sum_len_fp"),
                  F.max("max_steps").alias("max_steps")))
+
+
+# ---------------------------------------------------------------------------
+# Depression filling (priority-flood semantics)
+# ---------------------------------------------------------------------------
+
+_FILL_SCHEMA = ("tile_x int, tile_y int, pixels array<double>, "
+                "filled array<double>, changed long")
+
+
+def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
+    """One relaxation round for one tile: assemble the z / filled halo
+    pads, then iterate filled(v) = max(z(v), min over 8 neighbours of
+    filled(u)) over the WHOLE 3T pad interior to a pad-local fixpoint
+    (neighbour blocks relax as scratch — any monotone relaxation from
+    upper bounds stays an upper bound, and the first pass's centre
+    update is the plain Jacobi step, so global no-change still implies
+    the global fixpoint; solving the full pad lets ocean information
+    travel up to three tiles per round instead of one). Drains (valid
+    cells 8-adjacent to nodata or off-raster) are pinned at z; the
+    outermost pad ring has an incomplete neighbourhood and is held
+    fixed. The update only ever SELECTS existing z values (max/min, no
+    arithmetic), so the fixpoint is bit-exact against any other exact
+    fill implementation."""
+    from remotior_sensus_spark.operators.focal import _assemble_padded
+
+    empty = pd.DataFrame({
+        "tile_x": pd.Series(dtype="int32"),
+        "tile_y": pd.Series(dtype="int32"),
+        "pixels": pd.Series(dtype="object"),
+        "filled": pd.Series(dtype="object"),
+        "changed": pd.Series(dtype="int64")})
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return empty
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    z_pad = _assemble_padded(pdf, tile_px=T)
+    P = 3 * T
+    valid_pad = ~np.isnan(z_pad)
+
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+    # pad-interior cells (full 8-neighbourhood inside the pad); drains
+    # there are detected exactly — beyond the pad is treated as
+    # unknown (+inf), which only weakens the upper bound, never the
+    # answer
+    nan_pad = np.isnan(z_pad)
+    nb_nan = np.zeros((P - 2, P - 2), dtype=bool)
+    for dy, dx in shifts:
+        nb_nan |= nan_pad[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]
+    drain = np.zeros((P, P), dtype=bool)
+    drain[1:-1, 1:-1] = valid_pad[1:-1, 1:-1] & nb_nan
+
+    # filled pad: +inf where unknown (missing blocks, uninitialized)
+    init = centre["filled"].iloc[0] is None
+    if init:
+        f_pad = np.where(drain, z_pad, np.inf)
+    else:
+        f_pad = np.full((P, P), np.inf)
+        for _, r in pdf.iterrows():
+            a = np.asarray(r["filled"], dtype=np.float64).reshape(T, T)
+            ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
+            xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
+            f_pad[ys, xs] = np.where(np.isnan(a), np.inf, a)
+    fc0 = f_pad[T:2 * T, T:2 * T].copy()
+
+    zi = z_pad[1:-1, 1:-1]
+    di = drain[1:-1, 1:-1]
+    vi = valid_pad[1:-1, 1:-1]
+    converged = False
+    for _ in range(inner_cap):
+        nb_min = np.full((P - 2, P - 2), np.inf)
+        for dy, dx in shifts:
+            np.minimum(nb_min, f_pad[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx],
+                       out=nb_min)
+        cur = f_pad[1:-1, 1:-1]
+        new = np.where(di, zi, np.maximum(zi, np.minimum(cur, nb_min)))
+        new = np.where(vi, new, np.inf)
+        if np.array_equal(new, cur):
+            converged = True
+            break
+        f_pad[1:-1, 1:-1] = new
+    final = f_pad[T:2 * T, T:2 * T]
+    changed = int(init or not converged or not np.array_equal(final, fc0))
+    out = np.where(valid_pad[T:2 * T, T:2 * T], final, np.nan)
+    return pd.DataFrame({
+        "tile_x": [tx], "tile_y": [ty],
+        "pixels": [centre["pixels"].iloc[0]],
+        "filled": [out.ravel().tolist()],
+        "changed": [changed]})
+
+
+def _halo2(state: DataFrame) -> DataFrame:
+    """The _with_halo_groups fan with the filled array riding along."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    return state.select(
+        "tile_x", "tile_y", "pixels", "filled",
+        F.explode(offsets).alias("o")
+    ).select(
+        (F.col("tile_x") + F.col("o.dx")).alias("target_tx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("target_ty"),
+        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
+        "pixels", "filled")
+
+
+def fill_depressions_tiles(band_tiles: DataFrame,
+                           tile_px: int | None = None,
+                           max_rounds: int = 10_000,
+                           inner_cap: int | None = None) -> DataFrame:
+    """Depression-filling census with priority-flood semantics: every
+    valid pixel's filled elevation is the minimax over 8-connected
+    paths to the ocean (off-raster or nodata) of the maximum elevation
+    along the path — i.e. pits raise to their spill elevation, nothing
+    else moves. Output: one row per log2 band of the fixed-point fill
+    depth floor((filled - z)*1e6 + 0.5) with (fill_band, n_pixels,
+    sum_fill_fp, max_fill_fp); band -1 = untouched cells.
+
+    Algorithm: chaotic relaxation of the erosion fixpoint
+    filled(v) = max(z(v), min_u filled(u)) from above (drains pinned at
+    z, everything else from +inf), Jacobi across tiles / vectorized to
+    an in-tile fixpoint within each Arrow group per round. The update
+    only SELECTS existing z values, so the unique fixpoint is bit-exact
+    against the independently-written heapq priority-flood oracle
+    (synth/expected.py build_fill_depressions). Monotone decrease over
+    a finite value set guarantees termination; `max_rounds` guards the
+    pathological case.
+
+    Scale shape: rounds = the cross-TILE dependency depth of the fill
+    (one tile-ring per round after the in-tile solve). The first two
+    rounds touch the whole corpus (init + first neighbour exchange);
+    from round 3 the ACTIVE SET narrows to tiles whose 3x3
+    neighbourhood changed last round — quiescent regions stop shipping
+    entirely, so the shuffled volume is corpus x 2 + (fill-region
+    tiles) x depth. On DEMs whose depressions span many tiles the
+    published two-level condensate design (Barnes 2016, parallel
+    priority-flood: per-tile border minimax graphs merged globally) is
+    the upgrade path; the observed depth on every test DEM here is
+    <= 4 rounds.
+
+    Reference scope: the reference has no fill operator (gdaldem has
+    no fill either; see stream_order_tiles provenance note); standard
+    GIS sink-filling semantics (Planchon-Darboux / priority-flood)."""
+    T = tile_px or TILE_PX
+    cap = inner_cap or 4 * T
+    spark = band_tiles.sparkSession
+
+    def kern(pdf):
+        return _fill_round_kernel(pdf, T, cap)
+
+    state = band_tiles.select(
+        "tile_x", "tile_y",
+        F.col("pixels").cast("array<double>").alias("pixels"),
+        F.lit(None).cast("array<double>").alias("filled"),
+        F.lit(1).alias("changed")).localCheckpoint()
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"fill_depressions: relaxation exceeded {max_rounds} "
+                "rounds — cross-tile fill depth beyond guard (see the "
+                "Barnes-2016 condensate note in the docstring)")
+        if rounds <= 2:
+            # init + first exchange touch every tile anyway
+            new_state = _halo2(state.drop("changed")).groupBy(
+                "target_tx", "target_ty").applyInPandas(
+                kern, _FILL_SCHEMA).localCheckpoint()
+        else:
+            # active-set narrowing: only tiles whose 3x3 neighbourhood
+            # changed can move; everything else passes through. The
+            # target list is the (shrinking) changed set fanned x9 —
+            # broadcast by construction.
+            targets = (state.filter(F.col("changed") == 1)
+                       .select("tile_x", "tile_y",
+                               F.explode(offsets).alias("o"))
+                       .select(
+                           (F.col("tile_x") + F.col("o.dx"))
+                           .alias("target_tx"),
+                           (F.col("tile_y") + F.col("o.dy"))
+                           .alias("target_ty"))
+                       .distinct())
+            halo_in = _halo2(state.drop("changed")).join(
+                F.broadcast(targets), ["target_tx", "target_ty"],
+                "left_semi")
+            processed = halo_in.groupBy(
+                "target_tx", "target_ty").applyInPandas(
+                kern, _FILL_SCHEMA)
+            untouched = state.join(
+                F.broadcast(targets
+                            .withColumnRenamed("target_tx", "tile_x")
+                            .withColumnRenamed("target_ty", "tile_y")),
+                ["tile_x", "tile_y"], "left_anti"
+            ).select("tile_x", "tile_y", "pixels", "filled",
+                     F.lit(0).alias("changed"))
+            # bound partition growth across rounds (the union would
+            # otherwise accumulate ~shuffle.partitions per round)
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            new_state = (processed.unionByName(untouched)
+                         .coalesce(n_part).localCheckpoint())
+        n_changed = new_state.agg(F.sum("changed")).collect()[0][0]
+        state = new_state
+        if not n_changed:
+            break
+
+    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["fill_band", "n_pixels", "sum_fill_fp", "max_fill_fp"]
+        parts = []
+        from remotior_sensus_spark import NODATA
+        for _, r in pdf.iterrows():
+            z = np.asarray(r["pixels"], dtype=np.float64)
+            z = np.where(z == float(NODATA), np.nan, z)
+            f = np.asarray(r["filled"], dtype=np.float64)
+            v = ~np.isnan(z)
+            if not v.any():
+                continue
+            delta = f[v] - z[v]
+            fp = np.floor(delta * 1e6 + 0.5).astype(np.int64)
+            band = np.full(len(fp), -1, dtype=np.int64)
+            pos = fp > 0
+            _, expo = np.frexp(fp[pos].astype(np.float64))
+            band[pos] = expo - 1
+            parts.append(pd.DataFrame({
+                "fill_band": band, "n_pixels": 1,
+                "sum_fill_fp": fp, "max_fill_fp": fp}))
+        if not parts:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols})
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby("fill_band", as_index=False).agg(
+            n_pixels=("n_pixels", "sum"), sum_fill_fp=("sum_fill_fp", "sum"),
+            max_fill_fp=("max_fill_fp", "max"))
+        return g.astype("int64")
+
+    per_part = state.select("pixels", "filled").mapInPandas(
+        lambda it: (census_kern(pdf) for pdf in it),
+        "fill_band long, n_pixels long, sum_fill_fp long, max_fill_fp long")
+    return (per_part.groupBy(
+        F.col("fill_band").cast("int").alias("fill_band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_fill_fp").alias("sum_fill_fp"),
+             F.max("max_fill_fp").alias("max_fill_fp")))

@@ -5248,6 +5248,26 @@ def flow_length_q(spark, sf_dir):
     return hydrology.flow_length_tiles(t64, tile_px=t_px)
 
 
+@q("fill_depressions",
+   f"select * from '{GEO01}/expected/fill_depressions.parquet'")
+def fill_depressions_q(spark, sf_dir):
+    """Depression-filling census (priority-flood semantics): filled =
+    minimax over 8-connected paths to the ocean of the max elevation
+    along the path, i.e. pits rise to their spill level. Computed by
+    chaotic relaxation of the erosion fixpoint — in-tile vectorized
+    solve per Arrow group, one halo exchange per cross-tile round,
+    active-set narrowing from round 3 (hydrology.
+    fill_depressions_tiles). The update only SELECTS existing z
+    values, so the fixpoint is bit-exact vs the oracle: an
+    independently-written heapq priority-flood (synth/expected.py
+    build_fill_depressions), with a third Gauss-Seidel dict reference
+    in tests/test_hydrology.py."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.fill_depressions_tiles(t64, tile_px=t_px)
+
+
 @q("tpi_landform", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -7046,7 +7066,7 @@ ORACLE_BUILDERS = {
         "polygonize_wkt", "region_growing", "media_thumbnails",
         "video_frame_sample", "warp_crs", "flow_accumulation",
         "watershed_basins", "twi_census", "stream_order",
-        "flow_length")},
+        "flow_length", "fill_depressions")},
 }
 
 

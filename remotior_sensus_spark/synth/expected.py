@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 13
+_EXPECTED_VERSION = 14
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -837,6 +837,76 @@ def build_flow_length(sf: float) -> pa.Table:
     })
 
 
+def _dense_priority_flood(r: np.ndarray) -> np.ndarray:
+    """Textbook priority-flood fill (Barnes et al. 2014): seed a min-
+    heap with every ocean-adjacent cell at its own elevation, pop the
+    lowest, settle filled = key, push unvisited neighbours at
+    max(z, key). A completely different algorithm family from the
+    engine's tile relaxation — the whole point of this oracle. The
+    ocean is off-raster plus nodata; 8-connectivity."""
+    import heapq
+
+    h, w = r.shape
+    valid = ~np.isnan(r)
+    filled = np.full((h, w), np.inf)
+    filled[~valid] = np.nan
+    visited = np.zeros((h, w), dtype=bool)
+    heap = []
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
+    for y in range(h):
+        for x in range(w):
+            if not valid[y, x]:
+                continue
+            for dy, dx in offs:
+                yy, xx = y + dy, x + dx
+                if not (0 <= yy < h and 0 <= xx < w) or not valid[yy, xx]:
+                    heapq.heappush(heap, (r[y, x], y, x))
+                    filled[y, x] = r[y, x]
+                    break
+    while heap:
+        fv, y, x = heapq.heappop(heap)
+        if visited[y, x]:
+            continue
+        visited[y, x] = True
+        filled[y, x] = fv
+        for dy, dx in offs:
+            yy, xx = y + dy, x + dx
+            if (0 <= yy < h and 0 <= xx < w and valid[yy, xx]
+                    and not visited[yy, xx]):
+                nf = max(r[yy, xx], fv)
+                if nf < filled[yy, xx]:
+                    filled[yy, xx] = nf
+                    heapq.heappush(heap, (nf, yy, xx))
+    assert not np.isinf(filled[valid]).any(), \
+        "unreached valid cells (every valid component touches ocean)"
+    return filled
+
+
+def build_fill_depressions(sf: float) -> pa.Table:
+    """log2-band census of the fixed-point fill depth
+    floor((filled - z)*1e6 + 0.5); band -1 = untouched cells."""
+    r = _full_raster(sf)
+    filled = _dense_priority_flood(r)
+    valid = ~np.isnan(r)
+    delta = filled[valid] - r[valid]
+    fp = np.floor(delta * 1e6 + 0.5).astype(np.int64)
+    band = np.full(len(fp), -1, dtype=np.int64)
+    pos = fp > 0
+    _, expo = np.frexp(fp[pos].astype(np.float64))
+    band[pos] = expo - 1
+    rows = sorted(
+        (int(bb), int((band == bb).sum()), int(fp[band == bb].sum()),
+         int(fp[band == bb].max()))
+        for bb in np.unique(band))
+    return pa.table({
+        "fill_band": pa.array([r_[0] for r_ in rows], type=pa.int32()),
+        "n_pixels": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "sum_fill_fp": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+        "max_fill_fp": pa.array([r_[3] for r_ in rows], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -854,6 +924,7 @@ BUILDERS = {
     "twi_census": build_twi_census,
     "stream_order": build_stream_order,
     "flow_length": build_flow_length,
+    "fill_depressions": build_fill_depressions,
 }
 
 
