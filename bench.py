@@ -76,6 +76,10 @@ HEADLINE = [
     # fan-out) — benched for the same per-round-diff reason
     "stream_order",
     "flow_length",
+    # round-5 session 2: depression filling — the iterative-relaxation
+    # operator (round count = cross-tile fill depth) whose regressions
+    # are round-count regressions, invisible without a bench row
+    "fill_depressions",
 ]
 
 

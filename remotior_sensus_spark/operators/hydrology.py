@@ -1312,6 +1312,56 @@ def fill_depressions_tiles(band_tiles: DataFrame,
     Reference scope: the reference has no fill operator (gdaldem has
     no fill either; see stream_order_tiles provenance note); standard
     GIS sink-filling semantics (Planchon-Darboux / priority-flood)."""
+    state = fill_depressions_state(band_tiles, tile_px, max_rounds,
+                                   inner_cap)
+
+    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["fill_band", "n_pixels", "sum_fill_fp", "max_fill_fp"]
+        parts = []
+        from remotior_sensus_spark import NODATA
+        for _, r in pdf.iterrows():
+            z = np.asarray(r["pixels"], dtype=np.float64)
+            z = np.where(z == float(NODATA), np.nan, z)
+            f = np.asarray(r["filled"], dtype=np.float64)
+            v = ~np.isnan(z)
+            if not v.any():
+                continue
+            delta = f[v] - z[v]
+            fp = np.floor(delta * 1e6 + 0.5).astype(np.int64)
+            band = np.full(len(fp), -1, dtype=np.int64)
+            pos = fp > 0
+            _, expo = np.frexp(fp[pos].astype(np.float64))
+            band[pos] = expo - 1
+            parts.append(pd.DataFrame({
+                "fill_band": band, "n_pixels": 1,
+                "sum_fill_fp": fp, "max_fill_fp": fp}))
+        if not parts:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols})
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby("fill_band", as_index=False).agg(
+            n_pixels=("n_pixels", "sum"), sum_fill_fp=("sum_fill_fp", "sum"),
+            max_fill_fp=("max_fill_fp", "max"))
+        return g.astype("int64")
+
+    per_part = state.select("pixels", "filled").mapInPandas(
+        lambda it: (census_kern(pdf) for pdf in it),
+        "fill_band long, n_pixels long, sum_fill_fp long, max_fill_fp long")
+    return (per_part.groupBy(
+        F.col("fill_band").cast("int").alias("fill_band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_fill_fp").alias("sum_fill_fp"),
+             F.max("max_fill_fp").alias("max_fill_fp")))
+
+
+def fill_depressions_state(band_tiles: DataFrame,
+                           tile_px: int | None = None,
+                           max_rounds: int = 10_000,
+                           inner_cap: int | None = None) -> DataFrame:
+    """The fill relaxation loop itself: returns the CONVERGED state
+    (tile_x, tile_y, pixels, filled) — pixels the original z arrays,
+    filled the fixpoint fill (NaN at invalid cells). Shared by the
+    fill census and the filled-DEM composition operators."""
     T = tile_px or TILE_PX
     cap = inner_cap or 4 * T
     spark = band_tiles.sparkSession
@@ -1377,41 +1427,33 @@ def fill_depressions_tiles(band_tiles: DataFrame,
         state = new_state
         if not n_changed:
             break
+    return state
 
-    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["fill_band", "n_pixels", "sum_fill_fp", "max_fill_fp"]
-        parts = []
-        from remotior_sensus_spark import NODATA
+
+def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
+                     max_rounds: int = 10_000,
+                     inner_cap: int | None = None) -> DataFrame:
+    """The filled DEM as a standard tile stream (tile_x, tile_y,
+    pixels with the NODATA sentinel) — the composition point: feed the
+    output straight into d8 / accumulation / watershed / stream-order
+    operators, exactly the fill-then-route workflow every real
+    hydrology pipeline runs."""
+    from remotior_sensus_spark import NODATA
+
+    state = fill_depressions_state(band_tiles, tile_px, max_rounds,
+                                   inner_cap)
+
+    def to_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_px = []
         for _, r in pdf.iterrows():
-            z = np.asarray(r["pixels"], dtype=np.float64)
-            z = np.where(z == float(NODATA), np.nan, z)
             f = np.asarray(r["filled"], dtype=np.float64)
-            v = ~np.isnan(z)
-            if not v.any():
-                continue
-            delta = f[v] - z[v]
-            fp = np.floor(delta * 1e6 + 0.5).astype(np.int64)
-            band = np.full(len(fp), -1, dtype=np.int64)
-            pos = fp > 0
-            _, expo = np.frexp(fp[pos].astype(np.float64))
-            band[pos] = expo - 1
-            parts.append(pd.DataFrame({
-                "fill_band": band, "n_pixels": 1,
-                "sum_fill_fp": fp, "max_fill_fp": fp}))
-        if not parts:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in cols})
-        allp = pd.concat(parts, ignore_index=True)
-        g = allp.groupby("fill_band", as_index=False).agg(
-            n_pixels=("n_pixels", "sum"), sum_fill_fp=("sum_fill_fp", "sum"),
-            max_fill_fp=("max_fill_fp", "max"))
-        return g.astype("int64")
+            out_px.append(np.where(np.isnan(f), float(NODATA),
+                                   f).tolist())
+        return pd.DataFrame({
+            "tile_x": pdf["tile_x"].astype("int32"),
+            "tile_y": pdf["tile_y"].astype("int32"),
+            "pixels": out_px})
 
-    per_part = state.select("pixels", "filled").mapInPandas(
-        lambda it: (census_kern(pdf) for pdf in it),
-        "fill_band long, n_pixels long, sum_fill_fp long, max_fill_fp long")
-    return (per_part.groupBy(
-        F.col("fill_band").cast("int").alias("fill_band"))
-        .agg(F.sum("n_pixels").alias("n_pixels"),
-             F.sum("sum_fill_fp").alias("sum_fill_fp"),
-             F.max("max_fill_fp").alias("max_fill_fp")))
+    return state.select("tile_x", "tile_y", "filled").mapInPandas(
+        lambda it: (to_tiles(pdf) for pdf in it),
+        "tile_x int, tile_y int, pixels array<double>")

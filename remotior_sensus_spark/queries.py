@@ -5268,6 +5268,25 @@ def fill_depressions_q(spark, sf_dir):
     return hydrology.fill_depressions_tiles(t64, tile_px=t_px)
 
 
+@q("filled_flow_accumulation",
+   f"select * from '{GEO01}/expected/filled_flow_accumulation.parquet'")
+def filled_flow_accumulation_q(spark, sf_dir):
+    """The fill-then-route composition every real hydrology pipeline
+    runs: fill depressions (hydrology.filled_dem_tiles — the converged
+    relaxation state re-emitted as a standard tile stream), then exact
+    global flow accumulation over the FILLED surface, unchanged
+    machinery. Pits become flats whose cells are sinks (no epsilon
+    gradient imposed), so accumulation concentrates along spillways
+    instead of dying in pits. Oracle: heapq priority-flood + dense D8
+    rebuild chained in synth/expected.py
+    build_filled_flow_accumulation."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    filled = hydrology.filled_dem_tiles(t64, tile_px=t_px)
+    return hydrology.flow_accumulation_tiles(filled, tile_px=t_px)
+
+
 @q("tpi_landform", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
@@ -7066,7 +7085,8 @@ ORACLE_BUILDERS = {
         "polygonize_wkt", "region_growing", "media_thumbnails",
         "video_frame_sample", "warp_crs", "flow_accumulation",
         "watershed_basins", "twi_census", "stream_order",
-        "flow_length", "fill_depressions")},
+        "flow_length", "fill_depressions",
+        "filled_flow_accumulation")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 14
+_EXPECTED_VERSION = 15
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -907,6 +907,30 @@ def build_fill_depressions(sf: float) -> pa.Table:
     })
 
 
+def build_filled_flow_accumulation(sf: float) -> pa.Table:
+    """Flow accumulation over the FILLED DEM (the fill-then-route
+    pipeline): heapq priority-flood fill, then the dense D8 resolution
+    — both independent of the tiled engine path."""
+    r = _full_raster(sf)
+    filled = _dense_priority_flood(r)
+    valid, acc, _sink = _dense_flow_array(filled)
+    vals = acc[valid]
+    _, expo = np.frexp(vals.astype(np.float64))
+    band = (expo - 1).astype(np.int64)
+    rows = []
+    for b in np.unique(band):
+        sel = band == b
+        rows.append((int(b), int(sel.sum()), int(vals[sel].sum()),
+                     int(vals[sel].max())))
+    rows.sort()
+    return pa.table({
+        "acc_band": pa.array([r_[0] for r_ in rows], type=pa.int32()),
+        "n_pixels": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "sum_acc": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+        "max_acc": pa.array([r_[3] for r_ in rows], type=pa.int64()),
+    })
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -925,6 +949,7 @@ BUILDERS = {
     "stream_order": build_stream_order,
     "flow_length": build_flow_length,
     "fill_depressions": build_fill_depressions,
+    "filled_flow_accumulation": build_filled_flow_accumulation,
 }
 
 

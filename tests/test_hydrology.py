@@ -588,3 +588,39 @@ def test_fill_inner_cap_does_not_change_answer(spark):
     full = _spark_fill_census(fill_depressions_tiles(tiles))
     capped = _spark_fill_census(fill_depressions_tiles(tiles, inner_cap=2))
     assert full == capped
+
+
+def test_spark_filled_flow_matches_brute_composition(spark):
+    """fill -> route composition vs the brute pair: Gauss-Seidel dict
+    fill, then the per-pixel path walk over the filled surface."""
+    from remotior_sensus_spark.operators.hydrology import (
+        fill_depressions_tiles, filled_dem_tiles, flow_accumulation_tiles)
+
+    r = _basin_raster(64, 64, seed=5)
+    brute_filled = _brute_fill(r)
+    rf = np.full_like(r, np.nan)
+    for (y, x), f in brute_filled.items():
+        rf[y, x] = f
+    bacc, _ = _brute_walk(rf)
+    want = _acc_census(bacc, ~np.isnan(rf))
+
+    tiles = _tiles_df(spark, r)
+    filled = filled_dem_tiles(tiles, tile_px=16)
+    got = _spark_acc_census(flow_accumulation_tiles(filled, tile_px=16))
+    assert got == want
+    # and the composition genuinely moved flow: the raw-surface census
+    # must differ (the bowls kill paths on the unfilled DEM)
+    raw = _spark_acc_census(flow_accumulation_tiles(tiles, tile_px=16))
+    assert raw != got
+
+
+def test_spark_filled_flow_matches_dense_oracle_sf0001(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.synth.expected import (
+        build_filled_flow_accumulation)
+
+    got = _spark_acc_census(
+        Q.REGISTRY["filled_flow_accumulation"][0](spark, SF_DIR))
+    exp = build_filled_flow_accumulation(0.001).to_pydict()
+    assert got == {b: (n, s, m) for b, n, s, m in zip(
+        exp["acc_band"], exp["n_pixels"], exp["sum_acc"], exp["max_acc"])}
