@@ -674,3 +674,55 @@ def pq_assign_audit(embeddings: DataFrame, n_codes: int = 16,
         .groupBy(F.col("subspace").cast("int").alias("subspace"), "code_id")
         .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("sum_dist"))
     )
+
+
+def semdedup(embeddings: DataFrame, n_lists: int = 16,
+             threshold: float = 0.35) -> DataFrame:
+    """SemDeDup-style semantic dedup census (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into coarse clusters
+    (the IVF inverted lists — same codebook as ann_cosine_ivf), then
+    WITHIN each cluster mark every vector that has a higher-similarity
+    twin: vec v is dropped iff some u in the same list has
+    cos_fp(u, v) >= threshold and u.vec_id < v.vec_id (deterministic
+    min-id survivor — the same keep rule as dedup_survivors). Returns
+    one row per list: (list_id, n_vecs, n_dropped, n_kept).
+
+    Scale shape: the all-pairs step is CONFINED to one inverted list —
+    SemDeDup's contract is that n_lists grows with the corpus
+    (the paper uses k ~= sqrt(N)-scale clusterings), keeping per-list
+    occupancy bounded, so the within-list self-join proposes
+    O(N^2 / n_lists) pairs, never corpus x corpus. The join is an
+    equi-join on list_id (shuffle-hash, co-partitioned both sides);
+    the codebook broadcast + assignment argmax is the single
+    corpus-wide shuffle, shared with ivf_inverted_lists. For skewed
+    lists the ivf_list_balance audit is the guard rail: a list holding
+    >> N/n_lists vectors is the signal to re-train / split the
+    codebook before running semdedup, exactly as in the paper.
+
+    Exactness: the cosine is the order-independent fixed-point dot
+    (_dot_fp, quantized 2^-20 BIGINT sums) divided as one double op —
+    bit-identical in DuckDB, so the threshold compare can never
+    straddle engines.
+
+    Reference scope: the reference has no semantic dedup; this is the
+    LLM-curation extension family (SURVEY.md: training-data ops).
+    """
+    codebook = ivf_coarse_codebook(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, codebook)
+    a = inv.select(F.col("list_id"), F.col("vec_id").alias("vid_a"),
+                   F.col("embedding").alias("emb_a"))
+    b = inv.select(F.col("list_id"), F.col("vec_id").alias("vid_b"),
+                   F.col("embedding").alias("emb_b"))
+    pairs = a.hint("shuffle_hash").join(b, "list_id").filter(
+        F.col("vid_b") < F.col("vid_a"))
+    qual = pairs.filter(
+        _cos_fp(F.col("emb_a"), F.col("emb_b")) >= F.lit(threshold))
+    dropped = qual.select("list_id", F.col("vid_a").alias("vec_id")).distinct()
+    per_list = inv.groupBy("list_id").agg(F.count("*").alias("n_vecs"))
+    drops = dropped.groupBy("list_id").agg(F.count("*").alias("n_dropped"))
+    zero = F.lit(0).cast("long")
+    return (per_list.join(drops, "list_id", "left")
+            .select(F.col("list_id"), F.col("n_vecs"),
+                    F.coalesce(F.col("n_dropped"), zero).alias("n_dropped"),
+                    (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), zero)
+                     ).alias("n_kept")))

@@ -7063,6 +7063,38 @@ def rolling_wau_q(spark, sf_dir):
     return ev_ops.rolling_wau(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("semdedup", f"""
+with e as (select vec_id, embedding as emb from embeddings),
+cents as (select vec_id as cid, emb as ce from e
+          order by md5(cast(vec_id as varchar)), vec_id limit 16),
+ac as (select e.vec_id, e.emb, cents.cid,
+              {_cosfp_sql('emb', 'ce')} as c_cos
+       from e cross join cents),
+inv as (select vec_id, emb, cid as list_id from (
+    select *, row_number() over (partition by vec_id
+                                 order by c_cos desc, cid) as rn from ac)
+  where rn = 1),
+qual as (select a.list_id, a.vec_id
+  from inv a join inv b on a.list_id = b.list_id
+                       and b.vec_id < a.vec_id
+  where {_cosfp_sql('a.emb', 'b.emb')} >= 0.35),
+dropped as (select distinct list_id, vec_id from qual),
+per_list as (select list_id, count(*) as n_vecs from inv group by 1),
+drops as (select list_id, count(*) as n_dropped from dropped group by 1)
+select per_list.list_id, n_vecs,
+  coalesce(n_dropped, 0) as n_dropped,
+  n_vecs - coalesce(n_dropped, 0) as n_kept
+from per_list left join drops on per_list.list_id = drops.list_id
+""")
+def semdedup_q(spark, sf_dir):
+    """SemDeDup census: within-IVF-list near-twin drop counts under
+    the deterministic min-id survivor rule (similarity.semdedup) —
+    the semantic leg of the dedup family next to dedup_exact /
+    minhash_lsh / dedup_embedding."""
+    return sim.semdedup(cat.load_driver(spark, sf_dir, "embeddings"),
+                        n_lists=16, threshold=0.35)
+
+
 # oracles whose SQL embeds data-derived constants (grid extents, ML
 # training stats) are rebuilt per geo dir here — tests at sf0.001 use
 # these instead of string-replacing the sf0.01 paths

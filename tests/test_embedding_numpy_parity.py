@@ -184,3 +184,44 @@ def test_knn_label_vote_matches_numpy(spark, emb):
     got = {r["query_id"]: (r["own_label"], r["voted_label"], r["n_votes"])
            for r in Q.REGISTRY["knn_label_vote"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+def test_semdedup_matches_numpy(spark, emb):
+    """Independent rebuild of the SemDeDup census: md5-order codebook,
+    argmax assignment (tie -> smaller centroid id), within-list
+    pairwise fixed-point cosine, min-id survivor drop rule — all in
+    numpy/hashlib, no SQL formulation shared with the oracle."""
+    ids, _labels, v, _vq = emb
+    fp = 1 << 20
+
+    def dotfp(a, b):
+        return int(np.floor(a * b * fp + 0.5).astype(np.int64).sum())
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    cents = [(int(ids[i]), v[i]) for i in order[:16]]
+
+    def cosfp(a, b):
+        return dotfp(a, b) / (np.sqrt(dotfp(a, a)) * np.sqrt(dotfp(b, b)))
+
+    assign = {}
+    for i in range(len(ids)):
+        best = max(((cosfp(v[i], ce), -cid, cid) for cid, ce in cents))
+        assign[int(ids[i])] = best[2]
+    lists = {}
+    for vid, lid in assign.items():
+        lists.setdefault(lid, []).append(vid)
+    ref = {}
+    bywid = {int(ids[i]): v[i] for i in range(len(ids))}
+    for lid, members in lists.items():
+        members = sorted(members)
+        dropped = 0
+        for j, vb in enumerate(members):
+            if any(cosfp(bywid[vb], bywid[va]) >= 0.35
+                   for va in members[:j]):
+                dropped += 1
+        ref[lid] = (len(members), dropped, len(members) - dropped)
+    got = {r["list_id"]: (r["n_vecs"], r["n_dropped"], r["n_kept"]) for r in
+           Q.REGISTRY["semdedup"][0](spark, SF_DIR).collect()}
+    assert got == ref

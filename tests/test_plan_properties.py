@@ -404,3 +404,15 @@ def test_no_static_pixel_broadcasts_geostats_and_warp(spark):
                  "landscape_metrics"):
         plan = _shape(spark, name)
         assert _static_pixel_broadcasts(plan) == 0, (name, plan)
+
+
+def test_semdedup_pairs_confined_to_lists(spark):
+    df = Q.REGISTRY["semdedup"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # the codebook assignment is the bounded broadcast crossJoin; the
+    # all-pairs step must be an equi-join ON list_id (shuffle-hash by
+    # design — a broadcast of the full inverted index would ship the
+    # corpus to every task; a cartesian pairing would be corpus^2)
+    assert "CartesianProduct" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
