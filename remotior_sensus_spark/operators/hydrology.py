@@ -1364,15 +1364,35 @@ def fill_depressions_state(band_tiles: DataFrame,
     fill census and the filled-DEM composition operators."""
     T = tile_px or TILE_PX
     cap = inner_cap or 4 * T
-    spark = band_tiles.sparkSession
 
     def kern(pdf):
         return _fill_round_kernel(pdf, T, cap)
 
+    return _relax_rounds(
+        band_tiles, kern, _FILL_SCHEMA, "array<double>", max_rounds,
+        "fill_depressions: relaxation exceeded {} rounds — cross-tile "
+        "fill depth beyond guard (see the Barnes-2016 condensate note "
+        "in the docstring)")
+
+
+def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
+                  state_type: str, max_rounds: int,
+                  err_fmt: str) -> DataFrame:
+    """Generic chaotic-relaxation driver shared by every monotone
+    tile-halo fixpoint operator (depression fill, cost distance): run
+    `kern` over 3x3-tile halo groups until no tile reports change.
+    Rounds 1-2 touch every tile (init + first exchange); from round 3
+    the ACTIVE SET narrows to tiles whose 3x3 neighbourhood changed
+    last round, so quiescent regions stop shipping entirely.
+    Exactness is the KERNEL's contract (monotone update from
+    upper/lower bounds with a unique fixpoint); this driver only
+    schedules it."""
+    spark = band_tiles.sparkSession
+
     state = band_tiles.select(
         "tile_x", "tile_y",
         F.col("pixels").cast("array<double>").alias("pixels"),
-        F.lit(None).cast("array<double>").alias("filled"),
+        F.lit(None).cast(state_type).alias("filled"),
         F.lit(1).alias("changed")).localCheckpoint()
 
     offsets = F.array(*[
@@ -1382,15 +1402,12 @@ def fill_depressions_state(band_tiles: DataFrame,
     while True:
         rounds += 1
         if rounds > max_rounds:
-            raise RuntimeError(
-                f"fill_depressions: relaxation exceeded {max_rounds} "
-                "rounds — cross-tile fill depth beyond guard (see the "
-                "Barnes-2016 condensate note in the docstring)")
+            raise RuntimeError(err_fmt.format(max_rounds))
         if rounds <= 2:
             # init + first exchange touch every tile anyway
             new_state = _halo2(state.drop("changed")).groupBy(
                 "target_tx", "target_ty").applyInPandas(
-                kern, _FILL_SCHEMA).localCheckpoint()
+                kern, schema).localCheckpoint()
         else:
             # active-set narrowing: only tiles whose 3x3 neighbourhood
             # changed can move; everything else passes through. The
@@ -1410,7 +1427,7 @@ def fill_depressions_state(band_tiles: DataFrame,
                 "left_semi")
             processed = halo_in.groupBy(
                 "target_tx", "target_ty").applyInPandas(
-                kern, _FILL_SCHEMA)
+                kern, schema)
             untouched = state.join(
                 F.broadcast(targets
                             .withColumnRenamed("target_tx", "tile_x")
@@ -1457,3 +1474,203 @@ def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     return state.select("tile_x", "tile_y", "filled").mapInPandas(
         lambda it: (to_tiles(pdf) for pdf in it),
         "tile_x int, tile_y int, pixels array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Cost distance (multi-source least-cost paths over a cost surface)
+# ---------------------------------------------------------------------------
+
+_COST_SCHEMA = ("tile_x int, tile_y int, pixels array<double>, "
+                "filled array<long>, changed long")
+
+# fixed-point step weights: moving between 8-adjacent cells u, v costs
+# (cost(u) + cost(v)) / 2 * step_length. In integers:
+#   cardinal  -> (cu + cv) * 500_000        (= avg * 1e6)
+#   diagonal  -> (cu + cv) * 707_107        (= avg * 1_414_214 / 2)
+# — the same sqrt(2) fixed-point convention as flow_length_tiles'
+# 1_414_214 diagonal step, so all distances are exact BIGINTs.
+_K_CARD = 500_000
+_K_DIAG = 707_107
+_COST_INF = np.int64(1) << np.int64(62)
+# barrier stand-in cost for invalid cells: any candidate through a
+# barrier exceeds _COST_INF after one addition yet stays < 2^63
+_COST_BARRIER = np.int64(1) << np.int64(40)
+# source rule: the cheapest cells of the synthetic cost surface
+# (values 100..4999) act as the facility set, ~0.08% density
+_SRC_MAX = 103
+
+
+def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
+    """One Bellman-Ford relaxation round for one tile: assemble the
+    cost / distance halo pads, then iterate
+        d(v) = 0                                  if v is a source
+        d(v) = min(d(v), min_u d(u) + w(u, v))    otherwise
+    over the WHOLE 3T pad interior to a pad-local fixpoint (neighbour
+    blocks relax as scratch — monotone decrease from upper bounds
+    stays an upper bound, so global no-change still implies the global
+    fixpoint = the exact multi-source shortest-path distances, the
+    same argument as _fill_round_kernel). All arithmetic is int64 on
+    the fixed-point weights above, so the fixpoint is bit-exact
+    against the independently-written heapq Dijkstra oracle
+    (synth/expected.py build_cost_distance). Nodata cells are
+    barriers: cost _COST_BARRIER makes any step through them exceed
+    _COST_INF (min never selects it) without ever overflowing int64.
+    The outermost pad ring has an incomplete neighbourhood and is held
+    fixed."""
+    empty = pd.DataFrame({
+        "tile_x": pd.Series(dtype="int32"),
+        "tile_y": pd.Series(dtype="int32"),
+        "pixels": pd.Series(dtype="object"),
+        "filled": pd.Series(dtype="object"),
+        "changed": pd.Series(dtype="int64")})
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return empty
+    from remotior_sensus_spark.operators.focal import _assemble_padded
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    z_pad = _assemble_padded(pdf, tile_px=T)
+    P = 3 * T
+    valid_pad = ~np.isnan(z_pad)
+    src_pad = valid_pad & (z_pad <= _SRC_MAX)
+    c64 = np.where(valid_pad, np.nan_to_num(z_pad, nan=0.0),
+                   0.0).astype(np.int64)
+    c64[~valid_pad] = _COST_BARRIER
+
+    init = centre["filled"].iloc[0] is None
+    if init:
+        d_pad = np.where(src_pad, np.int64(0), _COST_INF)
+    else:
+        d_pad = np.full((P, P), _COST_INF, dtype=np.int64)
+        for _, r in pdf.iterrows():
+            a = np.asarray(r["filled"], dtype=np.int64).reshape(T, T)
+            ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
+            xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
+            d_pad[ys, xs] = a
+    dc0 = d_pad[T:2 * T, T:2 * T].copy()
+
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+    ci = c64[1:-1, 1:-1]
+    # per-shift step weights are round-invariant: precompute once
+    w8 = []
+    for dy, dx in shifts:
+        k = _K_DIAG if (dx != 0 and dy != 0) else _K_CARD
+        w8.append((dy, dx,
+                   (ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k))
+    src_i = src_pad[1:-1, 1:-1]
+    vi = valid_pad[1:-1, 1:-1]
+    converged = False
+    for _ in range(inner_cap):
+        nb_min = np.full((P - 2, P - 2), _COST_INF, dtype=np.int64)
+        for dy, dx, w in w8:
+            np.minimum(nb_min,
+                       d_pad[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx] + w,
+                       out=nb_min)
+        cur = d_pad[1:-1, 1:-1]
+        new = np.where(src_i, np.int64(0), np.minimum(cur, nb_min))
+        new = np.where(vi, new, _COST_INF)
+        # barrier detours can produce candidates above _COST_INF:
+        # clamp so "unreached" stays the single sentinel value
+        np.minimum(new, _COST_INF, out=new)
+        if np.array_equal(new, cur):
+            converged = True
+            break
+        d_pad[1:-1, 1:-1] = new
+    final = d_pad[T:2 * T, T:2 * T]
+    changed = int(init or not converged or not np.array_equal(final, dc0))
+    return pd.DataFrame({
+        "tile_x": [tx], "tile_y": [ty],
+        "pixels": [centre["pixels"].iloc[0]],
+        "filled": [final.ravel().tolist()],
+        "changed": [changed]})
+
+
+def cost_distance_state(band_tiles: DataFrame, tile_px: int | None = None,
+                        max_rounds: int = 10_000,
+                        inner_cap: int | None = None) -> DataFrame:
+    """Converged cost-distance state (tile_x, tile_y, pixels,
+    filled=int64 distances, _COST_INF at unreached/invalid cells)."""
+    T = tile_px or TILE_PX
+    cap = inner_cap or 4 * T
+
+    def kern(pdf):
+        return _cost_round_kernel(pdf, T, cap)
+
+    return _relax_rounds(
+        band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+        "cost_distance: relaxation exceeded {} rounds — cross-tile "
+        "path depth beyond guard (source density too low for the "
+        "round budget; raise max_rounds or densify sources)")
+
+
+def cost_distance_tiles(band_tiles: DataFrame,
+                        tile_px: int | None = None,
+                        max_rounds: int = 10_000,
+                        inner_cap: int | None = None) -> DataFrame:
+    """Cost-distance census: every valid pixel's least accumulated
+    cost over 8-connected paths to the nearest SOURCE cell (cost-band
+    value <= _SRC_MAX), where stepping between adjacent cells costs
+    the average of their surface values times the step length (exact
+    fixed-point: see _K_CARD/_K_DIAG). Nodata cells are impassable
+    barriers. Output: one row per log2 band of the int64 distance with
+    (dist_band, n_pixels, sum_dist_fp, max_dist_fp); band -1 = source
+    cells (distance 0), band -2 = valid cells unreachable from any
+    source (barrier-enclosed), with sums 0.
+
+    Algorithm: chaotic relaxation of the Bellman-Ford fixpoint across
+    tiles (_relax_rounds driver, shared with fill_depressions) —
+    vectorized to an in-pad fixpoint within each Arrow group per
+    round, monotone decreasing int64 upper bounds from +inf, sources
+    pinned at 0. The unique fixpoint IS the multi-source Dijkstra
+    answer, bit-exact vs the independently-written heapq oracle.
+
+    Scale shape: identical to fill_depressions — rounds = cross-TILE
+    dependency depth of the least-cost paths (one tile-ring per round
+    after each in-pad solve); at ~0.08% source density paths span a
+    few tiles, and from round 3 only the active frontier ships.
+    Distances stay exact to 2^62 (int64 state column end to end — a
+    double state would silently round above 2^53).
+
+    Reference scope: the reference has no cost-distance operator
+    (standard GIS op: GRASS r.cost / ArcGIS CostDistance); census
+    design matches the fill/flow family."""
+    state = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap)
+
+    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["dist_band", "n_pixels", "sum_dist_fp", "max_dist_fp"]
+        from remotior_sensus_spark import NODATA
+        parts = []
+        for _, r in pdf.iterrows():
+            z = np.asarray(r["pixels"], dtype=np.float64)
+            v = (z != float(NODATA)) & ~np.isnan(z)
+            if not v.any():
+                continue
+            d = np.asarray(r["filled"], dtype=np.int64)[v]
+            band = np.full(len(d), -1, dtype=np.int64)
+            unreached = d >= _COST_INF
+            band[unreached] = -2
+            pos = (d > 0) & ~unreached
+            _, expo = np.frexp(d[pos].astype(np.float64))
+            band[pos] = expo - 1
+            dd = np.where(unreached, np.int64(0), d)
+            parts.append(pd.DataFrame({
+                "dist_band": band, "n_pixels": 1,
+                "sum_dist_fp": dd, "max_dist_fp": dd}))
+        if not parts:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols})
+        allp = pd.concat(parts, ignore_index=True)
+        return allp.groupby("dist_band", as_index=False).agg(
+            n_pixels=("n_pixels", "sum"),
+            sum_dist_fp=("sum_dist_fp", "sum"),
+            max_dist_fp=("max_dist_fp", "max")).astype("int64")
+
+    per_part = state.select("pixels", "filled").mapInPandas(
+        lambda it: (census_kern(pdf) for pdf in it),
+        "dist_band long, n_pixels long, sum_dist_fp long, max_dist_fp long")
+    return (per_part.groupBy(
+        F.col("dist_band").cast("int").alias("dist_band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_dist_fp").alias("sum_dist_fp"),
+             F.max("max_dist_fp").alias("max_dist_fp")))

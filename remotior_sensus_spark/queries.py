@@ -7063,6 +7063,21 @@ def rolling_wau_q(spark, sf_dir):
     return ev_ops.rolling_wau(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("cost_distance",
+   f"select * from '{GEO01}/expected/cost_distance.parquet'")
+def cost_distance_q(spark, sf_dir):
+    """Multi-source least-cost distance census over the B04 cost
+    surface (sources = cells <= 103, ~0.08% density): Bellman-Ford
+    tile relaxation on the shared _relax_rounds driver, int64
+    fixed-point weights, bit-exact vs the independently-written heapq
+    Dijkstra oracle (synth/expected.py build_cost_distance)
+    (hydrology.cost_distance_tiles)."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.cost_distance_tiles(t64, tile_px=t_px)
+
+
 @q("semdedup", f"""
 with e as (select vec_id, embedding as emb from embeddings),
 cents as (select vec_id as cid, emb as ce from e
@@ -7118,7 +7133,7 @@ ORACLE_BUILDERS = {
         "video_frame_sample", "warp_crs", "flow_accumulation",
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
-        "filled_flow_accumulation")},
+        "filled_flow_accumulation", "cost_distance")},
 }
 
 
@@ -7133,7 +7148,19 @@ ORACLE_BUILDERS = {
 # family keeps another representative in the window:
 #   thermal_brightness (new, closes the Landsat preprocess sliver —
 #   VERDICT r04 #5) takes the slot of ndvi_change_classes, whose
-#   change-detection family stays represented by cva_change.
+#   change-detection family stays represented by cva_change;
+#   the 8 round-5 hydrology operators + semdedup (each a distinct §2
+#   operator, never driver-measured in any round — this is the LAST
+#   window) take the slots of hapax_rate + yule_k (corpus-stats:
+#   token_entropy / ttr_profile / vocab_zipf stay), bigram_entropy_rate
+#   (bigram_lm_proxy stays), dedup_degree_bands (dup_rate_by_source /
+#   doc_dup_profile / prefix_dup stay), dim_variance_profile +
+#   pq_assign_audit (quantize_error covers the lattice audits),
+#   activity_deciles + value_median_by_type + dense_hourly_counts
+#   (event_value_bands / engagement_ltv_matrix / rolling_wau keep the
+#   banding, LTV and calendar-spine shapes measured). Every evicted
+#   name keeps its strict sf0.01 check + pytest references as
+#   permanent evidence.
 _RUN_FIRST = [
     # hydrology / landform / texture rasters (round-4 wave)
     "d8_flow", "tpi_landform", "class_adjacency",
@@ -7143,23 +7170,27 @@ _RUN_FIRST = [
     "thermal_brightness",
     # spectral index family
     "evi_index",
+    # hydrology / cost-surface family (new round 5)
+    "flow_accumulation", "watershed_basins", "twi_census",
+    "stream_order", "flow_length", "fill_depressions",
+    "filled_flow_accumulation", "cost_distance",
+    # semantic dedup (new round 5)
+    "semdedup",
     # text-curation / LLM-pipeline wave
     "vocab_zipf", "bigram_lm_proxy", "dup_rate_by_source",
     "sequence_packing", "ttr_profile", "stopword_profile",
     "dup_ngram_coverage", "lang_confusion", "ngram_novelty",
     "token_entropy", "prefix_dup", "cross_source_contamination",
-    "doc_dup_profile", "hapax_rate", "yule_k", "bigram_entropy_rate",
-    "dedup_degree_bands",
+    "doc_dup_profile",
     # embedding audits
     "centroid_assign", "ann_recall_audit", "quantize_error",
     "class_scatter", "ivf_list_balance", "centroid_separation",
-    "ivf_recall_audit", "dim_variance_profile", "pq_assign_audit",
+    "ivf_recall_audit",
     # event analytics wave 2
     "conversion_lag_bands", "user_ltv_bands", "bot_bursts",
     "purchase_attribution", "funnel_stage_lags", "session_entry_exit",
-    "event_value_bands", "transition_entropy", "activity_deciles",
-    "engagement_ltv_matrix", "value_median_by_type",
-    "dense_hourly_counts", "rolling_wau",  # window now exactly 50
+    "event_value_bands", "transition_entropy",
+    "engagement_ltv_matrix", "rolling_wau",  # window now exactly 50
 ]
 
 # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 15
+_EXPECTED_VERSION = 16
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -931,6 +931,65 @@ def build_filled_flow_accumulation(sf: float) -> pa.Table:
     })
 
 
+def build_cost_distance(sf: float) -> pa.Table:
+    """Independent multi-source Dijkstra (heapq — a DIFFERENT algorithm
+    family from the engine's Bellman-Ford tile relaxation) over the
+    dense cost raster: sources are cells with value <= 103, step
+    weight between 8-adjacent cells is (cu + cv) * 500_000 cardinal /
+    (cu + cv) * 707_107 diagonal (exact ints, the engine's fixed-point
+    convention), nodata impassable. Census: log2 bands of the
+    distance; band -1 = sources, band -2 = unreachable valid cells."""
+    import heapq
+
+    r = _full_raster(sf)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    c = np.where(valid, np.nan_to_num(r, nan=0.0), 0.0).astype(np.int64)
+    INF = 1 << 62
+    dist = [[INF] * W for _ in range(H)]
+    pq = []
+    sy, sx = np.nonzero(valid & (r <= 103))
+    for y, x in zip(sy.tolist(), sx.tolist()):
+        dist[y][x] = 0
+        pq.append((0, y, x))
+    heapq.heapify(pq)
+    nbrs = [(dy, dx, 707107 if dy and dx else 500000)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
+    cl = c.tolist()
+    vl = valid.tolist()
+    while pq:
+        d, y, x = heapq.heappop(pq)
+        if d > dist[y][x]:
+            continue
+        cu = cl[y][x]
+        for dy, dx, k in nbrs:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < H and 0 <= nx < W and vl[ny][nx]:
+                nd = d + (cu + cl[ny][nx]) * k
+                if nd < dist[ny][nx]:
+                    dist[ny][nx] = nd
+                    heapq.heappush(pq, (nd, ny, nx))
+    da = np.array(dist, dtype=np.int64)[valid]
+    band = np.full(len(da), -1, dtype=np.int64)
+    band[da >= INF] = -2
+    pos = (da > 0) & (da < INF)
+    _, expo = np.frexp(da[pos].astype(np.float64))
+    band[pos] = expo - 1
+    dd = np.where(da >= INF, np.int64(0), da)
+    import pandas as pd  # local: expected.py is otherwise pandas-free
+    g = pd.DataFrame({"dist_band": band, "n_pixels": 1,
+                      "sum_dist_fp": dd, "max_dist_fp": dd}).groupby(
+        "dist_band", as_index=False).agg(
+        n_pixels=("n_pixels", "sum"), sum_dist_fp=("sum_dist_fp", "sum"),
+        max_dist_fp=("max_dist_fp", "max"))
+    return pa.table({
+        "dist_band": pa.array(g["dist_band"].astype("int32")),
+        "n_pixels": pa.array(g["n_pixels"].astype("int64")),
+        "sum_dist_fp": pa.array(g["sum_dist_fp"].astype("int64")),
+        "max_dist_fp": pa.array(g["max_dist_fp"].astype("int64"))})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -950,6 +1009,7 @@ BUILDERS = {
     "flow_length": build_flow_length,
     "fill_depressions": build_fill_depressions,
     "filled_flow_accumulation": build_filled_flow_accumulation,
+    "cost_distance": build_cost_distance,
 }
 
 

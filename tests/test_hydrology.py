@@ -624,3 +624,166 @@ def test_spark_filled_flow_matches_dense_oracle_sf0001(spark, geo001_dir):
     exp = build_filled_flow_accumulation(0.001).to_pydict()
     assert got == {b: (n, s, m) for b, n, s, m in zip(
         exp["acc_band"], exp["n_pixels"], exp["sum_acc"], exp["max_acc"])}
+
+
+# ---------------------------------------------------------------------------
+# Cost distance
+# ---------------------------------------------------------------------------
+
+_CD_NBRS = [(dy, dx, 707107 if dy and dx else 500000)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
+
+
+def _brute_cost(r, src_max=103):
+    """Gauss-Seidel label-correcting sweep over a dict — a THIRD
+    algorithm family (the engine is tiled Bellman-Ford, the oracle is
+    heapq Dijkstra): sweep all valid cells relaxing from current
+    labels until a full pass changes nothing. Exact int64 fixed-point
+    weights, same (cu+cv)*k convention."""
+    H, W = r.shape
+    INF = 1 << 62
+    c = {}
+    d = {}
+    for y in range(H):
+        for x in range(W):
+            if not np.isnan(r[y, x]):
+                c[(y, x)] = int(r[y, x])
+                d[(y, x)] = 0 if r[y, x] <= src_max else INF
+    changed = True
+    while changed:
+        changed = False
+        for (y, x), cu in c.items():
+            if d[(y, x)] == 0:
+                continue
+            best = d[(y, x)]
+            for dy, dx, k in _CD_NBRS:
+                n = (y + dy, x + dx)
+                if n in c and d[n] < INF:
+                    cand = d[n] + (c[n] + cu) * k
+                    if cand < best:
+                        best = cand
+            if best < d[(y, x)]:
+                d[(y, x)] = best
+                changed = True
+    return d
+
+
+def _cost_census_from_map(r, dmap):
+    INF = 1 << 62
+    census = {}
+    for (y, x), dv in dmap.items():
+        if dv == 0:
+            b = -1
+        elif dv >= INF:
+            b, dv = -2, 0
+        else:
+            b = int(dv).bit_length() - 1
+        n, s, m = census.get(b, (0, 0, 0))
+        census[b] = (n + 1, s + dv, max(m, dv))
+    return census
+
+
+def _spark_cost_census(df):
+    return {r["dist_band"]: (r["n_pixels"], r["sum_dist_fp"],
+                             r["max_dist_fp"]) for r in df.collect()}
+
+
+def _cost_raster(h, w, seed=11):
+    """Cost-surface stress case: mostly mid-cost terrain, a few cheap
+    source cells far apart (paths must span several tiles), a cheap
+    'road' row that bends optimal paths away from straight lines, and
+    a NaN barrier wall with one gap that forces detours — plus an
+    enclosed NaN-ringed pocket whose cells must come out unreachable
+    (band -2)."""
+    rng = np.random.RandomState(seed)
+    r = rng.randint(200, 5000, (h, w)).astype(float)
+    r[h // 3, :] = 110.0                       # cheap road
+    for (y, x) in ((2, 3), (h - 4, w - 3)):
+        r[y, x] = 101.0                        # sources, far corners
+    r[:, w // 2] = np.nan                      # wall...
+    r[h // 3, w // 2] = 120.0                  # ...with a gap on the road
+    r[h - 8:h - 3, 4] = np.nan                 # pocket ring (with edges)
+    r[h - 8:h - 3, 9] = np.nan
+    r[h - 8, 4:10] = np.nan
+    r[h - 3, 4:10] = np.nan
+    r[h - 6, 6] = 900.0                        # inside: unreachable
+    return r
+
+
+def test_brute_cost_matches_heapq_oracle_dense():
+    """The test-side Gauss-Seidel reference and the oracle-side
+    Dijkstra must agree cell-for-cell (independent of Spark)."""
+    import heapq
+
+    r = _cost_raster(40, 48)
+    d = _brute_cost(r)
+    # inline heapq Dijkstra, same as synth/expected.py's family
+    INF = 1 << 62
+    dd = {k: (0 if r[k] <= 103 else INF) for k in d}
+    pq = [(0, k) for k, v in dd.items() if v == 0]
+    heapq.heapify(pq)
+    while pq:
+        dist, (y, x) = heapq.heappop(pq)
+        if dist > dd[(y, x)]:
+            continue
+        for dy, dx, k in _CD_NBRS:
+            n = (y + dy, x + dx)
+            if n in dd:
+                nd = dist + (int(r[y, x]) + int(r[n])) * k
+                if nd < dd[n]:
+                    dd[n] = nd
+                    heapq.heappush(pq, (nd, n))
+    assert d == dd
+    # the pocket really is unreachable and the wall really detours
+    assert any(v >= INF for v in d.values())
+
+
+def test_spark_cost_distance_matches_brute(spark):
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_distance_tiles)
+
+    r = _cost_raster(64, 64, seed=11)
+    tiles = _tiles_df(spark, r)
+    got = _spark_cost_census(cost_distance_tiles(tiles, tile_px=16))
+    want = _cost_census_from_map(r, _brute_cost(r))
+    assert got == want
+    assert -1 in got and -2 in got  # sources and the pocket both hit
+
+
+def test_spark_cost_distance_tile_size_invariance(spark):
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_distance_tiles)
+
+    r = _cost_raster(128, 128, seed=23)
+    c16 = _spark_cost_census(
+        cost_distance_tiles(_tiles_df(spark, r, 16), tile_px=16))
+    c64 = _spark_cost_census(
+        cost_distance_tiles(_tiles_df(spark, r, 64), tile_px=64))
+    assert c16 == c64
+
+
+def test_cost_inner_cap_does_not_change_answer(spark):
+    """Cutting the in-pad solve short only adds OUTER rounds; the
+    Bellman-Ford fixpoint is the same."""
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_distance_tiles)
+
+    r = _cost_raster(64, 64, seed=29)
+    tiles = _tiles_df(spark, r)
+    full = _spark_cost_census(cost_distance_tiles(tiles, tile_px=16))
+    capped = _spark_cost_census(
+        cost_distance_tiles(tiles, tile_px=16, inner_cap=2))
+    assert full == capped
+
+
+def test_spark_cost_distance_matches_dense_oracle_sf0001(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.synth.expected import build_cost_distance
+
+    got = _spark_cost_census(
+        Q.REGISTRY["cost_distance"][0](spark, SF_DIR))
+    exp = build_cost_distance(0.001).to_pydict()
+    assert got == {b: (n, s, mx) for b, n, s, mx in zip(
+        exp["dist_band"], exp["n_pixels"], exp["sum_dist_fp"],
+        exp["max_dist_fp"])}
