@@ -50,6 +50,8 @@ corpus-scale exchange in either is the halo shuffle itself.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -1441,6 +1443,9 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
             new_state = (processed.unionByName(untouched)
                          .coalesce(n_part).localCheckpoint())
         n_changed = new_state.agg(F.sum("changed")).collect()[0][0]
+        if os.environ.get("SPARK_GRAFT_RELAX_LOG") == "1":
+            print(f"[relax] round {rounds}: {n_changed} tiles changed",
+                  flush=True)
         state = new_state
         if not n_changed:
             break
@@ -1516,7 +1521,20 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
     barriers: cost _COST_BARRIER makes any step through them exceed
     _COST_INF (min never selects it) without ever overflowing int64.
     The outermost pad ring has an incomplete neighbourhood and is held
-    fixed."""
+    fixed.
+
+    Pad-size trade, MEASURED at sf0.1 (2560^2, warm local[32], both
+    variants bit-exact vs brute on an 8-tile serpentine corridor):
+    the full-3T-pad solve converges in 2 outer rounds / 21 s; a
+    centre-tile-only (T+2 subpad) variant is ~20x cheaper per
+    tile-round but needs 15 rounds / 69-92 s — each extra round
+    re-ships the whole x9 halo, so ROUND COUNT dominates and the wide
+    pad wins (the opposite trade from a compute-bound kernel). An
+    iterated-directional-sweep (chamfer) inner solver also lost
+    (25-30 s): per-line numpy call overhead at 4 sweeps x 3T lines
+    exceeds the iteration savings, and trivial far-from-wavefront
+    tiles pay full sweep cost instead of one cheap vectorized
+    no-change pass."""
     empty = pd.DataFrame({
         "tile_x": pd.Series(dtype="int32"),
         "tile_y": pd.Series(dtype="int32"),
