@@ -80,6 +80,10 @@ HEADLINE = [
     # operator (round count = cross-tile fill depth) whose regressions
     # are round-count regressions, invisible without a bench row
     "fill_depressions",
+    # round-5 session 3: bounded-radius viewshed — the newest halo
+    # kernel family (per-observer flat ray gathers over the static
+    # R^3 geometry table); 4.7 s warm at sf0.1
+    "viewshed_census",
 ]
 
 

@@ -7078,6 +7078,23 @@ def cost_distance_q(spark, sf_dir):
     return hydrology.cost_distance_tiles(t64, tile_px=t_px)
 
 
+@q("viewshed_census",
+   f"select * from '{GEO01}/expected/viewshed_census.parquet'")
+def viewshed_census_q(spark, sf_dir):
+    """Bounded-radius multi-observer viewshed census over B03
+    (observers = cells >= 4990, R = 24, R3 sampled LOS with
+    exact-integer cross-multiplied angle tests): one halo exchange +
+    per-observer vectorized ray gathers inside the Arrow kernel
+    (geostats.viewshed_tiles), checked against an independently-
+    written dense per-offset shifted-array rebuild (synth/expected.py
+    build_viewshed) and a third per-pixel pure-Python reference in
+    tests/test_geostats.py."""
+    from remotior_sensus_spark.operators import geostats
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B03"), sf_dir)
+    return geostats.viewshed_tiles(t64, tile_px=t_px)
+
+
 @q("semdedup", f"""
 with e as (select vec_id, embedding as emb from embeddings),
 cents as (select vec_id as cid, emb as ce from e
@@ -7133,7 +7150,8 @@ ORACLE_BUILDERS = {
         "video_frame_sample", "warp_crs", "flow_accumulation",
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
-        "filled_flow_accumulation", "cost_distance")},
+        "filled_flow_accumulation", "cost_distance",
+        "viewshed_census")},
 }
 
 
@@ -7158,9 +7176,11 @@ ORACLE_BUILDERS = {
 #   pq_assign_audit (quantize_error covers the lattice audits),
 #   activity_deciles + value_median_by_type + dense_hourly_counts
 #   (event_value_bands / engagement_ltv_matrix / rolling_wau keep the
-#   banding, LTV and calendar-spine shapes measured). Every evicted
-#   name keeps its strict sf0.01 check + pytest references as
-#   permanent evidence.
+#   banding, LTV and calendar-spine shapes measured);
+#   viewshed_census (new round 5) takes the slot of transition_entropy
+#   (event_transitions, its parent shape, is r04 driver-proven).
+#   Every evicted name keeps its strict sf0.01 check + pytest
+#   references as permanent evidence.
 _RUN_FIRST = [
     # hydrology / landform / texture rasters (round-4 wave)
     "d8_flow", "tpi_landform", "class_adjacency",
@@ -7186,10 +7206,12 @@ _RUN_FIRST = [
     "centroid_assign", "ann_recall_audit", "quantize_error",
     "class_scatter", "ivf_list_balance", "centroid_separation",
     "ivf_recall_audit",
+    # viewshed (new round 5)
+    "viewshed_census",
     # event analytics wave 2
     "conversion_lag_bands", "user_ltv_bands", "bot_bursts",
     "purchase_attribution", "funnel_stage_lags", "session_entry_exit",
-    "event_value_bands", "transition_entropy",
+    "event_value_bands",
     "engagement_ltv_matrix", "rolling_wau",  # window now exactly 50
 ]
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 16
+_EXPECTED_VERSION = 17
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -990,6 +990,65 @@ def build_cost_distance(sf: float) -> pa.Table:
         "max_dist_fp": pa.array(g["max_dist_fp"].astype("int64"))})
 
 
+
+def build_viewshed(sf: float) -> pa.Table:
+    """Independent dense viewshed rebuild: whole-raster shifted-array
+    sweep per (target-offset, ray-step) pair — a DIFFERENT
+    decomposition from the engine's per-observer flat-gather kernel
+    (no halo, no observer loop; the blocking test runs as dense masks
+    over every candidate observer cell simultaneously). Same public
+    definition: observers are valid cells >= 4990, R = 24 Chebyshev,
+    R3 sampled LOS with the exact-integer nearest-cell rule,
+    cross-multiplied angle comparison on rint(z * 1e6) int64, nodata
+    opaque. Census: (n_visible, n_pixels) over valid cells."""
+    radius = 24
+    r = _full_raster(sf, band_idx=1)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    zq = np.where(valid, np.rint(np.nan_to_num(r, nan=0.0) * 1e6),
+                  0.0).astype(np.int64)
+    OPAQUE = np.int64(1) << np.int64(50)
+    zq[~valid] = OPAQUE
+    obs = valid & (zq >= np.int64(4990) * 1_000_000)
+    counts = np.zeros((H, W), dtype=np.int64)
+
+    def minor(m, i, d):
+        if m >= 0:
+            return (2 * m * i + d) // (2 * d)
+        return -((2 * (-m) * i + d) // (2 * d))
+
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            d = max(abs(dy), abs(dx))
+            if d == 0:
+                continue
+            # observer slice o; target slice t = o + (dy, dx)
+            oy = slice(max(0, -dy), H - max(0, dy))
+            ox = slice(max(0, -dx), W - max(0, dx))
+            ty = slice(max(0, dy), H - max(0, -dy))
+            tx = slice(max(0, dx), W - max(0, -dx))
+            z_o = zq[oy, ox]
+            z_t = zq[ty, tx]
+            blocked = np.zeros(z_o.shape, dtype=bool)
+            for i in range(1, d):
+                if abs(dy) >= abs(dx):
+                    py = i if dy > 0 else -i
+                    px = minor(dx, i, d)
+                else:
+                    px = i if dx > 0 else -i
+                    py = minor(dy, i, d)
+                z_p = zq[oy.start + py:oy.stop + py,
+                         ox.start + px:ox.stop + px]
+                blocked |= (z_p - z_o) * d >= (z_t - z_o) * i
+            counts[ty, tx] += (obs[oy, ox] & ~blocked
+                               & (z_t < OPAQUE)).astype(np.int64)
+    counts[obs] += 1
+    vals, n = np.unique(counts[valid], return_counts=True)
+    return pa.table({
+        "n_visible": pa.array(vals.astype("int32")),
+        "n_pixels": pa.array(n.astype("int64"))})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -1010,6 +1069,7 @@ BUILDERS = {
     "fill_depressions": build_fill_depressions,
     "filled_flow_accumulation": build_filled_flow_accumulation,
     "cost_distance": build_cost_distance,
+    "viewshed_census": build_viewshed,
 }
 
 

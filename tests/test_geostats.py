@@ -333,3 +333,124 @@ def test_accuracy_area_dense(spark, geo001_dir):
         for r in Q.queries()["accuracy_area"](spark, geo001_dir).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Viewshed (bounded-radius R3 sampled LOS)
+# ---------------------------------------------------------------------------
+
+def _vs_minor(m, i, d):
+    if m >= 0:
+        return (2 * m * i + d) // (2 * d)
+    return -((2 * (-m) * i + d) // (2 * d))
+
+
+def _brute_viewshed(r, radius, obs_min):
+    """Per-pixel pure-Python reference — literal (observer, target,
+    step) triple loop, a THIRD structure next to the engine's
+    per-observer flat gathers and the dense per-offset builder.
+    Returns {(y, x): n_visible} over valid cells."""
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    zq = {}
+    for y in range(H):
+        for x in range(W):
+            if valid[y, x]:
+                zq[(y, x)] = int(np.rint(r[y, x] * 1_000_000))
+    obs = [(y, x) for (y, x), z in zq.items()
+           if z >= obs_min * 1_000_000]
+    counts = {k: 0 for k in zq}
+    for (oy, ox) in obs:
+        z_o = zq[(oy, ox)]
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                ty, tx = oy + dy, ox + dx
+                if (ty, tx) not in zq:
+                    continue
+                d = max(abs(dy), abs(dx))
+                if d == 0:
+                    counts[(ty, tx)] += 1
+                    continue
+                z_t = zq[(ty, tx)]
+                vis = True
+                for i in range(1, d):
+                    if abs(dy) >= abs(dx):
+                        py = i if dy > 0 else -i
+                        px = _vs_minor(dx, i, d)
+                    else:
+                        px = i if dx > 0 else -i
+                        py = _vs_minor(dy, i, d)
+                    p = (oy + py, ox + px)
+                    z_p = zq.get(p)
+                    if z_p is None:          # nodata: opaque
+                        vis = False
+                        break
+                    if (z_p - z_o) * d >= (z_t - z_o) * i:
+                        vis = False
+                        break
+                if vis:
+                    counts[(ty, tx)] += 1
+    return counts
+
+
+def _vs_census(counts):
+    out = {}
+    for v in counts.values():
+        out[v] = out.get(v, 0) + 1
+    return out
+
+
+def _vs_raster(h, w, seed=7):
+    """Viewshed stress terrain: rolling hills with several sharp peaks
+    (observers), a tall ridge WALL that splits visibility, and NaN
+    holes (opaque) — peaks placed near tile borders so cross-tile
+    sightlines are exercised."""
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (1000.0 + 300.0 * np.sin(ys / 7.0) * np.cos(xs / 9.0)
+         + rng.randint(0, 80, (h, w))).astype(float)
+    r[:, w // 2] = 4000.0                   # ridge wall
+    for (y, x) in ((15, 15), (16, 33), (31, 17), (h - 2, w - 2),
+                   (0, 3), (17, w // 2)):   # peak ON the wall too
+        r[y, x] = 4500.0
+    r[rng.rand(h, w) < 0.02] = np.nan
+    return r
+
+
+def test_spark_viewshed_matches_brute(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import viewshed_tiles
+
+    r = _vs_raster(48, 48)
+    got = {row["n_visible"]: row["n_pixels"] for row in viewshed_tiles(
+        _tiles_df(spark, r, 16), radius=8, obs_min=4400.0,
+        tile_px=16).collect()}
+    want = _vs_census(_brute_viewshed(r, 8, 4400.0))
+    assert got == want
+    # the wall actually splits visibility and peaks see across tiles
+    assert max(got) >= 2 and 0 in got
+
+
+def test_spark_viewshed_tile_size_invariance(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import viewshed_tiles
+
+    r = _vs_raster(128, 128, seed=13)
+    c16 = {row["n_visible"]: row["n_pixels"] for row in viewshed_tiles(
+        _tiles_df(spark, r, 16), radius=8, obs_min=4400.0,
+        tile_px=16).collect()}
+    c64 = {row["n_visible"]: row["n_pixels"] for row in viewshed_tiles(
+        _tiles_df(spark, r, 64), radius=8, obs_min=4400.0,
+        tile_px=64).collect()}
+    assert c16 == c64
+
+
+def test_viewshed_radius_guard():
+    from remotior_sensus_spark.operators.geostats import viewshed_tiles
+
+    with pytest.raises(ValueError, match="2\\*radius"):
+        viewshed_tiles(None, radius=33, tile_px=64)
