@@ -1505,7 +1505,9 @@ _COST_BARRIER = np.int64(1) << np.int64(40)
 _SRC_MAX = 103
 
 
-def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
+def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
+                       src_lo: float | None = None,
+                       src_hi: float | None = None):
     """One Bellman-Ford relaxation round for one tile: assemble the
     cost / distance halo pads, then iterate
         d(v) = 0                                  if v is a source
@@ -1550,7 +1552,13 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
     z_pad = _assemble_padded(pdf, tile_px=T)
     P = 3 * T
     valid_pad = ~np.isnan(z_pad)
-    src_pad = valid_pad & (z_pad <= _SRC_MAX)
+    # source rule: value <= src_lo (default _SRC_MAX) OR value >= src_hi
+    lo = _SRC_MAX if (src_lo is None and src_hi is None) else src_lo
+    src_pad = valid_pad & False
+    if lo is not None:
+        src_pad |= valid_pad & (z_pad <= lo)
+    if src_hi is not None:
+        src_pad |= valid_pad & (z_pad >= src_hi)
     c64 = np.where(valid_pad, np.nan_to_num(z_pad, nan=0.0),
                    0.0).astype(np.int64)
     c64[~valid_pad] = _COST_BARRIER
@@ -1606,14 +1614,18 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
 
 def cost_distance_state(band_tiles: DataFrame, tile_px: int | None = None,
                         max_rounds: int = 10_000,
-                        inner_cap: int | None = None) -> DataFrame:
+                        inner_cap: int | None = None,
+                        src_lo: float | None = None,
+                        src_hi: float | None = None) -> DataFrame:
     """Converged cost-distance state (tile_x, tile_y, pixels,
-    filled=int64 distances, _COST_INF at unreached/invalid cells)."""
+    filled=int64 distances, _COST_INF at unreached/invalid cells).
+    Sources are cells <= src_lo and/or >= src_hi (default: the
+    _SRC_MAX low rule)."""
     T = tile_px or TILE_PX
     cap = inner_cap or 4 * T
 
     def kern(pdf):
-        return _cost_round_kernel(pdf, T, cap)
+        return _cost_round_kernel(pdf, T, cap, src_lo, src_hi)
 
     return _relax_rounds(
         band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
@@ -1692,3 +1704,113 @@ def cost_distance_tiles(band_tiles: DataFrame,
         .agg(F.sum("n_pixels").alias("n_pixels"),
              F.sum("sum_dist_fp").alias("sum_dist_fp"),
              F.max("max_dist_fp").alias("max_dist_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Least-cost corridor (two-terminal-set cost-distance composition)
+# ---------------------------------------------------------------------------
+
+def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
+                   src_lo: float = _SRC_MAX, dst_hi: float = 4990.0,
+                   max_rounds: int = 10_000,
+                   inner_cap: int | None = None) -> DataFrame:
+    """Least-cost corridor census between terminal sets A (cells <=
+    src_lo) and B (cells >= dst_hi) — the standard GIS corridor
+    analysis (GRASS r.cost x2 + r.mapcalc class): for every valid cell
+    v, total(v) = dA(v) + dB(v) is the cost of the cheapest A-to-B
+    path THROUGH v; C* = min_v total(v) is the optimal path cost; the
+    corridor is banded by slack = total(v) - C*. Output rows:
+        slack_band = -1  cells ON an optimal path (slack 0)
+        slack_band = -2  valid cells unreachable from A or B
+        slack_band = k   slack in [2^k, 2^(k+1))
+    with (n_pixels, sum_slack_fp, max_slack_fp) per band, all exact
+    int64 fixed-point.
+
+    Composition shape: two independent cost_distance_state fixpoints
+    (each = the audited relax-rounds scale story) meet in ONE
+    tile-keyed equi join of two localCheckpointed 3-column state
+    streams — no pixel explosion, no extra halo. The global C* is a
+    driver-side scalar from a per-partition Arrow min (the audited
+    broadcast-scalar pattern), then one census pass with C* as a
+    literal. Exact vs the independently-written double-heapq-Dijkstra
+    oracle (synth/expected.py build_corridor)."""
+    A = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
+                            src_lo=src_lo)
+    B = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
+                            src_lo=None, src_hi=dst_hi)
+    j = (A.select("tile_x", "tile_y", "pixels",
+                  F.col("filled").alias("da"))
+         .join(B.select("tile_x", "tile_y", F.col("filled").alias("db")),
+               ["tile_x", "tile_y"]))
+
+    from remotior_sensus_spark import NODATA
+
+    def _totals(pdf: pd.DataFrame):
+        """(valid mask, total int64 with _COST_INF at unreached) per row."""
+        for _, r in pdf.iterrows():
+            z = np.asarray(r["pixels"], dtype=np.float64)
+            v = (z != float(NODATA)) & ~np.isnan(z)
+            da = np.asarray(r["da"], dtype=np.int64)
+            db = np.asarray(r["db"], dtype=np.int64)
+            tot = np.where((da < _COST_INF) & (db < _COST_INF),
+                           da + db, _COST_INF)
+            yield v, tot
+
+    def min_kern(it):
+        best = None
+        for pdf in it:
+            for v, tot in _totals(pdf):
+                t = tot[v & (tot < _COST_INF)]
+                if len(t):
+                    m = int(t.min())
+                    best = m if best is None else min(best, m)
+        yield pd.DataFrame({"m": [best]} if best is not None
+                           else {"m": pd.Series(dtype="int64")})
+
+    row = j.mapInPandas(min_kern, "m long").agg(
+        F.min("m").alias("m")).collect()[0]
+    cstar = row["m"]
+    spark = band_tiles.sparkSession
+    if cstar is None:
+        return spark.createDataFrame(
+            [], "slack_band int, n_pixels long, sum_slack_fp long, "
+                "max_slack_fp long")
+    cstar = int(cstar)
+
+    def census_kern(it):
+        cols = ["slack_band", "n_pixels", "sum_slack_fp", "max_slack_fp"]
+        for pdf in it:
+            parts = []
+            for v, tot in _totals(pdf):
+                if not v.any():
+                    continue
+                t = tot[v]
+                unreached = t >= _COST_INF
+                slack = np.where(unreached, np.int64(0), t - cstar)
+                band = np.full(len(t), -1, dtype=np.int64)
+                band[unreached] = -2
+                pos = slack > 0
+                _, expo = np.frexp(slack[pos].astype(np.float64))
+                band[pos] = expo - 1
+                parts.append(pd.DataFrame({
+                    "slack_band": band, "n_pixels": 1,
+                    "sum_slack_fp": slack, "max_slack_fp": slack}))
+            if parts:
+                allp = pd.concat(parts, ignore_index=True)
+                yield allp.groupby("slack_band", as_index=False).agg(
+                    n_pixels=("n_pixels", "sum"),
+                    sum_slack_fp=("sum_slack_fp", "sum"),
+                    max_slack_fp=("max_slack_fp", "max")).astype("int64")
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="int64") for c in cols})
+
+    per = j.mapInPandas(
+        census_kern,
+        "slack_band long, n_pixels long, sum_slack_fp long, "
+        "max_slack_fp long")
+    return (per.groupBy(
+        F.col("slack_band").cast("int").alias("slack_band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_slack_fp").alias("sum_slack_fp"),
+             F.max("max_slack_fp").alias("max_slack_fp")))

@@ -7078,6 +7078,20 @@ def cost_distance_q(spark, sf_dir):
     return hydrology.cost_distance_tiles(t64, tile_px=t_px)
 
 
+@q("corridor_census",
+   f"select * from '{GEO01}/expected/corridor_census.parquet'")
+def corridor_census_q(spark, sf_dir):
+    """Least-cost corridor between the cheap-cell set A (<= 103) and
+    the high-cell set B (>= 4990) over the B04 cost surface: slack
+    bands of dA + dB - C* (hydrology.corridor_tiles — two relax-rounds
+    fixpoints meeting in one tile-keyed join), bit-exact vs the
+    double-heapq-Dijkstra oracle (synth/expected.py build_corridor)."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.corridor_tiles(t64, tile_px=t_px)
+
+
 @q("viewshed_census",
    f"select * from '{GEO01}/expected/viewshed_census.parquet'")
 def viewshed_census_q(spark, sf_dir):
@@ -7151,7 +7165,7 @@ ORACLE_BUILDERS = {
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
-        "viewshed_census")},
+        "viewshed_census", "corridor_census")},
 }
 
 

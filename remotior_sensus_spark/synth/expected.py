@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 17
+_EXPECTED_VERSION = 18
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -1049,6 +1049,71 @@ def build_viewshed(sf: float) -> pa.Table:
         "n_pixels": pa.array(n.astype("int64"))})
 
 
+
+def build_corridor(sf: float) -> pa.Table:
+    """Independent corridor rebuild: two heapq Dijkstras (sources A =
+    cells <= 103, sources B = cells >= 4990) over the dense cost
+    raster, then the slack census against C* = min(dA + dB). Same
+    exact fixed-point weight convention as build_cost_distance."""
+    import heapq
+
+    r = _full_raster(sf)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    c = np.where(valid, np.nan_to_num(r, nan=0.0), 0.0).astype(np.int64)
+    INF = 1 << 62
+    nbrs = [(dy, dx, 707107 if dy and dx else 500000)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
+    cl = c.tolist()
+    vl = valid.tolist()
+
+    def dijkstra(src_mask):
+        dist = [[INF] * W for _ in range(H)]
+        pq = []
+        sy, sx = np.nonzero(src_mask)
+        for y, x in zip(sy.tolist(), sx.tolist()):
+            dist[y][x] = 0
+            pq.append((0, y, x))
+        heapq.heapify(pq)
+        while pq:
+            d, y, x = heapq.heappop(pq)
+            if d > dist[y][x]:
+                continue
+            cu = cl[y][x]
+            for dy, dx, k in nbrs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W and vl[ny][nx]:
+                    nd = d + (cu + cl[ny][nx]) * k
+                    if nd < dist[ny][nx]:
+                        dist[ny][nx] = nd
+                        heapq.heappush(pq, (nd, ny, nx))
+        return np.array(dist, dtype=np.int64)
+
+    da = dijkstra(valid & (r <= 103))
+    db = dijkstra(valid & (r >= 4990))
+    tot = np.where((da < INF) & (db < INF), da + db, INF)[valid]
+    reach = tot < INF
+    cstar = int(tot[reach].min())
+    slack = np.where(reach, tot - cstar, np.int64(0))
+    band = np.full(len(tot), -1, dtype=np.int64)
+    band[~reach] = -2
+    pos = slack > 0
+    _, expo = np.frexp(slack[pos].astype(np.float64))
+    band[pos] = expo - 1
+    import pandas as pd
+    g = pd.DataFrame({"slack_band": band, "n_pixels": 1,
+                      "sum_slack_fp": slack, "max_slack_fp": slack}).groupby(
+        "slack_band", as_index=False).agg(
+        n_pixels=("n_pixels", "sum"), sum_slack_fp=("sum_slack_fp", "sum"),
+        max_slack_fp=("max_slack_fp", "max"))
+    return pa.table({
+        "slack_band": pa.array(g["slack_band"].astype("int32")),
+        "n_pixels": pa.array(g["n_pixels"].astype("int64")),
+        "sum_slack_fp": pa.array(g["sum_slack_fp"].astype("int64")),
+        "max_slack_fp": pa.array(g["max_slack_fp"].astype("int64"))})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -1070,6 +1135,7 @@ BUILDERS = {
     "filled_flow_accumulation": build_filled_flow_accumulation,
     "cost_distance": build_cost_distance,
     "viewshed_census": build_viewshed,
+    "corridor_census": build_corridor,
 }
 
 

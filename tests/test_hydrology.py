@@ -787,3 +787,82 @@ def test_spark_cost_distance_matches_dense_oracle_sf0001(spark, geo001_dir):
     assert got == {b: (n, s, mx) for b, n, s, mx in zip(
         exp["dist_band"], exp["n_pixels"], exp["sum_dist_fp"],
         exp["max_dist_fp"])}
+
+
+def test_spark_corridor_matches_brute(spark):
+    """Corridor = dA + dB - C* census vs the test-side composition of
+    two Gauss-Seidel label-correcting fields (a third algorithm family
+    next to the engine's tiled Bellman-Ford and the oracle's heapq)."""
+    from remotior_sensus_spark.operators.hydrology import corridor_tiles
+
+    rng = np.random.RandomState(31)
+    r = rng.randint(200, 4000, (64, 64)).astype(float)
+    r[5, 5] = 101.0                       # A terminal
+    r[58, 60] = 4995.0                    # B terminal
+    r[30, 2:62] = 150.0                   # cheap corridor row
+    r[:, 32][:20] = np.nan                # partial wall -> detours
+    r[50:60, 20] = np.nan
+
+    INF = 1 << 62
+
+    def field(src_pred):
+        H, W = r.shape
+        c, d = {}, {}
+        for y in range(H):
+            for x in range(W):
+                if not np.isnan(r[y, x]):
+                    c[(y, x)] = int(r[y, x])
+                    d[(y, x)] = 0 if src_pred(r[y, x]) else INF
+        changed = True
+        while changed:
+            changed = False
+            for (y, x), cu in c.items():
+                if d[(y, x)] == 0:
+                    continue
+                best = d[(y, x)]
+                for dy, dx, k in _CD_NBRS:
+                    n = (y + dy, x + dx)
+                    if n in c and d[n] < INF:
+                        cand = d[n] + (c[n] + cu) * k
+                        if cand < best:
+                            best = cand
+                if best < d[(y, x)]:
+                    d[(y, x)] = best
+                    changed = True
+        return d
+
+    da = field(lambda z: z <= 103)
+    db = field(lambda z: z >= 4990)
+    tot = {k: (da[k] + db[k] if da[k] < INF and db[k] < INF else INF)
+           for k in da}
+    cstar = min(v for v in tot.values() if v < INF)
+    want = {}
+    for v in tot.values():
+        if v >= INF:
+            b, s = -2, 0
+        else:
+            s = v - cstar
+            b = -1 if s == 0 else int(s).bit_length() - 1
+        n, ss, mx = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, ss + s, max(mx, s))
+
+    got = {row["slack_band"]: (row["n_pixels"], row["sum_slack_fp"],
+                               row["max_slack_fp"])
+           for row in corridor_tiles(_tiles_df(spark, r, 16),
+                                     tile_px=16).collect()}
+    assert got == want
+    assert -1 in got  # an optimal path exists
+
+
+def test_spark_corridor_matches_dense_oracle_sf0001(spark, geo001_dir):
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.synth.expected import build_corridor
+
+    got = {row["slack_band"]: (row["n_pixels"], row["sum_slack_fp"],
+                               row["max_slack_fp"])
+           for row in Q.REGISTRY["corridor_census"][0](
+               spark, SF_DIR).collect()}
+    exp = build_corridor(0.001).to_pydict()
+    assert got == {b: (n, s, mx) for b, n, s, mx in zip(
+        exp["slack_band"], exp["n_pixels"], exp["sum_slack_fp"],
+        exp["max_slack_fp"])}
