@@ -1666,3 +1666,67 @@ def viewshed_tiles(band_tiles: DataFrame, radius: int = 24,
     return per.groupBy(
         F.col("n_visible").cast("int").alias("n_visible")).agg(
         F.sum("n_pixels").alias("n_pixels"))
+
+
+def openness_tiles(band_tiles: DataFrame, radius: int = 24,
+                   tile_px: int | None = None) -> DataFrame:
+    """Topographic openness census (Yokoyama et al. 2002 class — the
+    reference shells terrain analysis to gdaldem and has no openness):
+    for each valid cell o and each of the 8 compass directions k, the
+    horizon slope within radius R is
+        s_k(o) = max_{i=1..R, sample valid} (z(o + i*dir_k) - z(o)) * 1024 // i
+    (exact int64 fixed-point: elevations rint(z * 1e6), slope scaled
+    x1024, floor division — deterministic in numpy and pure Python
+    alike). Nodata / outside-raster samples are skipped; a direction
+    with no valid sample contributes 0. The openness score is
+    sum_k s_k (positive = enclosed below horizons, negative = open
+    peak); census bands are sign-aware log2: band = sign(score) *
+    bit_length(|score|), 0 for score 0. Output (open_band, n_pixels).
+
+    Scale shape: the _halo_census contract — one halo exchange, then
+    8 x R dense shifted-slice max updates over the pad per tile
+    (~192 vectorized ops at R=24), no Python per-pixel work. Requires
+    radius <= tile_px so all samples stay inside the 3x3 pad."""
+    T0 = tile_px or TILE_PX
+    if radius > T0:
+        raise ValueError(
+            f"openness radius {radius} needs radius <= tile_px={T0}")
+    dirs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)]
+    NEG = np.int64(-(1 << 62))
+
+    def tile_fn(pad, T):
+        valid = ~np.isnan(pad)
+        zq = np.where(valid, np.rint(
+            np.nan_to_num(pad, nan=0.0) * _VS_SCALE), 0.0).astype(np.int64)
+        zc = zq[T:2 * T, T:2 * T]
+        vc = valid[T:2 * T, T:2 * T]
+        if not vc.any():
+            return []
+        score = np.zeros((T, T), dtype=np.int64)
+        for dy, dx in dirs:
+            best = np.full((T, T), NEG, dtype=np.int64)
+            for i in range(1, radius + 1):
+                ys = slice(T + i * dy, 2 * T + i * dy)
+                xs = slice(T + i * dx, 2 * T + i * dx)
+                dz = (zq[ys, xs] - zc) * 1024 // i
+                np.maximum(best, np.where(valid[ys, xs], dz, NEG),
+                           out=best)
+            score += np.where(best == NEG, np.int64(0), best)
+        sc = score[vc]
+        # sign-aware bit_length: for |s| >= 1 frexp's exponent IS
+        # floor(log2)+1, exact for int64 magnitudes (< 2^53 here)
+        pos = sc != 0
+        _, expo = np.frexp(np.abs(sc[pos]).astype(np.float64))
+        band = np.zeros(len(sc), dtype=np.int64)
+        band[pos] = np.sign(sc[pos]) * expo
+        vals, n = np.unique(band, return_counts=True)
+        return [(int(v), int(k)) for v, k in zip(vals, n)]
+
+    per = _halo_census(band_tiles, tile_fn,
+                       "open_band long, n_pixels long",
+                       (("open_band", "int64"), ("n_pixels", "int64")),
+                       tile_px)
+    return per.groupBy(
+        F.col("open_band").cast("int").alias("open_band")).agg(
+        F.sum("n_pixels").alias("n_pixels"))

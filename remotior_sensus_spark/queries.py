@@ -7092,6 +7092,22 @@ def corridor_census_q(spark, sf_dir):
     return hydrology.corridor_tiles(t64, tile_px=t_px)
 
 
+@q("openness_census",
+   f"select * from '{GEO01}/expected/openness_census.parquet'")
+def openness_census_q(spark, sf_dir):
+    """Topographic openness census over B08 (Yokoyama-style 8-direction
+    horizon slopes within R = 24, exact (dz*1024)//i fixed-point,
+    sign-aware log2 bands of the direction sum): one halo exchange +
+    8xR dense shifted-slice max updates per tile
+    (geostats.openness_tiles), vs the independently-written dense
+    whole-raster rebuild (synth/expected.py build_openness) and a
+    per-pixel pure-Python reference in tests/test_geostats.py."""
+    from remotior_sensus_spark.operators import geostats
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B08"), sf_dir)
+    return geostats.openness_tiles(t64, tile_px=t_px)
+
+
 @q("viewshed_census",
    f"select * from '{GEO01}/expected/viewshed_census.parquet'")
 def viewshed_census_q(spark, sf_dir):
@@ -7165,7 +7181,8 @@ ORACLE_BUILDERS = {
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
-        "viewshed_census", "corridor_census")},
+        "viewshed_census", "corridor_census",
+        "openness_census")},
 }
 
 

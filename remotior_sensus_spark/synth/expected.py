@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 18
+_EXPECTED_VERSION = 19
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -1114,6 +1114,50 @@ def build_corridor(sf: float) -> pa.Table:
         "max_slack_fp": pa.array(g["max_slack_fp"].astype("int64"))})
 
 
+
+def build_openness(sf: float) -> pa.Table:
+    """Independent dense openness rebuild: whole-raster shifted-slice
+    sweep (no tiling, no halo) over the 8 compass directions x R
+    steps. Same public definition as geostats.openness_tiles: horizon
+    slope (dz * 1024) // i maxed over valid samples within R = 24,
+    skipped samples transparent, empty direction contributes 0,
+    sign-aware bit_length bands of the 8-direction sum."""
+    radius = 24
+    r = _full_raster(sf, band_idx=3)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    zq = np.where(valid, np.rint(np.nan_to_num(r, nan=0.0) * 1e6),
+                  0.0).astype(np.int64)
+    NEG = np.int64(-(1 << 62))
+    score = np.zeros((H, W), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            best = np.full((H, W), NEG, dtype=np.int64)
+            for i in range(1, radius + 1):
+                sy, sx = i * dy, i * dx
+                # target cells o whose sample o + (sy, sx) is in bounds
+                oy = slice(max(0, -sy), H - max(0, sy))
+                ox = slice(max(0, -sx), W - max(0, sx))
+                py = slice(max(0, sy), H - max(0, -sy))
+                px = slice(max(0, sx), W - max(0, -sx))
+                dz = (zq[py, px] - zq[oy, ox]) * 1024 // i
+                np.maximum(best[oy, ox],
+                           np.where(valid[py, px], dz, NEG),
+                           out=best[oy, ox])
+            score += np.where(best == NEG, np.int64(0), best)
+    sc = score[valid]
+    band = np.zeros(len(sc), dtype=np.int64)
+    pos = sc != 0
+    _, expo = np.frexp(np.abs(sc[pos]).astype(np.float64))
+    band[pos] = np.sign(sc[pos]) * expo
+    vals, n = np.unique(band, return_counts=True)
+    return pa.table({
+        "open_band": pa.array(vals.astype("int32")),
+        "n_pixels": pa.array(n.astype("int64"))})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -1136,6 +1180,7 @@ BUILDERS = {
     "cost_distance": build_cost_distance,
     "viewshed_census": build_viewshed,
     "corridor_census": build_corridor,
+    "openness_census": build_openness,
 }
 
 

@@ -454,3 +454,79 @@ def test_viewshed_radius_guard():
 
     with pytest.raises(ValueError, match="2\\*radius"):
         viewshed_tiles(None, radius=33, tile_px=64)
+
+
+# ---------------------------------------------------------------------------
+# Openness (8-direction horizon slopes)
+# ---------------------------------------------------------------------------
+
+def _brute_openness(r, radius):
+    """Per-pixel pure-Python openness: literal (cell, direction, step)
+    triple loop with Python int // (floor) arithmetic."""
+    H, W = r.shape
+    counts = {}
+    for y in range(H):
+        for x in range(W):
+            if np.isnan(r[y, x]):
+                continue
+            z_o = int(np.rint(r[y, x] * 1_000_000))
+            score = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    best = None
+                    for i in range(1, radius + 1):
+                        py, px = y + i * dy, x + i * dx
+                        if not (0 <= py < H and 0 <= px < W):
+                            continue
+                        if np.isnan(r[py, px]):
+                            continue
+                        z_p = int(np.rint(r[py, px] * 1_000_000))
+                        s = (z_p - z_o) * 1024 // i
+                        if best is None or s > best:
+                            best = s
+                    score += best or 0
+            if score == 0:
+                b = 0
+            else:
+                b = int(abs(score)).bit_length()
+                b = b if score > 0 else -b
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def test_spark_openness_matches_brute(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import openness_tiles
+
+    r = _vs_raster(48, 48, seed=19)       # hills + wall + NaN holes
+    got = {row["open_band"]: row["n_pixels"] for row in openness_tiles(
+        _tiles_df(spark, r, 16), radius=8, tile_px=16).collect()}
+    want = _brute_openness(r, 8)
+    assert got == want
+    # terrain produces both enclosed (positive) and open (negative)
+    assert any(b > 0 for b in got) and any(b < 0 for b in got)
+
+
+def test_spark_openness_tile_size_invariance(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import openness_tiles
+
+    r = _vs_raster(128, 128, seed=23)
+    c16 = {row["open_band"]: row["n_pixels"] for row in openness_tiles(
+        _tiles_df(spark, r, 16), radius=8, tile_px=16).collect()}
+    c64 = {row["open_band"]: row["n_pixels"] for row in openness_tiles(
+        _tiles_df(spark, r, 64), radius=8, tile_px=64).collect()}
+    assert c16 == c64
+
+
+def test_openness_radius_guard():
+    from remotior_sensus_spark.operators.geostats import openness_tiles
+
+    with pytest.raises(ValueError, match="radius <="):
+        openness_tiles(None, radius=65, tile_px=64)
