@@ -430,3 +430,17 @@ def test_cost_distance_census_no_join_no_rowwise_python(spark):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "BroadcastNestedLoopJoin"):
         assert op not in plan, plan
+
+
+def test_viewshed_openness_halo_census_shape(spark):
+    # the sightline family rides the _halo_census contract: exactly the
+    # Arrow tile grouping (FlatMapGroupsInPandas), no join of any kind,
+    # no cartesian, no row-at-a-time Python
+    for name in ("viewshed_census", "openness_census"):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "FlatMapGroupsInPandas" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        for op in ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            assert op not in plan, (name, plan)
