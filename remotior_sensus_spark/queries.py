@@ -7092,6 +7092,25 @@ def corridor_census_q(spark, sf_dir):
     return hydrology.corridor_tiles(t64, tile_px=t_px)
 
 
+@q("component_shapes",
+   f"select * from '{GEO01}/expected/component_shapes.parquet'")
+def component_shapes_q(spark, sf_dir):
+    """Per-component shape census over the B04>2500 mask: area, rook
+    perimeter (one extra halo exchange of the checkpointed labeled
+    stream — exposure needs only the 1-cell value ring, never
+    neighbour labels) and isoperimetric compactness bands
+    bit_length(P^2 div A) (components.component_shape_census), vs the
+    independently-written scanline-BFS dense rebuild
+    (synth/expected.py build_component_shapes)."""
+    from remotior_sensus_spark.operators.components import (
+        component_shape_census)
+    _ensure_expected(sf_dir)
+    binary = band_calc(_tiles(spark, sf_dir), 'where("B04" > 2500, 1, 0)',
+                       nodata_mask=None)
+    t64, t_px = _retile4(binary, sf_dir)
+    return component_shape_census(t64, tile_px=t_px)
+
+
 @q("openness_census",
    f"select * from '{GEO01}/expected/openness_census.parquet'")
 def openness_census_q(spark, sf_dir):
@@ -7182,7 +7201,7 @@ ORACLE_BUILDERS = {
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
         "viewshed_census", "corridor_census",
-        "openness_census")},
+        "openness_census", "component_shapes")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 19
+_EXPECTED_VERSION = 20
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -1158,6 +1158,43 @@ def build_openness(sf: float) -> pa.Table:
         "n_pixels": pa.array(n.astype("int64"))})
 
 
+
+def build_component_shapes(sf: float) -> pa.Table:
+    """Independent per-component shape rebuild on the scanline-BFS
+    labeling (_components — a different CC algorithm from the engine's
+    hash-to-min + boundary merge): rook perimeter per component from a
+    padded foreground mask, compactness band = bit_length of
+    (perimeter^2 // area)."""
+    value = _binary_mask_raster(sf)
+    comps = _components(value, same_value=False)
+    H, W = value.shape
+    fgp = np.zeros((H + 2, W + 2), dtype=bool)
+    fgp[1:-1, 1:-1] = value > 0
+    # exposed rook edges per cell
+    exposed = ((~fgp[:-2, 1:-1]).astype(np.int64)
+               + (~fgp[2:, 1:-1]) + (~fgp[1:-1, :-2])
+               + (~fgp[1:-1, 2:]))
+    from collections import Counter
+    census = {}
+    for c in comps:
+        area = c["size"]
+        perim = int(exposed[c["ys"], c["xs"]].sum())
+        band = ((perim * perim) // area).bit_length()
+        n, sa, sp, mx = census.get(band, (0, 0, 0, 0))
+        census[band] = (n + 1, sa + area, sp + perim, max(mx, area))
+    bands = sorted(census)
+    return pa.table({
+        "compact_band": pa.array(bands, type=pa.int32()),
+        "n_components": pa.array([census[b][0] for b in bands],
+                                 type=pa.int64()),
+        "sum_area": pa.array([census[b][1] for b in bands],
+                             type=pa.int64()),
+        "sum_perimeter": pa.array([census[b][2] for b in bands],
+                                  type=pa.int64()),
+        "max_area": pa.array([census[b][3] for b in bands],
+                             type=pa.int64())})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -1181,6 +1218,7 @@ BUILDERS = {
     "viewshed_census": build_viewshed,
     "corridor_census": build_corridor,
     "openness_census": build_openness,
+    "component_shapes": build_component_shapes,
 }
 
 

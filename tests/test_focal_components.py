@@ -461,3 +461,86 @@ def test_resolve_iterative_above_driver_threshold(spark):
     assert n_diff == 0
     # every gid that appears in an edge: 8 stripes x 64 cols x 4232 rows
     assert got.count() == exp.count() == 8 * n_cols * n_rows
+
+
+# ---------------------------------------------------------------------------
+# Per-component shape census
+# ---------------------------------------------------------------------------
+
+def _brute_shape_census(mask):
+    """Pure-Python BFS + per-cell rook exposure count (third structure
+    next to the engine's CC machinery and the scanline builder)."""
+    H, W = mask.shape
+    seen = set()
+    census = {}
+    for sy in range(H):
+        for sx in range(W):
+            if not mask[sy, sx] or (sy, sx) in seen:
+                continue
+            stack, cells = [(sy, sx)], []
+            seen.add((sy, sx))
+            while stack:
+                y, x = stack.pop()
+                cells.append((y, x))
+                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                    if (0 <= ny < H and 0 <= nx < W and mask[ny, nx]
+                            and (ny, nx) not in seen):
+                        seen.add((ny, nx))
+                        stack.append((ny, nx))
+            area = len(cells)
+            perim = 0
+            for y, x in cells:
+                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                    if not (0 <= ny < H and 0 <= nx < W and mask[ny, nx]):
+                        perim += 1
+            band = ((perim * perim) // area).bit_length()
+            n, sa, sp, mx = census.get(band, (0, 0, 0, 0))
+            census[band] = (n + 1, sa + area, sp + perim, max(mx, area))
+    return census
+
+
+def _shape_census_rows(df):
+    return {r["compact_band"]: (r["n_components"], r["sum_area"],
+                                r["sum_perimeter"], r["max_area"])
+            for r in df.collect()}
+
+
+def test_component_shapes_engineered_blobs(spark):
+    """Donut (hole's inner ring counts), 1-px line, square, and a blob
+    spanning four tiles — engine vs the pure-Python BFS census."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.components import (
+        component_shape_census)
+
+    m = np.zeros((64, 64), dtype=bool)
+    m[4:12, 4:12] = True          # square 8x8
+    m[5:11, 5:11] = True
+    m[20:30, 20:30] = True        # donut
+    m[23:27, 23:27] = False
+    m[40, 2:60] = True            # 1-px line crossing tiles
+    m[28:36, 28:36] = True        # blob straddling the 32-px tile cross
+    got = _shape_census_rows(component_shape_census(
+        _tiles_df(spark, m.astype(float), 16), tile_px=16))
+    want = _brute_shape_census(m)
+    assert got == want
+    # donut + line push bands above the square's 5
+    assert max(got) > 5
+
+
+def test_component_shapes_tile_size_invariance(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.components import (
+        component_shape_census)
+
+    rng = np.random.RandomState(41)
+    m = (rng.rand(128, 128) < 0.42)   # near-percolation: messy patches
+    c16 = _shape_census_rows(component_shape_census(
+        _tiles_df(spark, m.astype(float), 16), tile_px=16))
+    c64 = _shape_census_rows(component_shape_census(
+        _tiles_df(spark, m.astype(float), 64), tile_px=64))
+    assert c16 == c64
+    assert c16 == _brute_shape_census(m)
