@@ -1730,3 +1730,92 @@ def openness_tiles(band_tiles: DataFrame, radius: int = 24,
     return per.groupBy(
         F.col("open_band").cast("int").alias("open_band")).agg(
         F.sum("n_pixels").alias("n_pixels"))
+
+
+# geomorphon 10-class lookup (Jasiewicz & Stepinski 2013, the GRASS
+# r.geomorphon form matrix), indexed [n_minus][n_plus]: 1 flat, 2 peak,
+# 3 ridge, 4 shoulder, 5 spur, 6 slope, 7 hollow, 8 footslope,
+# 9 valley, 10 pit
+_GEOMORPHON_LUT = np.array([
+    # n_plus ->  0  1  2  3  4  5  6  7  8        n_minus
+    [1, 1, 1, 8, 8, 9, 9, 9, 10],   # 0
+    [1, 1, 8, 8, 8, 9, 9, 9, 0],    # 1
+    [1, 4, 6, 6, 7, 7, 9, 0, 0],    # 2
+    [4, 4, 6, 6, 6, 7, 0, 0, 0],    # 3
+    [4, 4, 5, 6, 6, 0, 0, 0, 0],    # 4
+    [3, 3, 5, 5, 0, 0, 0, 0, 0],    # 5
+    [3, 3, 3, 0, 0, 0, 0, 0, 0],    # 6
+    [3, 3, 0, 0, 0, 0, 0, 0, 0],    # 7
+    [2, 0, 0, 0, 0, 0, 0, 0, 0],    # 8
+], dtype=np.int64)
+
+
+def geomorphon_tiles(band_tiles: DataFrame, radius: int = 24,
+                     flat_fp: int = 18,
+                     tile_px: int | None = None) -> DataFrame:
+    """Geomorphon landform census (Jasiewicz & Stepinski 2013 /
+    GRASS r.geomorphon class): for each valid cell o and each of the 8
+    compass directions, the ZENITH slope z_k = max and NADIR slope
+    n_k = min of (z(o + i*dir) - z(o)) * 1024 // i over valid samples
+    i = 1..R (exact int64 fixed-point, skipped samples transparent).
+    The ternary pattern per direction (flatness threshold t = flat_fp,
+    default 18 ~ 1 degree):
+
+        +1  if z_k > t and z_k > -n_k      (horizon above)
+        -1  if -n_k > t and -n_k > z_k     (horizon below)
+         0  otherwise (flat or exactly balanced)
+
+    Directions with no valid sample count as 0. (n_minus, n_plus)
+    index the 10-class form matrix above (class 0 = the matrix's
+    impossible corner, kept so a logic error surfaces as a visible
+    class instead of an exception). Output (landform, n_pixels).
+
+    Scale shape: identical to openness_tiles — one halo exchange, 8xR
+    dense shifted-slice min/max updates per pad, census rows bounded
+    by the 11-value class domain."""
+    T0 = tile_px or TILE_PX
+    if radius > T0:
+        raise ValueError(
+            f"geomorphon radius {radius} needs radius <= tile_px={T0}")
+    dirs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)]
+    NEG = np.int64(-(1 << 62))
+    POS = np.int64(1 << 62)
+    t = np.int64(flat_fp)
+
+    def tile_fn(pad, T):
+        valid = ~np.isnan(pad)
+        zq = np.where(valid, np.rint(
+            np.nan_to_num(pad, nan=0.0) * _VS_SCALE), 0.0).astype(np.int64)
+        zc = zq[T:2 * T, T:2 * T]
+        vc = valid[T:2 * T, T:2 * T]
+        if not vc.any():
+            return []
+        n_plus = np.zeros((T, T), dtype=np.int64)
+        n_minus = np.zeros((T, T), dtype=np.int64)
+        for dy, dx in dirs:
+            zen = np.full((T, T), NEG, dtype=np.int64)
+            nad = np.full((T, T), POS, dtype=np.int64)
+            for i in range(1, radius + 1):
+                ys = slice(T + i * dy, 2 * T + i * dy)
+                xs = slice(T + i * dx, 2 * T + i * dx)
+                dz = (zq[ys, xs] - zc) * 1024 // i
+                ok = valid[ys, xs]
+                np.maximum(zen, np.where(ok, dz, NEG), out=zen)
+                np.minimum(nad, np.where(ok, dz, POS), out=nad)
+            has = zen != NEG
+            zen_v = np.where(has, zen, np.int64(0))
+            nad_v = np.where(has, -nad, np.int64(0))   # -n_k >= 0 side
+            n_plus += (zen_v > t) & (zen_v > nad_v)
+            n_minus += (nad_v > t) & (nad_v > zen_v)
+        lf = _GEOMORPHON_LUT[n_minus[vc], n_plus[vc]]
+        vals, n = np.unique(lf, return_counts=True)
+        return [(int(v), int(k)) for v, k in zip(vals, n)]
+
+    per = _halo_census(band_tiles, tile_fn,
+                       "landform long, n_pixels long",
+                       (("landform", "int64"), ("n_pixels", "int64")),
+                       tile_px)
+    return per.groupBy(
+        F.col("landform").cast("int").alias("landform")).agg(
+        F.sum("n_pixels").alias("n_pixels"))

@@ -7092,6 +7092,21 @@ def corridor_census_q(spark, sf_dir):
     return hydrology.corridor_tiles(t64, tile_px=t_px)
 
 
+@q("geomorphon_census",
+   f"select * from '{GEO01}/expected/geomorphon_census.parquet'")
+def geomorphon_census_q(spark, sf_dir):
+    """Geomorphon 10-class landform census over B02 (Jasiewicz &
+    Stepinski 2013: 8-direction zenith/nadir slopes within R = 24,
+    flatness 18/1024, exact fixed-point; geostats.geomorphon_tiles) vs
+    the independently-written dense whole-raster rebuild
+    (synth/expected.py build_geomorphon) and a per-pixel pure-Python
+    reference in tests/test_geostats.py."""
+    from remotior_sensus_spark.operators import geostats
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B02"), sf_dir)
+    return geostats.geomorphon_tiles(t64, tile_px=t_px)
+
+
 @q("component_shapes",
    f"select * from '{GEO01}/expected/component_shapes.parquet'")
 def component_shapes_q(spark, sf_dir):
@@ -7201,7 +7216,8 @@ ORACLE_BUILDERS = {
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
         "viewshed_census", "corridor_census",
-        "openness_census", "component_shapes")},
+        "openness_census", "component_shapes",
+        "geomorphon_census")},
 }
 
 

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 20
+_EXPECTED_VERSION = 21
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -1195,6 +1195,66 @@ def build_component_shapes(sf: float) -> pa.Table:
                              type=pa.int64())})
 
 
+
+_GM_LUT = [
+    [1, 1, 1, 8, 8, 9, 9, 9, 10],
+    [1, 1, 8, 8, 8, 9, 9, 9, 0],
+    [1, 4, 6, 6, 7, 7, 9, 0, 0],
+    [4, 4, 6, 6, 6, 7, 0, 0, 0],
+    [4, 4, 5, 6, 6, 0, 0, 0, 0],
+    [3, 3, 5, 5, 0, 0, 0, 0, 0],
+    [3, 3, 3, 0, 0, 0, 0, 0, 0],
+    [3, 3, 0, 0, 0, 0, 0, 0, 0],
+    [2, 0, 0, 0, 0, 0, 0, 0, 0],
+]  # [n_minus][n_plus], Jasiewicz & Stepinski 2013 form matrix
+
+
+def build_geomorphon(sf: float) -> pa.Table:
+    """Independent dense geomorphon rebuild: whole-raster shifted-slice
+    zenith/nadir sweep per (direction, step) — same public definition
+    as geostats.geomorphon_tiles (R = 24, flatness 18/1024, skipped
+    samples transparent, empty direction = 0 pattern)."""
+    radius, t = 24, 18
+    r = _full_raster(sf, band_idx=0)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    zq = np.where(valid, np.rint(np.nan_to_num(r, nan=0.0) * 1e6),
+                  0.0).astype(np.int64)
+    NEG = np.int64(-(1 << 62))
+    POS = np.int64(1 << 62)
+    n_plus = np.zeros((H, W), dtype=np.int64)
+    n_minus = np.zeros((H, W), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            zen = np.full((H, W), NEG, dtype=np.int64)
+            nad = np.full((H, W), POS, dtype=np.int64)
+            for i in range(1, radius + 1):
+                sy, sx = i * dy, i * dx
+                oy = slice(max(0, -sy), H - max(0, sy))
+                ox = slice(max(0, -sx), W - max(0, sx))
+                py = slice(max(0, sy), H - max(0, -sy))
+                px = slice(max(0, sx), W - max(0, -sx))
+                dz = (zq[py, px] - zq[oy, ox]) * 1024 // i
+                ok = valid[py, px]
+                np.maximum(zen[oy, ox], np.where(ok, dz, NEG),
+                           out=zen[oy, ox])
+                np.minimum(nad[oy, ox], np.where(ok, dz, POS),
+                           out=nad[oy, ox])
+            has = zen != NEG
+            zen_v = np.where(has, zen, np.int64(0))
+            nad_v = np.where(has, -nad, np.int64(0))
+            n_plus += (zen_v > t) & (zen_v > nad_v)
+            n_minus += (nad_v > t) & (nad_v > zen_v)
+    lut = np.array(_GM_LUT, dtype=np.int64)
+    lf = lut[n_minus[valid], n_plus[valid]]
+    vals, n = np.unique(lf, return_counts=True)
+    return pa.table({
+        "landform": pa.array(vals.astype("int32")),
+        "n_pixels": pa.array(n.astype("int64"))})
+
+
 BUILDERS = {
     "raster_label_histogram": build_raster_label_histogram,
     "sieve_reclass": build_sieve_reclass,
@@ -1219,6 +1279,7 @@ BUILDERS = {
     "corridor_census": build_corridor,
     "openness_census": build_openness,
     "component_shapes": build_component_shapes,
+    "geomorphon_census": build_geomorphon,
 }
 
 

@@ -530,3 +530,84 @@ def test_openness_radius_guard():
 
     with pytest.raises(ValueError, match="radius <="):
         openness_tiles(None, radius=65, tile_px=64)
+
+
+# ---------------------------------------------------------------------------
+# Geomorphons
+# ---------------------------------------------------------------------------
+
+def _brute_geomorphon(r, radius, t=18):
+    """Per-pixel pure-Python geomorphon: literal (cell, direction,
+    step) loops, Python int // arithmetic, same LUT from the paper."""
+    LUT = [
+        [1, 1, 1, 8, 8, 9, 9, 9, 10],
+        [1, 1, 8, 8, 8, 9, 9, 9, 0],
+        [1, 4, 6, 6, 7, 7, 9, 0, 0],
+        [4, 4, 6, 6, 6, 7, 0, 0, 0],
+        [4, 4, 5, 6, 6, 0, 0, 0, 0],
+        [3, 3, 5, 5, 0, 0, 0, 0, 0],
+        [3, 3, 3, 0, 0, 0, 0, 0, 0],
+        [3, 3, 0, 0, 0, 0, 0, 0, 0],
+        [2, 0, 0, 0, 0, 0, 0, 0, 0],
+    ]
+    H, W = r.shape
+    counts = {}
+    for y in range(H):
+        for x in range(W):
+            if np.isnan(r[y, x]):
+                continue
+            z_o = int(np.rint(r[y, x] * 1_000_000))
+            p = m = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    zen = nad = None
+                    for i in range(1, radius + 1):
+                        py, px = y + i * dy, x + i * dx
+                        if not (0 <= py < H and 0 <= px < W):
+                            continue
+                        if np.isnan(r[py, px]):
+                            continue
+                        z_p = int(np.rint(r[py, px] * 1_000_000))
+                        s = (z_p - z_o) * 1024 // i
+                        zen = s if zen is None else max(zen, s)
+                        nad = s if nad is None else min(nad, s)
+                    zv = zen if zen is not None else 0
+                    nv = -nad if nad is not None else 0
+                    if zv > t and zv > nv:
+                        p += 1
+                    elif nv > t and nv > zv:
+                        m += 1
+            lf = LUT[m][p]
+            counts[lf] = counts.get(lf, 0) + 1
+    return counts
+
+
+def test_spark_geomorphon_matches_brute(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import geomorphon_tiles
+
+    r = _vs_raster(48, 48, seed=29)
+    got = {row["landform"]: row["n_pixels"] for row in geomorphon_tiles(
+        _tiles_df(spark, r, 16), radius=8, tile_px=16).collect()}
+    want = _brute_geomorphon(r, 8)
+    assert got == want
+    assert len(got) >= 4       # hills+wall+holes produce real variety
+    assert 0 not in got        # the impossible corner never fires
+
+
+def test_spark_geomorphon_tile_size_invariance(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import geomorphon_tiles
+
+    r = _vs_raster(128, 128, seed=31)
+    c16 = {row["landform"]: row["n_pixels"] for row in geomorphon_tiles(
+        _tiles_df(spark, r, 16), radius=8, tile_px=16).collect()}
+    c64 = {row["landform"]: row["n_pixels"] for row in geomorphon_tiles(
+        _tiles_df(spark, r, 64), radius=8, tile_px=64).collect()}
+    assert c16 == c64
