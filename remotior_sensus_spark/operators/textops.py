@@ -1420,3 +1420,72 @@ def dedup_degree_bands(docs: DataFrame,
         .groupBy("degree_band")
         .agg(F.count("*").alias("n_docs"), F.sum("degree").alias("sum_degree"))
     )
+
+
+def incremental_dedup(docs: DataFrame, *,
+                      base_sources=("src0", "src1", "src2", "src3",
+                                    "src4"),
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Continual-ingestion dedup census: the corpus splits into BASE
+    (already-ingested sources) and INCOMING; per incoming source,
+    report how many docs are exact duplicates of a base doc
+    (normalized-content digest), near-duplicates of a base doc without
+    being exact (LSH banding restricted to cross-boundary candidates +
+    signature-Jaccard verify), and novel. Columns: (source, n_docs,
+    n_exact, n_near, n_novel) with n_docs = n_exact + n_near +
+    n_novel.
+
+    100 TB shape: the digest semi-join is one hash shuffle (text never
+    moves); signatures are computed once over the whole corpus (the
+    same one-aggregation pass as minhash_signature) and the candidate
+    join pairs incoming x base ONLY — strictly fewer candidates than
+    the full LSH self-join, with the same banded never-all-pairs
+    guarantee. Per-doc flags reduce to bounded per-source counts."""
+    is_base = F.col("source").isin(*base_sources)
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    h = docs.select("doc_id", "source", F.md5(norm).alias("h"),
+                    is_base.alias("is_base")).localCheckpoint()
+    base_h = h.filter("is_base").select("h").distinct()
+    inc = h.filter(~F.col("is_base"))
+    exact = (inc.join(base_h, "h", "left_semi")
+             .select("doc_id", F.lit(1).alias("is_exact")))
+
+    sig = minhash_signature(docs, num_hashes, shingle_n).join(
+        h.select("doc_id", "is_base"), "doc_id").localCheckpoint()
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "doc_id", "is_base", "signature",
+        F.posexplode(F.array(*[
+            F.concat_ws("|", *[
+                F.element_at("signature", b * rows_per_band + i + 1)
+                for i in range(rows_per_band)])
+            for b in range(bands)])).alias("band", "band_hash"))
+    a = banded.filter(~F.col("is_base")).select(
+        F.col("doc_id").alias("doc_inc"), "band", "band_hash",
+        F.col("signature").alias("sig_a"))
+    b = banded.filter("is_base").select(
+        F.col("doc_id").alias("doc_base"), "band", "band_hash",
+        F.col("signature").alias("sig_b"))
+    cand = (a.join(b, ["band", "band_hash"])
+            .select("doc_inc", "sig_a", "sig_b")
+            .filter(F.size(F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v)) >= int(jaccard_threshold * num_hashes)))
+    near = (cand.select("doc_inc").distinct()
+            .select(F.col("doc_inc").alias("doc_id"),
+                    F.lit(1).alias("is_near")))
+
+    flags = (inc.join(exact, "doc_id", "left")
+             .join(near, "doc_id", "left")
+             .select("source",
+                     F.coalesce("is_exact", F.lit(0)).alias("e"),
+                     F.coalesce("is_near", F.lit(0)).alias("nr")))
+    return (flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("e").alias("n_exact"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("nr") == 1), 1)
+              .otherwise(0)).alias("n_near"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("nr") == 0), 1)
+              .otherwise(0)).alias("n_novel")))

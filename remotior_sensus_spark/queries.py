@@ -4191,6 +4191,72 @@ from j where cast(nm as double)/32.0 >= 0.3
 """
 
 
+def _incdedup_oracle() -> str:
+    from remotior_sensus_spark.operators.textops import _minhash_coeffs
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n    ".join(
+        f"min(hv * {a} + {b}) as m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    bands_sql = "\n  union all\n  ".join(
+        f"select doc_id, {b} as band, "
+        f"concat_ws('|', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) as bk from sig"
+        for b in range(8)
+    )
+    match = " + ".join(f"cast((sa.m{i} = sb.m{i}) as int)" for i in range(32))
+    base = "('src0','src1','src2','src3','src4')"
+    return f"""
+with fl as (select doc_id, source, source in {base} as is_base
+            from documents),
+hh as (select doc_id,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as ch
+  from documents),
+base_h as (select distinct ch from hh join fl using (doc_id)
+           where is_base),
+exact as (select hh.doc_id from hh join fl using (doc_id)
+          where not is_base and ch in (select ch from base_h)),
+t as (select doc_id, {_TOKS} as toks from documents),
+shd as (select doc_id, {_SHINGLES} as sh from t),
+flat as (select doc_id, unnest(sh) as shingle from shd),
+h as (select doc_id,
+      {_HEX60.format(x='shingle')} % 2147483647 as hv from flat),
+sig as (select doc_id,
+    {sig_cols}
+  from h group by doc_id),
+bands as (
+  {bands_sql}),
+cand as (select distinct a.doc_id as di, b.doc_id as db
+         from bands a join fl fa on fa.doc_id = a.doc_id
+              join bands b on a.band = b.band and a.bk = b.bk
+              join fl fb on fb.doc_id = b.doc_id
+         where (not fa.is_base) and fb.is_base),
+near as (select distinct c.di as doc_id
+         from cand c join sig sa on sa.doc_id = c.di
+                     join sig sb on sb.doc_id = c.db
+         where ({match}) >= 16),
+inc as (select fl.doc_id, fl.source,
+          (fl.doc_id in (select doc_id from exact)) as e,
+          (fl.doc_id in (select doc_id from near)) as nr
+        from fl where not is_base)
+select source, cast(count(*) as bigint) as n_docs,
+  cast(sum(cast(e as int)) as bigint) as n_exact,
+  cast(sum(case when (not e) and nr then 1 else 0 end) as bigint)
+    as n_near,
+  cast(sum(case when (not e) and (not nr) then 1 else 0 end) as bigint)
+    as n_novel
+from inc group by source
+"""
+
+
+@q("incremental_dedup", _incdedup_oracle())
+def incremental_dedup_q(spark, sf_dir):
+    """Continual-ingestion dedup census: base corpus = src0-src4,
+    incoming = the rest; exact (digest semi-join) / near (LSH banding
+    restricted to cross-boundary candidates, signature-Jaccard >= 16
+    of 32) / novel per incoming source (textops.incremental_dedup)."""
+    return tx.incremental_dedup(
+        cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("minhash_lsh", _minhash_oracle())
 def minhash_lsh(spark, sf_dir):
     docs = cat.load_driver(spark, sf_dir, "documents")

@@ -395,3 +395,33 @@ def test_mixture_sample_matches_reference(spark, docs_df):
     got = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_id_sum"])
            for r in tx.mixture_sample(docs_df).collect()}
     assert got == ref
+
+
+def test_incremental_dedup_hand_corpus(spark):
+    """Engineered base/incoming split: an exact copy, a near copy
+    (shared prefix, half the shingles), an exact copy that is ALSO a
+    near copy (must count as exact only), and a novel doc."""
+    base_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep green forest tonight")
+    near_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "walks home slowly whistling an old tune")
+    novel = "completely different content about spark shuffles and joins"
+    rows = [
+        Row(doc_id="b1", source="src0", text=base_text),
+        Row(doc_id="b2", source="src1", text=novel.upper()),
+        Row(doc_id="i1", source="src7", text=base_text),        # exact
+        Row(doc_id="i2", source="src7", text="  " + base_text + " "),
+        # ^ exact after trim/whitespace normalization
+        Row(doc_id="i3", source="src7", text=near_text),        # near
+        Row(doc_id="i4", source="src8",
+            text="entirely novel words nothing shared with any base"),
+    ]
+    out = {r["source"]: (r["n_docs"], r["n_exact"], r["n_near"],
+                         r["n_novel"])
+           for r in tx.incremental_dedup(
+               spark.createDataFrame(rows),
+               jaccard_threshold=0.4).collect()}
+    assert out["src7"] == (3, 2, 1, 0)
+    assert out["src8"] == (1, 0, 0, 1)
+    # base sources never appear in the incoming census
+    assert "src0" not in out and "src1" not in out
