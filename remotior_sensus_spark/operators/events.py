@@ -692,3 +692,108 @@ def rolling_wau(events: DataFrame) -> DataFrame:
         .groupBy("wau_band")
         .agg(F.count("*").alias("n_days"), F.sum("wau").alias("sum_wau"))
     )
+
+
+def survival_table(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier ingredients for the signup -> purchase transition
+    with RIGHT-CENSORING — the survival-analysis question funnels and
+    lag bands can't answer: users who haven't purchased YET are not
+    failures, they are censored at the end of observation.  Per user:
+    duration = days from first signup to first purchase AT-OR-AFTER
+    signup (event) or to the global last-event day (censored).  Output
+    is the classic life table, one row per day since signup:
+    (day, n_at_risk, n_events, n_censored), where n_at_risk(d) counts
+    users whose observed duration >= d — so the KM curve reconstructs
+    exactly as S(d) = prod_{d' <= d} (1 - n_events(d')/n_at_risk(d')),
+    while the table itself stays all-integer (deterministic vs the
+    oracle, no float product).
+
+    Scale shape: two user-keyed shuffles (first-signup agg and the
+    signup x purchase pair agg), one broadcast scalar (global end
+    day), a day-spine sequence+explode, and the suffix-sum window —
+    which orders by the DAY DOMAIN (observation span in days), never
+    by user or event count, so the single-partition window is bounded
+    by calendar length (the documented bounded-domain window
+    contract, aggregates.py:69)."""
+    s = (events.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"))
+    firstp = (s.join(p, "user_id")
+              .filter(F.col("p_ts") >= F.col("s_ts"))
+              .groupBy("user_id").agg(F.min("p_ts").alias("fp_ts")))
+    end = events.agg(F.max(F.to_date("ts")).alias("end_day"))
+    per_user = (s.join(firstp, "user_id", "left")
+                .crossJoin(F.broadcast(end))
+                .select(
+                    F.when(F.col("fp_ts").isNotNull(),
+                           F.datediff(F.to_date("fp_ts"),
+                                      F.to_date("s_ts"))).alias("ev_day"),
+                    F.datediff("end_day",
+                               F.to_date("s_ts")).alias("c_day")))
+    dur = per_user.select(
+        F.coalesce("ev_day", "c_day").alias("day"),
+        F.col("ev_day").isNotNull().cast("long").alias("is_event"))
+    arr = dur.groupBy("day").agg(
+        F.count("*").alias("n_arrived"),
+        F.sum("is_event").alias("n_events"))
+    spine = (dur.agg(F.max("day").alias("mx"))
+             .select(F.explode(
+                 F.sequence(F.lit(0), F.col("mx"))).alias("day")))
+    j = (spine.join(arr, "day", "left")
+         .select("day",
+                 F.coalesce("n_arrived", F.lit(0)).alias("n_arrived"),
+                 F.coalesce("n_events", F.lit(0)).alias("n_events")))
+    w = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        F.col("day").cast("int").alias("day"),
+        F.sum("n_arrived").over(w).alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("n_arrived") - F.col("n_events")).cast("long")
+        .alias("n_censored"))
+
+
+def value_mad_by_type(events: DataFrame) -> DataFrame:
+    """Exact per-type median absolute deviation on the cent lattice —
+    the robust dispersion twin of value_median_by_type: pass 1 reads
+    the lower median off the cent-domain histogram, pass 2 folds the
+    SAME histogram around it (|cents - median| re-histogram, still
+    value-domain-bounded) and reads the lower/upper MAD off that.
+    The per-type median table is a handful of rows, so the fold is a
+    broadcast join; both ordered windows run over the bounded value
+    domain, never the event count.  Returns
+    (event_type, n_events, median_cents, mad_lo_cents, mad_hi_cents)."""
+    vc = F.floor(F.col("value").cast("double") * F.lit(100.0)
+                 + F.lit(0.5)).cast("long")
+    h = (events.select("event_type", vc.alias("vc"))
+         .groupBy("event_type", "vc").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("event_type").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("event_type")
+    cm = h.select("event_type", "vc", "c",
+                  F.sum("c").over(w).alias("cum"),
+                  F.sum("c").over(wt).alias("n"))
+    med = (cm.groupBy("event_type")
+           .agg(F.max("n").alias("n_events"),
+                F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"),
+                             F.col("vc"))).alias("med")))
+    dh = (h.join(F.broadcast(med), "event_type")
+          .select("event_type", "n_events",
+                  F.abs(F.col("vc") - F.col("med")).alias("dv"),
+                  "c", "med")
+          .groupBy("event_type", "n_events", "med", "dv")
+          .agg(F.sum("c").alias("c")))
+    w2 = Window.partitionBy("event_type").orderBy("dv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cm2 = dh.select("event_type", "n_events", "med", "dv",
+                    F.sum("c").over(w2).alias("cum"))
+    return (cm2.groupBy("event_type")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("med").alias("median_cents"),
+                 F.min(F.when(
+                     F.col("cum") >= F.expr("(n_events + 1) div 2"),
+                     F.col("dv"))).alias("mad_lo_cents"),
+                 F.min(F.when(
+                     F.col("cum") >= F.expr("n_events div 2 + 1"),
+                     F.col("dv"))).alias("mad_hi_cents")))

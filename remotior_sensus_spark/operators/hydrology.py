@@ -1507,7 +1507,8 @@ _SRC_MAX = 103
 
 def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
                        src_lo: float | None = None,
-                       src_hi: float | None = None):
+                       src_hi: float | None = None,
+                       alloc_bits: int = 0):
     """One Bellman-Ford relaxation round for one tile: assemble the
     cost / distance halo pads, then iterate
         d(v) = 0                                  if v is a source
@@ -1561,11 +1562,22 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
         src_pad |= valid_pad & (z_pad >= src_hi)
     c64 = np.where(valid_pad, np.nan_to_num(z_pad, nan=0.0),
                    0.0).astype(np.int64)
-    c64[~valid_pad] = _COST_BARRIER
+    # Allocation mode (alloc_bits > 0): the state is the PACKED key
+    # (distance << alloc_bits) | source_label, so plain integer min IS
+    # the lexicographic (distance, label) min and the relax step is
+    # key_nb + (w << alloc_bits) — the low label bits ride along
+    # untouched because the shifted weight has zeros there.  Sources
+    # pin to their own cell value as the label (callers must keep the
+    # source rule inside 2^alloc_bits).  The barrier stand-in cost is
+    # 0 here instead of _COST_BARRIER: the valid mask already forces
+    # barrier cells to _COST_INF every round (same argument as below),
+    # and a zero stand-in keeps the shifted weights inside int64.
+    c64[~valid_pad] = 0 if alloc_bits else _COST_BARRIER
+    pin_pad = c64 if alloc_bits else np.int64(0)
 
     init = centre["filled"].iloc[0] is None
     if init:
-        d_pad = np.where(src_pad, np.int64(0), _COST_INF)
+        d_pad = np.where(src_pad, pin_pad, _COST_INF)
     else:
         d_pad = np.full((P, P), _COST_INF, dtype=np.int64)
         for _, r in pdf.iterrows():
@@ -1583,8 +1595,10 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
     for dy, dx in shifts:
         k = _K_DIAG if (dx != 0 and dy != 0) else _K_CARD
         w8.append((dy, dx,
-                   (ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k))
+                   ((ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k)
+                   << alloc_bits))
     src_i = src_pad[1:-1, 1:-1]
+    pin_i = pin_pad[1:-1, 1:-1] if alloc_bits else np.int64(0)
     vi = valid_pad[1:-1, 1:-1]
     converged = False
     for _ in range(inner_cap):
@@ -1594,7 +1608,7 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
                        d_pad[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx] + w,
                        out=nb_min)
         cur = d_pad[1:-1, 1:-1]
-        new = np.where(src_i, np.int64(0), np.minimum(cur, nb_min))
+        new = np.where(src_i, pin_i, np.minimum(cur, nb_min))
         new = np.where(vi, new, _COST_INF)
         # barrier detours can produce candidates above _COST_INF:
         # clamp so "unreached" stays the single sentinel value
@@ -1700,6 +1714,119 @@ def cost_distance_tiles(band_tiles: DataFrame,
         lambda it: (census_kern(pdf) for pdf in it),
         "dist_band long, n_pixels long, sum_dist_fp long, max_dist_fp long")
     return (per_part.groupBy(
+        F.col("dist_band").cast("int").alias("dist_band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"),
+             F.sum("sum_dist_fp").alias("sum_dist_fp"),
+             F.max("max_dist_fp").alias("max_dist_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Cost allocation (nearest-source zones under the cost metric)
+# ---------------------------------------------------------------------------
+
+# label bits for the packed (distance << bits) | label allocation key:
+# labels are the source cells' own integer values (<= _SRC_MAX = 103),
+# so 7 bits hold them and the exact-distance ceiling is 2^(62-7) = 2^55
+# fixed-point units — a least-cost path of ~5e6 max-cost steps, beyond
+# any realistic raster diameter (documented vs cost_distance's 2^62).
+_ALLOC_BITS = 7
+
+
+def cost_allocation_state(band_tiles: DataFrame,
+                          tile_px: int | None = None,
+                          max_rounds: int = 10_000,
+                          inner_cap: int | None = None) -> DataFrame:
+    """Converged cost-allocation state: `filled` holds the packed key
+    (distance << _ALLOC_BITS) | nearest_source_label per pixel
+    (_COST_INF at unreached/invalid).  Identical relaxation to
+    cost_distance_state — integer min on packed keys IS the
+    lexicographic (distance, label) min, so the unique fixpoint is
+    multi-source Dijkstra with min-label tie-breaking."""
+    T = tile_px or TILE_PX
+    cap = inner_cap or 4 * T
+    assert _SRC_MAX < (1 << _ALLOC_BITS)
+
+    def kern(pdf):
+        return _cost_round_kernel(pdf, T, cap, None, None, _ALLOC_BITS)
+
+    return _relax_rounds(
+        band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+        "cost_allocation: relaxation exceeded {} rounds — cross-tile "
+        "path depth beyond guard (source density too low for the "
+        "round budget; raise max_rounds or densify sources)")
+
+
+def cost_allocation_tiles(band_tiles: DataFrame,
+                          tile_px: int | None = None,
+                          max_rounds: int = 10_000,
+                          inner_cap: int | None = None) -> DataFrame:
+    """Cost-allocation census: every valid pixel is assigned the ZONE
+    of its least-cost-nearest source cell (the source's own integer
+    value, 100..103 in the synthetic surface — ArcGIS Cost Allocation
+    / GRASS r.cost nearest-facility semantics), distance ties broken
+    to the smallest zone label (deterministic, mirrored in the
+    oracle).  Output: one row per (alloc_zone, dist_band) with
+    n_pixels / sum_dist_fp / max_dist_fp; zone -2 band -2 collects
+    valid-but-unreachable cells, band -1 the source cells themselves.
+
+    Algorithm: the cost_distance Bellman-Ford tile relaxation run on
+    PACKED int64 keys (distance << 7) | label — a single integer min
+    per cell still computes the lexicographic pair min because the
+    shifted step weights carry zeros in the label bits, so the whole
+    proven kernel/driver/active-set machinery is reused verbatim with
+    weights << 7 and sources pinned to their label.  Bit-exact vs the
+    independently-written heapq (distance, label)-priority Dijkstra
+    oracle (synth/expected.py build_cost_allocation).
+
+    Scale shape: identical to cost_distance — rounds = cross-tile
+    dependency depth, active-set narrowing from round 3; the census
+    adds no shuffle beyond the final bounded (zone x band) groupBy.
+
+    Reference scope: the reference has no allocation operator
+    (standard GIS op: ArcGIS CostAllocation / GRASS r.cost
+    nearest-start output); census design matches the cost family."""
+    state = cost_allocation_state(band_tiles, tile_px, max_rounds,
+                                  inner_cap)
+    mask = np.int64((1 << _ALLOC_BITS) - 1)
+
+    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["alloc_zone", "dist_band", "n_pixels",
+                "sum_dist_fp", "max_dist_fp"]
+        from remotior_sensus_spark import NODATA
+        parts = []
+        for _, r in pdf.iterrows():
+            z = np.asarray(r["pixels"], dtype=np.float64)
+            v = (z != float(NODATA)) & ~np.isnan(z)
+            if not v.any():
+                continue
+            key = np.asarray(r["filled"], dtype=np.int64)[v]
+            unreached = key >= _COST_INF
+            zone = np.where(unreached, np.int64(-2), key & mask)
+            d = np.where(unreached, np.int64(0), key >> _ALLOC_BITS)
+            band = np.full(len(key), -1, dtype=np.int64)
+            band[unreached] = -2
+            pos = (d > 0) & ~unreached
+            _, expo = np.frexp(d[pos].astype(np.float64))
+            band[pos] = expo - 1
+            parts.append(pd.DataFrame({
+                "alloc_zone": zone, "dist_band": band, "n_pixels": 1,
+                "sum_dist_fp": d, "max_dist_fp": d}))
+        if not parts:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols})
+        allp = pd.concat(parts, ignore_index=True)
+        return allp.groupby(["alloc_zone", "dist_band"],
+                            as_index=False).agg(
+            n_pixels=("n_pixels", "sum"),
+            sum_dist_fp=("sum_dist_fp", "sum"),
+            max_dist_fp=("max_dist_fp", "max")).astype("int64")
+
+    per_part = state.select("pixels", "filled").mapInPandas(
+        lambda it: (census_kern(pdf) for pdf in it),
+        "alloc_zone long, dist_band long, n_pixels long, "
+        "sum_dist_fp long, max_dist_fp long")
+    return (per_part.groupBy(
+        F.col("alloc_zone").cast("int").alias("alloc_zone"),
         F.col("dist_band").cast("int").alias("dist_band"))
         .agg(F.sum("n_pixels").alias("n_pixels"),
              F.sum("sum_dist_fp").alias("sum_dist_fp"),

@@ -337,6 +337,108 @@ def ann_recall_audit(embeddings: DataFrame, query_ids: list[int],
         "brute_id_sum", "lsh_id_sum")
 
 
+def dim_trunc_recall(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 10, dims: int = 16) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: per query, how
+    many of the exact top-k under only the FIRST `dims` coordinates
+    survive in the exact full-dimension top-k — the retrieval-quality
+    question behind MRL / truncated-embedding serving (store 16 of 64
+    dims, how much ranking do you lose?).  Both rankings are exact
+    brute force with the shared fixed-point cosine (the truncated side
+    just slices the array before the same JVM zip_with/aggregate dot),
+    so the per-query hit count is a deterministic integer.  Returns
+    one row per query: (query_id, n_hits, k, full_id_sum,
+    trunc_id_sum).
+
+    Scale shape: two broadcast-query corpus passes + one tiny join —
+    identical to ann_recall_audit; the truncation is a per-row slice,
+    no extra shuffle."""
+    trunc = embeddings.select(
+        "vec_id", F.slice("embedding", 1, dims).alias("embedding"))
+    full_top = cosine_topk_bruteforce(embeddings, query_ids, k=k).select(
+        "query_id", F.col("vec_id").alias("f_id"))
+    trunc_top = cosine_topk_bruteforce(trunc, query_ids, k=k).select(
+        "query_id", F.col("vec_id").alias("t_id"))
+    hits = (
+        trunc_top.join(full_top,
+                       (trunc_top["query_id"] == full_top["query_id"])
+                       & (F.col("t_id") == F.col("f_id")))
+        .groupBy(trunc_top["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = (
+        full_top.groupBy("query_id")
+        .agg(F.sum("f_id").alias("full_id_sum"))
+        .join(trunc_top.groupBy("query_id")
+              .agg(F.sum("t_id").alias("trunc_id_sum")), "query_id")
+        .join(hits, "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.lit(k).cast("int").alias("k"),
+        "full_id_sum", "trunc_id_sum")
+
+
+def bq_recall_audit(embeddings: DataFrame, query_ids: list[int],
+                    k: int = 10) -> DataFrame:
+    """Binary-quantization serving audit: rank the corpus per query by
+    HAMMING distance between sign-bit vectors (1 bit per dim — the
+    32x-compression BQ index pattern), take the top-k (ties broken by
+    vec_id — sign vectors collide heavily, so the deterministic
+    tie-break is part of the contract), and count how many exact
+    full-precision cosine top-k neighbours the bit ranking preserves.
+    Completes the recall-audit family: LSH buckets
+    (ann_recall_audit), IVF lists (ivf_recall_audit), dimension
+    truncation (dim_trunc_recall), and now 1-bit quantization.
+    Returns one row per query: (query_id, n_hits, k, brute_id_sum,
+    bq_id_sum).
+
+    Scale shape: the sign/Hamming pass is JVM transform/zip_with over
+    a broadcast query set — same one-corpus-pass shape as the brute
+    ranking; integer distances, no floats on the BQ side at all."""
+    signs = F.transform(
+        "embedding",
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("int"))
+    sq = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), signs.alias("q_sig"))
+    corpus = embeddings.select("vec_id", signs.alias("sig"))
+    ham = F.aggregate(
+        F.zip_with("sig", "q_sig",
+                   lambda a, b: F.when(a != b, F.lit(1))
+                   .otherwise(F.lit(0))),
+        F.lit(0), lambda acc, v: acc + v)
+    jw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id"))
+    bq_top = (corpus.crossJoin(F.broadcast(sq))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", ham.alias("hamming"))
+              .withColumn("rank", F.row_number().over(jw))
+              .filter(F.col("rank") <= k)
+              .select("query_id", F.col("vec_id").alias("b_id")))
+    brute = cosine_topk_bruteforce(embeddings, query_ids, k=k).select(
+        "query_id", F.col("vec_id").alias("e_id"))
+    hits = (
+        bq_top.join(brute, (bq_top["query_id"] == brute["query_id"])
+                    & (F.col("b_id") == F.col("e_id")))
+        .groupBy(bq_top["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.sum("e_id").alias("brute_id_sum"))
+        .join(bq_top.groupBy("query_id")
+              .agg(F.sum("b_id").alias("bq_id_sum")), "query_id")
+        .join(hits, "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.lit(k).cast("int").alias("k"),
+        "brute_id_sum", "bq_id_sum")
+
+
 def embedding_norm_bands(embeddings: DataFrame) -> DataFrame:
     """Embedding-norm sanity profile: the fixed-point squared norm
     (the shared _dot_fp lattice, exact BIGINT) bucketed by

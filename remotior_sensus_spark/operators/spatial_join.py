@@ -621,3 +621,58 @@ def vector_cluster_distance(rects: DataFrame, threshold: float,
         F.min("fx0").alias("bx0"), F.min("fy0").alias("by0"),
         F.max("fx1").alias("bx1"), F.max("fy1").alias("by1"),
     )
+
+
+def compact_cell_cover(rects: DataFrame, max_level: int = 4) -> DataFrame:
+    """H3-compact / S2-coverer analogue on the Morton tile hierarchy:
+    the union cell cover of all geometries (geometry_cell_cover, the
+    same bbox arithmetic every vector<->raster join here uses) is
+    COMPACTED bottom-up — any cell whose 4 children are fully covered
+    is replaced by its parent, recursively, so a level-k cell spans
+    2^k x 2^k tiles.  This is the compressed cover a hierarchical
+    spatial index ships to a join instead of the raw tile list (H3
+    `compact_cells` / S2 `RegionCoverer` semantics on the repo's
+    prefix-truncation hierarchy, grid.py's cell_key >> 2k).
+
+    Output census, one row per NONEMPTY level:
+    (level, n_cells, cell_key_sum) with cell_key_sum =
+    sum(tile_x * 2^16 + tile_y) over that level's (level-local) cell
+    coordinates — exact integers, no floats.
+
+    Scale shape: the cover is bounded by geometry count x bbox size,
+    never raster pixels; each promotion level is one hash groupBy on a
+    4x-shrinking frame, and the survivor anti-joins broadcast the
+    (tiny) promoted-parent sets.  max_level caps the chain at a fixed
+    plan depth — no iteration, no driver loop."""
+    cover = (geometry_cell_cover(rects, extra_cols=())
+             .select("tile_x", "tile_y").distinct())
+    levels = [cover]
+    for _k in range(1, max_level + 1):
+        levels.append(
+            levels[-1]
+            .groupBy(F.expr("div(tile_x, 2)").cast("int").alias("tile_x"),
+                     F.expr("div(tile_y, 2)").cast("int").alias("tile_y"))
+            .agg(F.count("*").alias("nc"))
+            .filter(F.col("nc") == 4).drop("nc"))
+    outs = []
+    for k in range(max_level + 1):
+        cur = levels[k]
+        if k < max_level:
+            parents = levels[k + 1].select(
+                F.col("tile_x").alias("ptx"), F.col("tile_y").alias("pty"))
+            cur = cur.join(
+                F.broadcast(parents),
+                (F.expr("div(tile_x, 2)") == F.col("ptx"))
+                & (F.expr("div(tile_y, 2)") == F.col("pty")),
+                "left_anti")
+        outs.append(cur.agg(
+            F.lit(k).cast("int").alias("level"),
+            F.count("*").alias("n_cells"),
+            F.coalesce(
+                F.sum(F.col("tile_x").cast("long") * F.lit(65536)
+                      + F.col("tile_y")),
+                F.lit(0).cast("long")).alias("cell_key_sum")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.filter(F.col("n_cells") > 0)

@@ -1489,3 +1489,52 @@ def incremental_dedup(docs: DataFrame, *,
               .otherwise(0)).alias("n_near"),
         F.sum(F.when((F.col("e") == 0) & (F.col("nr") == 0), 1)
               .otherwise(0)).alias("n_novel")))
+
+
+def vocab_growth(docs: DataFrame, n_slices: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth census: the corpus is cut into
+    `n_slices` equal doc_id-range slices (ingestion-order proxy) and
+    each slice reports how much NEW vocabulary it contributes — the
+    V(n) ~ K*n^beta curve a natural corpus follows and a
+    template-saturated one flattens out of.  Output, one row per
+    slice: (slice, n_docs, n_tokens, new_terms, vocab_size) where
+    new_terms counts terms whose FIRST occurrence slice this is and
+    vocab_size is the running distinct-vocabulary prefix sum.
+
+    All slicing is exact integer arithmetic ((doc_id - min) * n DIV
+    (max - min + 1) — no float enters the bucket decision, mirrored in
+    the oracle), the per-term reduction is one hash shuffle keyed by
+    term (min-slice), and the prefix sum runs over the n_slices-row
+    spine (bounded-domain window).  Scale shape: same as vocab_zipf —
+    term cardinality bounds the shuffle, never corpus size."""
+    bounds = docs.agg(F.min("doc_id").alias("mn"),
+                      (F.max("doc_id") - F.min("doc_id") + 1)
+                      .alias("span"))
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"div((doc_id - mn) * {int(n_slices)}, span)")
+        .cast("int").alias("slice"),
+        tokens_col().alias("toks"))
+    per_slice = d.groupBy("slice").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("n_tokens"))
+    first = (d.select("slice", F.explode("toks").alias("t"))
+             .groupBy("t").agg(F.min("slice").alias("fs"))
+             .groupBy("fs").agg(F.count("*").alias("new_terms")))
+    spine = docs.sparkSession.range(1).select(
+        F.explode(F.sequence(
+            F.lit(0), F.lit(int(n_slices) - 1))).alias("slice"))
+    j = (spine
+         .join(per_slice, "slice", "left")
+         .join(first.withColumnRenamed("fs", "slice"), "slice", "left")
+         .select(F.col("slice").cast("int").alias("slice"),
+                 F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                 F.coalesce("new_terms", F.lit(0)).alias("new_terms")))
+    w = Window.orderBy("slice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "slice",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("new_terms").cast("long").alias("new_terms"),
+        F.sum("new_terms").over(w).alias("vocab_size"))

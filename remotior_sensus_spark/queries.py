@@ -5419,6 +5419,36 @@ def vocab_zipf_q(spark, sf_dir):
     return tx.vocab_zipf(cat.load_driver(spark, sf_dir, "documents"))
 
 
+@q("vocab_growth", f"""
+with bnd as (select min(doc_id) as mn, max(doc_id) - min(doc_id) + 1
+             as span from documents),
+t as (select (doc_id - mn) * 10 // span as sl, {_TOKS} as toks
+      from documents cross join bnd),
+ps as (select sl, count(*) as n_docs,
+       cast(sum(len(toks)) as bigint) as n_tokens from t group by 1),
+w as (select sl, unnest(toks) as tk from t),
+fs as (select tk, min(sl) as fsl from w group by 1),
+nt as (select fsl as sl, count(*) as new_terms from fs group by 1),
+spine as (select unnest(range(0, 10)) as sl),
+j as (select spine.sl, coalesce(n_docs, 0) as n_docs,
+      coalesce(n_tokens, 0) as n_tokens,
+      coalesce(new_terms, 0) as new_terms
+      from spine left join ps using (sl) left join nt using (sl))
+select cast(sl as int) as slice, cast(n_docs as bigint) as n_docs,
+  cast(n_tokens as bigint) as n_tokens,
+  cast(new_terms as bigint) as new_terms,
+  cast(sum(new_terms) over (order by sl rows between unbounded
+       preceding and current row) as bigint) as vocab_size
+from j
+""")
+def vocab_growth_q(spark, sf_dir):
+    """Heaps'-law vocabulary growth over 10 equal doc_id-range slices:
+    per slice new_terms (first-occurrence slice) and the running
+    vocab_size prefix sum — exact integer slicing, term-keyed shuffle
+    (textops.vocab_growth)."""
+    return tx.vocab_growth(cat.load_driver(spark, sf_dir, "documents"))
+
+
 @q("bigram_lm_proxy", f"""
 with t as (select doc_id, lang, {_TOKS} as toks from documents),
 bgx as (select doc_id, lang, toks,
@@ -5528,6 +5558,91 @@ def ann_recall_audit_q(spark, sf_dir):
     brute-force top-10 per query (similarity.ann_recall_audit)."""
     return sim.ann_recall_audit(
         cat.load_driver(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+def _dimtrunc_oracle() -> str:
+    """Exact top-10 under the first 16 coordinates vs under all 64 —
+    both CTEs share the one cross-join scan; list slicing feeds the
+    same fixed-point cosine."""
+    rank = ("select query_id, vec_id from (select *, row_number() over "
+            "(partition by query_id order by cs desc, vec_id) as rk "
+            "from {s}) where rk <= 10")
+    return f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id in (0, 1, 2, 3, 4)),
+j as (select e.vec_id, q.qid, e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+sfull as (select qid as query_id, vec_id,
+          {_cosfp_sql('emb', 'qe')} as cs from j),
+strunc as (select qid as query_id, vec_id,
+           {_cosfp_sql('emb[1:16]', 'qe[1:16]')} as cs from j),
+f as ({rank.format(s='sfull')}),
+t as ({rank.format(s='strunc')}),
+hits as (select f.query_id, count(*) as n_hits
+         from f join t on t.query_id = f.query_id and t.vec_id = f.vec_id
+         group by 1),
+fs as (select query_id, cast(sum(vec_id) as bigint) as full_id_sum
+       from f group by 1),
+ts as (select query_id, cast(sum(vec_id) as bigint) as trunc_id_sum
+       from t group by 1)
+select fs.query_id, cast(coalesce(hits.n_hits, 0) as bigint) as n_hits,
+  cast(10 as int) as k, full_id_sum, trunc_id_sum
+from fs join ts using (query_id) left join hits using (query_id)
+"""
+
+
+def _bq_recall_oracle() -> str:
+    """Sign-bit Hamming top-10 vs exact cosine top-10 per query."""
+    ham = ("cast(list_sum(list_transform(range(1, len(emb)+1), "
+           "i -> case when (emb[i] >= 0) <> (qe[i] >= 0) "
+           "then 1 else 0 end)) as bigint)")
+    return f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id in (0, 1, 2, 3, 4)),
+j as (select e.vec_id, q.qid, e.embedding as emb, q.qe
+      from embeddings e cross join q where e.vec_id <> q.qid),
+sc as (select qid as query_id, vec_id,
+       {_cosfp_sql('emb', 'qe')} as cs from j),
+sh as (select qid as query_id, vec_id, {ham} as hd from j),
+b as (select query_id, vec_id from (
+  select *, row_number() over (partition by query_id
+    order by cs desc, vec_id) as rk from sc) where rk <= 10),
+h as (select query_id, vec_id from (
+  select *, row_number() over (partition by query_id
+    order by hd asc, vec_id) as rk from sh) where rk <= 10),
+hits as (select b.query_id, count(*) as n_hits
+         from h join b on b.query_id = h.query_id and b.vec_id = h.vec_id
+         group by 1),
+bs as (select query_id, cast(sum(vec_id) as bigint) as brute_id_sum
+       from b group by 1),
+hs as (select query_id, cast(sum(vec_id) as bigint) as bq_id_sum
+       from h group by 1)
+select bs.query_id, cast(coalesce(hits.n_hits, 0) as bigint) as n_hits,
+  cast(10 as int) as k, brute_id_sum, bq_id_sum
+from bs join hs using (query_id) left join hits using (query_id)
+"""
+
+
+@q("bq_recall_audit", _bq_recall_oracle())
+def bq_recall_audit_q(spark, sf_dir):
+    """Binary-quantization serving audit: sign-bit Hamming top-10
+    (deterministic vec_id tie-break) vs exact full-precision cosine
+    top-10 per query — the 1-bit-index recall question
+    (similarity.bq_recall_audit)."""
+    return sim.bq_recall_audit(
+        cat.load_driver(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=10)
+
+
+@q("dim_trunc_recall", _dimtrunc_oracle())
+def dim_trunc_recall_q(spark, sf_dir):
+    """Matryoshka truncation audit: exact top-10 under the first 16 of
+    64 embedding dims vs the exact full-dimension top-10 per query —
+    the store-fewer-dims retrieval-quality question
+    (similarity.dim_trunc_recall)."""
+    return sim.dim_trunc_recall(
+        cat.load_driver(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=10, dims=16)
 
 
 @q("session_durations", """
@@ -7082,6 +7197,45 @@ def value_median_by_type_q(spark, sf_dir):
         cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("value_mad_by_type", """
+with v as (select event_type,
+    cast(floor(cast(value as double) * 100.0 + 0.5) as bigint) as vc
+  from events),
+h as (select event_type, vc, count(*) as c from v group by 1, 2),
+cm as (select event_type, vc,
+    sum(c) over (partition by event_type order by vc
+      rows between unbounded preceding and current row) as cum,
+    sum(c) over (partition by event_type) as n
+  from h),
+med as (select event_type, cast(max(n) as bigint) as n_events,
+    cast(min(case when cum >= (n + 1) // 2 then vc end) as bigint)
+      as med
+  from cm group by 1),
+dh as (select h.event_type, n_events, med, abs(vc - med) as dv,
+    cast(sum(c) as bigint) as c
+  from h join med using (event_type) group by 1, 2, 3, 4),
+cm2 as (select event_type, n_events, med, dv,
+    sum(c) over (partition by event_type order by dv
+      rows between unbounded preceding and current row) as cum
+  from dh)
+select event_type, cast(max(n_events) as bigint) as n_events,
+  cast(max(med) as bigint) as median_cents,
+  cast(min(case when cum >= (n_events + 1) // 2 then dv end) as bigint)
+    as mad_lo_cents,
+  cast(min(case when cum >= n_events // 2 + 1 then dv end) as bigint)
+    as mad_hi_cents
+from cm2 group by 1
+""")
+def value_mad_by_type_q(spark, sf_dir):
+    """Exact per-type median absolute deviation: the cent histogram is
+    folded around the lower median (broadcast per-type scalar) and the
+    MAD read off the deviation histogram — both passes bounded by the
+    value domain (events.value_mad_by_type)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.value_mad_by_type(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
 @q("dense_hourly_counts", """
 with b as (select date_trunc('hour', min(ts)) as lo,
                   date_trunc('hour', max(ts)) as hi from events),
@@ -7129,6 +7283,45 @@ def rolling_wau_q(spark, sf_dir):
     return ev_ops.rolling_wau(cat.load_driver(spark, sf_dir, "events"))
 
 
+@q("survival_table", """
+with s as (select user_id, min(ts) as s_ts from events
+           where event_type = 'signup' group by 1),
+fp as (select s.user_id, min(p.ts) as fp_ts from s join events p
+       on p.user_id = s.user_id and p.event_type = 'purchase'
+       and p.ts >= s.s_ts group by 1),
+e as (select max(cast(ts as date)) as end_day from events),
+pu as (select case when fp.fp_ts is not null then
+         datediff('day', cast(s.s_ts as date), cast(fp.fp_ts as date))
+       end as ev_day,
+       datediff('day', cast(s.s_ts as date), end_day) as c_day
+       from s left join fp using (user_id) cross join e),
+dur as (select coalesce(ev_day, c_day) as day,
+        case when ev_day is not null then 1 else 0 end as is_event
+        from pu),
+arr as (select day, count(*) as n_arrived,
+        cast(sum(is_event) as bigint) as n_events from dur group by 1),
+spine as (select unnest(range(0, (select max(day) + 1 from dur))) as day),
+je as (select spine.day, coalesce(n_arrived, 0) as n_arrived,
+       coalesce(n_events, 0) as n_events
+       from spine left join arr using (day))
+select cast(day as int) as day,
+  cast(sum(n_arrived) over (order by day desc rows between unbounded
+       preceding and current row) as bigint) as n_at_risk,
+  cast(n_events as bigint) as n_events,
+  cast(n_arrived - n_events as bigint) as n_censored
+from je
+""")
+def survival_table_q(spark, sf_dir):
+    """Kaplan-Meier life table for signup -> purchase with
+    right-censoring at the global last-event day: one all-integer row
+    per day since signup (day, n_at_risk, n_events, n_censored) — the
+    survival question funnels can't answer; S(d) reconstructs exactly
+    from these counts (events.survival_table)."""
+    from remotior_sensus_spark.operators import events as ev_ops
+    return ev_ops.survival_table(
+        cat.load_driver(spark, sf_dir, "events"))
+
+
 @q("cost_distance",
    f"select * from '{GEO01}/expected/cost_distance.parquet'")
 def cost_distance_q(spark, sf_dir):
@@ -7142,6 +7335,74 @@ def cost_distance_q(spark, sf_dir):
     _ensure_expected(sf_dir)
     t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
     return hydrology.cost_distance_tiles(t64, tile_px=t_px)
+
+
+@q("compact_cell_cover", f"""
+with c0 as (select distinct p.tile_x, p.tile_y
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax
+   and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset = 'S2_2020-01-01' and p.band = 'B04'),
+p1 as (select tile_x // 2 as tile_x, tile_y // 2 as tile_y
+       from c0 group by 1, 2 having count(*) = 4),
+p2 as (select tile_x // 2 as tile_x, tile_y // 2 as tile_y
+       from p1 group by 1, 2 having count(*) = 4),
+p3 as (select tile_x // 2 as tile_x, tile_y // 2 as tile_y
+       from p2 group by 1, 2 having count(*) = 4),
+p4 as (select tile_x // 2 as tile_x, tile_y // 2 as tile_y
+       from p3 group by 1, 2 having count(*) = 4),
+o0 as (select * from c0 where not exists (select 1 from p1 where
+       p1.tile_x = c0.tile_x // 2 and p1.tile_y = c0.tile_y // 2)),
+o1 as (select * from p1 where not exists (select 1 from p2 where
+       p2.tile_x = p1.tile_x // 2 and p2.tile_y = p1.tile_y // 2)),
+o2 as (select * from p2 where not exists (select 1 from p3 where
+       p3.tile_x = p2.tile_x // 2 and p3.tile_y = p2.tile_y // 2)),
+o3 as (select * from p3 where not exists (select 1 from p4 where
+       p4.tile_x = p3.tile_x // 2 and p4.tile_y = p3.tile_y // 2)),
+u as (
+  select 0 as level, count(*) as n_cells,
+    coalesce(sum(tile_x * 65536 + tile_y), 0) as s from o0
+  union all select 1, count(*), coalesce(sum(tile_x*65536+tile_y),0)
+    from o1
+  union all select 2, count(*), coalesce(sum(tile_x*65536+tile_y),0)
+    from o2
+  union all select 3, count(*), coalesce(sum(tile_x*65536+tile_y),0)
+    from o3
+  union all select 4, count(*), coalesce(sum(tile_x*65536+tile_y),0)
+    from p4)
+select cast(level as int) as level, cast(n_cells as bigint) as n_cells,
+  cast(s as bigint) as cell_key_sum
+from u where n_cells > 0
+""")
+def compact_cell_cover_q(spark, sf_dir):
+    """H3-compact / S2-coverer census: the union geometry cell cover
+    compacted bottom-up on the Morton hierarchy (4 fully-covered
+    children -> parent, 4 levels) — the oracle derives the SAME cover
+    from strict pixel-center containment (lattice alignment makes the
+    two formulations provably equal), then mirrors the promotion
+    chain (spatial_join.compact_cell_cover)."""
+    from remotior_sensus_spark.operators.spatial_join import (
+        compact_cell_cover)
+    return compact_cell_cover(
+        cat.load_geo(spark, sf_dir, "geometry_rects"))
+
+
+@q("cost_allocation",
+   f"select * from '{GEO01}/expected/cost_allocation.parquet'")
+def cost_allocation_q(spark, sf_dir):
+    """Cost-allocation census over the B04 cost surface: every valid
+    pixel assigned the zone (source cell's own value, 100..103) of its
+    least-cost-nearest source, distance ties to the smaller zone — the
+    cost_distance relaxation run on packed (distance << 7) | label
+    int64 keys, so one integer min per cell IS the lexicographic pair
+    min; bit-exact vs the independently-written (dist, label)-priority
+    heapq Dijkstra oracle (synth/expected.py build_cost_allocation)
+    (hydrology.cost_allocation_tiles)."""
+    from remotior_sensus_spark.operators import hydrology
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return hydrology.cost_allocation_tiles(t64, tile_px=t_px)
 
 
 @q("corridor_census",
@@ -7281,7 +7542,7 @@ ORACLE_BUILDERS = {
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
-        "viewshed_census", "corridor_census",
+        "cost_allocation", "viewshed_census", "corridor_census",
         "openness_census", "component_shapes",
         "geomorphon_census")},
 }

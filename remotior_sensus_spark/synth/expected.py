@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 21
+_EXPECTED_VERSION = 22
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -991,6 +991,72 @@ def build_cost_distance(sf: float) -> pa.Table:
 
 
 
+def build_cost_allocation(sf: float) -> pa.Table:
+    """Independent multi-source Dijkstra with (distance, label) tuple
+    priority (heapq on pairs — a DIFFERENT state representation from
+    the engine's packed-int64 relaxation): sources are cells with
+    value <= 103 labelled by their OWN integer value, ties broken to
+    the smaller label by the tuple order, same exact fixed-point step
+    weights and nodata-barrier rule as build_cost_distance.  Census:
+    (alloc_zone, dist_band) with n/sum/max of the distance; band -1 =
+    sources, zone/band -2 = unreachable valid cells."""
+    import heapq
+
+    r = _full_raster(sf)
+    H, W = r.shape
+    valid = ~np.isnan(r)
+    c = np.where(valid, np.nan_to_num(r, nan=0.0), 0.0).astype(np.int64)
+    INF = 1 << 62
+    state = [[(INF, -1)] * W for _ in range(H)]
+    pq = []
+    sy, sx = np.nonzero(valid & (r <= 103))
+    for y, x in zip(sy.tolist(), sx.tolist()):
+        lab = int(c[y, x])
+        state[y][x] = (0, lab)
+        pq.append((0, lab, y, x))
+    heapq.heapify(pq)
+    nbrs = [(dy, dx, 707107 if dy and dx else 500000)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
+    cl = c.tolist()
+    vl = valid.tolist()
+    while pq:
+        d, lab, y, x = heapq.heappop(pq)
+        if (d, lab) > state[y][x]:
+            continue
+        cu = cl[y][x]
+        for dy, dx, k in nbrs:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < H and 0 <= nx < W and vl[ny][nx]:
+                nd = d + (cu + cl[ny][nx]) * k
+                if (nd, lab) < state[ny][nx]:
+                    state[ny][nx] = (nd, lab)
+                    heapq.heappush(pq, (nd, lab, ny, nx))
+    census = {}
+    for y in range(H):
+        for x in range(W):
+            if not vl[y][x]:
+                continue
+            d, lab = state[y][x]
+            if d >= INF:
+                zone, band, d = -2, -2, 0
+            else:
+                zone = lab
+                band = -1 if d == 0 else d.bit_length() - 1
+            n, s, m = census.get((zone, band), (0, 0, 0))
+            census[(zone, band)] = (n + 1, s + d, max(m, d))
+    keys = sorted(census)
+    return pa.table({
+        "alloc_zone": pa.array([k[0] for k in keys], type=pa.int32()),
+        "dist_band": pa.array([k[1] for k in keys], type=pa.int32()),
+        "n_pixels": pa.array([census[k][0] for k in keys],
+                             type=pa.int64()),
+        "sum_dist_fp": pa.array([census[k][1] for k in keys],
+                                type=pa.int64()),
+        "max_dist_fp": pa.array([census[k][2] for k in keys],
+                                type=pa.int64())})
+
+
 def build_viewshed(sf: float) -> pa.Table:
     """Independent dense viewshed rebuild: whole-raster shifted-array
     sweep per (target-offset, ray-step) pair — a DIFFERENT
@@ -1275,6 +1341,7 @@ BUILDERS = {
     "fill_depressions": build_fill_depressions,
     "filled_flow_accumulation": build_filled_flow_accumulation,
     "cost_distance": build_cost_distance,
+    "cost_allocation": build_cost_allocation,
     "viewshed_census": build_viewshed,
     "corridor_census": build_corridor,
     "openness_census": build_openness,

@@ -225,3 +225,66 @@ def test_semdedup_matches_numpy(spark, emb):
     got = {r["list_id"]: (r["n_vecs"], r["n_dropped"], r["n_kept"]) for r in
            Q.REGISTRY["semdedup"][0](spark, SF_DIR).collect()}
     assert got == ref
+
+
+def test_dim_trunc_recall_matches_numpy(spark, emb):
+    """Independent rebuild of the Matryoshka truncation audit: exact
+    fixed-point-cosine top-10 under all 64 dims and under the first 16,
+    per-query overlap + id sums, pure numpy ranking."""
+    ids, _labels, v, _vq = emb
+
+    def dfp(a, b):
+        return np.floor(a * b * 1048576.0 + 0.5).astype(
+            np.int64).sum(axis=-1)
+
+    def topk(mat, qi, k=10):
+        norms = np.sqrt(dfp(mat, mat).astype(np.float64))
+        with np.errstate(all="ignore"):
+            cos = dfp(mat, mat[qi]).astype(np.float64) / (norms * norms[qi])
+        return sorted((i for i in range(len(ids)) if i != qi),
+                      key=lambda i: (-cos[i], ids[i]))[:k]
+
+    ref = {}
+    for qid in range(5):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        f = topk(v, qi)
+        t = topk(v[:, :16], qi)
+        ref[qid] = (len(set(f) & set(t)), 10,
+                    int(sum(ids[i] for i in f)),
+                    int(sum(ids[i] for i in t)))
+    got = {r["query_id"]: (r["n_hits"], r["k"], r["full_id_sum"],
+                           r["trunc_id_sum"])
+           for r in Q.REGISTRY["dim_trunc_recall"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref
+
+
+def test_bq_recall_audit_matches_numpy(spark, emb):
+    """Independent rebuild of the binary-quantization audit: sign-bit
+    Hamming ranking (vec_id tie-break) vs fixed-point-cosine top-10,
+    pure numpy."""
+    ids, _labels, v, _vq = emb
+
+    def dfp(a, b):
+        return np.floor(a * b * 1048576.0 + 0.5).astype(
+            np.int64).sum(axis=-1)
+
+    norms = np.sqrt(dfp(v, v).astype(np.float64))
+    bits = (v >= 0).astype(np.int64)
+    ref = {}
+    for qid in range(5):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        with np.errstate(all="ignore"):
+            cos = dfp(v, v[qi]).astype(np.float64) / (norms * norms[qi])
+        ham = (bits != bits[qi]).sum(axis=1)
+        others = [i for i in range(len(ids)) if i != qi]
+        b = sorted(others, key=lambda i: (-cos[i], ids[i]))[:10]
+        h = sorted(others, key=lambda i: (ham[i], ids[i]))[:10]
+        ref[qid] = (len(set(b) & set(h)), 10,
+                    int(sum(ids[i] for i in b)),
+                    int(sum(ids[i] for i in h)))
+    got = {r["query_id"]: (r["n_hits"], r["k"], r["brute_id_sum"],
+                           r["bq_id_sum"])
+           for r in Q.REGISTRY["bq_recall_audit"][0](
+               spark, SF_DIR).collect()}
+    assert got == ref

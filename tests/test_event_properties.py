@@ -393,3 +393,75 @@ def test_hourly_error_profile_matches_reference(spark, seed):
                               r["error_rate_fp"]) for r in
            ev.hourly_error_profile(_df(spark, rows)).collect()}
     assert got == _ref_hourly_errors(rows)
+
+
+def _ref_survival(rows):
+    """Pure-Python KM life table: per user first signup, first
+    purchase at-or-after it, censor at the global last event DAY;
+    n_at_risk via suffix sums over the day spine."""
+    s_ts = {}
+    for _eid, ts, u, et, _v in rows:
+        if et == "signup" and (u not in s_ts or ts < s_ts[u]):
+            s_ts[u] = ts
+    fp = {}
+    for _eid, ts, u, et, _v in rows:
+        if (et == "purchase" and u in s_ts and ts >= s_ts[u]
+                and (u not in fp or ts < fp[u])):
+            fp[u] = ts
+    end_day = max(ts.date() for _eid, ts, _u, _et, _v in rows)
+    durs = []
+    for u, st in s_ts.items():
+        if u in fp:
+            durs.append(((fp[u].date() - st.date()).days, 1))
+        else:
+            durs.append(((end_day - st.date()).days, 0))
+    mx = max(d for d, _e in durs)
+    out = {}
+    for d in range(mx + 1):
+        at_risk = sum(1 for dd, _e in durs if dd >= d)
+        n_ev = sum(1 for dd, e in durs if dd == d and e)
+        n_cen = sum(1 for dd, e in durs if dd == d and not e)
+        out[d] = (at_risk, n_ev, n_cen)
+    return out
+
+
+@pytest.mark.parametrize("seed", [30, 31])
+def test_survival_table_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=50, max_ev=25)
+    got = {r["day"]: (r["n_at_risk"], r["n_events"], r["n_censored"])
+           for r in ev.survival_table(_df(spark, rows)).collect()}
+    ref = _ref_survival(rows)
+    assert got == ref
+    # censoring really occurs (the distinguishing semantics) and the
+    # at-risk series is the exact suffix sum of arrivals
+    assert any(c > 0 for _a, _e, c in ref.values())
+    days = sorted(ref)
+    for a, b in zip(days, days[1:]):
+        assert ref[a][0] == ref[b][0] + ref[a][1] + ref[a][2]
+
+
+def _ref_mad(rows):
+    """Statistics-textbook reference: sort the raw cent values, take
+    the lower median by index, sort absolute deviations, index again —
+    no histogram formulation shared with the engine."""
+    import math as _m
+    by_type = {}
+    for _eid, _ts, _u, et, v in rows:
+        by_type.setdefault(et, []).append(int(_m.floor(v * 100.0 + 0.5)))
+    out = {}
+    for et, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1]
+        dev = sorted(abs(x - med) for x in vs)
+        out[et] = (n, med, dev[(n + 1) // 2 - 1], dev[n // 2])
+    return out
+
+
+@pytest.mark.parametrize("seed", [40, 41])
+def test_value_mad_by_type_matches_reference(spark, seed):
+    rows = _mk_events(seed, n_users=40, max_ev=25)
+    got = {r["event_type"]: (r["n_events"], r["median_cents"],
+                             r["mad_lo_cents"], r["mad_hi_cents"])
+           for r in ev.value_mad_by_type(_df(spark, rows)).collect()}
+    assert got == _ref_mad(rows)

@@ -789,6 +789,156 @@ def test_spark_cost_distance_matches_dense_oracle_sf0001(spark, geo001_dir):
         exp["max_dist_fp"])}
 
 
+# ---------------------------------------------------------------------------
+# Cost allocation
+# ---------------------------------------------------------------------------
+
+def _alloc_raster(h, w, seed=11):
+    """_cost_raster geometry with DISTINCT source labels: the far-corner
+    sources carry values 101 and 103 so every allocation zone is
+    attributable, the road/wall/pocket stress stays."""
+    r = _cost_raster(h, w, seed)
+    r[2, 3] = 101.0
+    r[h - 4, w - 3] = 103.0
+    return r
+
+
+def _brute_alloc(r, src_max=103):
+    """Gauss-Seidel label-correcting sweep on (distance, label) TUPLES
+    (a third family next to the engine's packed-int64 relaxation and
+    the oracle's pair-priority heapq): lexicographic relax until a
+    full pass changes nothing."""
+    H, W = r.shape
+    INF = (1 << 62, -1)
+    c = {}
+    s = {}
+    for y in range(H):
+        for x in range(W):
+            if not np.isnan(r[y, x]):
+                cu = int(r[y, x])
+                c[(y, x)] = cu
+                s[(y, x)] = (0, cu) if r[y, x] <= src_max else INF
+    changed = True
+    while changed:
+        changed = False
+        for (y, x), cu in c.items():
+            if s[(y, x)][0] == 0:
+                continue
+            best = s[(y, x)]
+            for dy, dx, k in _CD_NBRS:
+                n = (y + dy, x + dx)
+                if n in c and s[n][0] < (1 << 62):
+                    cand = (s[n][0] + (c[n] + cu) * k, s[n][1])
+                    if cand < best:
+                        best = cand
+            if best < s[(y, x)]:
+                s[(y, x)] = best
+                changed = True
+    return s
+
+
+def _alloc_census_from_map(smap):
+    census = {}
+    for (y, x), (dv, lab) in smap.items():
+        if dv >= 1 << 62:
+            z, b, dv = -2, -2, 0
+        else:
+            z = lab
+            b = -1 if dv == 0 else int(dv).bit_length() - 1
+        n, sm, mx = census.get((z, b), (0, 0, 0))
+        census[(z, b)] = (n + 1, sm + dv, max(mx, dv))
+    return census
+
+
+def _spark_alloc_census(df):
+    return {(r["alloc_zone"], r["dist_band"]):
+            (r["n_pixels"], r["sum_dist_fp"], r["max_dist_fp"])
+            for r in df.collect()}
+
+
+def test_spark_cost_allocation_matches_brute(spark):
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_allocation_tiles)
+
+    r = _alloc_raster(64, 64, seed=11)
+    got = _spark_alloc_census(
+        cost_allocation_tiles(_tiles_df(spark, r), tile_px=16))
+    want = _alloc_census_from_map(_brute_alloc(r))
+    assert got == want
+    zones = {z for z, b in got if z > 0}
+    assert zones == {101, 103}          # both labels claim territory
+    assert (-2, -2) in got              # the pocket stays unreachable
+
+
+def test_cost_allocation_tie_prefers_smaller_zone(spark):
+    """Engineered exact tie: a 1x9 corridor (rest NaN) with sources
+    100 (left) and 102 (right) whose center cell is EQUIDISTANT by
+    integer fixed-point arithmetic — the packed-key min must hand it
+    to zone 100, matching the tuple-order rule in both references."""
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_allocation_tiles)
+
+    row = [100.0, 200.0, 200.0, 201.0, 200.0, 200.0, 200.0, 200.0,
+           102.0]
+    r = np.full((16, 16), np.nan)
+    r[4, 2:11] = row
+    s = _brute_alloc(r)
+    d_mid, lab_mid = s[(4, 6)]
+    # the construction really is a tie resolved to the smaller label
+    assert lab_mid == 100
+    dl = (100 + 2 * (200 + 200 + 201) + 200) * 500000
+    assert d_mid == dl == (102 + 2 * 600 + 200) * 500000
+    got = _spark_alloc_census(
+        cost_allocation_tiles(_tiles_df(spark, r), tile_px=16))
+    assert got == _alloc_census_from_map(s)
+    # zone 102 exists (its own source cell + near side) but the tie
+    # cell sits in zone 100's census mass
+    assert any(z == 102 for z, _ in got)
+
+
+def test_cost_allocation_distance_marginal_matches_cost_distance(spark):
+    """Summing the allocation census over zones must reproduce the
+    cost_distance census bit-for-bit — the packed key's high bits ARE
+    the distance field."""
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_allocation_tiles, cost_distance_tiles)
+
+    r = _alloc_raster(64, 64, seed=17)
+    tiles = _tiles_df(spark, r)
+    alloc = _spark_alloc_census(cost_allocation_tiles(tiles, tile_px=16))
+    dist = _spark_cost_census(cost_distance_tiles(tiles, tile_px=16))
+    marg = {}
+    for (z, b), (n, sm, mx) in alloc.items():
+        n0, s0, m0 = marg.get(b, (0, 0, 0))
+        marg[b] = (n0 + n, s0 + sm, max(m0, mx))
+    assert marg == dist
+
+
+def test_cost_allocation_tile_size_invariance(spark):
+    from remotior_sensus_spark.operators.hydrology import (
+        cost_allocation_tiles)
+
+    r = _alloc_raster(128, 128, seed=23)
+    c16 = _spark_alloc_census(
+        cost_allocation_tiles(_tiles_df(spark, r, 16), tile_px=16))
+    c64 = _spark_alloc_census(
+        cost_allocation_tiles(_tiles_df(spark, r, 64), tile_px=64))
+    assert c16 == c64
+
+
+def test_spark_cost_allocation_matches_dense_oracle_sf0001(spark,
+                                                           geo001_dir):
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.synth.expected import build_cost_allocation
+
+    got = _spark_alloc_census(
+        Q.REGISTRY["cost_allocation"][0](spark, SF_DIR))
+    exp = build_cost_allocation(0.001).to_pydict()
+    assert got == {(z, b): (n, s, mx) for z, b, n, s, mx in zip(
+        exp["alloc_zone"], exp["dist_band"], exp["n_pixels"],
+        exp["sum_dist_fp"], exp["max_dist_fp"])}
+
+
 def test_spark_corridor_matches_brute(spark):
     """Corridor = dA + dB - C* census vs the test-side composition of
     two Gauss-Seidel label-correcting fields (a third algorithm family

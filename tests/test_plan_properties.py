@@ -419,17 +419,20 @@ def test_semdedup_pairs_confined_to_lists(spark):
 
 
 def test_cost_distance_census_no_join_no_rowwise_python(spark):
-    df = Q.REGISTRY["cost_distance"][0](spark, SF_DIR)
-    plan = _plan(df)
-    # post-fixpoint plan (the per-round halo exchanges live behind the
-    # localCheckpoints of _relax_rounds): one Arrow mapInPandas census
-    # over the converged state + one band groupBy — no join operator,
-    # no cartesian expansion, no row-at-a-time Python
-    assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan, plan
-    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-               "BroadcastNestedLoopJoin"):
-        assert op not in plan, plan
+    # cost_allocation shares the relaxation driver and census contract
+    # (packed keys change arithmetic, not plan shape) — pin both
+    for name in ("cost_distance", "cost_allocation"):
+        df = Q.REGISTRY[name][0](spark, SF_DIR)
+        plan = _plan(df)
+        # post-fixpoint plan (the per-round halo exchanges live behind
+        # the localCheckpoints of _relax_rounds): one Arrow mapInPandas
+        # census over the converged state + one band groupBy — no join
+        # operator, no cartesian expansion, no row-at-a-time Python
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        for op in ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            assert op not in plan, (name, plan)
 
 
 def test_viewshed_openness_halo_census_shape(spark):

@@ -239,3 +239,59 @@ def test_vector_cluster_distance_brute_force(spark):
     assert {102, 103} <= roots                                 # apart
     assert any(k[0] == 104 and got[k][0] == 2 for k in got)   # diagonal
     assert any(k[0] == 106 and got[k][0] == 2 for k in got)   # seam
+
+
+def test_compact_cell_cover_engineered(spark):
+    """Hand-built covers with KNOWN compaction: an aligned 4x4-tile
+    block must become exactly one level-2 cell, a lone tile and a 2x1
+    strip must stay at level 0, and nothing may promote past level 2."""
+    from remotior_sensus_spark.grid import ORIGIN_X as OX, ORIGIN_Y as OY
+    from remotior_sensus_spark.operators.spatial_join import (
+        compact_cell_cover)
+
+    rows = [
+        # 4x4 tile block anchored at tile (0,0): 640 m square
+        ("a", 1, OX, OY - 640.0, OX + 640.0, OY),
+        # lone tile (9,9)
+        ("b", 1, OX + 1440.0, OY - 1600.0, OX + 1600.0, OY - 1440.0),
+        # 2x1 strip, tiles (6,0)-(7,0)
+        ("c", 1, OX + 960.0, OY - 160.0, OX + 1280.0, OY),
+    ]
+    rects = spark.createDataFrame(
+        rows, "roi_id string, class int, xmin double, ymin double, "
+              "xmax double, ymax double")
+    got = {r["level"]: (r["n_cells"], r["cell_key_sum"])
+           for r in compact_cell_cover(rects).collect()}
+    assert got == {
+        0: (3, 9 * 65536 + 9 + 6 * 65536 + 7 * 65536),
+        2: (1, 0),
+    }
+
+
+def test_compact_cell_cover_rebuild_matches_brute(spark, geo001_dir):
+    """Decompacting the census against a brute pure-Python compaction
+    of the sf0.001 cover (sets + dict recursion — no DataFrame code
+    shared with the engine)."""
+    import pandas as pd
+    from remotior_sensus_spark.operators.spatial_join import (
+        compact_cell_cover, geometry_cell_cover)
+
+    rects = spark.read.parquet(f"{geo001_dir}/geometry_rects.parquet")
+    cover = {(r["tile_x"], r["tile_y"]) for r in
+             geometry_cell_cover(rects).select(
+                 "tile_x", "tile_y").distinct().collect()}
+    levels = [cover]
+    for _ in range(4):
+        from collections import Counter
+        c = Counter((x // 2, y // 2) for x, y in levels[-1])
+        levels.append({k for k, n in c.items() if n == 4})
+    want = {}
+    for k in range(5):
+        out = levels[k] if k == 4 else {
+            (x, y) for x, y in levels[k]
+            if (x // 2, y // 2) not in levels[k + 1]}
+        if out:
+            want[k] = (len(out), sum(x * 65536 + y for x, y in out))
+    got = {r["level"]: (r["n_cells"], r["cell_key_sum"])
+           for r in compact_cell_cover(rects).collect()}
+    assert got == want

@@ -425,3 +425,34 @@ def test_incremental_dedup_hand_corpus(spark):
     assert out["src8"] == (1, 0, 0, 1)
     # base sources never appear in the incoming census
     assert "src0" not in out and "src1" not in out
+
+
+def test_vocab_growth_matches_reference(spark, docs_df):
+    """Heaps census vs a sequential pure-Python scan: slice docs by
+    exact integer id-range arithmetic, track first-seen terms and the
+    running vocabulary."""
+    mn = min(i for i, *_ in DOCS)
+    span = max(i for i, *_ in DOCS) - mn + 1
+    seen = set()
+    ref = {s: [0, 0, 0] for s in range(10)}   # n_docs, n_tokens, new
+    for i, t, _lg, _s in sorted(DOCS):
+        sl = (i - mn) * 10 // span
+        toks = t.split()
+        ref[sl][0] += 1
+        ref[sl][1] += len(toks)
+        for tk in toks:
+            if tk not in seen:
+                seen.add(tk)
+                ref[sl][2] += 1
+    run, want = 0, {}
+    for s in range(10):
+        run += ref[s][2]
+        want[s] = (ref[s][0], ref[s][1], ref[s][2], run)
+    got = {r["slice"]: (r["n_docs"], r["n_tokens"], r["new_terms"],
+                        r["vocab_size"]) for r in
+           tx.vocab_growth(docs_df).collect()}
+    assert got == want
+    # growth actually decelerates on the repeated-vocab corpus: the
+    # last populated slice contributes fewer new terms than the first
+    pop = [s for s in want if want[s][0] > 0]
+    assert want[pop[-1]][2] < want[pop[0]][2]
