@@ -103,6 +103,68 @@ def morans_i(band_px: DataFrame) -> DataFrame:
     )
 
 
+def morans_correlogram(band_px: DataFrame,
+                       lags: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Spatial correlogram: global Moran's I at several rook lag
+    distances h (weights (±h,0),(0,±h) binary) — how autocorrelation
+    DECAYS with distance, the correlogram companion to the
+    semivariogram's gamma(h) curve.  Exactly morans_i's
+    sufficient-statistic algebra carried per lag: the neighbour
+    fan-out tags each copy with its lag (one explode, |lags|x4
+    copies), the pixel side fans to one row per lag, and ONE hash
+    left-join + one grouped agg produce every lag's integer sums;
+    the only floats are the final per-lag ratio, mirrored op-for-op
+    in the oracle.  Returns (lag, n_pixels, w_sum, morans_i)."""
+    px = _valid_px(band_px)
+    offs = F.array(*[
+        F.struct(F.lit(int(h)).alias("lag"),
+                 F.lit(dx * int(h)).alias("dx"),
+                 F.lit(dy * int(h)).alias("dy"))
+        for h in lags for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    nb = (
+        px.select("gx", "gy", "v", F.explode(offs).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+            F.col("o.lag").alias("lag"),
+        )
+        .agg(F.sum("v").alias("nbs"), F.count("*").alias("nbc"))
+    )
+    lag_arr = F.array(*[F.lit(int(h)) for h in lags])
+    pl = px.select("gx", "gy", "v", F.explode(lag_arr).alias("lag"))
+    j = pl.join(nb, ["gx", "gy", "lag"], "left").select(
+        "lag", "v",
+        F.coalesce("nbs", F.lit(0).cast("long")).alias("s"),
+        F.coalesce("nbc", F.lit(0).cast("long")).alias("c"),
+    )
+    sums = j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+        F.sum(F.col("v") * F.col("s")).alias("sum_vs"),
+        F.sum(F.col("v") * F.col("c")).alias("sum_vc"),
+        F.sum("s").alias("sum_s"),
+        F.sum("c").alias("sum_c"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("sum_v").cast("double") / F.col("n")
+    num = (F.col("sum_vs").cast("double")
+           - m * F.col("sum_vc").cast("double")
+           - m * F.col("sum_s").cast("double")
+           + m * m * F.col("sum_c").cast("double"))
+    den = (F.col("sum_v2").cast("double")
+           - F.lit(2.0) * m * F.col("sum_v").cast("double")
+           + m * m * n)
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pixels"),
+        F.col("sum_c").alias("w_sum"),
+        ((n / F.col("sum_c").cast("double")) * (num / den))
+        .alias("morans_i"),
+    )
+
+
 def gearys_c(band_px: DataFrame) -> DataFrame:
     """Global Geary's C with rook weights. The pair term expands to
     integer sums too:

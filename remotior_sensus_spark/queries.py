@@ -2122,6 +2122,47 @@ def morans_i_q(spark, sf_dir):
     return geostats.morans_i(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
 
 
+@q("morans_correlogram", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(lag, dx, dy) as (values
+  (1,1,0),(1,-1,0),(1,0,1),(1,0,-1),
+  (2,2,0),(2,-2,0),(2,0,2),(2,0,-2),
+  (4,4,0),(4,-4,0),(4,0,4),(4,0,-4),
+  (8,8,0),(8,-8,0),(8,0,8),(8,0,-8)),
+nb as (select gx + dx as gx, gy + dy as gy, lag,
+              cast(sum(v) as bigint) as s, count(*) as c
+       from p, o group by 1, 2, 3),
+pl as (select p.gx, p.gy, p.v, l.lag
+       from p cross join (select distinct lag from o) l),
+j as (select pl.lag, pl.v, coalesce(nb.s, 0) as s,
+             coalesce(nb.c, 0) as c
+      from pl left join nb using (gx, gy, lag)),
+t as (select lag, count(*) as n, cast(sum(v) as bigint) as sum_v,
+             cast(sum(v*v) as bigint) as sum_v2,
+             cast(sum(v*s) as bigint) as sum_vs,
+             cast(sum(v*c) as bigint) as sum_vc,
+             cast(sum(s) as bigint) as sum_s,
+             cast(sum(c) as bigint) as sum_c from j group by 1),
+m as (select *, cast(sum_v as double) / n as m from t)
+select lag, n as n_pixels, sum_c as w_sum,
+  (cast(n as double) / cast(sum_c as double))
+  * ((cast(sum_vs as double) - m*cast(sum_vc as double)
+      - m*cast(sum_s as double) + m*m*cast(sum_c as double))
+     / (cast(sum_v2 as double) - 2.0*m*cast(sum_v as double)
+        + m*m*cast(n as double))) as morans_i
+from m
+""")
+def morans_correlogram_q(spark, sf_dir):
+    """Spatial correlogram: Moran's I at rook lags 1/2/4/8 — the
+    autocorrelation-decay curve, one tagged neighbour fan-out + one
+    hash join for ALL lags (geostats.morans_correlogram)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.morans_correlogram(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 @q("gearys_c", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'

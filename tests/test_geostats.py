@@ -611,3 +611,38 @@ def test_spark_geomorphon_tile_size_invariance(spark):
     c64 = {row["landform"]: row["n_pixels"] for row in geomorphon_tiles(
         _tiles_df(spark, r, 64), radius=8, tile_px=64).collect()}
     assert c16 == c64
+
+
+def test_morans_correlogram_dense(spark, geo001_dir):
+    """Per-lag Moran's I vs a dense whole-raster rebuild, plus the
+    lag-1 row cross-checked bit-for-bit against the standalone
+    morans_i query (identical weights => identical doubles)."""
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    got = {r["lag"]: r for r in
+           Q.queries()["morans_correlogram"](spark, geo001_dir).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    for h in (1, 2, 4, 8):
+        v, valid, s, _, c = _neighbor_sums(
+            full, [(h, 0), (-h, 0), (0, h), (0, -h)])
+        n = int(valid.sum())
+        sum_v = int(v[valid].sum())
+        sum_v2 = int((v[valid] ** 2).sum())
+        sum_vs = int((v[valid] * s[valid]).sum())
+        sum_vc = int((v[valid] * c[valid]).sum())
+        sum_s = int(s[valid].sum())
+        sum_c = int(c[valid].sum())
+        m = sum_v / n
+        num = sum_vs - m * sum_vc - m * sum_s + m * m * sum_c
+        den = sum_v2 - 2.0 * m * sum_v + m * m * n
+        exp = (n / sum_c) * (num / den)
+        r = got[h]
+        assert r["n_pixels"] == n and r["w_sum"] == sum_c
+        assert r["morans_i"] == pytest.approx(exp, rel=1e-12)
+    # autocorrelation must decay with lag on the correlated field
+    assert got[1]["morans_i"] > got[8]["morans_i"]
+    base = Q.queries()["morans_i"](spark, geo001_dir).collect()[0]
+    assert got[1]["n_pixels"] == base["n_pixels"]
+    assert got[1]["w_sum"] == base["w_sum"]
+    assert got[1]["morans_i"] == base["morans_i"]

@@ -397,6 +397,7 @@ def _static_pixel_broadcasts(plan: str) -> int:
 
 def test_no_static_pixel_broadcasts_geostats_and_warp(spark):
     for name in ("semivariogram", "semivariogram_aniso", "morans_i",
+                 "morans_correlogram",
                  "lbp_census", "focal_range", "d8_indegree",
                  "tpi_landform", "morph_gradient", "warp_affine",
                  "warp_bilinear", "warp_cubic", "warp_crs",
@@ -447,3 +448,39 @@ def test_viewshed_openness_halo_census_shape(spark):
         for op in ("SortMergeJoin", "BroadcastHashJoin",
                    "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
             assert op not in plan, (name, plan)
+
+
+def test_compact_cell_cover_broadcast_anti_chain(spark):
+    df = Q.REGISTRY["compact_cell_cover"][0](spark, SF_DIR)
+    plan = _plan(df)
+    # cover explode + 4 promotion groupBys + survivor anti-joins: the
+    # promoted-parent sides are tiny by construction and must
+    # broadcast; nothing may go cartesian or row-wise Python
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_recall_audit_family_query_side_broadcast(spark):
+    # brute/truncated/BQ rankings each take ONE corpus pass with the
+    # 5-query side broadcast (BroadcastNestedLoopJoin by design — the
+    # corpus must never shuffle for a handful of query vectors), and
+    # all vector math stays JVM-side (zip_with/aggregate, no Python)
+    for name in ("dim_trunc_recall", "bq_recall_audit"):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_bounded_domain_census_no_python(spark):
+    # survival_table / value_mad_by_type / vocab_growth: pure
+    # relational plans — no Python eval of any kind, no cartesian
+    # beyond the broadcast scalar cross joins
+    for name in ("survival_table", "value_mad_by_type", "vocab_growth"):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
