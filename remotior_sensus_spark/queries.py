@@ -2156,11 +2156,13 @@ from m
 """)
 def morans_correlogram_q(spark, sf_dir):
     """Spatial correlogram: Moran's I at rook lags 1/2/4/8 — the
-    autocorrelation-decay curve, one tagged neighbour fan-out + one
-    hash join for ALL lags (geostats.morans_correlogram)."""
+    autocorrelation-decay curve via the pair-sum identity on the
+    focal-halo Arrow path (geostats.morans_correlogram_tiles; the
+    relational morans_correlogram is the cross-checked reference
+    shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.morans_correlogram(
-        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.morans_correlogram_tiles(t64, tile_px=t_px)
 
 
 @q("gearys_c", f"""

@@ -188,3 +188,24 @@ def test_thermal_brightness_plan_is_pure_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial agg + final agg shuffle
+
+
+def test_morans_correlogram_halo_matches_relational(spark, geo001_dir):
+    """The pair-sum halo kernel (morans_correlogram_tiles, the
+    registered hot path) must equal the relational per-pixel-join
+    form row-for-row INCLUDING the final doubles — same integer sums
+    through the same expression tree."""
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+    from remotior_sensus_spark.sources import catalog as cat
+    from pyspark.sql import functions as F
+
+    tiles = cat.load_geo(spark, SF_DIR, "tiles").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    px = agg.explode_pixels(tiles)
+
+    a = {r["lag"]: (r["n_pixels"], r["w_sum"], r["morans_i"])
+         for r in geostats.morans_correlogram(px).collect()}
+    b = {r["lag"]: (r["n_pixels"], r["w_sum"], r["morans_i"])
+         for r in geostats.morans_correlogram_tiles(tiles).collect()}
+    assert a == b and len(a) == 4
