@@ -318,3 +318,27 @@ def zonal_median2(zone_px: DataFrame, zone_col: str = "class",
           .agg(F.min(value_col).cast("long").alias("__hi")))
     return lo.join(hi, zone_col).select(
         zone_col, (F.col("__lo") + F.col("__hi")).alias("median2"))
+
+
+def zonal_majority(zone_px: DataFrame, zone_col: str = "class",
+                   value_col: str = "value") -> DataFrame:
+    """Zonal MAJORITY (modal value) per zone — the classic categorical
+    zonal statistic (gdal/QGIS zonal majority) the percentile scans
+    don't cover: the most frequent valid DN in each zone, count ties
+    broken to the SMALLEST value (deterministic, mirrored in the
+    oracle).  Same value-histogram shape as zonal_median2 — the argmax
+    runs over distinct DNs per zone via one max(struct) aggregate (no
+    window, no sort), never a per-pixel pass.  Returns
+    (zone, majority_value, n_px_majority, n_px_zone)."""
+    valid = zone_px.filter(F.col(value_col) != NODATA)
+    hist = valid.groupBy(zone_col, value_col).agg(F.count("*").alias("__c"))
+    best = hist.groupBy(zone_col).agg(
+        F.max(F.struct(
+            F.col("__c").alias("c"),
+            (-F.col(value_col).cast("long")).alias("nv"))).alias("b"),
+        F.sum("__c").alias("n_px_zone"))
+    return best.select(
+        zone_col,
+        (-F.col("b.nv")).alias("majority_value"),
+        F.col("b.c").alias("n_px_majority"),
+        "n_px_zone")

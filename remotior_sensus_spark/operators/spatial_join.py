@@ -676,3 +676,30 @@ def compact_cell_cover(rects: DataFrame, max_level: int = 4) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.filter(F.col("n_cells") > 0)
+
+
+def tile_skew_profile(docs: DataFrame) -> DataFrame:
+    """Hot-cell skew census over the doc->tile assignment — the
+    diagnosis behind salted_equi_join's hot-key handling (north_rule:
+    'skew handled by adaptive salting on hot H3 cells'): per referenced
+    cell the media-span count, rolled up to power-of-two density bands
+    so the skew tail is visible at a glance and a salting threshold
+    can be chosen from data.  Returns one row per density band:
+    (density_band, n_cells, sum_spans, max_spans, sum_docs) with
+    density_band = floor(log2(n_spans)) (exact via binary length).
+
+    Scale shape: one cell-keyed groupBy over the parsed spans (the
+    same key the join shuffles on) + a <64-row bounded band rollup —
+    the profile costs one pass over the span stream, no join."""
+    spans = parse_media_refs(
+        explode_spans(docs).filter(F.col("kind") == "media"))
+    cells = spans.groupBy("bandset", "band", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    band = (F.length(F.bin(F.col("n_spans"))) - 1).cast("int")
+    return (cells.select(band.alias("density_band"), "n_spans", "n_docs")
+            .groupBy("density_band")
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum("n_spans").alias("sum_spans"),
+                 F.max("n_spans").alias("max_spans"),
+                 F.sum("n_docs").alias("sum_docs")))

@@ -444,6 +444,38 @@ def zonal_median_q(spark, sf_dir):
     return agg.zonal_median2(zone_px, "class", "value")
 
 
+@q("zonal_majority", f"""
+with m as (
+  select distinct r.class, p.gx, p.gy, p.value
+  from '{GEO01}/tile_pixels.parquet' p
+  join '{GEO01}/geometry_rects.parquet' r
+    on p.cx > r.xmin and p.cx < r.xmax and p.cy > r.ymin and p.cy < r.ymax
+  where p.bandset='S2_2020-01-01' and p.band='B04'
+), v as (select class, cast(value as bigint) as value from m
+         where value <> -32768),
+h as (select class, value, count(*) as c from v group by 1, 2),
+r as (select class, value, c,
+        row_number() over (partition by class
+                           order by c desc, value) as rk,
+        sum(c) over (partition by class) as tot
+      from h)
+select class, value as majority_value,
+  cast(c as bigint) as n_px_majority,
+  cast(tot as bigint) as n_px_zone
+from r where rk = 1
+""")
+def zonal_majority_q(spark, sf_dir):
+    """Zonal majority (modal DN) per ROI class, count ties to the
+    smallest value — the categorical zonal statistic, one max(struct)
+    argmax over the per-zone value histogram (agg.zonal_majority)."""
+    tiles = _tiles(spark, sf_dir)
+    geoms = cat.load_geo(spark, sf_dir, "geometries")
+    rects = cat.load_geo(spark, sf_dir, "geometry_rects")
+    px = sj.cover_pixels(tiles, geoms, rects)
+    zone_px = px.select("class", "tile_x", "tile_y", "pos", "value").distinct()
+    return agg.zonal_majority(zone_px, "class", "value")
+
+
 # ---------------------------------------------------------------------------
 # spatial join family (SURVEY §2.3, north_rule flagship)
 # ---------------------------------------------------------------------------
@@ -471,6 +503,34 @@ def spatial_doc_tiles(spark, sf_dir):
         F.count("*").alias("n_spans"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@q("tile_skew_profile", f"""
+with m as (
+  select doc_id,
+    string_split(media_ref, '/')[2] as bandset,
+    string_split(media_ref, '/')[3] as band,
+    cast(string_split(media_ref, '/')[4] as int) as tile_x,
+    cast(string_split(media_ref, '/')[5] as int) as tile_y
+  from '{GEO01}/doc_spans.parquet' where kind='media'),
+c as (select bandset, band, tile_x, tile_y,
+        count(*) as n_spans, count(distinct doc_id) as n_docs
+      from m group by 1, 2, 3, 4),
+b as (select cast(length(printf('%b', n_spans)) - 1 as int)
+        as density_band, n_spans, n_docs from c)
+select density_band, count(*) as n_cells,
+  cast(sum(n_spans) as bigint) as sum_spans,
+  cast(max(n_spans) as bigint) as max_spans,
+  cast(sum(n_docs) as bigint) as sum_docs
+from b group by 1
+""")
+def tile_skew_profile_q(spark, sf_dir):
+    """Hot-cell skew census of the doc->tile assignment: per-cell span
+    counts rolled to power-of-two density bands — the data-driven
+    skew diagnosis behind the salted join's hot-key threshold
+    (spatial_join.tile_skew_profile)."""
+    docs = cat.load_geo(spark, sf_dir, "documents")
+    return sj.tile_skew_profile(docs)
 
 
 @q("span_invariant", f"""

@@ -295,3 +295,69 @@ def test_compact_cell_cover_rebuild_matches_brute(spark, geo001_dir):
     got = {r["level"]: (r["n_cells"], r["cell_key_sum"])
            for r in compact_cell_cover(rects).collect()}
     assert got == want
+
+
+def test_zonal_majority_dense(spark, geo001_dir):
+    """Pure pandas/Counter rebuild from raw parquet via strict
+    pixel-center containment — no relational ops shared with the
+    oracle's formulation."""
+    from collections import Counter
+    import pandas as pd
+    from remotior_sensus_spark import queries as Q
+
+    px = pd.read_parquet(f"{geo001_dir}/tile_pixels.parquet")
+    px = px[(px.bandset == "S2_2020-01-01") & (px.band == "B04")
+            & (px.value != -32768)]
+    rects = pd.read_parquet(f"{geo001_dir}/geometry_rects.parquet")
+    per_class = {}
+    for _, r in rects.iterrows():
+        m = px[(px.cx > r.xmin) & (px.cx < r.xmax)
+               & (px.cy > r.ymin) & (px.cy < r.ymax)]
+        s = per_class.setdefault(int(r["class"]), set())
+        for gx, gy, v in zip(m.gx, m.gy, m.value):
+            s.add((gx, gy, int(v)))
+    want = {}
+    for cls, pts in per_class.items():
+        c = Counter(v for _gx, _gy, v in pts)
+        best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+        want[cls] = (best[0], best[1], len(pts))
+    got = {r["class"]: (r["majority_value"], r["n_px_majority"],
+                        r["n_px_zone"])
+           for r in Q.queries()["zonal_majority"](
+               spark, geo001_dir).collect()}
+    assert got == want and len(got) >= 2
+
+
+def test_tile_skew_profile_matches_pandas(spark, geo001_dir):
+    """Rebuild the density-band census from the raw documents table
+    with python span explosion (not the exploded doc_spans parquet the
+    oracle reads)."""
+    from collections import Counter
+    import pandas as pd
+    from remotior_sensus_spark import queries as Q
+
+    docs = pd.read_parquet(f"{geo001_dir}/documents.parquet")
+    cell_spans = Counter()
+    cell_docs = {}
+    for _, row in docs.iterrows():
+        for sp in row["spans"]:
+            if sp["kind"] != "media":
+                continue
+            _tag, bs, band, tx, ty = sp["media_ref"].split("/")
+            key = (bs, band, int(tx), int(ty))
+            cell_spans[key] += 1
+            cell_docs.setdefault(key, set()).add(row["doc_id"])
+    want = {}
+    for key, n in cell_spans.items():
+        b = n.bit_length() - 1
+        w = want.setdefault(b, [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += n
+        w[2] = max(w[2], n)
+        w[3] += len(cell_docs[key])
+    got = {r["density_band"]: [r["n_cells"], r["sum_spans"],
+                               r["max_spans"], r["sum_docs"]]
+          for r in Q.queries()["tile_skew_profile"](
+              spark, geo001_dir).collect()}
+    assert got == want and sum(w[1] for w in want.values()) == sum(
+        cell_spans.values())
