@@ -623,7 +623,9 @@ def vector_cluster_distance(rects: DataFrame, threshold: float,
     )
 
 
-def compact_cell_cover(rects: DataFrame, max_level: int = 4) -> DataFrame:
+def compact_cell_cover(rects: DataFrame, max_level: int = 4,
+                       tx_max: int | None = None,
+                       ty_max: int | None = None) -> DataFrame:
     """H3-compact / S2-coverer analogue on the Morton tile hierarchy:
     the union cell cover of all geometries (geometry_cell_cover, the
     same bbox arithmetic every vector<->raster join here uses) is
@@ -646,6 +648,15 @@ def compact_cell_cover(rects: DataFrame, max_level: int = 4) -> DataFrame:
     plan depth — no iteration, no driver loop."""
     cover = (geometry_cell_cover(rects, extra_cols=())
              .select("tile_x", "tile_y").distinct())
+    # grid clamp (S2 RegionCoverer covers a FINITE grid): geometries
+    # may overhang the raster edge — their bbox cover cells beyond
+    # (tx_max, ty_max) index no tiles and must not enter the coverer
+    # (caught at sf0.001, where two ROIs overhang the 16-tile grid;
+    # the low edge is already clamped at 0 by geometry_cell_cover)
+    if tx_max is not None:
+        cover = cover.filter(F.col("tile_x") <= int(tx_max))
+    if ty_max is not None:
+        cover = cover.filter(F.col("tile_y") <= int(ty_max))
     levels = [cover]
     for _k in range(1, max_level + 1):
         levels.append(

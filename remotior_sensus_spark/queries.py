@@ -7479,16 +7479,23 @@ select cast(level as int) as level, cast(n_cells as bigint) as n_cells,
 from u where n_cells > 0
 """)
 def compact_cell_cover_q(spark, sf_dir):
-    """H3-compact / S2-coverer census: the union geometry cell cover
-    compacted bottom-up on the Morton hierarchy (4 fully-covered
-    children -> parent, 4 levels) — the oracle derives the SAME cover
-    from strict pixel-center containment (lattice alignment makes the
-    two formulations provably equal), then mirrors the promotion
-    chain (spatial_join.compact_cell_cover)."""
+    """H3-compact / S2-coverer census: the union geometry cell cover,
+    clamped to the raster grid, compacted bottom-up on the Morton
+    hierarchy (4 fully-covered children -> parent, 4 levels) — the
+    oracle derives the SAME cover from strict pixel-center containment
+    (lattice alignment + the grid clamp make the two formulations
+    provably equal; two sf0.001 ROIs overhang the grid edge, which is
+    what caught the unclamped first cut), then mirrors the promotion
+    chain (spatial_join.compact_cell_cover). The grid bound is a
+    1-row metadata agg, the region_growing precedent."""
     from remotior_sensus_spark.operators.spatial_join import (
         compact_cell_cover)
+    b = _b01(spark, sf_dir, "B04").agg(
+        F.max("tile_x").alias("tx"), F.max("tile_y").alias("ty")
+    ).collect()[0]
     return compact_cell_cover(
-        cat.load_geo(spark, sf_dir, "geometry_rects"))
+        cat.load_geo(spark, sf_dir, "geometry_rects"),
+        tx_max=b["tx"], ty_max=b["ty"])
 
 
 @q("cost_allocation",

@@ -271,15 +271,23 @@ def test_compact_cell_cover_engineered(spark):
 def test_compact_cell_cover_rebuild_matches_brute(spark, geo001_dir):
     """Decompacting the census against a brute pure-Python compaction
     of the sf0.001 cover (sets + dict recursion — no DataFrame code
-    shared with the engine)."""
+    shared with the engine). The brute cover applies the same grid
+    clamp the registered query uses (two sf0.001 ROIs overhang the
+    16-tile grid — the unclamped first cut failed exactly here)."""
     import pandas as pd
+    from remotior_sensus_spark import queries as Q
     from remotior_sensus_spark.operators.spatial_join import (
-        compact_cell_cover, geometry_cell_cover)
+        geometry_cell_cover)
 
     rects = spark.read.parquet(f"{geo001_dir}/geometry_rects.parquet")
+    px = pd.read_parquet(f"{geo001_dir}/tile_pixels.parquet",
+                         columns=["bandset", "band", "tile_x", "tile_y"])
+    px = px[(px.bandset == "S2_2020-01-01") & (px.band == "B04")]
+    txm, tym = int(px.tile_x.max()), int(px.tile_y.max())
     cover = {(r["tile_x"], r["tile_y"]) for r in
              geometry_cell_cover(rects).select(
-                 "tile_x", "tile_y").distinct().collect()}
+                 "tile_x", "tile_y").distinct().collect()
+             if r["tile_x"] <= txm and r["tile_y"] <= tym}
     levels = [cover]
     for _ in range(4):
         from collections import Counter
@@ -293,7 +301,8 @@ def test_compact_cell_cover_rebuild_matches_brute(spark, geo001_dir):
         if out:
             want[k] = (len(out), sum(x * 65536 + y for x, y in out))
     got = {r["level"]: (r["n_cells"], r["cell_key_sum"])
-           for r in compact_cell_cover(rects).collect()}
+           for r in Q.REGISTRY["compact_cell_cover"][0](
+               spark, "/root/testdata/sf0.001").collect()}
     assert got == want
 
 
