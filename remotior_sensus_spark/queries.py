@@ -7684,6 +7684,14 @@ ORACLE_BUILDERS = {
 #   (event_transitions, its parent shape, is r04 driver-proven).
 #   Every evicted name keeps its strict sf0.01 check + pytest
 #   references as permanent evidence.
+# Session-4 additions (cost_allocation, compact_cell_cover,
+# dim_trunc_recall, bq_recall_audit, survival_table,
+# value_mad_by_type, vocab_growth, morans_correlogram,
+# zonal_majority, tile_skew_profile) are ˢ spills by the same rule —
+# each family keeps a measured or windowed representative
+# (cost_distance, zorder_tiles/spatial_doc_tiles, ann_recall_audit,
+# rolling_wau, value_median_by_type, vocab_zipf, morans_i,
+# zonal_median) — so the window above is FINAL for round 5.
 _RUN_FIRST = [
     # hydrology / landform / texture rasters (round-4 wave)
     "d8_flow", "tpi_landform", "class_adjacency",
