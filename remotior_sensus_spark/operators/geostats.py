@@ -1968,3 +1968,121 @@ def geomorphon_tiles(band_tiles: DataFrame, radius: int = 24,
     return per.groupBy(
         F.col("landform").cast("int").alias("landform")).agg(
         F.sum("n_pixels").alias("n_pixels"))
+
+
+# ---------------------------------------------------------------------------
+# Contour census (marching squares, census form — no stitching needed)
+# ---------------------------------------------------------------------------
+
+_CONTOUR_LEVELS = (1000.0, 2000.0, 3000.0, 4000.0)
+
+
+def _marching_cells(a, b, c, d, level):
+    """Vectorized marching squares over 2x2 cells with corners
+    a=tl, b=tr, c=bl, d=br (same-shape arrays): returns
+    (n_segments, sum_len_fp) for one contour level.  Linear
+    edge interpolation, >= level inclusion, saddle cells decided by
+    the corner-mean rule (center >= level joins the >= diagonal);
+    every segment length is quantized to 2^-20 fixed point BEFORE
+    summation so the total is order-independent across any tile
+    decomposition."""
+    valid = ~(np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d))
+    av = np.where(valid, a, 0.0)
+    bv = np.where(valid, b, 0.0)
+    cv = np.where(valid, c, 0.0)
+    dv = np.where(valid, d, 0.0)
+    ga, gb = av >= level, bv >= level
+    gc, gd = cv >= level, dv >= level
+    cr_t = valid & (ga != gb)
+    cr_r = valid & (gb != gd)
+    cr_b = valid & (gc != gd)
+    cr_l = valid & (ga != gc)
+    with np.errstate(all="ignore"):
+        # crossing coordinates relative to the cell's top-left corner
+        xt = (level - av) / (bv - av)          # top edge: (xt, 0)
+        yr = (level - bv) / (dv - bv)          # right:    (1, yr)
+        xb = (level - cv) / (dv - cv)          # bottom:   (xb, 1)
+        yl = (level - av) / (cv - av)          # left:     (0, yl)
+    pts = {"t": (xt, np.zeros_like(xt)), "r": (np.ones_like(yr), yr),
+           "b": (xb, np.ones_like(xb)), "l": (np.zeros_like(yl), yl)}
+    cross = {"t": cr_t, "r": cr_r, "b": cr_b, "l": cr_l}
+    ncross = (cr_t.astype(np.int64) + cr_r + cr_b + cr_l)
+
+    def seg_fp(e1, e2, mask):
+        (x1, y1), (x2, y2) = pts[e1], pts[e2]
+        with np.errstate(all="ignore"):
+            # explicit sqrt(dx^2+dy^2), NOT hypot: np.hypot and
+            # math.hypot may differ by 1 ulp, and the oracle builder
+            # computes the same expression scalar-side
+            dx, dy = x1 - x2, y1 - y2
+            ln = np.sqrt(dx * dx + dy * dy)
+        fp = np.floor(ln * 1048576.0 + 0.5)
+        return int(mask.sum()), int(fp[mask].astype(np.int64).sum())
+
+    n_seg = 0
+    s_fp = 0
+    two = ncross == 2
+    for e1, e2 in (("t", "r"), ("t", "b"), ("t", "l"),
+                   ("r", "b"), ("r", "l"), ("b", "l")):
+        m = two & cross[e1] & cross[e2]
+        n, s = seg_fp(e1, e2, m)
+        n_seg += n
+        s_fp += s
+    saddle_a = valid & ga & gd & ~gb & ~gc
+    saddle_b = valid & gb & gc & ~ga & ~gd
+    center_ge = (av + bv + cv + dv) >= 4.0 * level
+    m_trbl = (saddle_a & center_ge) | (saddle_b & ~center_ge)
+    m_tlbr = (saddle_a & ~center_ge) | (saddle_b & center_ge)
+    for e1, e2, m in (("t", "r", m_trbl), ("b", "l", m_trbl),
+                      ("t", "l", m_tlbr), ("r", "b", m_tlbr)):
+        n, s = seg_fp(e1, e2, m)
+        n_seg += n
+        s_fp += s
+    return n_seg, s_fp
+
+
+def contour_census_tiles(band_tiles: DataFrame,
+                         levels: tuple[float, ...] = _CONTOUR_LEVELS,
+                         tile_px: int | None = None) -> DataFrame:
+    """Iso-contour census by marching squares — the census form of
+    contour extraction (gdal_contour's statistics without the vector
+    sink): per level, how many line segments the contour field
+    contains and their exact fixed-point total length in pixel units.
+    Because segments are LOCAL to their 2x2 pixel cell, no cross-tile
+    stitching exists: each cell is owned by its top-left pixel's tile
+    and the right/bottom corners come from the standard focal halo —
+    ONE halo exchange, a vectorized numpy pass per Arrow group, and a
+    |levels|-row bounded rollup.  Nodata-cornered cells contribute
+    nothing; >= level inclusion; saddles by the corner-mean rule; all
+    documented in _marching_cells and mirrored by the dense oracle
+    (synth/expected.py build_contour_census) and a per-cell
+    pure-Python third reference.  Returns
+    (level, n_segments, sum_len_fp)."""
+    T = tile_px or TILE_PX
+
+    def kernel(pdf):
+        import pandas as pd
+        cols = ["level", "n_segments", "sum_len_fp"]
+        from remotior_sensus_spark.operators.focal import _assemble_padded
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        pad = _assemble_padded(pdf, tile_px=T)
+        a = pad[T:2 * T, T:2 * T]
+        b = pad[T:2 * T, T + 1:2 * T + 1]
+        c = pad[T + 1:2 * T + 1, T:2 * T]
+        d = pad[T + 1:2 * T + 1, T + 1:2 * T + 1]
+        rows = []
+        for lv in levels:
+            n, s = _marching_cells(a, b, c, d, float(lv))
+            if n:
+                rows.append((int(lv), n, s))
+        return pd.DataFrame(rows, columns=cols)
+
+    from remotior_sensus_spark.operators.focal import _with_halo_groups
+    halo = _with_halo_groups(band_tiles)
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, "level long, n_segments long, sum_len_fp long")
+    return (per.groupBy(F.col("level").cast("int").alias("level"))
+            .agg(F.sum("n_segments").alias("n_segments"),
+                 F.sum("sum_len_fp").alias("sum_len_fp")))

@@ -7498,6 +7498,22 @@ def compact_cell_cover_q(spark, sf_dir):
         tx_max=b["tx"], ty_max=b["ty"])
 
 
+@q("contour_census",
+   f"select * from '{GEO01}/expected/contour_census.parquet'")
+def contour_census_q(spark, sf_dir):
+    """Iso-contour census at levels 1000/2000/3000/4000 by marching
+    squares: per level n_segments and exact fixed-point total length —
+    segments are local to their 2x2 cell so no stitching exists; one
+    focal-halo exchange + a vectorized crossing-pair kernel, verified
+    against an independently-written explicit-16-case-table pure-Python
+    dense rebuild (synth/expected.py build_contour_census)
+    (geostats.contour_census_tiles)."""
+    from remotior_sensus_spark.operators import geostats
+    _ensure_expected(sf_dir)
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.contour_census_tiles(t64, tile_px=t_px)
+
+
 @q("cost_allocation",
    f"select * from '{GEO01}/expected/cost_allocation.parquet'")
 def cost_allocation_q(spark, sf_dir):
@@ -7652,7 +7668,8 @@ ORACLE_BUILDERS = {
         "watershed_basins", "twi_census", "stream_order",
         "flow_length", "fill_depressions",
         "filled_flow_accumulation", "cost_distance",
-        "cost_allocation", "viewshed_census", "corridor_census",
+        "cost_allocation", "contour_census",
+        "viewshed_census", "corridor_census",
         "openness_census", "component_shapes",
         "geomorphon_census")},
 }

@@ -41,7 +41,7 @@ from remotior_sensus_spark.synth.generate import (
 
 # bump when any builder's logic changes — stale cached parquet is
 # regenerated on version mismatch
-_EXPECTED_VERSION = 22
+_EXPECTED_VERSION = 23
 
 
 def _full_raster(sf: float, bs_idx: int = 0, band_idx: int = 2) -> np.ndarray:
@@ -1057,6 +1057,75 @@ def build_cost_allocation(sf: float) -> pa.Table:
                                 type=pa.int64())})
 
 
+def build_contour_census(sf: float) -> pa.Table:
+    """Independent marching-squares rebuild: an explicit 16-CASE TABLE
+    walked per cell in pure Python (the engine enumerates crossing
+    pairs vectorized — a different decomposition of the same public
+    algorithm), linear edge interpolation, >= level inclusion,
+    corner-mean saddle rule, per-segment 2^-20 fixed-point lengths."""
+    import math
+
+    r = _full_raster(sf)
+    H, W = r.shape
+    levels = (1000.0, 2000.0, 3000.0, 4000.0)
+    # case -> list of (edge, edge) segments; edges: t/r/b/l;
+    # corners bit-packed tl=8, tr=4, br=2, bl=1
+    table = {
+        8: [("t", "l")], 4: [("t", "r")], 2: [("r", "b")],
+        1: [("l", "b")],
+        12: [("l", "r")], 6: [("t", "b")], 3: [("l", "r")],
+        9: [("t", "b")],
+        7: [("t", "l")], 11: [("t", "r")], 13: [("r", "b")],
+        14: [("l", "b")],
+    }
+    out = {}
+    for lv in levels:
+        n_seg = 0
+        s_fp = 0
+        for y in range(H - 1):
+            for x in range(W - 1):
+                tl, tr = r[y, x], r[y, x + 1]
+                bl, br = r[y + 1, x], r[y + 1, x + 1]
+                if math.isnan(tl) or math.isnan(tr) or \
+                        math.isnan(bl) or math.isnan(br):
+                    continue
+                code = ((tl >= lv) * 8 + (tr >= lv) * 4
+                        + (br >= lv) * 2 + (bl >= lv) * 1)
+                if code in (0, 15):
+                    continue
+                if code == 10:       # tl, br saddle
+                    segs = ([("t", "r"), ("l", "b")]
+                            if tl + tr + bl + br >= 4.0 * lv
+                            else [("t", "l"), ("r", "b")])
+                elif code == 5:      # tr, bl saddle
+                    segs = ([("t", "l"), ("r", "b")]
+                            if tl + tr + bl + br >= 4.0 * lv
+                            else [("t", "r"), ("l", "b")])
+                else:
+                    segs = table[code]
+                pt = {"t": ((lv - tl) / (tr - tl), 0.0),
+                      "r": (1.0, (lv - tr) / (br - tr)),
+                      "b": ((lv - bl) / (br - bl), 1.0),
+                      "l": (0.0, (lv - tl) / (bl - tl))}
+                for e1, e2 in segs:
+                    (x1, y1), (x2, y2) = pt[e1], pt[e2]
+                    dx, dy = x1 - x2, y1 - y2
+                    # explicit sqrt(dx^2+dy^2): engine-side numpy
+                    # computes the identical expression (hypot can
+                    # differ by 1 ulp between implementations)
+                    ln = math.sqrt(dx * dx + dy * dy)
+                    n_seg += 1
+                    s_fp += int(math.floor(ln * 1048576.0 + 0.5))
+        if n_seg:
+            out[int(lv)] = (n_seg, s_fp)
+    ks = sorted(out)
+    return pa.table({
+        "level": pa.array(ks, type=pa.int32()),
+        "n_segments": pa.array([out[k][0] for k in ks], type=pa.int64()),
+        "sum_len_fp": pa.array([out[k][1] for k in ks],
+                               type=pa.int64())})
+
+
 def build_viewshed(sf: float) -> pa.Table:
     """Independent dense viewshed rebuild: whole-raster shifted-array
     sweep per (target-offset, ray-step) pair — a DIFFERENT
@@ -1342,6 +1411,7 @@ BUILDERS = {
     "filled_flow_accumulation": build_filled_flow_accumulation,
     "cost_distance": build_cost_distance,
     "cost_allocation": build_cost_allocation,
+    "contour_census": build_contour_census,
     "viewshed_census": build_viewshed,
     "corridor_census": build_corridor,
     "openness_census": build_openness,

@@ -646,3 +646,93 @@ def test_morans_correlogram_dense(spark, geo001_dir):
     assert got[1]["n_pixels"] == base["n_pixels"]
     assert got[1]["w_sum"] == base["w_sum"]
     assert got[1]["morans_i"] == base["morans_i"]
+
+
+def test_marching_cells_hand_cases():
+    """Hand-computed single-cell configurations: corner case, both
+    saddle resolutions, and the no-crossing cells."""
+    import math
+    from remotior_sensus_spark.operators.geostats import _marching_cells
+
+    def cell(tl, tr, bl, br, level):
+        mk = lambda v: np.array([[float(v)]])
+        return _marching_cells(mk(tl), mk(tr), mk(bl), mk(br), level)
+
+    fp = lambda ln: int(math.floor(ln * 1048576.0 + 0.5))
+    half_diag = math.sqrt(0.5 * 0.5 + 0.5 * 0.5)
+    # single >= corner: one segment top(0.5,0)-left(0,0.5)
+    assert cell(2000, 0, 0, 0, 1000.0) == (1, fp(half_diag))
+    # full cell above / below: nothing
+    assert cell(2000, 2000, 2000, 2000, 1000.0) == (0, 0)
+    assert cell(0, 0, 0, 0, 1000.0) == (0, 0)
+    # nan corner: nothing
+    assert cell(float("nan"), 2000, 0, 0, 1000.0) == (0, 0)
+    # vertical split tl,bl >= : segment top(0.5,0)-bottom(0.5,1), len 1
+    assert cell(2000, 0, 2000, 0, 1000.0) == (1, fp(1.0))
+    # saddle, center >= level (mean 1000 >= 1000): (t,r)+(l,b)
+    assert cell(2000, 0, 0, 2000, 1000.0) == (2, 2 * fp(half_diag))
+    # saddle, center < level: (t,l)+(r,b) with crossings at 1/3
+    third_diag = math.sqrt((1 / 3) ** 2 + (1 / 3) ** 2)
+    assert cell(1500, 0, 0, 1500, 1000.0) == (2, 2 * fp(third_diag))
+
+
+def test_contour_census_tile_invariance_and_scalar_reference(spark):
+    """16-px vs 64-px tiling must agree exactly, and both must match a
+    scalar per-cell loop written against the same public definition
+    (third formulation next to the engine's vectorized crossing pairs
+    and the oracle's 16-case table)."""
+    import math
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hydrology import _tiles_df
+    from remotior_sensus_spark.operators.geostats import (
+        contour_census_tiles)
+
+    r = _vs_raster(64, 64, seed=13)
+    lv = 1100.0
+    # scalar reference: enumerate crossings per cell
+    n_ref, s_ref = 0, 0
+    for y in range(63):
+        for x in range(63):
+            quad = [r[y, x], r[y, x + 1], r[y + 1, x], r[y + 1, x + 1]]
+            if any(math.isnan(v) for v in quad):
+                continue
+            tl, tr, bl, br = quad
+            pts = []
+            if (tl >= lv) != (tr >= lv):
+                pts.append(((lv - tl) / (tr - tl), 0.0, "t"))
+            if (tr >= lv) != (br >= lv):
+                pts.append((1.0, (lv - tr) / (br - tr), "r"))
+            if (bl >= lv) != (br >= lv):
+                pts.append(((lv - bl) / (br - bl), 1.0, "b"))
+            if (tl >= lv) != (bl >= lv):
+                pts.append((0.0, (lv - tl) / (bl - tl), "l"))
+            by = {e: (x_, y_) for x_, y_, e in pts}
+            if len(pts) == 2:
+                (x1, y1, _), (x2, y2, _) = pts
+                segs = [((x1, y1), (x2, y2))]
+            elif len(pts) == 4:
+                hi = tl + tr + bl + br >= 4.0 * lv
+                if (tl >= lv and hi) or (tr >= lv and not hi):
+                    pair_names = [("t", "r"), ("l", "b")]
+                else:
+                    pair_names = [("t", "l"), ("r", "b")]
+                segs = [(by[a], by[b]) for a, b in pair_names]
+            else:
+                segs = []
+            for (x1, y1), (x2, y2) in segs:
+                dx, dy = x1 - x2, y1 - y2
+                n_ref += 1
+                s_ref += int(math.floor(
+                    math.sqrt(dx * dx + dy * dy) * 1048576.0 + 0.5))
+
+    got16 = {row["level"]: (row["n_segments"], row["sum_len_fp"])
+             for row in contour_census_tiles(
+                 _tiles_df(spark, r, 16), levels=(lv,),
+                 tile_px=16).collect()}
+    got64 = {row["level"]: (row["n_segments"], row["sum_len_fp"])
+             for row in contour_census_tiles(
+                 _tiles_df(spark, r, 64), levels=(lv,),
+                 tile_px=64).collect()}
+    assert got16 == got64 == {int(lv): (n_ref, s_ref)}
+    assert n_ref > 100  # the terrain really produces contours
