@@ -165,6 +165,103 @@ def morans_correlogram(band_px: DataFrame,
     )
 
 
+def gearys_correlogram_tiles(band_tiles: DataFrame,
+                             lags: tuple[int, ...] = (1, 2, 4, 8),
+                             tile_px: int | None = None) -> DataFrame:
+    """Geary's C correlogram at rook lags — the local-contrast decay
+    companion to morans_correlogram (Moran weights covariance, Geary
+    weights squared differences, so they disagree under local
+    heterogeneity even when the global trend agrees):
+        c(h) = ((n-1) · Σ_pairs (v_x − v_{x+o})²) / (2 · W(h) · Σ(v−m)²)
+    with the pair sum taken EXACTLY (int64 Σd² from the shared
+    _pair_sums_frame kernel — unlike the global gearys_c, whose
+    relational shape expands it algebraically in doubles; at lag 1 the
+    two agree to ~1e-12, asserted in tests).  Same one-halo-exchange
+    plan as morans_correlogram_tiles.  Returns
+    (lag, n_pixels, w_sum, gearys_c)."""
+    sums = _pair_sums_frame(band_tiles, lags, tile_px)
+    n = F.col("n").cast("double")
+    m = F.col("sum_v").cast("double") / F.col("n")
+    ssz = (F.col("sum_v2").cast("double")
+           - F.lit(2.0) * m * F.col("sum_v").cast("double")
+           + m * m * n)
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pixels"),
+        F.col("sum_c").alias("w_sum"),
+        (((n - F.lit(1.0)) * F.col("sum_d2").cast("double"))
+         / (F.lit(2.0) * F.col("sum_c").cast("double") * ssz))
+        .alias("gearys_c"),
+    )
+
+
+def _pair_sums_frame(band_tiles: DataFrame,
+                     lags: tuple[int, ...],
+                     tile_px: int | None = None) -> DataFrame:
+    """Shared ordered-pair partial-sum frame for the correlogram
+    family: per lag h over the 4 rook offsets,
+    (sum_c = #pairs, sum_vc = Σ v_head, sum_s = Σ v_tail,
+     sum_vs = Σ v_head·v_tail, sum_d2 = Σ (v_head − v_tail)²)
+    with the lag-independent totals (n, sum_v, sum_v2) riding the same
+    Arrow kernel as a lag = -1 row and re-attached by ONE broadcast
+    scalar cross join.  One halo exchange, bounded rollup — the plan
+    shape documented at morans_correlogram_tiles."""
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+
+    T = tile_px or TILE_PX
+    if max(lags) > T:
+        raise ValueError("halo path requires max(lags) <= tile_px")
+
+    def kernel(pdf):
+        import pandas as pd
+        cols = ["lag", "pa", "pb", "pc", "pd", "pe"]
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        pad = _assemble_padded(pdf, tile_px=T)
+        c0 = pad[T:2 * T, T:2 * T]
+        cv = ~np.isnan(c0)
+        if not cv.any():
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        rows = [(-1, int(cv.sum()), int(c0[cv].sum()),
+                 int((c0[cv] * c0[cv]).sum()), 0, 0)]
+        for h in lags:
+            for ox, oy in ((h, 0), (-h, 0), (0, h), (0, -h)):
+                nbr = pad[T + oy:2 * T + oy, T + ox:2 * T + ox]
+                sel = cv & ~np.isnan(nbr)
+                if not sel.any():
+                    continue
+                head = c0[sel]
+                tail = nbr[sel]
+                d = head - tail
+                rows.append((h, int(sel.sum()), int(head.sum()),
+                             int(tail.sum()), int((head * tail).sum()),
+                             int((d * d).sum())))
+        return pd.DataFrame(rows, columns=cols)
+
+    halo = _with_halo_groups(band_tiles)
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel,
+        "lag long, pa long, pb long, pc long, pd long, pe long")
+    g = per.groupBy("lag").agg(
+        F.sum("pa").alias("pa"), F.sum("pb").alias("pb"),
+        F.sum("pc").alias("pc"), F.sum("pd").alias("pd"),
+        F.sum("pe").alias("pe"))
+    tot = g.filter(F.col("lag") == -1).select(
+        F.col("pa").alias("n"), F.col("pb").alias("sum_v"),
+        F.col("pc").alias("sum_v2"))
+    return (g.filter(F.col("lag") >= 0)
+            .select(F.col("lag").cast("int").alias("lag"),
+                    F.col("pa").alias("sum_c"),
+                    F.col("pb").alias("sum_vc"),
+                    F.col("pc").alias("sum_s"),
+                    F.col("pd").alias("sum_vs"),
+                    F.col("pe").alias("sum_d2"))
+            .crossJoin(F.broadcast(tot)))
+
+
 def morans_correlogram_tiles(band_tiles: DataFrame,
                              lags: tuple[int, ...] = (1, 2, 4, 8),
                              tile_px: int | None = None) -> DataFrame:
@@ -185,55 +282,7 @@ def morans_correlogram_tiles(band_tiles: DataFrame,
     which stays registered as the cross-checked reference shape.
     Per-tile products stay exact: v <= 5e3 so head*tail <= 2.5e7 and
     a 64^2-tile partial sum <= 1e11 < 2^53 before the int64 rollup."""
-    from remotior_sensus_spark.operators.focal import (
-        _assemble_padded, _with_halo_groups)
-
-    T = tile_px or TILE_PX
-    if max(lags) > T:
-        raise ValueError("halo path requires max(lags) <= tile_px")
-
-    def kernel(pdf):
-        import pandas as pd
-        cols = ["lag", "pa", "pb", "pc", "pd"]
-        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
-            return pd.DataFrame({c: pd.Series(dtype="int64")
-                                 for c in cols})
-        pad = _assemble_padded(pdf, tile_px=T)
-        c0 = pad[T:2 * T, T:2 * T]
-        cv = ~np.isnan(c0)
-        if not cv.any():
-            return pd.DataFrame({c: pd.Series(dtype="int64")
-                                 for c in cols})
-        rows = [(-1, int(cv.sum()), int(c0[cv].sum()),
-                 int((c0[cv] * c0[cv]).sum()), 0)]
-        for h in lags:
-            for ox, oy in ((h, 0), (-h, 0), (0, h), (0, -h)):
-                nbr = pad[T + oy:2 * T + oy, T + ox:2 * T + ox]
-                sel = cv & ~np.isnan(nbr)
-                if not sel.any():
-                    continue
-                head = c0[sel]
-                tail = nbr[sel]
-                rows.append((h, int(sel.sum()), int(head.sum()),
-                             int(tail.sum()), int((head * tail).sum())))
-        return pd.DataFrame(rows, columns=cols)
-
-    halo = _with_halo_groups(band_tiles)
-    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
-        kernel, "lag long, pa long, pb long, pc long, pd long")
-    g = per.groupBy("lag").agg(
-        F.sum("pa").alias("pa"), F.sum("pb").alias("pb"),
-        F.sum("pc").alias("pc"), F.sum("pd").alias("pd"))
-    tot = g.filter(F.col("lag") == -1).select(
-        F.col("pa").alias("n"), F.col("pb").alias("sum_v"),
-        F.col("pc").alias("sum_v2"))
-    sums = (g.filter(F.col("lag") >= 0)
-            .select(F.col("lag").cast("int").alias("lag"),
-                    F.col("pa").alias("sum_c"),
-                    F.col("pb").alias("sum_vc"),
-                    F.col("pc").alias("sum_s"),
-                    F.col("pd").alias("sum_vs"))
-            .crossJoin(F.broadcast(tot)))
+    sums = _pair_sums_frame(band_tiles, lags, tile_px)
     n = F.col("n").cast("double")
     m = F.col("sum_v").cast("double") / F.col("n")
     num = (F.col("sum_vs").cast("double")
@@ -2086,3 +2135,26 @@ def contour_census_tiles(band_tiles: DataFrame,
     return (per.groupBy(F.col("level").cast("int").alias("level"))
             .agg(F.sum("n_segments").alias("n_segments"),
                  F.sum("sum_len_fp").alias("sum_len_fp")))
+
+
+def box_counting(band_px: DataFrame, threshold: float = 3000.0,
+                 scales: tuple[int, ...] = (1, 2, 4, 8, 16)) -> DataFrame:
+    """Box-counting census of the >= threshold mask: occupied-box
+    counts N(s) at power-of-two box sizes — the exact ingredients of
+    the Minkowski–Bouligand (box-counting) fractal dimension; the
+    log N vs log(1/s) slope is left to the consumer so the result
+    stays all-integer.
+
+    Scale shape: every scale divides the tile size, so a box NEVER
+    spans tiles and the distinct collapses map-side (partial
+    aggregation before the one hash shuffle, which carries at most
+    the distinct-box cardinality x |scales|); the rollup is
+    |scales| rows.  Returns (scale, n_boxes)."""
+    px = _valid_px(band_px).filter(F.col("v") >= float(threshold))
+    arr = F.array(*[F.lit(int(s)) for s in scales])
+    boxes = (px.select(F.explode(arr).alias("scale"), "gx", "gy")
+             .select("scale",
+                     F.expr("div(gx, scale)").alias("bx"),
+                     F.expr("div(gy, scale)").alias("by"))
+             .distinct())
+    return boxes.groupBy("scale").agg(F.count("*").alias("n_boxes"))

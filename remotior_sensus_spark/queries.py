@@ -2225,6 +2225,63 @@ def morans_correlogram_q(spark, sf_dir):
     return geostats.morans_correlogram_tiles(t64, tile_px=t_px)
 
 
+@q("box_counting", f"""
+with p as (
+  select gx, gy from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04'
+    and value <> -32768 and value >= 3000),
+s(scale) as (values (1),(2),(4),(8),(16)),
+b as (select distinct scale, gx // scale as bx, gy // scale as by
+      from p cross join s)
+select scale, count(*) as n_boxes from b group by 1
+""")
+def box_counting_q(spark, sf_dir):
+    """Box-counting (Minkowski–Bouligand) census of the >= 3000 mask:
+    occupied-box counts at scales 1/2/4/8/16 — scales divide the tile
+    size so boxes never span tiles and the distinct collapses
+    map-side (geostats.box_counting)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.box_counting(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
+@q("gearys_correlogram", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+o(lag, dx, dy) as (values
+  (1,1,0),(1,-1,0),(1,0,1),(1,0,-1),
+  (2,2,0),(2,-2,0),(2,0,2),(2,0,-2),
+  (4,4,0),(4,-4,0),(4,0,4),(4,0,-4),
+  (8,8,0),(8,-8,0),(8,0,8),(8,0,-8)),
+sh as (select gx + dx as gx, gy + dy as gy, lag, v as vh
+       from p cross join o),
+pr as (select sh.lag, sh.vh, p.v as vt from sh join p using (gx, gy)),
+ls as (select lag, count(*) as sum_c,
+       cast(sum((vh - vt) * (vh - vt)) as bigint) as sum_d2
+       from pr group by 1),
+t as (select count(*) as n, cast(sum(v) as bigint) as sum_v,
+      cast(sum(v*v) as bigint) as sum_v2 from p),
+m as (select ls.*, t.*, cast(sum_v as double) / n as m
+      from ls cross join t)
+select lag, n as n_pixels, sum_c as w_sum,
+  ((cast(n as double) - 1.0) * cast(sum_d2 as double))
+  / (2.0 * cast(sum_c as double)
+     * (cast(sum_v2 as double) - 2.0*m*cast(sum_v as double)
+        + m*m*cast(n as double))) as gearys_c
+from m
+""")
+def gearys_correlogram_q(spark, sf_dir):
+    """Geary's C correlogram at rook lags 1/2/4/8 — local-contrast
+    decay from the SAME shared pair-sum halo kernel as the Moran
+    correlogram (exact int64 pair Σd²; at lag 1 agrees with the
+    global gearys_c to ~1e-12, asserted in tests)
+    (geostats.gearys_correlogram_tiles)."""
+    from remotior_sensus_spark.operators import geostats
+    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
+    return geostats.gearys_correlogram_tiles(t64, tile_px=t_px)
+
+
 @q("gearys_c", f"""
 with p as (
   select gx, gy, cast(value as bigint) as v from '{GEO01}/tile_pixels.parquet'

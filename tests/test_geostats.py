@@ -736,3 +736,59 @@ def test_contour_census_tile_invariance_and_scalar_reference(spark):
                  tile_px=64).collect()}
     assert got16 == got64 == {int(lv): (n_ref, s_ref)}
     assert n_ref > 100  # the terrain really produces contours
+
+
+def test_gearys_correlogram_dense(spark, geo001_dir):
+    """Per-lag Geary's C vs a dense rebuild, lag-1 cross-checked
+    against the standalone gearys_c query (different pair-sum
+    formulation — exact int Σd² here vs the algebraic double
+    expansion there — so approx, not bit-equal), and the
+    contrast-growth direction asserted."""
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    got = {r["lag"]: r for r in
+           Q.queries()["gearys_correlogram"](spark, geo001_dir).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    for h in (1, 2, 4, 8):
+        v, valid, s, s2, c = _neighbor_sums(
+            full, [(h, 0), (-h, 0), (0, h), (0, -h)])
+        n = int(valid.sum())
+        sum_v = int(v[valid].sum())
+        sum_v2 = int((v[valid] ** 2).sum())
+        # exact integer pair sum of squared differences
+        d2 = int((c[valid] * v[valid] * v[valid]).sum()
+                 - 2 * (v[valid] * s[valid]).sum() + s2[valid].sum())
+        w = int(c[valid].sum())
+        m = sum_v / n
+        ssz = sum_v2 - 2.0 * m * sum_v + m * m * n
+        exp = ((n - 1.0) * d2) / (2.0 * w * ssz)
+        r = got[h]
+        assert r["n_pixels"] == n and r["w_sum"] == w
+        assert r["gearys_c"] == pytest.approx(exp, rel=1e-12)
+    base = Q.queries()["gearys_c"](spark, geo001_dir).collect()[0]
+    assert got[1]["w_sum"] == base["w_sum"]
+    assert got[1]["gearys_c"] == pytest.approx(base["gearys_c"],
+                                               rel=1e-12)
+    # contrast grows with lag on the correlated field (c -> 1+)
+    assert got[1]["gearys_c"] < got[8]["gearys_c"]
+
+
+def test_box_counting_dense(spark, geo001_dir):
+    """Occupied-box counts vs a dense numpy unique rebuild, plus the
+    monotone N(s) >= N(2s) >= N(s)/4 sandwich every true box count
+    obeys."""
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    mask = ~np.isnan(full) & (full >= 3000.0)
+    ys, xs = np.nonzero(mask)
+    exp = {}
+    for s in (1, 2, 4, 8, 16):
+        exp[s] = len(np.unique((ys // s).astype(np.int64) * (1 << 32)
+                               + (xs // s)))
+    got = {r["scale"]: r["n_boxes"] for r in
+           Q.queries()["box_counting"](spark, geo001_dir).collect()}
+    assert got == exp
+    for s in (1, 2, 4, 8):
+        assert got[2 * s] <= got[s] <= 4 * got[2 * s]
