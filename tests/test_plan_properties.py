@@ -484,3 +484,32 @@ def test_bounded_domain_census_no_python(spark):
         assert "BatchEvalPython" not in plan, (name, plan)
         assert "ArrowEvalPython" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_session4_census_plan_shapes(spark):
+    # zonal_majority / tile_skew_profile / box_counting: pure
+    # relational censuses — the only Python allowed anywhere is the
+    # PIP refinement inside zonal_majority's cover path (ArrowEval,
+    # the documented vector<->raster contract); no cartesian products
+    for name, allow_arrow in (("zonal_majority", True),
+                              ("tile_skew_profile", False),
+                              ("box_counting", False)):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        if not allow_arrow:
+            assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_contour_and_correlogram_halo_shape(spark):
+    # contour_census and both correlograms ride the focal-halo Arrow
+    # contract: tile grouping (FlatMapGroupsInPandas), no join beyond
+    # the broadcast-scalar totals cross join, no row-wise Python
+    for name in ("contour_census", "morans_correlogram",
+                 "gearys_correlogram"):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "FlatMapGroupsInPandas" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        for op in ("SortMergeJoin", "ShuffledHashJoin"):
+            assert op not in plan, (name, plan)
