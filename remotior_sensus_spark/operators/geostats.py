@@ -2158,3 +2158,55 @@ def box_counting(band_px: DataFrame, threshold: float = 3000.0,
                      F.expr("div(gy, scale)").alias("by"))
              .distinct())
     return boxes.groupBy("scale").agg(F.count("*").alias("n_boxes"))
+
+
+def lacunarity(band_px: DataFrame, threshold: float = 3000.0,
+               scales: tuple[int, ...] = (2, 4, 8, 16)) -> DataFrame:
+    """Aligned-box lacunarity of the >= threshold mask — the
+    landscape-ecology texture statistic (Plotnick 1993; the
+    gliding-box Λ(r) computed on the aligned box lattice): per box
+    size s, the mass distribution's second moment ratio
+        Λ(s) = B · Σ m_b² / (Σ m_b)²
+    over ALL boxes of the bounding grid (empty boxes count — they ARE
+    the gappiness signal), m_b = mask pixels in box b.  Complements
+    box_counting: occupancy says where the mask is, lacunarity says
+    how gap-riddled its mass is across scales.
+
+    All sufficient statistics are exact integers: the occupied-box
+    masses come from one (scale, box) groupBy (scales divide the tile
+    size, so the partial aggregate collapses map-side exactly like
+    box_counting), the total box count B comes from the valid-extent
+    scalar (one broadcast cross join), and empty boxes contribute
+    zero to both Σm and Σm² — only the final Λ ratio is a double,
+    mirrored op-for-op in the oracle.  Returns
+    (scale, n_boxes, occupied_boxes, sum_mass, sum_mass_sq,
+    lacunarity)."""
+    px = _valid_px(band_px)
+    ext = px.agg((F.max("gx") + 1).alias("w"),
+                 (F.max("gy") + 1).alias("h"))
+    m = px.filter(F.col("v") >= float(threshold))
+    arr = F.array(*[F.lit(int(s)) for s in scales])
+    boxes = (m.select(F.explode(arr).alias("scale"), "gx", "gy")
+             .groupBy("scale",
+                      F.expr("div(gx, scale)").alias("bx"),
+                      F.expr("div(gy, scale)").alias("by"))
+             .agg(F.count("*").alias("mass")))
+    sums = (boxes.groupBy("scale")
+            .agg(F.count("*").alias("occupied_boxes"),
+                 F.sum("mass").alias("sum_mass"),
+                 F.sum(F.col("mass") * F.col("mass"))
+                 .alias("sum_mass_sq"))
+            .crossJoin(F.broadcast(ext)))
+    # ceil(w/s)*ceil(h/s) via the positive-operand-safe idiom
+    # ((x + s - 1) div s): Spark's div truncates toward zero while
+    # DuckDB's // floors, so the -div(-x, s) trick would silently
+    # disagree between engine and oracle
+    nb = (F.expr("div(w + scale - 1, scale)")
+          * F.expr("div(h + scale - 1, scale)"))
+    return sums.select(
+        "scale",
+        nb.cast("long").alias("n_boxes"),
+        "occupied_boxes", "sum_mass", "sum_mass_sq",
+        ((nb.cast("double") * F.col("sum_mass_sq").cast("double"))
+         / (F.col("sum_mass").cast("double")
+            * F.col("sum_mass").cast("double"))).alias("lacunarity"))

@@ -2225,6 +2225,40 @@ def morans_correlogram_q(spark, sf_dir):
     return geostats.morans_correlogram_tiles(t64, tile_px=t_px)
 
 
+@q("lacunarity", f"""
+with p as (
+  select gx, gy, cast(value as bigint) as v
+  from '{GEO01}/tile_pixels.parquet'
+  where bandset='S2_2020-01-01' and band='B04' and value <> -32768),
+e as (select max(gx) + 1 as w, max(gy) + 1 as h from p),
+mk as (select gx, gy from p where v >= 3000),
+s(scale) as (values (2),(4),(8),(16)),
+b as (select scale, gx // scale as bx, gy // scale as by,
+        count(*) as mass
+      from mk cross join s group by 1, 2, 3),
+g as (select scale, count(*) as occupied_boxes,
+      cast(sum(mass) as bigint) as sum_mass,
+      cast(sum(mass * mass) as bigint) as sum_mass_sq
+      from b group by 1),
+j as (select g.*,
+      ((w + scale - 1) // scale) * ((h + scale - 1) // scale) as nb
+      from g cross join e)
+select scale, cast(nb as bigint) as n_boxes, occupied_boxes,
+  sum_mass, sum_mass_sq,
+  (cast(nb as double) * cast(sum_mass_sq as double))
+  / (cast(sum_mass as double) * cast(sum_mass as double))
+  as lacunarity
+from j
+""")
+def lacunarity_q(spark, sf_dir):
+    """Aligned-box lacunarity Λ(s) = B·Σm²/(Σm)² of the >= 3000 mask
+    at scales 2/4/16 — gap structure across scales, exact integer
+    moments + one mirrored double ratio (geostats.lacunarity)."""
+    from remotior_sensus_spark.operators import geostats
+    return geostats.lacunarity(
+        agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+
+
 @q("box_counting", f"""
 with p as (
   select gx, gy from '{GEO01}/tile_pixels.parquet'

@@ -792,3 +792,36 @@ def test_box_counting_dense(spark, geo001_dir):
     assert got == exp
     for s in (1, 2, 4, 8):
         assert got[2 * s] <= got[s] <= 4 * got[2 * s]
+
+
+def test_lacunarity_dense(spark, geo001_dir):
+    """Λ(s) vs a dense numpy block-sum rebuild, plus the scale-decay
+    property (aggregating boxes smooths gaps, so Λ decreases with s
+    toward 1/p)."""
+    from remotior_sensus_spark import queries as Q
+
+    full = full_raster()
+    mask = (~np.isnan(full) & (full >= 3000.0)).astype(np.int64)
+    H, W = mask.shape
+    exp = {}
+    for s in (2, 4, 8, 16):
+        hb = -(-H // s)
+        wb = -(-W // s)
+        padded = np.zeros((hb * s, wb * s), dtype=np.int64)
+        padded[:H, :W] = mask
+        m = padded.reshape(hb, s, wb, s).sum(axis=(1, 3))
+        nb = hb * wb
+        occ = int((m > 0).sum())
+        sm = int(m.sum())
+        sq = int((m.astype(np.int64) ** 2).sum())
+        exp[s] = (nb, occ, sm, sq, (float(nb) * float(sq))
+                  / (float(sm) * float(sm)))
+    got = {r["scale"]: (r["n_boxes"], r["occupied_boxes"],
+                        r["sum_mass"], r["sum_mass_sq"],
+                        r["lacunarity"])
+           for r in Q.queries()["lacunarity"](
+               spark, geo001_dir).collect()}
+    for s in exp:
+        assert got[s][:4] == exp[s][:4], s
+        assert got[s][4] == pytest.approx(exp[s][4], rel=1e-12), s
+    assert got[2][4] > got[16][4] > 1.0
