@@ -2252,7 +2252,7 @@ from j
 """)
 def lacunarity_q(spark, sf_dir):
     """Aligned-box lacunarity Λ(s) = B·Σm²/(Σm)² of the >= 3000 mask
-    at scales 2/4/16 — gap structure across scales, exact integer
+    at scales 2/4/8/16 — gap structure across scales, exact integer
     moments + one mirrored double ratio (geostats.lacunarity)."""
     from remotior_sensus_spark.operators import geostats
     return geostats.lacunarity(
