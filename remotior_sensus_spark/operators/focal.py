@@ -61,25 +61,95 @@ def _with_halo_groups(band_tiles: DataFrame) -> DataFrame:
     )
 
 
+def _with_fine_halo_groups(tiles: DataFrame, factor: int,
+                           halo_tiles: int = 1) -> DataFrame:
+    """Fused retile + halo fan (r06 optimization, guide §2.3/§2.4):
+    ship FINE (ingest-size) tiles directly to the coarse
+    (factor x ingest-size) halo groups that need them, skipping the
+    separate retile shuffle + applyInPandas pass entirely AND fanning
+    only the boundary fine tiles to neighbours (a 64-px target needs
+    its 4x4 own block plus a `halo_tiles`-wide ring — 36 instead of
+    the 144 fine tiles a full 3x3 coarse fan would ship at factor 4).
+
+    Output schema: (target_tx, target_ty, dx, dy, sub_x, sub_y,
+    pixels) where (target_tx, target_ty) is the COARSE tile key,
+    (dx, dy) the coarse-block offset (same convention as
+    _with_halo_groups: source coarse tile = target - (dx, dy)) and
+    (sub_x, sub_y) the fine tile's position inside its coarse block.
+    _assemble_padded places these rows into the same 3Tx3T pad
+    (T = factor * fine_px, centre at [T:2T)) the full-tile fan
+    produces, so every radius <= halo_tiles*fine_px kernel is
+    unchanged; regions beyond the shipped ring stay NaN, exactly like
+    a missing neighbour tile.  Results are bit-identical to
+    retile(factor) + _with_halo_groups for any kernel whose window
+    radius fits the ring (pinned by test_fine_halo_parity)."""
+    if not 1 <= halo_tiles <= factor:
+        raise ValueError("halo_tiles must be in [1, factor]")
+    src = tiles.select(
+        (F.col("tile_x") % factor).alias("sub_x"),
+        (F.col("tile_y") % factor).alias("sub_y"),
+        F.floor(F.col("tile_x") / factor).cast("int").alias("ntx"),
+        F.floor(F.col("tile_y") / factor).cast("int").alias("nty"),
+        "pixels",
+    )
+    # a fine tile reaches coarse neighbour (ox, oy) iff it lies within
+    # halo_tiles fine-tiles of that neighbour's block
+    ox = F.array_compact(F.array(
+        F.lit(0),
+        F.when(F.col("sub_x") >= factor - halo_tiles, F.lit(1)),
+        F.when(F.col("sub_x") <= halo_tiles - 1, F.lit(-1))))
+    oy = F.array_compact(F.array(
+        F.lit(0),
+        F.when(F.col("sub_y") >= factor - halo_tiles, F.lit(1)),
+        F.when(F.col("sub_y") <= halo_tiles - 1, F.lit(-1))))
+    return (
+        src.withColumn("ox", F.explode(ox))
+        .withColumn("oy", F.explode(oy))
+        .select(
+            (F.col("ntx") + F.col("ox")).alias("target_tx"),
+            (F.col("nty") + F.col("oy")).alias("target_ty"),
+            F.col("ox").alias("dx"),
+            F.col("oy").alias("dy"),
+            "sub_x", "sub_y", "pixels",
+        )
+    )
+
+
 def _assemble_padded(pdf: pd.DataFrame, return_exists: bool = False,
                      tile_px: int | None = None):
     """3Tx3T array (nan outside provided tiles); center tile at [T:2T, T:2T].
     With return_exists also returns the block-presence mask (True where a
     source tile actually exists — i.e. inside the raster extent), which
-    is distinct from nodata pixels inside existing tiles."""
+    is distinct from nodata pixels inside existing tiles.
+
+    Accepts rows from either halo fan: full coarse tiles
+    (_with_halo_groups — block size T at block offset (-dx, -dy)) or
+    fine sub-tiles (_with_fine_halo_groups — sub_x/sub_y columns give
+    the fine tile's slot inside its coarse block; the fine pixel size
+    is inferred from the array length)."""
     T = tile_px or TILE_PX
     pad = np.full((3 * T, 3 * T), np.nan)
-    exists = np.zeros((3 * T, 3 * T), dtype=bool)
-    for _, r in pdf.iterrows():
-        a = np.asarray(r["pixels"], dtype=np.float64).reshape(T, T)
-        a = np.where(a == NODATA, np.nan, a)
+    exists = np.zeros((3 * T, 3 * T), dtype=bool) if return_exists else None
+    fine = "sub_x" in pdf.columns
+    dxs = pdf["dx"].to_numpy()
+    dys = pdf["dy"].to_numpy()
+    pxs = pdf["pixels"].to_numpy()
+    if fine:
+        sxs = pdf["sub_x"].to_numpy()
+        sys_ = pdf["sub_y"].to_numpy()
+    for i in range(len(pdf)):
+        a = np.asarray(pxs[i], dtype=np.float64)
+        t = int(round(len(a) ** 0.5))
+        a = a.reshape(t, t)
         # dx,dy is the SOURCE offset relative to target: source tile
         # (target - dx? ) — source tx = target_tx - dx  => its pixels sit
         # at block offset (-dx, -dy) from the center
-        ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
-        xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
-        pad[ys, xs] = a
-        exists[ys, xs] = True
+        y0 = (1 - dys[i]) * T + (sys_[i] * t if fine else 0)
+        x0 = (1 - dxs[i]) * T + (sxs[i] * t if fine else 0)
+        pad[y0:y0 + t, x0:x0 + t] = a
+        if exists is not None:
+            exists[y0:y0 + t, x0:x0 + t] = True
+    pad[pad == NODATA] = np.nan
     if return_exists:
         return pad, exists
     return pad

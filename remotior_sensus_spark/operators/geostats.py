@@ -167,7 +167,8 @@ def morans_correlogram(band_px: DataFrame,
 
 def gearys_correlogram_tiles(band_tiles: DataFrame,
                              lags: tuple[int, ...] = (1, 2, 4, 8),
-                             tile_px: int | None = None) -> DataFrame:
+                             tile_px: int | None = None,
+                             fan: DataFrame | None = None) -> DataFrame:
     """Geary's C correlogram at rook lags — the local-contrast decay
     companion to morans_correlogram (Moran weights covariance, Geary
     weights squared differences, so they disagree under local
@@ -179,7 +180,7 @@ def gearys_correlogram_tiles(band_tiles: DataFrame,
     two agree to ~1e-12, asserted in tests).  Same one-halo-exchange
     plan as morans_correlogram_tiles.  Returns
     (lag, n_pixels, w_sum, gearys_c)."""
-    sums = _pair_sums_frame(band_tiles, lags, tile_px)
+    sums = _pair_sums_frame(band_tiles, lags, tile_px, fan)
     n = F.col("n").cast("double")
     m = F.col("sum_v").cast("double") / F.col("n")
     ssz = (F.col("sum_v2").cast("double")
@@ -197,7 +198,8 @@ def gearys_correlogram_tiles(band_tiles: DataFrame,
 
 def _pair_sums_frame(band_tiles: DataFrame,
                      lags: tuple[int, ...],
-                     tile_px: int | None = None) -> DataFrame:
+                     tile_px: int | None = None,
+                     fan: DataFrame | None = None) -> DataFrame:
     """Shared ordered-pair partial-sum frame for the correlogram
     family: per lag h over the 4 rook offsets,
     (sum_c = #pairs, sum_vc = Σ v_head, sum_s = Σ v_tail,
@@ -241,7 +243,7 @@ def _pair_sums_frame(band_tiles: DataFrame,
                              int((d * d).sum())))
         return pd.DataFrame(rows, columns=cols)
 
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     per = halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel,
         "lag long, pa long, pb long, pc long, pd long, pe long")
@@ -264,7 +266,8 @@ def _pair_sums_frame(band_tiles: DataFrame,
 
 def morans_correlogram_tiles(band_tiles: DataFrame,
                              lags: tuple[int, ...] = (1, 2, 4, 8),
-                             tile_px: int | None = None) -> DataFrame:
+                             tile_px: int | None = None,
+                             fan: DataFrame | None = None) -> DataFrame:
     """morans_correlogram on the focal halo path, via the pair-sum
     identity: every per-lag Moran statistic is an ORDERED-PAIR sum
         sum_c  = #{(x, x+o): both valid}   (o over the 4 rook offsets
@@ -282,7 +285,7 @@ def morans_correlogram_tiles(band_tiles: DataFrame,
     which stays registered as the cross-checked reference shape.
     Per-tile products stay exact: v <= 5e3 so head*tail <= 2.5e7 and
     a 64^2-tile partial sum <= 1e11 < 2^53 before the int64 rollup."""
-    sums = _pair_sums_frame(band_tiles, lags, tile_px)
+    sums = _pair_sums_frame(band_tiles, lags, tile_px, fan)
     n = F.col("n").cast("double")
     m = F.col("sum_v").cast("double") / F.col("n")
     num = (F.col("sum_vs").cast("double")
@@ -1180,7 +1183,8 @@ def semivariogram_aniso(band_px: DataFrame,
 
 
 def lbp_census_tiles(band_tiles: DataFrame,
-                     tile_px: int | None = None) -> DataFrame:
+                     tile_px: int | None = None,
+                     fan: DataFrame | None = None) -> DataFrame:
     """lbp_census on the focal halo path: one halo shuffle ships each
     tile with its 8 neighbours, the 8 bit-comparisons run as one
     vectorized numpy pass per Arrow group, and only the 256-bounded
@@ -1223,7 +1227,8 @@ def lbp_census_tiles(band_tiles: DataFrame,
             {"code": list(out), "n_pixels": [v[0] for v in out.values()],
              "sum_v": [v[1] for v in out.values()]})
 
-    per_tile = _with_halo_groups(band_tiles).groupBy(
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy(
         "target_tx", "target_ty"
     ).applyInPandas(kernel, "code long, n_pixels long, sum_v long")
     return (
@@ -1235,7 +1240,8 @@ def lbp_census_tiles(band_tiles: DataFrame,
 
 def semivariogram_aniso_tiles(band_tiles: DataFrame,
                               lags: tuple[int, ...] = (1, 2, 4),
-                              tile_px: int | None = None) -> DataFrame:
+                              tile_px: int | None = None,
+                              fan: DataFrame | None = None) -> DataFrame:
     """semivariogram_aniso on the focal halo path: the 12
     (direction, lag) shifted relations collapse into 12 vectorized
     array shifts inside one Arrow group per tile, and only the
@@ -1280,7 +1286,8 @@ def semivariogram_aniso_tiles(band_tiles: DataFrame,
         return pd.DataFrame(rows, columns=["direction", "lag",
                                            "n_pairs", "sum_sq_diff"])
 
-    per_tile = _with_halo_groups(band_tiles).groupBy(
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy(
         "target_tx", "target_ty"
     ).applyInPandas(
         kernel, "direction string, lag long, n_pairs long, sum_sq_diff long")
@@ -1383,7 +1390,8 @@ def _d8_best(pad, rows, cols):
 
 
 def _halo_census(band_tiles: DataFrame, tile_fn, schema: str,
-                 out_cols: tuple, tile_px: int | None = None) -> DataFrame:
+                 out_cols: tuple, tile_px: int | None = None,
+                 fan: DataFrame | None = None) -> DataFrame:
     """Shared focal-halo census runner (the d8_flow_tiles shape,
     factored): ONE halo shuffle ships each tile with its 8 neighbours,
     `tile_fn(pad, T)` runs a vectorized numpy pass over the 3Tx3T pad
@@ -1407,7 +1415,8 @@ def _halo_census(band_tiles: DataFrame, tile_fn, schema: str,
             return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols})
         return pd.DataFrame(rows, columns=[c for c, _ in out_cols])
 
-    return _with_halo_groups(band_tiles).groupBy(
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    return halo.groupBy(
         "target_tx", "target_ty").applyInPandas(kernel, schema)
 
 
@@ -1423,7 +1432,8 @@ def _ring_shifts(pad, T, offs):
 
 
 def tpi_landform_tiles(band_tiles: DataFrame, threshold: int = 300,
-                       tile_px: int | None = None) -> DataFrame:
+                       tile_px: int | None = None,
+                       fan: DataFrame | None = None) -> DataFrame:
     """tpi_landform on the focal halo path (identical output; the
     relational form is the cross-checked reference shape). Same exact
     integer cross-multiplication: 8v - s8 vs 8*threshold."""
@@ -1450,13 +1460,14 @@ def tpi_landform_tiles(band_tiles: DataFrame, threshold: int = 300,
     per = _halo_census(band_tiles, tile_fn,
                        "landform long, n_pixels long, sum_v long",
                        (("landform", "int64"), ("n_pixels", "int64"),
-                        ("sum_v", "int64")), tile_px)
+                        ("sum_v", "int64")), tile_px, fan)
     return per.groupBy(F.col("landform").cast("int").alias("landform")).agg(
         F.sum("n_pixels").alias("n_pixels"), F.sum("sum_v").alias("sum_v"))
 
 
 def multi_scale_tpi_tiles(band_tiles: DataFrame, threshold: float = 300.0,
-                          tile_px: int | None = None) -> DataFrame:
+                          tile_px: int | None = None,
+                          fan: DataFrame | None = None) -> DataFrame:
     """multi_scale_tpi on the focal halo path (identical output). Both
     rings from the same pad; interior requires the full 24-cell ring."""
     offs = [(dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
@@ -1491,7 +1502,7 @@ def multi_scale_tpi_tiles(band_tiles: DataFrame, threshold: float = 300.0,
         band_tiles, tile_fn,
         "landform_small long, landform_large long, n_pixels long, sum_v long",
         (("landform_small", "int64"), ("landform_large", "int64"),
-         ("n_pixels", "int64"), ("sum_v", "int64")), tile_px)
+         ("n_pixels", "int64"), ("sum_v", "int64")), tile_px, fan)
     return per.groupBy(
         F.col("landform_small").cast("int").alias("landform_small"),
         F.col("landform_large").cast("int").alias("landform_large")).agg(
@@ -1505,7 +1516,8 @@ def _msk_rollup(key, small, large, cv):
 
 
 def _zt_curvature_tiles(band_tiles: DataFrame, cellsize: float, num_fn,
-                        tile_px: int | None = None) -> DataFrame:
+                        tile_px: int | None = None,
+                        fan: DataFrame | None = None) -> DataFrame:
     """Zevenbergen-Thorne curvature sign census on the halo path —
     identical exact BIGINT numerator/denominator and the one IEEE
     double division of _zt_curvature, vectorized per tile."""
@@ -1540,7 +1552,7 @@ def _zt_curvature_tiles(band_tiles: DataFrame, cellsize: float, num_fn,
     per = _halo_census(band_tiles, tile_fn,
                        "curv_class long, n_pixels long, curv_fp_sum long",
                        (("curv_class", "int64"), ("n_pixels", "int64"),
-                        ("curv_fp_sum", "int64")), tile_px)
+                        ("curv_fp_sum", "int64")), tile_px, fan)
     return per.groupBy(
         F.col("curv_class").cast("int").alias("curv_class")).agg(
         F.sum("n_pixels").alias("n_pixels"),
@@ -1548,23 +1560,26 @@ def _zt_curvature_tiles(band_tiles: DataFrame, cellsize: float, num_fn,
 
 
 def profile_curvature_tiles(band_tiles: DataFrame, cellsize: float = 10.0,
-                            tile_px: int | None = None) -> DataFrame:
+                            tile_px: int | None = None,
+                            fan: DataFrame | None = None) -> DataFrame:
     return _zt_curvature_tiles(
         band_tiles, cellsize,
         lambda d, e, f, g, h: 2 * d * g * g + 2 * e * h * h + f * g * h,
-        tile_px)
+        tile_px, fan)
 
 
 def plan_curvature_tiles(band_tiles: DataFrame, cellsize: float = 10.0,
-                         tile_px: int | None = None) -> DataFrame:
+                         tile_px: int | None = None,
+                         fan: DataFrame | None = None) -> DataFrame:
     return _zt_curvature_tiles(
         band_tiles, cellsize,
         lambda d, e, f, g, h: 2 * d * h * h + 2 * e * g * g - f * g * h,
-        tile_px)
+        tile_px, fan)
 
 
 def focal_range_tiles(band_tiles: DataFrame,
-                      tile_px: int | None = None) -> DataFrame:
+                      tile_px: int | None = None,
+                      fan: DataFrame | None = None) -> DataFrame:
     """focal_range_bands on the focal halo path (identical output):
     3x3 queen max-min over the full-neighbourhood interior, bit-length
     band via exact frexp exponents."""
@@ -1592,7 +1607,7 @@ def focal_range_tiles(band_tiles: DataFrame,
     per = _halo_census(band_tiles, tile_fn,
                        "range_band long, n_pixels long, sum_range long",
                        (("range_band", "int64"), ("n_pixels", "int64"),
-                        ("sum_range", "int64")), tile_px)
+                        ("sum_range", "int64")), tile_px, fan)
     return per.groupBy(
         F.col("range_band").cast("int").alias("range_band")).agg(
         F.sum("n_pixels").alias("n_pixels"),
@@ -1600,7 +1615,8 @@ def focal_range_tiles(band_tiles: DataFrame,
 
 
 def morph_gradient_tiles(band_tiles: DataFrame, threshold: float = 3500.0,
-                         tile_px: int | None = None) -> DataFrame:
+                         tile_px: int | None = None,
+                         fan: DataFrame | None = None) -> DataFrame:
     """morph_gradient on the focal halo path (identical output): rook
     + self threshold-mask max-min per VALID centre; invalid/off-grid
     neighbours simply don't contribute."""
@@ -1621,13 +1637,14 @@ def morph_gradient_tiles(band_tiles: DataFrame, threshold: float = 3500.0,
         return [(int(g), int((grad == g).sum())) for g in np.unique(grad)]
 
     per = _halo_census(band_tiles, tile_fn, "grad long, n_pixels long",
-                       (("grad", "int64"), ("n_pixels", "int64")), tile_px)
+                       (("grad", "int64"), ("n_pixels", "int64")), tile_px, fan)
     return per.groupBy(F.col("grad").cast("int").alias("grad")).agg(
         F.sum("n_pixels").alias("n_pixels"))
 
 
 def d8_flow_tiles(band_tiles: DataFrame,
-                  tile_px: int | None = None) -> DataFrame:
+                  tile_px: int | None = None,
+                  fan: DataFrame | None = None) -> DataFrame:
     """d8_flow on the focal halo path: one halo shuffle ships each tile
     with its 8 neighbours, the D8 pick runs as one vectorized numpy
     pass per Arrow group, and only the 9-row-per-tile code census
@@ -1665,7 +1682,8 @@ def d8_flow_tiles(band_tiles: DataFrame,
              "sum_gx": [v[1] for v in out.values()],
              "sum_gy": [v[2] for v in out.values()]})
 
-    per_tile = _with_halo_groups(band_tiles).groupBy(
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy(
         "target_tx", "target_ty"
     ).applyInPandas(
         kernel, "code long, n_pixels long, sum_gx long, sum_gy long")
@@ -1678,7 +1696,8 @@ def d8_flow_tiles(band_tiles: DataFrame,
 
 
 def d8_indegree_tiles(band_tiles: DataFrame,
-                      tile_px: int | None = None) -> DataFrame:
+                      tile_px: int | None = None,
+                      fan: DataFrame | None = None) -> DataFrame:
     """d8_indegree on the focal halo path: codes resolve for the
     1-px-EXPANDED centre region (every drainer of an owned pixel lies
     inside it, and its own 3x3 fits inside the 3T pad), the in-degree
@@ -1718,7 +1737,8 @@ def d8_indegree_tiles(band_tiles: DataFrame,
         return pd.DataFrame({"indeg": vals.astype(np.int64),
                              "n_pixels": counts.astype(np.int64)})
 
-    per_tile = _with_halo_groups(band_tiles).groupBy(
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy(
         "target_tx", "target_ty"
     ).applyInPandas(kernel, "indeg long, n_pixels long")
     return (
@@ -1793,7 +1813,8 @@ def _vs_geometry(radius: int):
 
 def viewshed_tiles(band_tiles: DataFrame, radius: int = 24,
                    obs_min: float = 4990.0,
-                   tile_px: int | None = None) -> DataFrame:
+                   tile_px: int | None = None,
+                   fan: DataFrame | None = None) -> DataFrame:
     """Multi-observer viewshed census (GRASS r.viewshed class — the
     reference shells terrain analysis out to gdaldem and has no
     viewshed; standard public definition): observers are valid cells
@@ -1860,14 +1881,15 @@ def viewshed_tiles(band_tiles: DataFrame, radius: int = 24,
     per = _halo_census(band_tiles, tile_fn,
                        "n_visible long, n_pixels long",
                        (("n_visible", "int64"), ("n_pixels", "int64")),
-                       tile_px)
+                       tile_px, fan)
     return per.groupBy(
         F.col("n_visible").cast("int").alias("n_visible")).agg(
         F.sum("n_pixels").alias("n_pixels"))
 
 
 def openness_tiles(band_tiles: DataFrame, radius: int = 24,
-                   tile_px: int | None = None) -> DataFrame:
+                   tile_px: int | None = None,
+                   fan: DataFrame | None = None) -> DataFrame:
     """Topographic openness census (Yokoyama et al. 2002 class — the
     reference shells terrain analysis to gdaldem and has no openness):
     for each valid cell o and each of the 8 compass directions k, the
@@ -1924,7 +1946,7 @@ def openness_tiles(band_tiles: DataFrame, radius: int = 24,
     per = _halo_census(band_tiles, tile_fn,
                        "open_band long, n_pixels long",
                        (("open_band", "int64"), ("n_pixels", "int64")),
-                       tile_px)
+                       tile_px, fan)
     return per.groupBy(
         F.col("open_band").cast("int").alias("open_band")).agg(
         F.sum("n_pixels").alias("n_pixels"))
@@ -1950,7 +1972,8 @@ _GEOMORPHON_LUT = np.array([
 
 def geomorphon_tiles(band_tiles: DataFrame, radius: int = 24,
                      flat_fp: int = 18,
-                     tile_px: int | None = None) -> DataFrame:
+                     tile_px: int | None = None,
+                     fan: DataFrame | None = None) -> DataFrame:
     """Geomorphon landform census (Jasiewicz & Stepinski 2013 /
     GRASS r.geomorphon class): for each valid cell o and each of the 8
     compass directions, the ZENITH slope z_k = max and NADIR slope
@@ -2013,7 +2036,7 @@ def geomorphon_tiles(band_tiles: DataFrame, radius: int = 24,
     per = _halo_census(band_tiles, tile_fn,
                        "landform long, n_pixels long",
                        (("landform", "int64"), ("n_pixels", "int64")),
-                       tile_px)
+                       tile_px, fan)
     return per.groupBy(
         F.col("landform").cast("int").alias("landform")).agg(
         F.sum("n_pixels").alias("n_pixels"))
@@ -2092,7 +2115,8 @@ def _marching_cells(a, b, c, d, level):
 
 def contour_census_tiles(band_tiles: DataFrame,
                          levels: tuple[float, ...] = _CONTOUR_LEVELS,
-                         tile_px: int | None = None) -> DataFrame:
+                         tile_px: int | None = None,
+                         fan: DataFrame | None = None) -> DataFrame:
     """Iso-contour census by marching squares — the census form of
     contour extraction (gdal_contour's statistics without the vector
     sink): per level, how many line segments the contour field
@@ -2129,7 +2153,7 @@ def contour_census_tiles(band_tiles: DataFrame,
         return pd.DataFrame(rows, columns=cols)
 
     from remotior_sensus_spark.operators.focal import _with_halo_groups
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     per = halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel, "level long, n_segments long, sum_len_fp long")
     return (per.groupBy(F.col("level").cast("int").alias("level"))

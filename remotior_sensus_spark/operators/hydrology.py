@@ -274,13 +274,14 @@ def _phase1_kernel(pdf: pd.DataFrame, T: int, want_pits: bool):
 _PH1_SCHEMA = "kind long, gx long, gy long, nx long, ny long, cnt long"
 
 
-def _phase1(band_tiles: DataFrame, T: int, want_pits: bool) -> DataFrame:
-    from remotior_sensus_spark.operators.focal import _with_halo_groups
-
+def _phase1(halo: DataFrame, T: int, want_pits: bool) -> DataFrame:
+    """`halo` is an already-fanned tile stream (_with_halo_groups or
+    _with_fine_halo_groups — phase 1 only reads 1 px beyond the
+    centre, so a halo_tiles=1 fine fan is sufficient)."""
     def kern(pdf):
         return _phase1_kernel(pdf, T, want_pits)
 
-    return _with_halo_groups(band_tiles).groupBy(
+    return halo.groupBy(
         "target_tx", "target_ty").applyInPandas(kern, _PH1_SCHEMA)
 
 
@@ -345,10 +346,25 @@ def _sink_driver(routing_pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"k": k, "sink": -(val + 1)})
 
 
+def _checkpointed_halo(band_tiles: DataFrame | None,
+                       fan: DataFrame | None) -> DataFrame:
+    """Materialized halo fan for operators that consume it twice.
+    With a pre-built fan (the fused fine-tile fan — guide §2.3/§2.4:
+    one shuffle instead of retile + fan, boundary-only neighbour
+    rows), checkpoint the fan itself; otherwise keep the historical
+    shape (checkpoint the tile stream, fan it per pass)."""
+    from remotior_sensus_spark.operators.focal import _with_halo_groups
+
+    if fan is not None:
+        return fan.localCheckpoint()
+    return _with_halo_groups(band_tiles.localCheckpoint())
+
+
 def flow_accumulation_tiles(band_tiles: DataFrame,
                             tile_px: int | None = None,
                             max_rounds: int = 100_000,
-                            driver_threshold: int = 2_000_000) -> DataFrame:
+                            driver_threshold: int = 2_000_000,
+                            fan: DataFrame | None = None) -> DataFrame:
     """Exact global D8 flow accumulation census: one row per log2 band
     of the per-pixel accumulation, with (acc_band, n_pixels, sum_acc,
     max_acc). See the module docstring for the three-phase design; the
@@ -357,12 +373,13 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
     tests/test_hydrology.py."""
     T = tile_px or TILE_PX
 
-    # the tile stream feeds BOTH halo passes (phase 1 and phase 3);
-    # materialize it once so the upstream lineage (source scan, retile
-    # shuffle) doesn't execute twice — one block-manager write
-    # (memory-and-disk, spillable) buys back a full corpus shuffle
-    band_tiles = band_tiles.localCheckpoint()
-    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
+    # the fanned tile stream feeds BOTH halo passes (phase 1 and
+    # phase 3); materialize it once so the upstream lineage (source
+    # scan, fan — and for the no-fan path the retile shuffle) doesn't
+    # execute twice — one block-manager write (memory-and-disk,
+    # spillable) buys back a full corpus shuffle
+    halo = _checkpointed_halo(band_tiles, fan)
+    inflow = _entry_inflow(halo, T, max_rounds, driver_threshold)
 
     def census(pad, acc, _tx, _ty):
         vals = acc[acc > 0]
@@ -375,7 +392,7 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
                 for b in np.unique(band)]
 
     per_tile = _phase3_cogroup(
-        band_tiles, T, inflow, census,
+        halo, T, inflow, census,
         "acc_band long, n_pixels long, sum_acc long, max_acc long",
         ["acc_band", "n_pixels", "sum_acc", "max_acc"])
     return (per_tile.groupBy(F.col("acc_band").cast("int").alias("acc_band"))
@@ -384,13 +401,14 @@ def flow_accumulation_tiles(band_tiles: DataFrame,
                  F.max("max_acc").alias("max_acc")))
 
 
-def _entry_inflow(band_tiles: DataFrame, T: int, max_rounds: int,
+def _entry_inflow(halo: DataFrame, T: int, max_rounds: int,
                   driver_threshold: int) -> DataFrame:
     """Phases 1+2 shared by the accumulation-derived operators: the
     border condensate and its resolved per-entry external inflows.
-    `band_tiles` must already be materialized (localCheckpoint) by the
-    caller — it is consumed again by the phase-3 halo pass."""
-    ph1 = _phase1(band_tiles, T, want_pits=False).localCheckpoint()
+    `halo` is the fanned tile stream, already materialized
+    (localCheckpoint) by the caller — it is consumed again by the
+    phase-3 halo pass."""
+    ph1 = _phase1(halo, T, want_pits=False).localCheckpoint()
 
     # routing/carries are cheap projections of the checkpointed
     # condensate — no extra materialization needed
@@ -417,7 +435,7 @@ def _entry_inflow(band_tiles: DataFrame, T: int, max_rounds: int,
         r_pdf = routing.select(
             "k", F.coalesce("nk", F.lit(-1)).alias("nk")).toPandas()
         inflow_pdf = _phase2_driver_inflow(r_pdf, carries.toPandas())
-        spark = band_tiles.sparkSession
+        spark = halo.sparkSession
         inflow = spark.createDataFrame(
             inflow_pdf, schema="k long, c long")
     else:
@@ -458,7 +476,7 @@ def _entry_inflow(band_tiles: DataFrame, T: int, max_rounds: int,
     )
 
 
-def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
+def _phase3_cogroup(halo: DataFrame, T: int, inflow: DataFrame,
                     census_fn, schema: str, cols: list) -> DataFrame:
     """Phase 3: cogroup tiles with their entry inflows; in-tile
     topological peel with the inflows injected as source weight, then
@@ -491,7 +509,6 @@ def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
             return empty
         return pd.DataFrame(out, columns=cols).astype("int64")
 
-    halo = _with_halo_groups(band_tiles)
     return halo.groupBy("target_tx", "target_ty").cogroup(
         inflow.groupBy("tx", "ty")
     ).applyInPandas(kern3, schema)
@@ -499,7 +516,8 @@ def _phase3_cogroup(band_tiles: DataFrame, T: int, inflow: DataFrame,
 
 def twi_census_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                      cellsize: float = 10.0, max_rounds: int = 100_000,
-                     driver_threshold: int = 2_000_000) -> DataFrame:
+                     driver_threshold: int = 2_000_000,
+                     fan: DataFrame | None = None) -> DataFrame:
     """Topographic wetness index census: TWI = ln(a / tan beta) with
     a = flow_accumulation * cellsize (specific catchment area per unit
     contour width) and tan beta from the Horn 3x3 gradient (the same
@@ -514,8 +532,8 @@ def twi_census_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     Same three-phase machinery as flow_accumulation_tiles: the only new
     work is the in-kernel gradient over the pad already in memory."""
     T = tile_px or TILE_PX
-    band_tiles = band_tiles.localCheckpoint()
-    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
+    halo = _checkpointed_halo(band_tiles, fan)
+    inflow = _entry_inflow(halo, T, max_rounds, driver_threshold)
 
     denom = 8.0 * cellsize
 
@@ -546,7 +564,7 @@ def twi_census_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                 for bb in np.unique(band)]
 
     per_tile = _phase3_cogroup(
-        band_tiles, T, inflow, census,
+        halo, T, inflow, census,
         "twi_band long, n_pixels long, checksum long",
         ["twi_band", "n_pixels", "checksum"])
     return (per_tile.groupBy(F.col("twi_band").cast("int").alias("twi_band"))
@@ -602,7 +620,8 @@ def _tile_accumulate(pad: np.ndarray, T: int, inflow_pdf, tx: int, ty: int):
 def watershed_basins_tiles(band_tiles: DataFrame,
                            tile_px: int | None = None,
                            max_rounds: int = 100_000,
-                           driver_threshold: int = 2_000_000) -> DataFrame:
+                           driver_threshold: int = 2_000_000,
+                           fan: DataFrame | None = None) -> DataFrame:
     """Watershed basin census: every valid pixel is assigned to the
     terminal sink of its D8 flow path, and basins are summarized by
     log2 size band as (size_band, n_basins, n_pixels). Reuses the
@@ -617,7 +636,9 @@ def watershed_basins_tiles(band_tiles: DataFrame,
 
     # single halo pass — the tile stream is consumed once, so no
     # input materialization (unlike flow_accumulation's two passes)
-    ph1 = _phase1(band_tiles, T, want_pits=True).localCheckpoint()
+    from remotior_sensus_spark.operators.focal import _with_halo_groups
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    ph1 = _phase1(halo, T, want_pits=True).localCheckpoint()
 
     # routing: entry k -> (nk, sink?) — nk >= 0 means another entry,
     # nk < 0 encodes the in-tile terminal sink -(pack)-1
@@ -637,7 +658,7 @@ def watershed_basins_tiles(band_tiles: DataFrame,
     # resolved distance per round, so rounds = O(log longest-chain)
     n_border = routing.count()
     if n_border <= driver_threshold:
-        sink_of = band_tiles.sparkSession.createDataFrame(
+        sink_of = halo.sparkSession.createDataFrame(
             _sink_driver(routing.toPandas()), schema="k long, sink long")
     else:
         state = routing
@@ -866,7 +887,8 @@ def _strahler_distributed(edges: DataFrame, max_rounds: int) -> DataFrame:
 def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
                        tile_px: int | None = None,
                        max_rounds: int = 100_000,
-                       driver_threshold: int = 2_000_000) -> DataFrame:
+                       driver_threshold: int = 2_000_000,
+                       fan: DataFrame | None = None) -> DataFrame:
     """Strahler stream-order census of the D8 channel network.
 
     Channel cells are valid pixels whose GLOBAL flow accumulation is
@@ -893,8 +915,8 @@ def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
     this is the scale-path design for the standard GIS operator
     (Strahler 1957 ordering over the D8 network)."""
     T = tile_px or TILE_PX
-    band_tiles = band_tiles.localCheckpoint()
-    inflow = _entry_inflow(band_tiles, T, max_rounds, driver_threshold)
+    halo = _checkpointed_halo(band_tiles, fan)
+    inflow = _entry_inflow(halo, T, max_rounds, driver_threshold)
 
     def edges_fn(pad, acc, tx, ty):
         valid, nxt, cgx, cgy, *_ = _tile_pointers(pad, T)
@@ -915,10 +937,10 @@ def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
         return list(zip(k.tolist(), nk.tolist(), a.tolist()))
 
     edges = _phase3_cogroup(
-        band_tiles, T, inflow, edges_fn,
+        halo, T, inflow, edges_fn,
         "k long, nk long, acc long", ["k", "nk", "acc"]).localCheckpoint()
 
-    spark = band_tiles.sparkSession
+    spark = halo.sparkSession
     n_chan = edges.count()
     if n_chan == 0:
         out = spark.createDataFrame(
@@ -941,7 +963,7 @@ def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
 _PH1D_SCHEMA = "gx long, gy long, nx long, ny long, a long, b long"
 
 
-def _phase1_dist(band_tiles: DataFrame, T: int) -> DataFrame:
+def _phase1_dist(halo: DataFrame, T: int) -> DataFrame:
     """Weighted phase 1 for flow length: one focal-halo shuffle; per
     valid BORDER cell, the exact (cardinal, diagonal) step counts from
     the cell to its in-tile terminal ((nx, ny) = (-1, -1)) or to the
@@ -981,7 +1003,7 @@ def _phase1_dist(band_tiles: DataFrame, T: int) -> DataFrame:
             "nx": nx, "ny": ny,
             "a": A[bidx], "b": B[bidx]}).astype("int64")
 
-    return _with_halo_groups(band_tiles).groupBy(
+    return halo.groupBy(
         "target_tx", "target_ty").applyInPandas(kern, _PH1D_SCHEMA)
 
 
@@ -1019,7 +1041,8 @@ def _dist_driver(routing_pdf: pd.DataFrame) -> pd.DataFrame:
 
 def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                       max_rounds: int = 100_000,
-                      driver_threshold: int = 2_000_000) -> DataFrame:
+                      driver_threshold: int = 2_000_000,
+                      fan: DataFrame | None = None) -> DataFrame:
     """Downstream flow-length census: per valid pixel, the EXACT
     (cardinal, diagonal) step counts along its D8 path to the terminal
     sink. Length = cardinal + sqrt(2)*diagonal cell units, carried end
@@ -1048,8 +1071,8 @@ def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
         _assemble_padded, _with_halo_groups)
 
     T = tile_px or TILE_PX
-    band_tiles = band_tiles.localCheckpoint()
-    ph1 = _phase1_dist(band_tiles, T).localCheckpoint()
+    halo = _checkpointed_halo(band_tiles, fan)
+    ph1 = _phase1_dist(halo, T).localCheckpoint()
     routing = ph1.select(
         _pack_col(F.col("gx"), F.col("gy")).alias("k"),
         F.when(F.col("nx") >= 0,
@@ -1057,7 +1080,7 @@ def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
         .otherwise(F.lit(-1)).alias("nk"),
         "a", "b")
 
-    spark = band_tiles.sparkSession
+    spark = halo.sparkSession
     n_border = routing.count()
     if n_border == 0:
         rem = spark.createDataFrame([], "k long, a long, b long")
@@ -1159,7 +1182,6 @@ def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                for bb in np.unique(band)]
         return pd.DataFrame(out, columns=cols).astype("int64")
 
-    halo = _with_halo_groups(band_tiles)
     per_tile = halo.groupBy("target_tx", "target_ty").cogroup(
         fanned.groupBy("tx", "ty")
     ).applyInPandas(

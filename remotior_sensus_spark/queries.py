@@ -71,6 +71,23 @@ def _retile4(df, sf_dir):
     return retile(df, 4), _T64
 
 
+def _fan64(spark, sf_dir, band="B04", halo_tiles=1, df=None):
+    """(halo_fan, tile_px) — the fused retile+halo fan (r06: ONE
+    shuffle replaces the retile applyInPandas pass + the 9x full-tile
+    fan; only boundary fine tiles ship to neighbour groups) for 64-px
+    halo kernels whose window radius is <= halo_tiles*16 px. Falls
+    back to the 16-px full-tile fan when the grid side is not a
+    multiple of 4 (the _retile4 guard); results are bit-identical on
+    both paths (tests/test_focal_components.py::test_fine_halo_parity)."""
+    from remotior_sensus_spark.operators.focal import (
+        _with_fine_halo_groups, _with_halo_groups)
+    from remotior_sensus_spark.synth.generate import grid_n
+    src = df if df is not None else _b01(spark, sf_dir, band)
+    if grid_n(cat.sf_of_dir(sf_dir)) % 4 != 0:
+        return _with_halo_groups(src), 16
+    return _with_fine_halo_groups(src, 4, halo_tiles), _T64
+
+
 # ---------------------------------------------------------------------------
 # band_calc family (SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -2221,8 +2238,8 @@ def morans_correlogram_q(spark, sf_dir):
     relational morans_correlogram is the cross-checked reference
     shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.morans_correlogram_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.morans_correlogram_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("lacunarity", f"""
@@ -2312,8 +2329,8 @@ def gearys_correlogram_q(spark, sf_dir):
     global gearys_c to ~1e-12, asserted in tests)
     (geostats.gearys_correlogram_tiles)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.gearys_correlogram_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.gearys_correlogram_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("gearys_c", f"""
@@ -5418,8 +5435,8 @@ def d8_flow_q(spark, sf_dir):
     (geostats.d8_flow_tiles; the relational d8_flow is the
     cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.d8_flow_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.d8_flow_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("flow_accumulation",
@@ -5436,8 +5453,8 @@ def flow_accumulation_q(spark, sf_dir):
     guards both in tests/test_hydrology.py."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.flow_accumulation_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return hydrology.flow_accumulation_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("watershed_basins",
@@ -5452,8 +5469,8 @@ def watershed_basins_q(spark, sf_dir):
     (hydrology.watershed_basins_tiles)."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.watershed_basins_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return hydrology.watershed_basins_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("twi_census",
@@ -5467,8 +5484,8 @@ def twi_census_q(spark, sf_dir):
     Horn expression (synth/expected.py build_twi_census)."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.twi_census_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return hydrology.twi_census_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("stream_order",
@@ -5486,8 +5503,8 @@ def stream_order_q(spark, sf_dir):
     per-pixel recursive reference in tests/test_hydrology.py."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.stream_order_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return hydrology.stream_order_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("flow_length",
@@ -5504,8 +5521,8 @@ def flow_length_q(spark, sf_dir):
     in tests/test_hydrology.py."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.flow_length_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return hydrology.flow_length_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("fill_depressions",
@@ -5569,8 +5586,9 @@ def tpi_landform_q(spark, sf_dir):
     (geostats.tpi_landform_tiles, focal-halo path; the relational
     tpi_landform is the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.tpi_landform_tiles(t64, threshold=300, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.tpi_landform_tiles(None, threshold=300, tile_px=t_px,
+                                       fan=fan)
 
 
 @q("class_adjacency", f"""
@@ -5933,8 +5951,9 @@ def profile_curvature_q(spark, sf_dir):
     round in both engines (geostats.profile_curvature_tiles, focal-halo
     path; relational profile_curvature is the reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.profile_curvature_tiles(t64, cellsize=10.0, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.profile_curvature_tiles(None, cellsize=10.0,
+                                            tile_px=t_px, fan=fan)
 
 
 @q("conversion_lag_bands", """
@@ -6327,8 +6346,9 @@ def plan_curvature_q(spark, sf_dir):
     the across-slope sibling of profile_curvature, same exact BIGINT
     num/den contract (geostats.plan_curvature_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.plan_curvature_tiles(t64, cellsize=10.0, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.plan_curvature_tiles(None, cellsize=10.0, tile_px=t_px,
+                                         fan=fan)
 
 
 @q("morph_gradient", f"""
@@ -6348,9 +6368,9 @@ def morph_gradient_q(spark, sf_dir):
     the B04 > 3500 mask — exact boundary-pixel census
     (geostats.morph_gradient_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.morph_gradient_tiles(t64, threshold=3500.0,
-                                         tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.morph_gradient_tiles(None, threshold=3500.0,
+                                         tile_px=t_px, fan=fan)
 
 
 @q("evi_index", f"""
@@ -6481,9 +6501,9 @@ def multi_scale_tpi_q(spark, sf_dir):
     cross-multiplication (geostats.multi_scale_tpi_tiles, focal-halo
     path)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.multi_scale_tpi_tiles(t64, threshold=300.0,
-                                          tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.multi_scale_tpi_tiles(None, threshold=300.0,
+                                          tile_px=t_px, fan=fan)
 
 
 @q("ngram_novelty", f"""
@@ -6650,8 +6670,8 @@ def d8_indegree_q(spark, sf_dir):
     (geostats.d8_indegree_tiles; the relational d8_indegree is the
     cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.d8_indegree_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.d8_indegree_tiles(None, tile_px=t_px, fan=fan)
 
 
 def _lsh_balance_oracle() -> str:
@@ -6786,8 +6806,8 @@ def focal_range_q(spark, sf_dir):
     morph_gradient shape on raw DNs, one shifted-copy shuffle
     (geostats.focal_range_tiles, focal-halo path)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.focal_range_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.focal_range_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("prefix_dup", """
@@ -6892,8 +6912,8 @@ def semivariogram_aniso_q(spark, sf_dir):
     (geostats.semivariogram_aniso_tiles; the relational
     semivariogram_aniso is the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.semivariogram_aniso_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.semivariogram_aniso_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("cross_source_contamination", f"""
@@ -7027,8 +7047,8 @@ def lbp_census_q(spark, sf_dir):
     (geostats.lbp_census_tiles; the relational lbp_census is the
     cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.lbp_census_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.lbp_census_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("hypsometric_deciles", f"""
@@ -7601,8 +7621,8 @@ def contour_census_q(spark, sf_dir):
     (geostats.contour_census_tiles)."""
     from remotior_sensus_spark.operators import geostats
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return geostats.contour_census_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.contour_census_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("cost_allocation",
@@ -7647,8 +7667,8 @@ def geomorphon_census_q(spark, sf_dir):
     reference in tests/test_geostats.py."""
     from remotior_sensus_spark.operators import geostats
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B02"), sf_dir)
-    return geostats.geomorphon_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B02", halo_tiles=2)
+    return geostats.geomorphon_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("component_shapes",
@@ -7682,8 +7702,8 @@ def openness_census_q(spark, sf_dir):
     per-pixel pure-Python reference in tests/test_geostats.py."""
     from remotior_sensus_spark.operators import geostats
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B08"), sf_dir)
-    return geostats.openness_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B08", halo_tiles=2)
+    return geostats.openness_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("viewshed_census",
@@ -7699,8 +7719,8 @@ def viewshed_census_q(spark, sf_dir):
     tests/test_geostats.py."""
     from remotior_sensus_spark.operators import geostats
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B03"), sf_dir)
-    return geostats.viewshed_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B03", halo_tiles=2)
+    return geostats.viewshed_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("semdedup", f"""

@@ -544,3 +544,46 @@ def test_component_shapes_tile_size_invariance(spark):
         _tiles_df(spark, m.astype(float), 64), tile_px=64))
     assert c16 == c64
     assert c16 == _brute_shape_census(m)
+
+
+def test_fine_halo_parity(spark, b04):
+    """The fused fine-tile halo fan (_with_fine_halo_groups) is
+    bit-identical to retile(4) + _with_halo_groups for kernels whose
+    window radius fits the shipped ring: pinned on the d8 census
+    (radius 1, halo_tiles=1) and the flow-accumulation three-phase
+    operator (phases read 1 px beyond the centre)."""
+    from remotior_sensus_spark.operators import geostats, hydrology
+    from remotior_sensus_spark.operators.focal import (
+        _with_fine_halo_groups, _with_halo_groups)
+    from remotior_sensus_spark.operators.retile import retile
+
+    t64 = retile(b04, 4)
+    fan = _with_fine_halo_groups(b04, 4, halo_tiles=1)
+
+    ref = {tuple(r) for r in geostats.d8_flow_tiles(t64, tile_px=64).collect()}
+    got = {tuple(r) for r in
+           geostats.d8_flow_tiles(None, tile_px=64, fan=fan).collect()}
+    assert got == ref
+
+    ref2 = {tuple(r) for r in
+            hydrology.flow_accumulation_tiles(t64, tile_px=64).collect()}
+    got2 = {tuple(r) for r in
+            hydrology.flow_accumulation_tiles(None, tile_px=64,
+                                              fan=fan).collect()}
+    assert got2 == ref2
+
+
+def test_fine_halo_parity_halo2(spark, b04):
+    """halo_tiles=2 ships a 32-px ring: the radius-24 viewshed census
+    must match the retile + full-tile-fan path bit for bit."""
+    from remotior_sensus_spark.operators import geostats
+    from remotior_sensus_spark.operators.focal import _with_fine_halo_groups
+    from remotior_sensus_spark.operators.retile import retile
+
+    t64 = retile(b04, 4)
+    fan = _with_fine_halo_groups(b04, 4, halo_tiles=2)
+    ref = {tuple(r) for r in
+           geostats.viewshed_tiles(t64, tile_px=64).collect()}
+    got = {tuple(r) for r in
+           geostats.viewshed_tiles(None, tile_px=64, fan=fan).collect()}
+    assert got == ref
