@@ -257,14 +257,30 @@ def _phase1_kernel(pdf: pd.DataFrame, T: int, want_pits: bool):
             "kind": 0, "gx": ox + bidx % T, "gy": oy + bidx // T,
             "nx": nx, "ny": ny, "cnt": 0}))
 
-    # kind 2: tile-own counts per in-tile terminal (watershed only)
+    # kind 2: tile-own counts per in-tile terminal (watershed only);
+    # terminals NOT reachable from any border cell can never receive
+    # cross-tile inflow, so their basins are already complete — they
+    # collapse to a per-tile (size, count) histogram (kind 3,
+    # gx = size) instead of millions of per-pit rows (r06: a noisy
+    # raster is mostly 1-cell interior basins)
     if want_pits:
         pit_cells = vflat & (final == -1)
         if pit_cells.any():
             uniq, cnts = np.unique(pit_of[pit_cells], return_counts=True)
-            parts.append(pd.DataFrame({
-                "kind": 2, "gx": ox + uniq % T, "gy": oy + uniq // T,
-                "nx": -1, "ny": -1, "cnt": cnts}))
+            if len(bidx):
+                reach = np.isin(uniq, pit_of[bidx[final[bidx] == -1]])
+            else:
+                reach = np.zeros(len(uniq), dtype=bool)
+            if reach.any():
+                parts.append(pd.DataFrame({
+                    "kind": 2, "gx": ox + uniq[reach] % T,
+                    "gy": oy + uniq[reach] // T,
+                    "nx": -1, "ny": -1, "cnt": cnts[reach]}))
+            if (~reach).any():
+                hs, hc = np.unique(cnts[~reach], return_counts=True)
+                parts.append(pd.DataFrame({
+                    "kind": 3, "gx": hs, "gy": -1,
+                    "nx": -1, "ny": -1, "cnt": hc}))
 
     if not parts:
         return empty
@@ -410,17 +426,6 @@ def _entry_inflow(halo: DataFrame, T: int, max_rounds: int,
     phase-3 halo pass."""
     ph1 = _phase1(halo, T, want_pits=False).localCheckpoint()
 
-    # routing/carries are cheap projections of the checkpointed
-    # condensate — no extra materialization needed
-    routing = ph1.filter(F.col("kind") == 0).select(
-        _pack_col(F.col("gx"), F.col("gy")).alias("k"),
-        F.when(F.col("nx") >= 0,
-               _pack_col(F.col("nx"), F.col("ny"))).alias("nk"),
-    )
-    carries = ph1.filter(F.col("kind") == 1).groupBy(
-        _pack_col(F.col("gx"), F.col("gy")).alias("k")
-    ).agg(F.sum("cnt").alias("c")).localCheckpoint()
-
     # Phase 2: advance carries through the border-entry forest,
     # recording arrival totals at every hop. Two branches, both exact
     # and cross-tested (the resolve_components precedent): below
@@ -430,15 +435,42 @@ def _entry_inflow(halo: DataFrame, T: int, max_rounds: int,
     # everything up to ~10^8-pixel rasters at T=64); above it, the
     # iterative join loop runs, active set shrinking to empty because
     # strict-descent flow is acyclic.
-    n_border = routing.count()
+    n_border = ph1.filter(F.col("kind") == 0).count()
     if n_border <= driver_threshold:
-        r_pdf = routing.select(
-            "k", F.coalesce("nk", F.lit(-1)).alias("nk")).toPandas()
-        inflow_pdf = _phase2_driver_inflow(r_pdf, carries.toPandas())
+        # ONE collect of the whole checkpointed condensate; routing
+        # split + carry aggregation run in pandas (r06: replaces the
+        # separate carries groupBy+checkpoint job and the two
+        # per-projection collects — three driver round-trips -> one)
+        pdf = ph1.toPandas()
+        kk = (pdf["gx"].to_numpy(np.int64) * _PACK
+              + pdf["gy"].to_numpy(np.int64))
+        kind = pdf["kind"].to_numpy(np.int64)
+        nx = pdf["nx"].to_numpy(np.int64)
+        ny = pdf["ny"].to_numpy(np.int64)
+        r_sel = kind == 0
+        r_pdf = pd.DataFrame({
+            "k": kk[r_sel],
+            "nk": np.where(nx[r_sel] >= 0,
+                           nx[r_sel] * _PACK + ny[r_sel],
+                           np.int64(-1))})
+        c_sel = kind == 1
+        ck, inv = np.unique(kk[c_sel], return_inverse=True)
+        cs = np.zeros(len(ck), dtype=np.int64)
+        np.add.at(cs, inv, pdf["cnt"].to_numpy(np.int64)[c_sel])
+        inflow_pdf = _phase2_driver_inflow(
+            r_pdf, pd.DataFrame({"k": ck, "c": cs}))
         spark = halo.sparkSession
         inflow = spark.createDataFrame(
             inflow_pdf, schema="k long, c long")
     else:
+        routing = ph1.filter(F.col("kind") == 0).select(
+            _pack_col(F.col("gx"), F.col("gy")).alias("k"),
+            F.when(F.col("nx") >= 0,
+                   _pack_col(F.col("nx"), F.col("ny"))).alias("nk"),
+        )
+        carries = ph1.filter(F.col("kind") == 1).groupBy(
+            _pack_col(F.col("gx"), F.col("gy")).alias("k")
+        ).agg(F.sum("cnt").alias("c")).localCheckpoint()
         inflow_rounds = [carries]
         cur = carries
         rounds = 0
@@ -505,6 +537,11 @@ def _phase3_cogroup(halo: DataFrame, T: int, inflow: DataFrame,
         if acc is None:
             return empty
         out = census_fn(pad, acc, tx, ty)
+        if isinstance(out, pd.DataFrame):
+            # emission-style consumers (stream_order's channel edges)
+            # return a frame directly — avoids materializing millions
+            # of Python tuples per pass (r06)
+            return out
         if not out:
             return empty
         return pd.DataFrame(out, columns=cols).astype("int64")
@@ -640,27 +677,86 @@ def watershed_basins_tiles(band_tiles: DataFrame,
     halo = fan if fan is not None else _with_halo_groups(band_tiles)
     ph1 = _phase1(halo, T, want_pits=True).localCheckpoint()
 
-    # routing: entry k -> (nk, sink?) — nk >= 0 means another entry,
-    # nk < 0 encodes the in-tile terminal sink -(pack)-1
-    routing = ph1.filter(F.col("kind") == 0).select(
-        _pack_col(F.col("gx"), F.col("gy")).alias("k"),
-        F.when(
-            F.col("nx") >= 0, _pack_col(F.col("nx"), F.col("ny"))
-        ).otherwise(
-            -(_pack_col(-F.col("nx") - 1, -F.col("ny") - 1)) - F.lit(1)
-        ).alias("nk"),
-    ).localCheckpoint()
-
     # resolve every entry to its final sink — driver branch below the
-    # condensate threshold (one collected numpy doubling pass), else
-    # POINTER DOUBLING on DataFrames: joining live rows against the
-    # current state (which already encodes 2^r-hop jumps) doubles the
-    # resolved distance per round, so rounds = O(log longest-chain)
-    n_border = routing.count()
+    # condensate threshold (ONE collect of the checkpointed condensate,
+    # then numpy doubling + carry resolution + per-sink sizing all
+    # driver-side; r06: replaces the routing checkpoint, the count job,
+    # the collect and the two join/agg jobs with a single round-trip),
+    # else POINTER DOUBLING on DataFrames: joining live rows against
+    # the current state (which already encodes 2^r-hop jumps) doubles
+    # the resolved distance per round, so rounds = O(log longest-chain)
+    n_border = ph1.filter(F.col("kind") == 0).count()
     if n_border <= driver_threshold:
-        sink_of = halo.sparkSession.createDataFrame(
-            _sink_driver(routing.toPandas()), schema="k long, sink long")
+        pdf = ph1.toPandas()
+        kind = pdf["kind"].to_numpy(np.int64)
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nx = pdf["nx"].to_numpy(np.int64)
+        ny = pdf["ny"].to_numpy(np.int64)
+        cnt = pdf["cnt"].to_numpy(np.int64)
+        r_sel = kind == 0
+        # nk >= 0 means another entry, nk < 0 encodes the in-tile
+        # terminal sink -(pack)-1 (the historical routing encoding)
+        r_nk = np.where(nx[r_sel] >= 0,
+                        nx[r_sel] * _PACK + ny[r_sel],
+                        -((-nx[r_sel] - 1) * _PACK + (-ny[r_sel] - 1)) - 1)
+        sink_pdf = _sink_driver(pd.DataFrame(
+            {"k": gx[r_sel] * _PACK + gy[r_sel], "nk": r_nk}))
+        sk = sink_pdf["k"].to_numpy(np.int64)
+        sv = sink_pdf["sink"].to_numpy(np.int64)
+        order = np.argsort(sk)
+        # kind 2 rows sink directly; kind 1 rows (carries into a
+        # neighbour entry) resolve through the sink map
+        c_sel = kind == 1
+        ck = gx[c_sel] * _PACK + gy[c_sel]
+        pos = np.searchsorted(sk[order], ck)
+        if (pos >= len(sk)).any() or \
+                (sk[order[np.minimum(pos, len(sk) - 1)]] != ck).any():
+            raise AssertionError(
+                "carry target missing from border routing")
+        via_sink = sv[order[pos]]
+        d_sel = kind == 2
+        all_sinks = np.concatenate([gx[d_sel] * _PACK + gy[d_sel],
+                                    via_sink])
+        all_cnt = np.concatenate([cnt[d_sel], cnt[c_sel]])
+        uniq, inv = np.unique(all_sinks, return_inverse=True)
+        sizes = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sizes, inv, all_cnt)
+        # collapse to DISTINCT basin sizes before re-entering Spark
+        # (a noisy raster has millions of 1-cell basins but few
+        # distinct sizes — createDataFrame of the per-basin table was
+        # the regression this avoids); the log2 banding below still
+        # runs on the same Spark expression the oracle was verified
+        # against, once per distinct size
+        us, uc = np.unique(sizes, return_counts=True)
+        # fold in the complete interior basins (kind 3 histograms)
+        h_sel = kind == 3
+        if h_sel.any():
+            us = np.concatenate([us, gx[h_sel]])
+            uc = np.concatenate([uc, cnt[h_sel]])
+            us, inv2 = np.unique(us, return_inverse=True)
+            uc2 = np.zeros(len(us), dtype=np.int64)
+            np.add.at(uc2, inv2, uc)
+            uc = uc2
+        sdist = halo.sparkSession.createDataFrame(
+            pd.DataFrame({"size": us, "n_basins": uc,
+                          "n_pixels": us * uc}),
+            schema="size long, n_basins long, n_pixels long")
+        return (sdist.select(
+            F.floor(F.log2(F.col("size").cast("double"))).cast("int")
+            .alias("size_band"), "n_basins", "n_pixels")
+            .groupBy("size_band")
+            .agg(F.sum("n_basins").alias("n_basins"),
+                 F.sum("n_pixels").alias("n_pixels")))
     else:
+        routing = ph1.filter(F.col("kind") == 0).select(
+            _pack_col(F.col("gx"), F.col("gy")).alias("k"),
+            F.when(
+                F.col("nx") >= 0, _pack_col(F.col("nx"), F.col("ny"))
+            ).otherwise(
+                -(_pack_col(-F.col("nx") - 1, -F.col("ny") - 1)) - F.lit(1)
+            ).alias("nk"),
+        ).localCheckpoint()
         state = routing
         rounds = 0
         while not state.filter(F.col("nk") >= 0).isEmpty():
@@ -678,22 +774,36 @@ def watershed_basins_tiles(band_tiles: DataFrame,
         sink_of = state.select(
             "k", (-(F.col("nk") + 1)).alias("sink"))
 
-    # tile-own counts: kind 2 rows sink directly; kind 1 rows (carries
-    # into a neighbour entry) resolve through sink_of
-    direct = ph1.filter(F.col("kind") == 2).select(
-        _pack_col(F.col("gx"), F.col("gy")).alias("sink"),
-        F.col("cnt"))
-    via_entry = ph1.filter(F.col("kind") == 1).select(
-        _pack_col(F.col("gx"), F.col("gy")).alias("k"), F.col("cnt")
-    ).join(sink_of, "k").select("sink", "cnt")
+        direct = ph1.filter(F.col("kind") == 2).select(
+            _pack_col(F.col("gx"), F.col("gy")).alias("sink"),
+            F.col("cnt"))
+        via_entry = ph1.filter(F.col("kind") == 1).select(
+            _pack_col(F.col("gx"), F.col("gy")).alias("k"), F.col("cnt")
+        ).join(sink_of, "k").select("sink", "cnt")
+        basins = direct.unionByName(via_entry).groupBy("sink").agg(
+            F.sum("cnt").alias("size"))
+        sdist = basins.groupBy("size").agg(
+            F.count("*").alias("n_basins")
+        ).select("size", "n_basins",
+                 (F.col("size") * F.col("n_basins")).alias("n_pixels"))
+        # complete interior basins arrive pre-histogrammed (kind 3)
+        sdist = sdist.unionByName(
+            ph1.filter(F.col("kind") == 3).groupBy(
+                F.col("gx").alias("size")
+            ).agg(F.sum("cnt").alias("n_basins"))
+            .select("size", "n_basins",
+                    (F.col("size") * F.col("n_basins")).alias("n_pixels")))
 
-    basins = direct.unionByName(via_entry).groupBy("sink").agg(
-        F.sum("cnt").alias("size"))
-    banded = basins.select(
+    # banding stays in Spark on BOTH branches — the same F.log2
+    # expression the oracle was verified against (a numpy log2 could
+    # round differently at band edges), evaluated once per distinct
+    # basin size
+    return (sdist.select(
         F.floor(F.log2(F.col("size").cast("double"))).cast("int")
-        .alias("size_band"), "size")
-    return banded.groupBy("size_band").agg(
-        F.count("*").alias("n_basins"), F.sum("size").alias("n_pixels"))
+        .alias("size_band"), "n_basins", "n_pixels")
+        .groupBy("size_band")
+        .agg(F.sum("n_basins").alias("n_basins"),
+             F.sum("n_pixels").alias("n_pixels")))
 
 
 # ---------------------------------------------------------------------------
@@ -933,8 +1043,10 @@ def stream_order_tiles(band_tiles: DataFrame, threshold: int = 2,
         crs = f <= -2
         cidx = -(f[crs]) - 2
         nk[crs] = (ox + cgx[cidx]) * int(_PACK) + (oy + cgy[cidx])
-        a = acc.ravel()[ci]
-        return list(zip(k.tolist(), nk.tolist(), a.tolist()))
+        # numpy-backed frame, not a tuple list: channel density is
+        # ~N/threshold rows per tile and the tuple path dominated the
+        # pass at sf0.1 (r06)
+        return pd.DataFrame({"k": k, "nk": nk, "acc": acc.ravel()[ci]})
 
     edges = _phase3_cogroup(
         halo, T, inflow, edges_fn,
@@ -1081,12 +1193,23 @@ def flow_length_tiles(band_tiles: DataFrame, tile_px: int | None = None,
         "a", "b")
 
     spark = halo.sparkSession
-    n_border = routing.count()
+    n_border = ph1.count()
     if n_border == 0:
         rem = spark.createDataFrame([], "k long, a long, b long")
     elif n_border <= driver_threshold:
+        # single collect of the checkpointed condensate; the routing
+        # projection runs in pandas (r06: one driver round-trip)
+        pdf = ph1.toPandas()
+        nx = pdf["nx"].to_numpy(np.int64)
+        ny = pdf["ny"].to_numpy(np.int64)
+        r_pdf = pd.DataFrame({
+            "k": pdf["gx"].to_numpy(np.int64) * _PACK
+                 + pdf["gy"].to_numpy(np.int64),
+            "nk": np.where(nx >= 0, nx * _PACK + ny, np.int64(-1)),
+            "a": pdf["a"].to_numpy(np.int64),
+            "b": pdf["b"].to_numpy(np.int64)})
         rem = spark.createDataFrame(
-            _dist_driver(routing.toPandas()),
+            _dist_driver(r_pdf),
             schema="k long, a long, b long")
     else:
         state = routing.localCheckpoint()
@@ -1245,8 +1368,13 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
     drain = np.zeros((P, P), dtype=bool)
     drain[1:-1, 1:-1] = valid_pad[1:-1, 1:-1] & nb_nan
 
-    # filled pad: +inf where unknown (missing blocks, uninitialized)
-    init = centre["filled"].iloc[0] is None
+    # filled pad: +inf where unknown (missing blocks, uninitialized).
+    # A fine-fan init group (the fused retile+fan path, r06) carries
+    # no filled column at all — the centre z block is reconstructed
+    # from the pad on the way out, bit-for-bit (NODATA <-> NaN is a
+    # lossless round trip).
+    fine = "filled" not in pdf.columns
+    init = fine or centre["filled"].iloc[0] is None
     if init:
         f_pad = np.where(drain, z_pad, np.inf)
     else:
@@ -1277,9 +1405,16 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
     final = f_pad[T:2 * T, T:2 * T]
     changed = int(init or not converged or not np.array_equal(final, fc0))
     out = np.where(valid_pad[T:2 * T, T:2 * T], final, np.nan)
+    if fine:
+        ctr = z_pad[T:2 * T, T:2 * T]
+        from remotior_sensus_spark import NODATA
+        pixels_out = np.where(np.isnan(ctr), float(NODATA),
+                              ctr).ravel().tolist()
+    else:
+        pixels_out = centre["pixels"].iloc[0]
     return pd.DataFrame({
         "tile_x": [tx], "tile_y": [ty],
-        "pixels": [centre["pixels"].iloc[0]],
+        "pixels": [pixels_out],
         "filled": [out.ravel().tolist()],
         "changed": [changed]})
 
@@ -1299,10 +1434,168 @@ def _halo2(state: DataFrame) -> DataFrame:
         "pixels", "filled")
 
 
+def _check_fan(state: DataFrame, T: int) -> DataFrame:
+    """1-px strip fan for the Jacobi convergence check (r06,
+    guide §2.3): each tile ships its FULL (pixels, filled) arrays to
+    its own group only, plus the 1-px edge facing each neighbour —
+    ~(2 + 4/T) arrays-worth of bytes per tile instead of the 18 a
+    full _halo2 round moves. All slicing is JVM-side (slice /
+    transform+get on the row-major arrays)."""
+    def strip(col, dx, dy):
+        # the part of THIS tile that lands within 1 px of the
+        # neighbour (tile_x+dx, tile_y+dy): dx=+1 -> rightmost column,
+        # dx=-1 -> leftmost, dy likewise for rows
+        if dx == 0 and dy == 0:
+            return F.col(col)
+        if dx == 0:
+            r0 = T * (T - 1) if dy == 1 else 0
+            return F.slice(col, r0 + 1, T)
+        cx = T - 1 if dx == 1 else 0
+        if dy == 0:
+            return F.transform(F.sequence(F.lit(0), F.lit(T - 1)),
+                               lambda r: F.get(col, r * T + cx))
+        ry = T - 1 if dy == 1 else 0
+        return F.array(F.get(col, ry * T + cx))
+
+    # one scan + explode (not a 9-way union: 9 scans of the state cost
+    # ~2x the single projection at sf0.1)
+    entries = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 strip("pixels", dx, dy).alias("px"),
+                 strip("filled", dx, dy).alias("fl"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    return state.select(
+        "tile_x", "tile_y", F.explode(entries).alias("o")
+    ).select(
+        (F.col("tile_x") + F.col("o.dx")).alias("target_tx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("target_ty"),
+        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
+        F.col("o.px").alias("pixels"), F.col("o.fl").alias("filled"))
+
+
+def _place_check_pads(pdf: pd.DataFrame, T: int):
+    """(z_pad, f_pad) as (T+2)x(T+2) arrays from a _check_fan group:
+    centre block at [1:T+1, 1:T+1], 1-px ring from neighbour strips.
+    z: NODATA/absent -> NaN; filled: NaN/absent -> +inf (the round
+    kernel's conventions)."""
+    from remotior_sensus_spark import NODATA
+
+    zp = np.full((T + 2, T + 2), np.nan)
+    fp = np.full((T + 2, T + 2), np.inf)
+    dxs = pdf["dx"].to_numpy()
+    dys = pdf["dy"].to_numpy()
+    zs = pdf["pixels"].to_numpy()
+    fs = pdf["filled"].to_numpy()
+    for i in range(len(pdf)):
+        dx, dy = int(dxs[i]), int(dys[i])
+        z = np.asarray(zs[i], dtype=np.float64)
+        f = np.asarray(fs[i], dtype=np.float64)
+        if dx == 0 and dy == 0:
+            zb = z.reshape(T, T)
+            fb = f.reshape(T, T)
+            zp[1:T + 1, 1:T + 1] = zb
+            fp[1:T + 1, 1:T + 1] = fb
+            continue
+        # source tile = target - (dx, dy); its strip lines the pad
+        # edge on the source's side
+        ys = 0 if dy == 1 else (T + 1 if dy == -1 else slice(1, T + 1))
+        xs = 0 if dx == 1 else (T + 1 if dx == -1 else slice(1, T + 1))
+        zp[ys, xs] = z
+        fp[ys, xs] = f
+    zp[zp == NODATA] = np.nan
+    fp[np.isnan(fp)] = np.inf
+    return zp, fp
+
+
+def _fill_jacobi_step(pdf: pd.DataFrame, T: int):
+    """(tx, ty, zi, cur, changed) for one _check_fan group, or None
+    when the group has no centre: one synchronous Jacobi step of the
+    fill update evaluated against the current neighbour state."""
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return None
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    zp, fp = _place_check_pads(pdf, T)
+    valid = ~np.isnan(zp)
+    nan_p = np.isnan(zp)
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+    nb_nan = np.zeros((T, T), dtype=bool)
+    nb_min = np.full((T, T), np.inf)
+    for dy, dx in shifts:
+        nb_nan |= nan_p[1 + dy:T + 1 + dy, 1 + dx:T + 1 + dx]
+        np.minimum(nb_min, fp[1 + dy:T + 1 + dy, 1 + dx:T + 1 + dx],
+                   out=nb_min)
+    zi = zp[1:-1, 1:-1]
+    vi = valid[1:-1, 1:-1]
+    di = vi & nb_nan
+    cur = fp[1:-1, 1:-1]
+    new = np.where(di, zi, np.maximum(zi, np.minimum(cur, nb_min)))
+    new = np.where(vi, new, np.inf)
+    return tx, ty, zi, vi, cur, not np.array_equal(new, cur)
+
+
+def _fill_check_kernel(pdf: pd.DataFrame, T: int) -> pd.DataFrame:
+    """Would one synchronous Jacobi step of the fill update change any
+    centre cell of this tile? Exact: interior cells are at their
+    pad-local fixpoint by construction, so only information entering
+    through the 1-px ring can move anything, and the single step
+    new = max(z, min(cur, nb_min)) (drains pinned at z) evaluated
+    against the CURRENT neighbour state is precisely the global
+    fixpoint test — no change anywhere <=> converged."""
+    empty = pd.DataFrame({"tile_x": pd.Series(dtype="int32"),
+                          "tile_y": pd.Series(dtype="int32")})
+    step = _fill_jacobi_step(pdf, T)
+    if step is None or not step[5]:
+        return empty
+    return pd.DataFrame({"tile_x": [step[0]], "tile_y": [step[1]]})
+
+
+_FILL_CHK_SCHEMA = ("tile_x int, tile_y int, changed long, "
+                    "fill_band long, n_pixels long, sum_fill_fp long, "
+                    "max_fill_fp long")
+
+
+def _fill_check_census_kernel(pdf: pd.DataFrame, T: int) -> pd.DataFrame:
+    """The fill convergence check with the fill-depth census fused in
+    (r06): the check fan already carries every tile's full (z, filled)
+    centre arrays, so the same pass emits the per-tile log2 band rows
+    — when the global check comes back clean they ARE the final
+    census, and the separate corpus-wide census pass disappears."""
+    cols = ["tile_x", "tile_y", "changed", "fill_band", "n_pixels",
+            "sum_fill_fp", "max_fill_fp"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    step = _fill_jacobi_step(pdf, T)
+    if step is None:
+        return empty
+    tx, ty, zi, vi, cur, changed = step
+    if not vi.any():
+        return empty
+    delta = cur[vi] - zi[vi]
+    fpv = np.floor(delta * 1e6 + 0.5).astype(np.int64)
+    band = np.full(len(fpv), -1, dtype=np.int64)
+    pos = fpv > 0
+    _, expo = np.frexp(fpv[pos].astype(np.float64))
+    band[pos] = expo - 1
+    ub, inv = np.unique(band, return_inverse=True)
+    n = np.zeros(len(ub), dtype=np.int64)
+    s = np.zeros(len(ub), dtype=np.int64)
+    mx = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(n, inv, 1)
+    np.add.at(s, inv, fpv)
+    np.maximum.at(mx, inv, fpv)
+    return pd.DataFrame({
+        "tile_x": tx, "tile_y": ty, "changed": int(changed),
+        "fill_band": ub, "n_pixels": n, "sum_fill_fp": s,
+        "max_fill_fp": mx})
+
+
 def fill_depressions_tiles(band_tiles: DataFrame,
                            tile_px: int | None = None,
                            max_rounds: int = 10_000,
-                           inner_cap: int | None = None) -> DataFrame:
+                           inner_cap: int | None = None,
+                           init_fan: DataFrame | None = None) -> DataFrame:
     """Depression-filling census with priority-flood semantics: every
     valid pixel's filled elevation is the minimax over 8-connected
     paths to the ocean (off-raster or nodata) of the maximum elevation
@@ -1336,42 +1629,21 @@ def fill_depressions_tiles(band_tiles: DataFrame,
     Reference scope: the reference has no fill operator (gdaldem has
     no fill either; see stream_order_tiles provenance note); standard
     GIS sink-filling semantics (Planchon-Darboux / priority-flood)."""
-    state = fill_depressions_state(band_tiles, tile_px, max_rounds,
-                                   inner_cap)
+    T = tile_px or TILE_PX
+    cap = inner_cap or 4 * T
 
-    def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["fill_band", "n_pixels", "sum_fill_fp", "max_fill_fp"]
-        parts = []
-        from remotior_sensus_spark import NODATA
-        for _, r in pdf.iterrows():
-            z = np.asarray(r["pixels"], dtype=np.float64)
-            z = np.where(z == float(NODATA), np.nan, z)
-            f = np.asarray(r["filled"], dtype=np.float64)
-            v = ~np.isnan(z)
-            if not v.any():
-                continue
-            delta = f[v] - z[v]
-            fp = np.floor(delta * 1e6 + 0.5).astype(np.int64)
-            band = np.full(len(fp), -1, dtype=np.int64)
-            pos = fp > 0
-            _, expo = np.frexp(fp[pos].astype(np.float64))
-            band[pos] = expo - 1
-            parts.append(pd.DataFrame({
-                "fill_band": band, "n_pixels": 1,
-                "sum_fill_fp": fp, "max_fill_fp": fp}))
-        if not parts:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in cols})
-        allp = pd.concat(parts, ignore_index=True)
-        g = allp.groupby("fill_band", as_index=False).agg(
-            n_pixels=("n_pixels", "sum"), sum_fill_fp=("sum_fill_fp", "sum"),
-            max_fill_fp=("max_fill_fp", "max"))
-        return g.astype("int64")
+    def kern(pdf):
+        return _fill_round_kernel(pdf, T, cap)
 
-    per_part = state.select("pixels", "filled").mapInPandas(
-        lambda it: (census_kern(pdf) for pdf in it),
-        "fill_band long, n_pixels long, sum_fill_fp long, max_fill_fp long")
-    return (per_part.groupBy(
+    # the census rides the convergence check (r06): the final clean
+    # check pass IS the census source, so no separate corpus pass runs
+    _state, chk = _relax_rounds(
+        band_tiles, kern, _FILL_SCHEMA, "array<double>", max_rounds,
+        "fill_depressions: relaxation exceeded {} rounds — cross-tile "
+        "fill depth beyond guard (see the Barnes-2016 condensate note "
+        "in the docstring)", check_kern=_fill_check_census_kernel,
+        init_fan=init_fan, tile_px=T, check_schema=_FILL_CHK_SCHEMA)
+    return (chk.groupBy(
         F.col("fill_band").cast("int").alias("fill_band"))
         .agg(F.sum("n_pixels").alias("n_pixels"),
              F.sum("sum_fill_fp").alias("sum_fill_fp"),
@@ -1381,11 +1653,15 @@ def fill_depressions_tiles(band_tiles: DataFrame,
 def fill_depressions_state(band_tiles: DataFrame,
                            tile_px: int | None = None,
                            max_rounds: int = 10_000,
-                           inner_cap: int | None = None) -> DataFrame:
+                           inner_cap: int | None = None,
+                           init_fan: DataFrame | None = None) -> DataFrame:
     """The fill relaxation loop itself: returns the CONVERGED state
     (tile_x, tile_y, pixels, filled) — pixels the original z arrays,
     filled the fixpoint fill (NaN at invalid cells). Shared by the
-    fill census and the filled-DEM composition operators."""
+    fill census and the filled-DEM composition operators. r06: the
+    loop is check-driven (_fill_check_kernel — the former full-corpus
+    confirmation round became a 1-px-strip Jacobi check), and
+    `init_fan` fuses the retile shuffle into the init round."""
     T = tile_px or TILE_PX
     cap = inner_cap or 4 * T
 
@@ -1396,12 +1672,16 @@ def fill_depressions_state(band_tiles: DataFrame,
         band_tiles, kern, _FILL_SCHEMA, "array<double>", max_rounds,
         "fill_depressions: relaxation exceeded {} rounds — cross-tile "
         "fill depth beyond guard (see the Barnes-2016 condensate note "
-        "in the docstring)")
+        "in the docstring)", check_kern=_fill_check_kernel,
+        init_fan=init_fan, tile_px=T)
 
 
 def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
                   state_type: str, max_rounds: int,
-                  err_fmt: str) -> DataFrame:
+                  err_fmt: str, check_kern=None,
+                  init_fan: DataFrame | None = None,
+                  tile_px: int | None = None,
+                  check_schema: str = "tile_x int, tile_y int"):
     """Generic chaotic-relaxation driver shared by every monotone
     tile-halo fixpoint operator (depression fill, cost distance): run
     `kern` over 3x3-tile halo groups until no tile reports change.
@@ -1410,8 +1690,86 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
     last round, so quiescent regions stop shipping entirely.
     Exactness is the KERNEL's contract (monotone update from
     upper/lower bounds with a unique fixpoint); this driver only
-    schedules it."""
-    spark = band_tiles.sparkSession
+    schedules it.
+
+    With `check_kern` (r06): the full-corpus confirmation round is
+    replaced by a 1-px-strip Jacobi check (_check_fan — ~8x fewer
+    bytes, and on DEMs whose fill converges inside round 1 the loop
+    ends after one cheap check instead of a second full x9 exchange).
+    The check is exact — it evaluates one synchronous Jacobi step
+    against the current global state, and the kernel's monotone
+    relaxation from upper bounds means "no cell changes" is precisely
+    the unique-fixpoint condition — so the loop
+        solve(active set) -> global check -> repeat
+    terminates at the same bit-exact state as the legacy schedule
+    (pinned by test_fill_check_parity). `init_fan` optionally fuses
+    the retile into round 1 (the fused fine fan with
+    halo_tiles=factor; the kernel rebuilds the centre z block from
+    the pad)."""
+    spark = (init_fan if init_fan is not None else band_tiles).sparkSession
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+
+    if check_kern is not None:
+        T = tile_px or TILE_PX
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if init_fan is not None:
+            state = init_fan.groupBy(
+                "target_tx", "target_ty").applyInPandas(
+                kern, schema).localCheckpoint()
+        else:
+            state0 = band_tiles.select(
+                "tile_x", "tile_y",
+                F.col("pixels").cast("array<double>").alias("pixels"),
+                F.lit(None).cast(state_type).alias("filled"))
+            state = _halo2(state0).groupBy(
+                "target_tx", "target_ty").applyInPandas(
+                kern, schema).localCheckpoint()
+        rounds = 1
+        chk = None
+        while True:
+            fanc = _check_fan(state, T)
+            chk_df = fanc.groupBy("target_tx", "target_ty").applyInPandas(
+                lambda p: check_kern(p, T), check_schema)
+            if check_schema == "tile_x int, tile_y int":
+                act = chk_df.collect()
+            else:
+                chk = chk_df.localCheckpoint()
+                act = (chk.filter(F.col("changed") == 1)
+                       .select("tile_x", "tile_y").distinct().collect())
+            if os.environ.get("SPARK_GRAFT_RELAX_LOG") == "1":
+                print(f"[relax] round {rounds}: check -> "
+                      f"{len(act)} tiles active", flush=True)
+            if not act:
+                break
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(err_fmt.format(max_rounds))
+            targets = spark.createDataFrame(
+                [(r["tile_x"] + dx, r["tile_y"] + dy)
+                 for r in act for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                "target_tx int, target_ty int").distinct()
+            halo_in = _halo2(state.drop("changed")).join(
+                F.broadcast(targets), ["target_tx", "target_ty"],
+                "left_semi")
+            processed = halo_in.groupBy(
+                "target_tx", "target_ty").applyInPandas(kern, schema)
+            untouched = state.join(
+                F.broadcast(targets
+                            .withColumnRenamed("target_tx", "tile_x")
+                            .withColumnRenamed("target_ty", "tile_y")),
+                ["tile_x", "tile_y"], "left_anti"
+            ).select("tile_x", "tile_y", "pixels", "filled",
+                     F.lit(0).alias("changed"))
+            state = (processed.unionByName(untouched)
+                     .coalesce(n_part).localCheckpoint())
+        if check_schema != "tile_x int, tile_y int":
+            # the final (clean) check output — carries whatever the
+            # fused check kernel computed alongside the flag
+            return state, chk
+        return state
 
     state = band_tiles.select(
         "tile_x", "tile_y",
@@ -1419,9 +1777,6 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
         F.lit(None).cast(state_type).alias("filled"),
         F.lit(1).alias("changed")).localCheckpoint()
 
-    offsets = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     rounds = 0
     while True:
         rounds += 1
@@ -1476,7 +1831,8 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
 
 def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                      max_rounds: int = 10_000,
-                     inner_cap: int | None = None) -> DataFrame:
+                     inner_cap: int | None = None,
+                     init_fan: DataFrame | None = None) -> DataFrame:
     """The filled DEM as a standard tile stream (tile_x, tile_y,
     pixels with the NODATA sentinel) — the composition point: feed the
     output straight into d8 / accumulation / watershed / stream-order
@@ -1485,7 +1841,7 @@ def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     from remotior_sensus_spark import NODATA
 
     state = fill_depressions_state(band_tiles, tile_px, max_rounds,
-                                   inner_cap)
+                                   inner_cap, init_fan)
 
     def to_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
         out_px = []

@@ -5541,8 +5541,9 @@ def fill_depressions_q(spark, sf_dir):
     in tests/test_hydrology.py."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.fill_depressions_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    return hydrology.fill_depressions_tiles(None, tile_px=t_px,
+                                            init_fan=fan)
 
 
 @q("filled_flow_accumulation",
@@ -5559,8 +5560,8 @@ def filled_flow_accumulation_q(spark, sf_dir):
     build_filled_flow_accumulation."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    filled = hydrology.filled_dem_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    filled = hydrology.filled_dem_tiles(None, tile_px=t_px, init_fan=fan)
     return hydrology.flow_accumulation_tiles(filled, tile_px=t_px)
 
 

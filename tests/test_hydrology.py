@@ -1016,3 +1016,35 @@ def test_spark_corridor_matches_dense_oracle_sf0001(spark, geo001_dir):
     assert got == {b: (n, s, mx) for b, n, s, mx in zip(
         exp["slack_band"], exp["n_pixels"], exp["sum_slack_fp"],
         exp["max_slack_fp"])}
+
+
+def test_fill_check_parity(spark, geo001_dir):
+    """The r06 check-driven relax loop (strip Jacobi check replacing
+    the full confirmation round, fused fine-fan init) is bit-exact
+    against the legacy schedule, including when the inner cap forces
+    many cross-tile rounds through the active-set machinery."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import hydrology as hy
+    from remotior_sensus_spark.operators.focal import _with_fine_halo_groups
+    from remotior_sensus_spark.operators.retile import retile
+
+    b04_small = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    t64 = retile(b04_small, 4)
+    ref = {tuple(r) for r in
+           hy.fill_depressions_tiles(t64, tile_px=64).collect()}
+
+    fan = _with_fine_halo_groups(b04_small, 4, halo_tiles=4)
+    got = {tuple(r) for r in
+           hy.fill_depressions_tiles(None, tile_px=64,
+                                     init_fan=fan).collect()}
+    assert got == ref
+
+    # inner_cap=2: the init solve cannot converge in-pad, so the
+    # check must flag tiles and the active full-pad rounds must run
+    # until the global fixpoint — same census either way
+    got_capped = {tuple(r) for r in
+                  hy.fill_depressions_tiles(None, tile_px=64, inner_cap=2,
+                                            init_fan=fan).collect()}
+    assert got_capped == ref
