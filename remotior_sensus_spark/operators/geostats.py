@@ -1219,13 +1219,17 @@ def lbp_census_tiles(band_tiles: DataFrame,
                                  for c2 in cols})
         cc = code[interior]
         vv = c[interior].astype(np.int64)
-        out = {}
-        for cd in np.unique(cc):
-            sel = cc == cd
-            out[int(cd)] = (int(sel.sum()), int(vv[sel].sum()))
+        # bincount instead of a 256-mask scan (r06): one pass each for
+        # counts and value sums; DN sums stay < 2^53 so the float64
+        # accumulation is exact before the int64 cast
+        counts = np.bincount(cc, minlength=256)
+        sums = np.bincount(cc, weights=vv.astype(np.float64),
+                           minlength=256).astype(np.int64)
+        present = np.flatnonzero(counts)
         return pd.DataFrame(
-            {"code": list(out), "n_pixels": [v[0] for v in out.values()],
-             "sum_v": [v[1] for v in out.values()]})
+            {"code": present.astype(np.int64),
+             "n_pixels": counts[present].astype(np.int64),
+             "sum_v": sums[present]})
 
     halo = fan if fan is not None else _with_halo_groups(band_tiles)
     per_tile = halo.groupBy(

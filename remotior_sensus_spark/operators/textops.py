@@ -724,12 +724,14 @@ def simhash_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sh = simhash64(docs)
     # identical-hash collapse: one node per distinct simhash, carrying
     # the group rollup (count, id-sum, min id) so member docs never
-    # re-enter any join.
+    # re-enter any join. Materialized once (r06): the distinct-hash
+    # table is tiny, and without the checkpoint the full corpus-wide
+    # simhash aggregation re-ran in the final labeling job.
     grp = sh.groupBy("simhash").agg(
         F.count("*").alias("g_docs"),
         F.sum("doc_id").alias("g_id_sum"),
         F.min("doc_id").alias("g_min_doc"),
-    )
+    ).localCheckpoint()
     bands = grp.select(
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
@@ -1261,16 +1263,15 @@ def doc_dup_profile(docs: DataFrame, n: int = 8) -> DataFrame:
     sh = shingles_col(n, distinct=False)
     flat = docs.select("doc_id", F.explode(sh).alias("g")).select(
         "doc_id", portable_hash60(F.col("g")).alias("h"))
-    # pre-aggregate in-doc multiplicities: the hash-keyed join then moves
-    # one (doc, hash, o) row per DISTINCT gram per doc instead of one row
-    # per position, and the per-hash doc count is a plain count(*) over
-    # fg (no countDistinct expansion) — 12.3 -> 10.4 s at sf0.1 on a
-    # busy host; the win grows with within-doc repetition at scale
+    # pre-aggregate in-doc multiplicities: one (doc, hash, o) row per
+    # DISTINCT gram per doc instead of one row per position — then the
+    # per-hash doc count comes from a WINDOW over the same rows (r06:
+    # the former fg-join-cnt shape evaluated the gram-hash lineage
+    # twice — once for the count side, once for the probe side)
     fg = flat.groupBy("doc_id", "h").agg(F.count("*").alias("o"))
-    cnt = fg.groupBy("h").agg(F.count("*").alias("ndocs"))
+    fg = fg.withColumn("ndocs", F.count("*").over(Window.partitionBy("h")))
     per = (
-        fg.join(cnt, "h")
-        .groupBy("doc_id")
+        fg.groupBy("doc_id")
         .agg(F.sum("o").alias("n_grams"),
              F.sum(F.when(F.col("ndocs") > 1, F.col("o"))
                    .otherwise(F.lit(0))).alias("n_dup"))
