@@ -168,6 +168,11 @@ def zonal_stats(
 
     Integer-exact sums; mean/std derived as final double divisions.
     """
+    # NOTE (r06 measured): materializing `valid` for the percentile
+    # passes was tried and REVERTED — the cover join is a cheap
+    # broadcast-join recompute, and writing the zone-pixel stream to
+    # the block manager cost more than the re-executions it saved
+    # (1.19 s vs 1.62 s min-of-4 at sf0.1).
     valid = zone_px.filter(F.col(value_col) != NODATA)
     iv = F.col(value_col).cast("long")
     base = valid.groupBy(zone_col).agg(

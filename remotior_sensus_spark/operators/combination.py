@@ -139,8 +139,14 @@ def cross_matrix(px_wide: DataFrame, ref_col: str, cls_col: str) -> DataFrame:
 def error_matrix_metrics(px_wide: DataFrame, ref_col: str, cls_col: str) -> DataFrame:
     """Overall accuracy, kappa, per-class PA/UA from the confusion counts
     (cross_classification.py:431-560). All ratios are single double
-    divisions over exact BIGINT counts -> oracle-exact."""
-    counts = px_wide.groupBy(ref_col, cls_col).agg(F.count("*").alias("cnt"))
+    divisions over exact BIGINT counts -> oracle-exact.
+
+    The confusion table is materialized once (r06): it feeds seven
+    derived aggregates (tot/diag/row/col/chance/per-class), and without
+    the checkpoint the corpus-wide pixel aggregation re-ran for each —
+    the plan showed 14 parquet scans and no exchange reuse."""
+    counts = px_wide.groupBy(ref_col, cls_col).agg(
+        F.count("*").alias("cnt")).localCheckpoint()
     tot = counts.agg(F.sum("cnt").alias("n")).select("n")
     diag = counts.filter(F.col(ref_col) == F.col(cls_col)).agg(
         F.sum("cnt").alias("diag")
