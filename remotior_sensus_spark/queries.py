@@ -7821,38 +7821,41 @@ ORACLE_BUILDERS = {
 # (cost_distance, zorder_tiles/spatial_doc_tiles, ann_recall_audit,
 # rolling_wau, value_median_by_type, vocab_zipf, morans_i,
 # zonal_median) — so the window above is FINAL for round 5.
+# ROUND-6 ROTATION (VERDICT r05 "Next round" #1): the windows r02-r05
+# are pairwise disjoint and cover 200 of 248 registered names; this
+# window holds EXACTLY the 48 never-driver-measured spill queries
+# (each strict-green at sf0.01 via tests/driver_check.py when it
+# landed) plus 2 anchors re-proving the paths this optimization round
+# restructured most (flow_accumulation: fused fan + single-collect
+# phase 2; fill_depressions: check-driven relaxation). A green
+# CORRECTNESS_r06 makes the registry 248/248 driver-proven.
 _RUN_FIRST = [
-    # hydrology / landform / texture rasters (round-4 wave)
-    "d8_flow", "tpi_landform", "class_adjacency",
-    "profile_curvature", "d8_indegree", "semivariogram_aniso",
-    "lbp_census", "hypsometric_deciles", "cva_change",
-    # preprocess closer (new round 5)
-    "thermal_brightness",
-    # spectral index family
-    "evi_index",
-    # hydrology / cost-surface family (new round 5)
-    "flow_accumulation", "watershed_basins", "twi_census",
-    "stream_order", "flow_length", "fill_depressions",
-    "filled_flow_accumulation", "cost_distance",
-    # semantic dedup (new round 5)
-    "semdedup",
-    # text-curation / LLM-pipeline wave
-    "vocab_zipf", "bigram_lm_proxy", "dup_rate_by_source",
-    "sequence_packing", "ttr_profile", "stopword_profile",
-    "dup_ngram_coverage", "lang_confusion", "ngram_novelty",
-    "token_entropy", "prefix_dup", "cross_source_contamination",
-    "doc_dup_profile",
+    # terrain / raster censuses
+    "aspect_slope_cross", "box_counting", "brovey_sharpen",
+    "compact_cell_cover", "component_shapes", "contour_census",
+    "focal_range", "gearys_correlogram", "geomorphon_census",
+    "lacunarity", "morans_correlogram", "morph_gradient",
+    "multi_scale_tpi", "ndvi_change_classes", "ndwi_index",
+    "openness_census", "plan_curvature", "zonal_majority",
+    "tile_skew_profile",
+    # cost-surface family
+    "corridor_census", "cost_allocation",
+    # text / dedup
+    "bigram_entropy_rate", "case_profile", "dedup_degree_bands",
+    "doc_length_bands", "hapax_rate", "incremental_dedup",
+    "transition_entropy", "vocab_growth", "yule_k",
     # embedding audits
-    "centroid_assign", "ann_recall_audit", "quantize_error",
-    "class_scatter", "ivf_list_balance", "centroid_separation",
-    "ivf_recall_audit",
-    # viewshed (new round 5)
-    "viewshed_census",
-    # event analytics wave 2
-    "conversion_lag_bands", "user_ltv_bands", "bot_bursts",
-    "purchase_attribution", "funnel_stage_lags", "session_entry_exit",
-    "event_value_bands",
-    "engagement_ltv_matrix", "rolling_wau",  # window now exactly 50
+    "bq_recall_audit", "centroid_margin_bands", "dim_trunc_recall",
+    "dim_variance_profile", "embedding_norm_bands", "knn_label_vote",
+    "lsh_bucket_balance", "pq_assign_audit",
+    # event analytics
+    "activity_deciles", "cohort_funnel", "dense_hourly_counts",
+    "hourly_error_profile", "inter_event_bands", "session_durations",
+    "survival_table", "weekly_stickiness",
+    # table utilities
+    "value_mad_by_type", "value_median_by_type",
+    # r06 re-proof anchors (restructured machinery)
+    "flow_accumulation", "fill_depressions",  # window exactly 50
 ]
 
 # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands (it measures the 50

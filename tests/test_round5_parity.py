@@ -143,7 +143,12 @@ def test_simhash_clusters_collapses_identical_hashes(spark):
              lang="en", source="s0") for i in range(1000)])
     out = tx.simhash_clusters(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "keys=[simhash" in plan, "identical-hash collapse missing"
+    # r06: the collapsed distinct-hash table is localCheckpointed (the
+    # corpus-wide aggregation must not re-run in the labeling job), so
+    # the simhash-keyed aggregate no longer appears in THIS plan — the
+    # final join/rollup must instead consume the materialized RDD, and
+    # the corpus-scale doc table must NOT re-enter it
+    assert "ExistingRDD" in plan, "collapsed-hash checkpoint missing"
     rows = out.collect()
     assert len(rows) == 1
     r = rows[0]
