@@ -1324,20 +1324,34 @@ _FILL_SCHEMA = ("tile_x int, tile_y int, pixels array<double>, "
                 "filled array<double>, changed long")
 
 
-def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
+def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
+                       init_halo_px: int | None = None):
     """One relaxation round for one tile: assemble the z / filled halo
     pads, then iterate filled(v) = max(z(v), min over 8 neighbours of
-    filled(u)) over the WHOLE 3T pad interior to a pad-local fixpoint
+    filled(u)) over the pad interior to a pad-local fixpoint
     (neighbour blocks relax as scratch — any monotone relaxation from
     upper bounds stays an upper bound, and the first pass's centre
     update is the plain Jacobi step, so global no-change still implies
-    the global fixpoint; solving the full pad lets ocean information
-    travel up to three tiles per round instead of one). Drains (valid
-    cells 8-adjacent to nodata or off-raster) are pinned at z; the
-    outermost pad ring has an incomplete neighbourhood and is held
-    fixed. The update only ever SELECTS existing z values (max/min, no
-    arithmetic), so the fixpoint is bit-exact against any other exact
-    fill implementation."""
+    the global fixpoint; solving a wide pad lets ocean information
+    travel multiple tiles per round). Drains (valid cells 8-adjacent
+    to nodata or off-raster) are pinned at z; the outermost pad ring
+    has an incomplete neighbourhood and is held fixed. The update only
+    ever SELECTS existing z values (max/min, no arithmetic), so the
+    fixpoint is bit-exact against any other exact fill implementation.
+
+    `init_halo_px` (r06, init fine-fan groups only): the fan shipped
+    only a ring of that many pixels around the centre, so relaxation
+    is RESTRICTED to the shipped window and everything beyond it is
+    UNKNOWN (+inf, and — critically — never a drain). NaN beyond the
+    shipped window means "not shipped", not "nodata"; treating it as
+    nodata would fabricate drains and break the upper-bound invariant
+    the check-driven loop's exactness rests on (measured: a 16-px
+    ring with the naive kernel produced a wrong census at sf0.1).
+    Within the window, NaN is genuine (the fan ships every existing
+    tile in the ring), so drain detection there is exact, and missing
+    a true drain just beyond the window only keeps the scratch HIGHER
+    — still a valid upper bound, which the exact full-pad active
+    rounds then descend from."""
     from remotior_sensus_spark.operators.focal import _assemble_padded
 
     empty = pd.DataFrame({
@@ -1351,8 +1365,20 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
         return empty
     tx = int(centre["target_tx"].iloc[0])
     ty = int(centre["target_ty"].iloc[0])
-    z_pad = _assemble_padded(pdf, tile_px=T)
-    P = 3 * T
+    z_pad3 = _assemble_padded(pdf, tile_px=T)
+
+    fine = "filled" not in pdf.columns
+    init = fine or centre["filled"].iloc[0] is None
+    if fine and init_halo_px is not None and init_halo_px < T:
+        hp = init_halo_px
+        lo, hi = T - hp, 2 * T + hp
+        z_pad = z_pad3[lo:hi, lo:hi]
+        c0 = hp  # centre block offset inside the window
+    else:
+        z_pad = z_pad3
+        c0 = T
+    P = z_pad.shape[0]
+    cs = slice(c0, c0 + T)
     valid_pad = ~np.isnan(z_pad)
 
     shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -1373,8 +1399,6 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
     # no filled column at all — the centre z block is reconstructed
     # from the pad on the way out, bit-for-bit (NODATA <-> NaN is a
     # lossless round trip).
-    fine = "filled" not in pdf.columns
-    init = fine or centre["filled"].iloc[0] is None
     if init:
         f_pad = np.where(drain, z_pad, np.inf)
     else:
@@ -1384,7 +1408,7 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
             ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
             xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
             f_pad[ys, xs] = np.where(np.isnan(a), np.inf, a)
-    fc0 = f_pad[T:2 * T, T:2 * T].copy()
+    fc0 = f_pad[cs, cs].copy()
 
     zi = z_pad[1:-1, 1:-1]
     di = drain[1:-1, 1:-1]
@@ -1402,11 +1426,11 @@ def _fill_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int):
             converged = True
             break
         f_pad[1:-1, 1:-1] = new
-    final = f_pad[T:2 * T, T:2 * T]
+    final = f_pad[cs, cs]
     changed = int(init or not converged or not np.array_equal(final, fc0))
-    out = np.where(valid_pad[T:2 * T, T:2 * T], final, np.nan)
+    out = np.where(valid_pad[cs, cs], final, np.nan)
     if fine:
-        ctr = z_pad[T:2 * T, T:2 * T]
+        ctr = z_pad[cs, cs]
         from remotior_sensus_spark import NODATA
         pixels_out = np.where(np.isnan(ctr), float(NODATA),
                               ctr).ravel().tolist()
@@ -1595,7 +1619,8 @@ def fill_depressions_tiles(band_tiles: DataFrame,
                            tile_px: int | None = None,
                            max_rounds: int = 10_000,
                            inner_cap: int | None = None,
-                           init_fan: DataFrame | None = None) -> DataFrame:
+                           init_fan: DataFrame | None = None,
+                           init_halo_px: int | None = None) -> DataFrame:
     """Depression-filling census with priority-flood semantics: every
     valid pixel's filled elevation is the minimax over 8-connected
     paths to the ocean (off-raster or nodata) of the maximum elevation
@@ -1633,7 +1658,7 @@ def fill_depressions_tiles(band_tiles: DataFrame,
     cap = inner_cap or 4 * T
 
     def kern(pdf):
-        return _fill_round_kernel(pdf, T, cap)
+        return _fill_round_kernel(pdf, T, cap, init_halo_px)
 
     # the census rides the convergence check (r06): the final clean
     # check pass IS the census source, so no separate corpus pass runs
@@ -1654,7 +1679,8 @@ def fill_depressions_state(band_tiles: DataFrame,
                            tile_px: int | None = None,
                            max_rounds: int = 10_000,
                            inner_cap: int | None = None,
-                           init_fan: DataFrame | None = None) -> DataFrame:
+                           init_fan: DataFrame | None = None,
+                           init_halo_px: int | None = None) -> DataFrame:
     """The fill relaxation loop itself: returns the CONVERGED state
     (tile_x, tile_y, pixels, filled) — pixels the original z arrays,
     filled the fixpoint fill (NaN at invalid cells). Shared by the
@@ -1666,7 +1692,7 @@ def fill_depressions_state(band_tiles: DataFrame,
     cap = inner_cap or 4 * T
 
     def kern(pdf):
-        return _fill_round_kernel(pdf, T, cap)
+        return _fill_round_kernel(pdf, T, cap, init_halo_px)
 
     return _relax_rounds(
         band_tiles, kern, _FILL_SCHEMA, "array<double>", max_rounds,
@@ -1832,7 +1858,8 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
 def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                      max_rounds: int = 10_000,
                      inner_cap: int | None = None,
-                     init_fan: DataFrame | None = None) -> DataFrame:
+                     init_fan: DataFrame | None = None,
+                     init_halo_px: int | None = None) -> DataFrame:
     """The filled DEM as a standard tile stream (tile_x, tile_y,
     pixels with the NODATA sentinel) — the composition point: feed the
     output straight into d8 / accumulation / watershed / stream-order
@@ -1841,7 +1868,7 @@ def filled_dem_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     from remotior_sensus_spark import NODATA
 
     state = fill_depressions_state(band_tiles, tile_px, max_rounds,
-                                   inner_cap, init_fan)
+                                   inner_cap, init_fan, init_halo_px)
 
     def to_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
         out_px = []

@@ -5541,9 +5541,10 @@ def fill_depressions_q(spark, sf_dir):
     in tests/test_hydrology.py."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=2)
     return hydrology.fill_depressions_tiles(None, tile_px=t_px,
-                                            init_fan=fan)
+                                            init_fan=fan,
+                                            init_halo_px=2 * 16)
 
 
 @q("filled_flow_accumulation",
@@ -5560,8 +5561,9 @@ def filled_flow_accumulation_q(spark, sf_dir):
     build_filled_flow_accumulation."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
-    filled = hydrology.filled_dem_tiles(None, tile_px=t_px, init_fan=fan)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=2)
+    filled = hydrology.filled_dem_tiles(None, tile_px=t_px, init_fan=fan,
+                                        init_halo_px=2 * 16)
     return hydrology.flow_accumulation_tiles(filled, tile_px=t_px)
 
 

@@ -1048,3 +1048,21 @@ def test_fill_check_parity(spark, geo001_dir):
                   hy.fill_depressions_tiles(None, tile_px=64, inner_cap=2,
                                             init_fan=fan).collect()}
     assert got_capped == ref
+
+    # windowed init (halo_tiles=2 ring + init_halo_px): relaxation is
+    # restricted to the shipped window with beyond-window treated as
+    # unknown (never drains) — the init stays a valid upper bound and
+    # the check loop descends to the same fixpoint. Both the plain and
+    # the capped variants must match.
+    fan2 = _with_fine_halo_groups(b04_small, 4, halo_tiles=2)
+    got_w = {tuple(r) for r in
+             hy.fill_depressions_tiles(None, tile_px=64, init_fan=fan2,
+                                       init_halo_px=32).collect()}
+    assert got_w == ref
+    got_w1 = {tuple(r) for r in
+              hy.fill_depressions_tiles(
+                  None, tile_px=64, inner_cap=3,
+                  init_fan=_with_fine_halo_groups(b04_small, 4,
+                                                  halo_tiles=1),
+                  init_halo_px=16).collect()}
+    assert got_w1 == ref
