@@ -165,7 +165,8 @@ def _window_views(pad: np.ndarray, size: int, tile_px: int | None = None):
 
 def neighbor_stats(band_tiles: DataFrame, stat: str = "sum", size: int = 1,
                    circular: bool = False, percentile: float | None = None,
-                   tile_px: int | None = None) -> DataFrame:
+                   tile_px: int | None = None,
+                   fan: DataFrame | None = None) -> DataFrame:
     """Focal statistic per pixel over the structuring element.
     stat in {sum, mean, count, max, min, median, std, percentile}.
     nodata centers stay nodata (reference writes nan back over centers)."""
@@ -211,14 +212,15 @@ def neighbor_stats(band_tiles: DataFrame, stat: str = "sum", size: int = 1,
             {"tile_x": [tx], "tile_y": [ty], "pixels": [out.ravel().tolist()]}
         )
 
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     return halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel, schema="tile_x int, tile_y int, pixels array<double>"
     )
 
 
 def dilation(band_tiles: DataFrame, values: list[float], size: int = 1,
-             circular: bool = True, tile_px: int | None = None) -> DataFrame:
+             circular: bool = True, tile_px: int | None = None,
+             fan: DataFrame | None = None) -> DataFrame:
     """Expand each value in `values` (in order) onto neighboring non-value
     pixels (processor_functions.py:1202-1238)."""
     T = tile_px or TILE_PX
@@ -248,14 +250,15 @@ def dilation(band_tiles: DataFrame, values: list[float], size: int = 1,
             {"tile_x": [tx], "tile_y": [ty], "pixels": [o.ravel().tolist()]}
         )
 
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     return halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel, schema="tile_x int, tile_y int, pixels array<double>"
     )
 
 
 def erosion(band_tiles: DataFrame, values: list[float], size: int = 1,
-            circular: bool = True, tile_px: int | None = None) -> DataFrame:
+            circular: bool = True, tile_px: int | None = None,
+            fan: DataFrame | None = None) -> DataFrame:
     """Erode `values` pixels whose neighborhood isn't uniform; fill with
     the most frequent non-value neighbor (ties -> smallest value), else
     nodata (processor_functions.py:1242-1307, single iteration —
@@ -303,7 +306,7 @@ def erosion(band_tiles: DataFrame, values: list[float], size: int = 1,
             {"tile_x": [tx], "tile_y": [ty], "pixels": [o.ravel().tolist()]}
         )
 
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     return halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel, schema="tile_x int, tile_y int, pixels array<double>"
     )

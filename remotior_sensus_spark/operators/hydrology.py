@@ -1970,6 +1970,16 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
     z_pad = _assemble_padded(pdf, tile_px=T)
     P = 3 * T
     valid_pad = ~np.isnan(z_pad)
+    # r06: a fine-fan init group (fused retile+fan) carries no filled
+    # column; the centre z block is rebuilt from the pad on the way
+    # out (NODATA <-> NaN is a lossless round trip). A WINDOWED fine
+    # fan (halo_tiles < factor) is safe here without any windowing
+    # logic: un-shipped pad regions read NaN -> invalid -> barrier,
+    # i.e. ABSENCE of information — candidates through them stay at
+    # +inf, so the init result remains a monotone upper bound that
+    # the exact full-pad active rounds descend from (the opposite of
+    # fill, where NaN means drain = fabricated information).
+    fine = "filled" not in pdf.columns
     # source rule: value <= src_lo (default _SRC_MAX) OR value >= src_hi
     lo = _SRC_MAX if (src_lo is None and src_hi is None) else src_lo
     src_pad = valid_pad & False
@@ -1992,7 +2002,7 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
     c64[~valid_pad] = 0 if alloc_bits else _COST_BARRIER
     pin_pad = c64 if alloc_bits else np.int64(0)
 
-    init = centre["filled"].iloc[0] is None
+    init = fine or centre["filled"].iloc[0] is None
     if init:
         d_pad = np.where(src_pad, pin_pad, _COST_INF)
     else:
@@ -2036,39 +2046,269 @@ def _cost_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
         d_pad[1:-1, 1:-1] = new
     final = d_pad[T:2 * T, T:2 * T]
     changed = int(init or not converged or not np.array_equal(final, dc0))
+    if fine:
+        from remotior_sensus_spark import NODATA
+        ctr = z_pad[T:2 * T, T:2 * T]
+        pixels_out = np.where(np.isnan(ctr), float(NODATA),
+                              ctr).ravel().tolist()
+    else:
+        pixels_out = centre["pixels"].iloc[0]
     return pd.DataFrame({
         "tile_x": [tx], "tile_y": [ty],
-        "pixels": [centre["pixels"].iloc[0]],
+        "pixels": [pixels_out],
         "filled": [final.ravel().tolist()],
         "changed": [changed]})
+
+
+def _log2_band(v: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(v)) for POSITIVE int64 v — the frexp exponent
+    with the power-of-two rounding corrected (r06 hardening, ADVICE
+    r05: float64 frexp is exact only below 2^53; a value just under a
+    power of two in [2^53, 2^62) rounds UP and would mis-band by one.
+    Values in [2^b, 2^(b+1)) can only round up to 2^(b+1) — never
+    down across 2^b, which is representable — so the one-sided
+    correction `v < 2^band -> band-1` restores int.bit_length()-1
+    exactly). Identical to plain frexp at every shipped scale
+    (distances ~1e13)."""
+    _, expo = np.frexp(v.astype(np.float64))
+    band = (expo - 1).astype(np.int64)
+    over = v < (np.int64(1) << band)
+    band[over] -= 1
+    return band
+
+
+def _cost_check_pads(pdf: pd.DataFrame, T: int):
+    """(z_pad float64, d_pad int64) as (T+2)x(T+2) arrays from a
+    _check_fan group — the cost twin of _place_check_pads, keeping the
+    distance state in int64 end to end (a float64 staging array would
+    silently round packed allocation keys above 2^53)."""
+    from remotior_sensus_spark import NODATA
+
+    zp = np.full((T + 2, T + 2), np.nan)
+    dp = np.full((T + 2, T + 2), _COST_INF, dtype=np.int64)
+    dxs = pdf["dx"].to_numpy()
+    dys = pdf["dy"].to_numpy()
+    zs = pdf["pixels"].to_numpy()
+    fs = pdf["filled"].to_numpy()
+    for i in range(len(pdf)):
+        dx, dy = int(dxs[i]), int(dys[i])
+        z = np.asarray(zs[i], dtype=np.float64)
+        d = np.asarray(fs[i], dtype=np.int64)
+        if dx == 0 and dy == 0:
+            zp[1:T + 1, 1:T + 1] = z.reshape(T, T)
+            dp[1:T + 1, 1:T + 1] = d.reshape(T, T)
+            continue
+        ys = 0 if dy == 1 else (T + 1 if dy == -1 else slice(1, T + 1))
+        xs = 0 if dx == 1 else (T + 1 if dx == -1 else slice(1, T + 1))
+        zp[ys, xs] = z
+        dp[ys, xs] = d
+    zp[zp == NODATA] = np.nan
+    return zp, dp
+
+
+def _cost_jacobi_step(pdf: pd.DataFrame, T: int,
+                      src_lo: float | None, src_hi: float | None,
+                      alloc_bits: int):
+    """One synchronous min-plus Jacobi step of the cost update for one
+    _check_fan group: (tx, ty, z interior, valid, cur, changed) or
+    None without a centre. Mirrors _cost_round_kernel's expressions
+    bit for bit (same weights, same barrier stand-ins, same clamp), so
+    "no centre cell changes anywhere" is precisely the global-fixpoint
+    condition — interior cells are at their pad-local fixpoint after
+    the round kernel, hence only information entering through the 1-px
+    ring can move anything, and this step evaluates exactly that."""
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return None
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    zp, dp = _cost_check_pads(pdf, T)
+    P = T + 2
+    valid = ~np.isnan(zp)
+    lo = _SRC_MAX if (src_lo is None and src_hi is None) else src_lo
+    src = valid & False
+    if lo is not None:
+        src |= valid & (zp <= lo)
+    if src_hi is not None:
+        src |= valid & (zp >= src_hi)
+    c64 = np.where(valid, np.nan_to_num(zp, nan=0.0), 0.0).astype(np.int64)
+    c64[~valid] = 0 if alloc_bits else _COST_BARRIER
+    pin = c64 if alloc_bits else np.int64(0)
+
+    ci = c64[1:-1, 1:-1]
+    nb_min = np.full((T, T), _COST_INF, dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            k = _K_DIAG if (dx != 0 and dy != 0) else _K_CARD
+            w = ((ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k
+                 ) << alloc_bits
+            np.minimum(nb_min,
+                       dp[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx] + w,
+                       out=nb_min)
+    src_i = src[1:-1, 1:-1]
+    pin_i = pin[1:-1, 1:-1] if alloc_bits else np.int64(0)
+    vi = valid[1:-1, 1:-1]
+    cur = dp[1:-1, 1:-1]
+    new = np.where(src_i, pin_i, np.minimum(cur, nb_min))
+    new = np.where(vi, new, _COST_INF)
+    np.minimum(new, _COST_INF, out=new)
+    return tx, ty, zp[1:-1, 1:-1], vi, cur, not np.array_equal(new, cur)
+
+
+_COST_CHK_SCHEMA = ("tile_x int, tile_y int, changed long, "
+                    "dist_band long, n_pixels long, sum_dist_fp long, "
+                    "max_dist_fp long")
+
+
+def _cost_check_census_kernel(pdf: pd.DataFrame, T: int,
+                              src_lo: float | None = None,
+                              src_hi: float | None = None
+                              ) -> pd.DataFrame:
+    """The cost convergence check with the distance census fused in
+    (r06, the _fill_check_census_kernel pattern): the check fan
+    already carries every tile's full (cost, distance) centre arrays,
+    so the same pass emits the per-tile log2 band rows — when the
+    global check comes back clean they ARE the final census and the
+    separate corpus-wide census pass disappears."""
+    cols = ["tile_x", "tile_y", "changed", "dist_band", "n_pixels",
+            "sum_dist_fp", "max_dist_fp"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    step = _cost_jacobi_step(pdf, T, src_lo, src_hi, 0)
+    if step is None:
+        return empty
+    tx, ty, zi, vi, cur, changed = step
+    if not vi.any():
+        return empty
+    d = cur[vi]
+    band = np.full(len(d), -1, dtype=np.int64)
+    unreached = d >= _COST_INF
+    band[unreached] = -2
+    pos = (d > 0) & ~unreached
+    # frexp, NOT _log2_band: the cost_distance oracle
+    # (synth/expected.py build_cost_distance) bands via the same
+    # float64 frexp expression, so mirroring it is what keeps the
+    # census bit-equal at EVERY input, including beyond 2^53
+    _, expo = np.frexp(d[pos].astype(np.float64))
+    band[pos] = expo - 1
+    dd = np.where(unreached, np.int64(0), d)
+    ub, inv = np.unique(band, return_inverse=True)
+    n = np.zeros(len(ub), dtype=np.int64)
+    s = np.zeros(len(ub), dtype=np.int64)
+    mx = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(n, inv, 1)
+    np.add.at(s, inv, dd)
+    np.maximum.at(mx, inv, dd)
+    return pd.DataFrame({
+        "tile_x": tx, "tile_y": ty, "changed": int(changed),
+        "dist_band": ub, "n_pixels": n, "sum_dist_fp": s,
+        "max_dist_fp": mx})
+
+
+_ALLOC_CHK_SCHEMA = ("tile_x int, tile_y int, changed long, "
+                     "alloc_zone long, dist_band long, n_pixels long, "
+                     "sum_dist_fp long, max_dist_fp long")
+
+
+def _alloc_check_census_kernel(pdf: pd.DataFrame, T: int,
+                               alloc_bits: int) -> pd.DataFrame:
+    """The allocation twin: packed-key Jacobi check + fused
+    (zone x band) census."""
+    cols = ["tile_x", "tile_y", "changed", "alloc_zone", "dist_band",
+            "n_pixels", "sum_dist_fp", "max_dist_fp"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    step = _cost_jacobi_step(pdf, T, None, None, alloc_bits)
+    if step is None:
+        return empty
+    tx, ty, zi, vi, cur, changed = step
+    if not vi.any():
+        return empty
+    mask = np.int64((1 << alloc_bits) - 1)
+    key = cur[vi]
+    unreached = key >= _COST_INF
+    zone = np.where(unreached, np.int64(-2), key & mask)
+    d = np.where(unreached, np.int64(0), key >> alloc_bits)
+    band = np.full(len(key), -1, dtype=np.int64)
+    band[unreached] = -2
+    pos = (d > 0) & ~unreached
+    band[pos] = _log2_band(d[pos])
+    # pack (zone, band) into one non-negative key for the unique pass:
+    # zone in [-2, 2^alloc_bits), band in [-2, 63)
+    pk = (zone + 2) * 1024 + (band + 2)
+    ub, inv = np.unique(pk, return_inverse=True)
+    n = np.zeros(len(ub), dtype=np.int64)
+    s = np.zeros(len(ub), dtype=np.int64)
+    mx = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(n, inv, 1)
+    np.add.at(s, inv, d)
+    np.maximum.at(mx, inv, d)
+    uz = ub // 1024 - 2
+    ubd = ub % 1024 - 2
+    return pd.DataFrame({
+        "tile_x": tx, "tile_y": ty, "changed": int(changed),
+        "alloc_zone": uz, "dist_band": ubd, "n_pixels": n,
+        "sum_dist_fp": s, "max_dist_fp": mx})
+
+
+def _cost_check_kernel(pdf: pd.DataFrame, T: int,
+                       src_lo: float | None = None,
+                       src_hi: float | None = None,
+                       alloc_bits: int = 0) -> pd.DataFrame:
+    """Plain (censusless) cost convergence check: would one
+    synchronous min-plus Jacobi step change any centre cell?"""
+    empty = pd.DataFrame({"tile_x": pd.Series(dtype="int32"),
+                          "tile_y": pd.Series(dtype="int32")})
+    step = _cost_jacobi_step(pdf, T, src_lo, src_hi, alloc_bits)
+    if step is None or not step[5]:
+        return empty
+    return pd.DataFrame({"tile_x": [step[0]], "tile_y": [step[1]]})
+
+
+_COST_ERR = ("cost_distance: relaxation exceeded {} rounds — cross-tile "
+             "path depth beyond guard (source density too low for the "
+             "round budget; raise max_rounds or densify sources)")
 
 
 def cost_distance_state(band_tiles: DataFrame, tile_px: int | None = None,
                         max_rounds: int = 10_000,
                         inner_cap: int | None = None,
                         src_lo: float | None = None,
-                        src_hi: float | None = None) -> DataFrame:
+                        src_hi: float | None = None,
+                        init_fan: DataFrame | None = None,
+                        use_check: bool = True) -> DataFrame:
     """Converged cost-distance state (tile_x, tile_y, pixels,
     filled=int64 distances, _COST_INF at unreached/invalid cells).
     Sources are cells <= src_lo and/or >= src_hi (default: the
-    _SRC_MAX low rule)."""
+    _SRC_MAX low rule). r06: the loop is check-driven by default
+    (_cost_check_kernel — the former full-corpus round-2 exchange
+    became a 1-px-strip int64 Jacobi check) and `init_fan` fuses the
+    retile shuffle into the init round; use_check=False keeps the
+    legacy schedule callable for A/B measurement and the parity pin."""
     T = tile_px or TILE_PX
     cap = inner_cap or 4 * T
 
     def kern(pdf):
         return _cost_round_kernel(pdf, T, cap, src_lo, src_hi)
 
+    if use_check:
+        def chk(pdf, T_):
+            return _cost_check_kernel(pdf, T_, src_lo, src_hi)
+
+        return _relax_rounds(
+            band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+            _COST_ERR, check_kern=chk, init_fan=init_fan, tile_px=T)
     return _relax_rounds(
         band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
-        "cost_distance: relaxation exceeded {} rounds — cross-tile "
-        "path depth beyond guard (source density too low for the "
-        "round budget; raise max_rounds or densify sources)")
+        _COST_ERR)
 
 
 def cost_distance_tiles(band_tiles: DataFrame,
                         tile_px: int | None = None,
                         max_rounds: int = 10_000,
-                        inner_cap: int | None = None) -> DataFrame:
+                        inner_cap: int | None = None,
+                        init_fan: DataFrame | None = None,
+                        use_check: bool = True) -> DataFrame:
     """Cost-distance census: every valid pixel's least accumulated
     cost over 8-connected paths to the nearest SOURCE cell (cost-band
     value <= _SRC_MAX), where stepping between adjacent cells costs
@@ -2096,7 +2336,27 @@ def cost_distance_tiles(band_tiles: DataFrame,
     Reference scope: the reference has no cost-distance operator
     (standard GIS op: GRASS r.cost / ArcGIS CostDistance); census
     design matches the fill/flow family."""
-    state = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap)
+    T = tile_px or TILE_PX
+    if use_check:
+        # r06: the census rides the convergence check (the fill
+        # pattern) — the final clean check pass IS the census, so the
+        # separate corpus-wide census pass disappears
+        cap = inner_cap or 4 * T
+
+        def kern(pdf):
+            return _cost_round_kernel(pdf, T, cap, None, None)
+
+        _state, chk = _relax_rounds(
+            band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+            _COST_ERR, check_kern=_cost_check_census_kernel,
+            init_fan=init_fan, tile_px=T, check_schema=_COST_CHK_SCHEMA)
+        return (chk.groupBy(
+            F.col("dist_band").cast("int").alias("dist_band"))
+            .agg(F.sum("n_pixels").alias("n_pixels"),
+                 F.sum("sum_dist_fp").alias("sum_dist_fp"),
+                 F.max("max_dist_fp").alias("max_dist_fp")))
+    state = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
+                                use_check=False)
 
     def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["dist_band", "n_pixels", "sum_dist_fp", "max_dist_fp"]
@@ -2152,7 +2412,9 @@ _ALLOC_BITS = 7
 def cost_allocation_state(band_tiles: DataFrame,
                           tile_px: int | None = None,
                           max_rounds: int = 10_000,
-                          inner_cap: int | None = None) -> DataFrame:
+                          inner_cap: int | None = None,
+                          init_fan: DataFrame | None = None,
+                          use_check: bool = True) -> DataFrame:
     """Converged cost-allocation state: `filled` holds the packed key
     (distance << _ALLOC_BITS) | nearest_source_label per pixel
     (_COST_INF at unreached/invalid).  Identical relaxation to
@@ -2166,6 +2428,16 @@ def cost_allocation_state(band_tiles: DataFrame,
     def kern(pdf):
         return _cost_round_kernel(pdf, T, cap, None, None, _ALLOC_BITS)
 
+    if use_check:
+        def chk(pdf, T_):
+            return _cost_check_kernel(pdf, T_, alloc_bits=_ALLOC_BITS)
+
+        return _relax_rounds(
+            band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+            "cost_allocation: relaxation exceeded {} rounds — "
+            "cross-tile path depth beyond guard (source density too "
+            "low for the round budget; raise max_rounds or densify "
+            "sources)", check_kern=chk, init_fan=init_fan, tile_px=T)
     return _relax_rounds(
         band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
         "cost_allocation: relaxation exceeded {} rounds — cross-tile "
@@ -2176,7 +2448,9 @@ def cost_allocation_state(band_tiles: DataFrame,
 def cost_allocation_tiles(band_tiles: DataFrame,
                           tile_px: int | None = None,
                           max_rounds: int = 10_000,
-                          inner_cap: int | None = None) -> DataFrame:
+                          inner_cap: int | None = None,
+                          init_fan: DataFrame | None = None,
+                          use_check: bool = True) -> DataFrame:
     """Cost-allocation census: every valid pixel is assigned the ZONE
     of its least-cost-nearest source cell (the source's own integer
     value, 100..103 in the synthetic surface — ArcGIS Cost Allocation
@@ -2202,8 +2476,32 @@ def cost_allocation_tiles(band_tiles: DataFrame,
     Reference scope: the reference has no allocation operator
     (standard GIS op: ArcGIS CostAllocation / GRASS r.cost
     nearest-start output); census design matches the cost family."""
+    T = tile_px or TILE_PX
+    if use_check:
+        cap = inner_cap or 4 * T
+
+        def kern(pdf):
+            return _cost_round_kernel(pdf, T, cap, None, None,
+                                      _ALLOC_BITS)
+
+        def chk(pdf, T_):
+            return _alloc_check_census_kernel(pdf, T_, _ALLOC_BITS)
+
+        _state, chk_df = _relax_rounds(
+            band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+            "cost_allocation: relaxation exceeded {} rounds — "
+            "cross-tile path depth beyond guard (source density too "
+            "low for the round budget; raise max_rounds or densify "
+            "sources)", check_kern=chk, init_fan=init_fan, tile_px=T,
+            check_schema=_ALLOC_CHK_SCHEMA)
+        return (chk_df.groupBy(
+            F.col("alloc_zone").cast("int").alias("alloc_zone"),
+            F.col("dist_band").cast("int").alias("dist_band"))
+            .agg(F.sum("n_pixels").alias("n_pixels"),
+                 F.sum("sum_dist_fp").alias("sum_dist_fp"),
+                 F.max("max_dist_fp").alias("max_dist_fp")))
     state = cost_allocation_state(band_tiles, tile_px, max_rounds,
-                                  inner_cap)
+                                  inner_cap, use_check=False)
     mask = np.int64((1 << _ALLOC_BITS) - 1)
 
     def census_kern(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2223,8 +2521,10 @@ def cost_allocation_tiles(band_tiles: DataFrame,
             band = np.full(len(key), -1, dtype=np.int64)
             band[unreached] = -2
             pos = (d > 0) & ~unreached
-            _, expo = np.frexp(d[pos].astype(np.float64))
-            band[pos] = expo - 1
+            # _log2_band, not frexp: the cost_allocation oracle bands
+            # via int.bit_length() (ADVICE r05 hardening — exact to
+            # the documented 2^55 ceiling, identical below 2^53)
+            band[pos] = _log2_band(d[pos])
             parts.append(pd.DataFrame({
                 "alloc_zone": zone, "dist_band": band, "n_pixels": 1,
                 "sum_dist_fp": d, "max_dist_fp": d}))
@@ -2257,7 +2557,9 @@ def cost_allocation_tiles(band_tiles: DataFrame,
 def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                    src_lo: float = _SRC_MAX, dst_hi: float = 4990.0,
                    max_rounds: int = 10_000,
-                   inner_cap: int | None = None) -> DataFrame:
+                   inner_cap: int | None = None,
+                   init_fan: DataFrame | None = None,
+                   use_check: bool = True) -> DataFrame:
     """Least-cost corridor census between terminal sets A (cells <=
     src_lo) and B (cells >= dst_hi) — the standard GIS corridor
     analysis (GRASS r.cost x2 + r.mapcalc class): for every valid cell
@@ -2279,13 +2581,18 @@ def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     literal. Exact vs the independently-written double-heapq-Dijkstra
     oracle (synth/expected.py build_corridor)."""
     A = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
-                            src_lo=src_lo)
+                            src_lo=src_lo, init_fan=init_fan,
+                            use_check=use_check)
     B = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
-                            src_lo=None, src_hi=dst_hi)
+                            src_lo=None, src_hi=dst_hi,
+                            init_fan=init_fan, use_check=use_check)
+    # both relax states are already localCheckpointed; checkpoint the
+    # tile-keyed join once so the C* scan and the census don't each
+    # re-execute it (r06)
     j = (A.select("tile_x", "tile_y", "pixels",
                   F.col("filled").alias("da"))
          .join(B.select("tile_x", "tile_y", F.col("filled").alias("db")),
-               ["tile_x", "tile_y"]))
+               ["tile_x", "tile_y"])).localCheckpoint()
 
     from remotior_sensus_spark import NODATA
 
@@ -2314,7 +2621,7 @@ def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     row = j.mapInPandas(min_kern, "m long").agg(
         F.min("m").alias("m")).collect()[0]
     cstar = row["m"]
-    spark = band_tiles.sparkSession
+    spark = j.sparkSession
     if cstar is None:
         return spark.createDataFrame(
             [], "slack_band int, n_pixels long, sum_slack_fp long, "

@@ -56,7 +56,8 @@ from remotior_sensus_spark.operators.focal import (
 def horn_terrain(band_tiles: DataFrame, cellsize: float = 10.0,
                  z_factor: float = 1.0, azimuth_deg: float = 315.0,
                  altitude_deg: float = 45.0,
-                 tile_px: int | None = None) -> DataFrame:
+                 tile_px: int | None = None,
+                 fan: DataFrame | None = None) -> DataFrame:
     """Per-tile slope/aspect/hillshade arrays (doubles, NODATA where the
     3x3 window is incomplete).  One focal halo shuffle, one numpy pass.
 
@@ -117,7 +118,7 @@ def horn_terrain(band_tiles: DataFrame, cellsize: float = 10.0,
             "hillshade": [hs.ravel().tolist()],
         })
 
-    halo = _with_halo_groups(band_tiles)
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
     return halo.groupBy("target_tx", "target_ty").applyInPandas(
         kernel,
         schema=("tile_x int, tile_y int, slope array<double>, "

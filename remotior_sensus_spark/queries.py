@@ -1892,8 +1892,8 @@ from allpx group by 1, 2
 """)
 def focal_mean(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    out = neighbor_stats(t64, stat="mean", size=1, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    out = neighbor_stats(None, stat="mean", size=1, tile_px=t_px, fan=fan)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -1926,8 +1926,8 @@ from allpx group by 1, 2
 """)
 def focal_sum(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import neighbor_stats
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    out = neighbor_stats(t64, stat="sum", size=1, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    out = neighbor_stats(None, stat="sum", size=1, tile_px=t_px, fan=fan)
     nd = F.lit(float(NODATA))
     valid = F.filter(F.col("pixels"), lambda x: x != nd)
     return out.select(
@@ -2008,8 +2008,8 @@ from v group by 1
 """)
 def terrain_slope(spark, sf_dir):
     from remotior_sensus_spark.operators.terrain import horn_terrain
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    ter = horn_terrain(None, cellsize=10.0, tile_px=t_px, fan=fan)
     z = (
         ter.select(F.explode(F.arrays_zip("slope", "hillshade")).alias("z"))
         .select(F.col("z.slope").alias("s"), F.col("z.hillshade").alias("h"))
@@ -2047,8 +2047,8 @@ from a group by 1
 """)
 def aspect_sectors(spark, sf_dir):
     from remotior_sensus_spark.operators.terrain import horn_terrain
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    ter = horn_terrain(None, cellsize=10.0, tile_px=t_px, fan=fan)
     asp = (
         ter.select(F.explode("aspect").alias("aspect"))
         .filter(F.col("aspect") != float(NODATA))
@@ -3337,8 +3337,9 @@ def dilation_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import dilation
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    t64, t_px = _retile4(q4, sf_dir)
-    out = dilation(t64, values=[7.0], size=1, circular=True, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", df=q4)
+    out = dilation(None, values=[7.0], size=1, circular=True,
+                   tile_px=t_px, fan=fan)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -3373,8 +3374,9 @@ def erosion_counts(spark, sf_dir):
     from remotior_sensus_spark.operators.focal import erosion
     q4 = band_calc(_tiles(spark, sf_dir), 'where("B04" > 3500, 7, 1)',
                    nodata_mask="any")
-    t64, t_px = _retile4(q4, sf_dir)
-    out = erosion(t64, values=[7.0], size=1, circular=True, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", df=q4)
+    out = erosion(None, values=[7.0], size=1, circular=True,
+                  tile_px=t_px, fan=fan)
     return (
         out.select(F.explode("pixels").alias("v"))
         .groupBy("v").agg(F.count("*").alias("pixel_count"))
@@ -6765,8 +6767,8 @@ def aspect_slope_cross_q(spark, sf_dir):
     derivatives from the same arrays_zip explode, one bounded-grid
     rollup (operators/terrain.horn_terrain)."""
     from remotior_sensus_spark.operators.terrain import horn_terrain
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    ter = horn_terrain(t64, cellsize=10.0, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    ter = horn_terrain(None, cellsize=10.0, tile_px=t_px, fan=fan)
     z = (
         ter.select(F.explode(F.arrays_zip("slope", "aspect")).alias("z"))
         .select(F.col("z.slope").alias("s"), F.col("z.aspect").alias("a"))
@@ -7550,8 +7552,9 @@ def cost_distance_q(spark, sf_dir):
     (hydrology.cost_distance_tiles)."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.cost_distance_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    return hydrology.cost_distance_tiles(None, tile_px=t_px,
+                                         init_fan=fan)
 
 
 @q("compact_cell_cover", f"""
@@ -7641,8 +7644,9 @@ def cost_allocation_q(spark, sf_dir):
     (hydrology.cost_allocation_tiles)."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.cost_allocation_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    return hydrology.cost_allocation_tiles(None, tile_px=t_px,
+                                           init_fan=fan)
 
 
 @q("corridor_census",
@@ -7655,8 +7659,10 @@ def corridor_census_q(spark, sf_dir):
     double-heapq-Dijkstra oracle (synth/expected.py build_corridor)."""
     from remotior_sensus_spark.operators import hydrology
     _ensure_expected(sf_dir)
-    t64, t_px = _retile4(_b01(spark, sf_dir, "B04"), sf_dir)
-    return hydrology.corridor_tiles(t64, tile_px=t_px)
+    fan, t_px = _fan64(spark, sf_dir, "B04", halo_tiles=4)
+    # one checkpointed fan feeds BOTH fixpoints' init rounds (r06)
+    return hydrology.corridor_tiles(None, tile_px=t_px,
+                                    init_fan=fan.localCheckpoint())
 
 
 @q("geomorphon_census",

@@ -587,3 +587,52 @@ def test_fine_halo_parity_halo2(spark, b04):
     got = {tuple(r) for r in
            geostats.viewshed_tiles(None, tile_px=64, fan=fan).collect()}
     assert got == ref
+
+
+def test_fine_halo_parity_focal_terrain(spark, b04):
+    """r06 continuation: the fused fine fan is bit-identical to
+    retile(4) + _with_halo_groups for the classic focal family too —
+    neighbor_stats (median exercises the full window), dilation,
+    erosion (the exists-mask path), and Horn terrain."""
+    from remotior_sensus_spark.operators.focal import (
+        _with_fine_halo_groups, dilation, erosion, neighbor_stats)
+    from remotior_sensus_spark.operators.retile import retile
+    from remotior_sensus_spark.operators.terrain import horn_terrain
+
+    t64 = retile(b04, 4)
+    # two independent fans: each applyInPandas consumes its own
+    fan = lambda: _with_fine_halo_groups(b04, 4, halo_tiles=1)  # noqa: E731
+
+    for kw in ({"stat": "median", "size": 2},
+               {"stat": "std", "size": 1}):
+        ref = {(r["tile_x"], r["tile_y"], tuple(r["pixels"])) for r in
+               neighbor_stats(t64, tile_px=64, **kw).collect()}
+        got = {(r["tile_x"], r["tile_y"], tuple(r["pixels"])) for r in
+               neighbor_stats(None, tile_px=64, fan=fan(), **kw).collect()}
+        assert got == ref, kw
+
+    binary = t64.selectExpr(
+        "tile_x", "tile_y",
+        "transform(pixels, x -> case when x = -32768.0 then -32768.0 "
+        "when x > 3500.0 then 7.0 else 1.0 end) as pixels")
+    bin16 = b04.selectExpr(
+        "tile_x", "tile_y",
+        "transform(pixels, x -> case when x = -32768.0 then -32768.0 "
+        "when x > 3500.0 then 7.0 else 1.0 end) as pixels")
+    bfan = lambda: _with_fine_halo_groups(bin16, 4, halo_tiles=1)  # noqa: E731
+    for op in (dilation, erosion):
+        ref = {(r["tile_x"], r["tile_y"], tuple(r["pixels"])) for r in
+               op(binary, values=[7.0], size=1, tile_px=64).collect()}
+        got = {(r["tile_x"], r["tile_y"], tuple(r["pixels"])) for r in
+               op(None, values=[7.0], size=1, tile_px=64,
+                  fan=bfan()).collect()}
+        assert got == ref, op.__name__
+
+    ref = {(r["tile_x"], r["tile_y"], tuple(r["slope"]),
+            tuple(r["aspect"]), tuple(r["hillshade"])) for r in
+           horn_terrain(t64, cellsize=10.0, tile_px=64).collect()}
+    got = {(r["tile_x"], r["tile_y"], tuple(r["slope"]),
+            tuple(r["aspect"]), tuple(r["hillshade"])) for r in
+           horn_terrain(None, cellsize=10.0, tile_px=64,
+                        fan=fan()).collect()}
+    assert got == ref

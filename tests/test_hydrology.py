@@ -1066,3 +1066,63 @@ def test_fill_check_parity(spark, geo001_dir):
                                                   halo_tiles=1),
                   init_halo_px=16).collect()}
     assert got_w1 == ref
+
+
+def test_cost_check_parity(spark):
+    """The r06 check-driven cost loop (1-px-strip int64 Jacobi check
+    replacing the legacy full round-2 exchange, fused fine-fan init,
+    fused census) is bit-exact against the legacy schedule for all
+    three cost operators, including when the inner cap forces the
+    active-set machinery through many cross-tile rounds."""
+    from remotior_sensus_spark.operators import hydrology as hy
+    from remotior_sensus_spark.operators.focal import _with_fine_halo_groups
+
+    r = _cost_raster(128, 128, seed=23)
+    t16 = _tiles_df(spark, r, 16)
+    t64 = _tiles_df(spark, r, 64)
+    fan = _with_fine_halo_groups(t16, 4, halo_tiles=4)
+
+    # cost_distance: legacy vs check-driven (same 64-px retile) vs
+    # check-driven with the fused fine init fan
+    ref = _spark_cost_census(
+        hy.cost_distance_tiles(t64, tile_px=64, use_check=False))
+    assert _spark_cost_census(
+        hy.cost_distance_tiles(t64, tile_px=64)) == ref
+    assert _spark_cost_census(
+        hy.cost_distance_tiles(None, tile_px=64, init_fan=fan)) == ref
+    # inner_cap=2 forces check -> active rounds -> check cycles
+    assert _spark_cost_census(
+        hy.cost_distance_tiles(None, tile_px=64, init_fan=fan,
+                               inner_cap=2)) == ref
+
+    # cost_allocation
+    ra = _alloc_raster(128, 128, seed=23)
+    a16 = _tiles_df(spark, ra, 16)
+    a64 = _tiles_df(spark, ra, 64)
+    afan = _with_fine_halo_groups(a16, 4, halo_tiles=4)
+
+    def alloc_census(df):
+        return {(r["alloc_zone"], r["dist_band"]):
+                (r["n_pixels"], r["sum_dist_fp"], r["max_dist_fp"])
+                for r in df.collect()}
+
+    aref = alloc_census(
+        hy.cost_allocation_tiles(a64, tile_px=64, use_check=False))
+    assert alloc_census(
+        hy.cost_allocation_tiles(None, tile_px=64,
+                                 init_fan=afan)) == aref
+    assert alloc_census(
+        hy.cost_allocation_tiles(None, tile_px=64, init_fan=afan,
+                                 inner_cap=2)) == aref
+
+    # corridor: two check-driven fixpoints off one checkpointed fan
+    def corr_census(df):
+        return {r["slack_band"]: (r["n_pixels"], r["sum_slack_fp"],
+                                  r["max_slack_fp"])
+                for r in df.collect()}
+
+    cref = corr_census(
+        hy.corridor_tiles(t64, tile_px=64, use_check=False))
+    assert corr_census(
+        hy.corridor_tiles(None, tile_px=64,
+                          init_fan=fan.localCheckpoint())) == cref
