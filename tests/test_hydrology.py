@@ -1126,3 +1126,35 @@ def test_cost_check_parity(spark):
     assert corr_census(
         hy.corridor_tiles(None, tile_px=64,
                           init_fan=fan.localCheckpoint())) == cref
+
+
+def test_phase2_distributed_parity_log_rounds(spark):
+    """The r06 pointer-doubled distributed phase 2 matches the driver
+    branch bit for bit AND terminates in O(log chain) rounds: on a
+    serpentine ramp (one long flow line snaking through every tile)
+    the old hop-per-round loop needed ~chain-length rounds, the
+    doubled loop must stay within ceil(log2(n_border)) + 2."""
+    import math
+
+    from remotior_sensus_spark.operators import hydrology as hy
+
+    # serpentine descending surface: flow snakes row by row, so the
+    # border-entry chain spans nearly every border cell
+    h, w = 64, 64
+    vals = np.arange(h * w, dtype=float)[::-1]
+    r = np.zeros((h, w))
+    for y in range(h):
+        row = vals[y * w:(y + 1) * w]
+        r[y] = row if y % 2 == 0 else row[::-1]
+    r = r + 1.0
+    tiles = _tiles_df(spark, r, 16)
+
+    want = _spark_acc_census(
+        hy.flow_accumulation_tiles(tiles, tile_px=16))
+    got = _spark_acc_census(
+        hy.flow_accumulation_tiles(tiles, tile_px=16,
+                                   driver_threshold=0))
+    assert got == want
+    n_border = 4 * 16 * (h // 16) * (w // 16)  # upper bound
+    assert 1 <= hy._LAST_PH2_ROUNDS <= math.ceil(
+        math.log2(n_border)) + 2, hy._LAST_PH2_ROUNDS
