@@ -1511,35 +1511,43 @@ def _halo2(state: DataFrame) -> DataFrame:
         "pixels", "filled")
 
 
-def _check_fan(state: DataFrame, T: int) -> DataFrame:
+def _check_fan(state: DataFrame, T: int, layers: int = 1) -> DataFrame:
     """1-px strip fan for the Jacobi convergence check (r06,
     guide §2.3): each tile ships its FULL (pixels, filled) arrays to
     its own group only, plus the 1-px edge facing each neighbour —
     ~(2 + 4/T) arrays-worth of bytes per tile instead of the 18 a
     full _halo2 round moves. All slicing is JVM-side (slice /
-    transform+get on the row-major arrays)."""
-    def strip(col, dx, dy):
+    transform+get on the row-major arrays). `layers` > 1 (the fused
+    corridor state: `filled` = layers concatenated T^2 planes) strips
+    each plane and concatenates the per-plane strips in order."""
+    def strip1(col, dx, dy, base):
         # the part of THIS tile that lands within 1 px of the
         # neighbour (tile_x+dx, tile_y+dy): dx=+1 -> rightmost column,
         # dx=-1 -> leftmost, dy likewise for rows
-        if dx == 0 and dy == 0:
-            return F.col(col)
         if dx == 0:
             r0 = T * (T - 1) if dy == 1 else 0
-            return F.slice(col, r0 + 1, T)
+            return F.slice(col, base + r0 + 1, T)
         cx = T - 1 if dx == 1 else 0
         if dy == 0:
             return F.transform(F.sequence(F.lit(0), F.lit(T - 1)),
-                               lambda r: F.get(col, r * T + cx))
+                               lambda r: F.get(col, base + r * T + cx))
         ry = T - 1 if dy == 1 else 0
-        return F.array(F.get(col, ry * T + cx))
+        return F.array(F.get(col, base + ry * T + cx))
+
+    def strip(col, dx, dy, nlay=1):
+        if dx == 0 and dy == 0:
+            return F.col(col)
+        if nlay == 1:
+            return strip1(col, dx, dy, 0)
+        return F.concat(*[strip1(col, dx, dy, p * T * T)
+                          for p in range(nlay)])
 
     # one scan + explode (not a 9-way union: 9 scans of the state cost
     # ~2x the single projection at sf0.1)
     entries = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
                  strip("pixels", dx, dy).alias("px"),
-                 strip("filled", dx, dy).alias("fl"))
+                 strip("filled", dx, dy, layers).alias("fl"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     return state.select(
         "tile_x", "tile_y", F.explode(entries).alias("o")
@@ -1760,7 +1768,8 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
                   err_fmt: str, check_kern=None,
                   init_fan: DataFrame | None = None,
                   tile_px: int | None = None,
-                  check_schema: str = "tile_x int, tile_y int"):
+                  check_schema: str = "tile_x int, tile_y int",
+                  check_layers: int = 1):
     """Generic chaotic-relaxation driver shared by every monotone
     tile-halo fixpoint operator (depression fill, cost distance): run
     `kern` over 3x3-tile halo groups until no tile reports change.
@@ -1809,7 +1818,7 @@ def _relax_rounds(band_tiles: DataFrame, kern, schema: str,
         rounds = 1
         chk = None
         while True:
-            fanc = _check_fan(state, T)
+            fanc = _check_fan(state, T, check_layers)
             chk_df = fanc.groupBy("target_tx", "target_ty").applyInPandas(
                 lambda p: check_kern(p, T), check_schema)
             if check_schema == "tile_x int, tile_y int":
@@ -2311,6 +2320,170 @@ _COST_ERR = ("cost_distance: relaxation exceeded {} rounds — cross-tile "
              "round budget; raise max_rounds or densify sources)")
 
 
+def _corridor_round_kernel(pdf: pd.DataFrame, T: int, inner_cap: int,
+                           src_lo: float, dst_hi: float) -> pd.DataFrame:
+    """One relaxation round for BOTH corridor fixpoints at once (r06,
+    guide §2.4): `filled` holds the two distance planes concatenated
+    ([dA | dB], 2*T^2 int64) and the min-plus Jacobi solve runs on the
+    stacked (2, P, P) array — the layers never interact, so each plane
+    relaxes exactly as _cost_round_kernel would relax it alone (pinned
+    by test_corridor_fused_parity), while the fan bytes, the round
+    scheduling, the checkpoints and the per-group Arrow overhead are
+    paid ONCE instead of twice."""
+    empty = pd.DataFrame({
+        "tile_x": pd.Series(dtype="int32"),
+        "tile_y": pd.Series(dtype="int32"),
+        "pixels": pd.Series(dtype="object"),
+        "filled": pd.Series(dtype="object"),
+        "changed": pd.Series(dtype="int64")})
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return empty
+    from remotior_sensus_spark.operators.focal import _assemble_padded
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    z_pad = _assemble_padded(pdf, tile_px=T)
+    P = 3 * T
+    valid_pad = ~np.isnan(z_pad)
+    fine = "filled" not in pdf.columns
+    src_stack = np.stack([valid_pad & (z_pad <= src_lo),
+                          valid_pad & (z_pad >= dst_hi)])
+    c64 = np.where(valid_pad, np.nan_to_num(z_pad, nan=0.0),
+                   0.0).astype(np.int64)
+    c64[~valid_pad] = _COST_BARRIER
+
+    init = fine or centre["filled"].iloc[0] is None
+    if init:
+        d = np.where(src_stack, np.int64(0), _COST_INF)
+    else:
+        d = np.full((2, P, P), _COST_INF, dtype=np.int64)
+        for _, r in pdf.iterrows():
+            a = np.asarray(r["filled"], dtype=np.int64).reshape(2, T, T)
+            ys = slice((1 - r["dy"]) * T, (2 - r["dy"]) * T)
+            xs = slice((1 - r["dx"]) * T, (2 - r["dx"]) * T)
+            d[:, ys, xs] = a
+    dc0 = d[:, T:2 * T, T:2 * T].copy()
+
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+    ci = c64[1:-1, 1:-1]
+    w8 = []
+    for dy, dx in shifts:
+        k = _K_DIAG if (dx != 0 and dy != 0) else _K_CARD
+        w8.append((dy, dx,
+                   (ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k))
+    src_i = src_stack[:, 1:-1, 1:-1]
+    vi = valid_pad[1:-1, 1:-1]
+    converged = False
+    for _ in range(inner_cap):
+        nb_min = np.full((2, P - 2, P - 2), _COST_INF, dtype=np.int64)
+        for dy, dx, w in w8:
+            np.minimum(nb_min,
+                       d[:, 1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx] + w,
+                       out=nb_min)
+        cur = d[:, 1:-1, 1:-1]
+        new = np.where(src_i, np.int64(0), np.minimum(cur, nb_min))
+        new = np.where(vi[None], new, _COST_INF)
+        np.minimum(new, _COST_INF, out=new)
+        if np.array_equal(new, cur):
+            converged = True
+            break
+        d[:, 1:-1, 1:-1] = new
+    final = d[:, T:2 * T, T:2 * T]
+    changed = int(init or not converged or not np.array_equal(final, dc0))
+    if fine:
+        from remotior_sensus_spark import NODATA
+        ctr = z_pad[T:2 * T, T:2 * T]
+        pixels_out = np.where(np.isnan(ctr), float(NODATA),
+                              ctr).ravel().tolist()
+    else:
+        pixels_out = centre["pixels"].iloc[0]
+    return pd.DataFrame({
+        "tile_x": [tx], "tile_y": [ty],
+        "pixels": [pixels_out],
+        "filled": [final.ravel().tolist()],
+        "changed": [changed]})
+
+
+def _corridor_check_pads(pdf: pd.DataFrame, T: int):
+    """(z_pad float64 (T+2)^2, d_pad int64 (2, T+2, T+2)) from a
+    layers=2 _check_fan group (per-plane strips concatenated)."""
+    from remotior_sensus_spark import NODATA
+
+    zp = np.full((T + 2, T + 2), np.nan)
+    dp = np.full((2, T + 2, T + 2), _COST_INF, dtype=np.int64)
+    dxs = pdf["dx"].to_numpy()
+    dys = pdf["dy"].to_numpy()
+    zs = pdf["pixels"].to_numpy()
+    fs = pdf["filled"].to_numpy()
+    for i in range(len(pdf)):
+        dx, dy = int(dxs[i]), int(dys[i])
+        z = np.asarray(zs[i], dtype=np.float64)
+        f = np.asarray(fs[i], dtype=np.int64).reshape(2, -1)
+        if dx == 0 and dy == 0:
+            zp[1:T + 1, 1:T + 1] = z.reshape(T, T)
+            dp[:, 1:T + 1, 1:T + 1] = f.reshape(2, T, T)
+            continue
+        ys = 0 if dy == 1 else (T + 1 if dy == -1 else slice(1, T + 1))
+        xs = 0 if dx == 1 else (T + 1 if dx == -1 else slice(1, T + 1))
+        zp[ys, xs] = z
+        dp[0, ys, xs] = f[0]
+        dp[1, ys, xs] = f[1]
+    zp[zp == NODATA] = np.nan
+    return zp, dp
+
+
+_CORR_CHK_SCHEMA = ("tile_x int, tile_y int, changed long, "
+                    "min_total long")
+
+
+def _corridor_check_kernel(pdf: pd.DataFrame, T: int, src_lo: float,
+                           dst_hi: float) -> pd.DataFrame:
+    """Dual-plane Jacobi convergence check with the per-tile corridor
+    minimum fused in: every round emits (changed, min over valid cells
+    of dA + dB with both reached, else _COST_INF) — when the global
+    check comes back clean, min over tiles of min_total IS C*, so the
+    former corpus-wide C*-scan pass disappears."""
+    cols = ["tile_x", "tile_y", "changed", "min_total"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+    if not len(centre):
+        return empty
+    tx = int(centre["target_tx"].iloc[0])
+    ty = int(centre["target_ty"].iloc[0])
+    zp, dp = _corridor_check_pads(pdf, T)
+    P = T + 2
+    valid = ~np.isnan(zp)
+    src = np.stack([valid & (zp <= src_lo), valid & (zp >= dst_hi)])
+    c64 = np.where(valid, np.nan_to_num(zp, nan=0.0), 0.0).astype(np.int64)
+    c64[~valid] = _COST_BARRIER
+    ci = c64[1:-1, 1:-1]
+    nb_min = np.full((2, T, T), _COST_INF, dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            k = _K_DIAG if (dx != 0 and dy != 0) else _K_CARD
+            w = (ci + c64[1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx]) * k
+            np.minimum(nb_min,
+                       dp[:, 1 + dy:P - 1 + dy, 1 + dx:P - 1 + dx] + w,
+                       out=nb_min)
+    vi = valid[1:-1, 1:-1]
+    cur = dp[:, 1:-1, 1:-1]
+    new = np.where(src[:, 1:-1, 1:-1], np.int64(0),
+                   np.minimum(cur, nb_min))
+    new = np.where(vi[None], new, _COST_INF)
+    np.minimum(new, _COST_INF, out=new)
+    changed = int(not np.array_equal(new, cur))
+    da, db = cur[0][vi], cur[1][vi]
+    reach = (da < _COST_INF) & (db < _COST_INF)
+    mt = int((da[reach] + db[reach]).min()) if reach.any() \
+        else int(_COST_INF)
+    return pd.DataFrame({
+        "tile_x": [tx], "tile_y": [ty], "changed": [changed],
+        "min_total": [mt]})
+
+
 def cost_distance_state(band_tiles: DataFrame, tile_px: int | None = None,
                         max_rounds: int = 10_000,
                         inner_cap: int | None = None,
@@ -2613,29 +2786,63 @@ def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
     with (n_pixels, sum_slack_fp, max_slack_fp) per band, all exact
     int64 fixed-point.
 
-    Composition shape: two independent cost_distance_state fixpoints
-    (each = the audited relax-rounds scale story) meet in ONE
-    tile-keyed equi join of two localCheckpointed 3-column state
-    streams — no pixel explosion, no extra halo. The global C* is a
-    driver-side scalar from a per-partition Arrow min (the audited
-    broadcast-scalar pattern), then one census pass with C* as a
-    literal. Exact vs the independently-written double-heapq-Dijkstra
-    oracle (synth/expected.py build_corridor)."""
-    A = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
-                            src_lo=src_lo, init_fan=init_fan,
-                            use_check=use_check)
-    B = cost_distance_state(band_tiles, tile_px, max_rounds, inner_cap,
-                            src_lo=None, src_hi=dst_hi,
-                            init_fan=init_fan, use_check=use_check)
-    # both relax states are already localCheckpointed; checkpoint the
-    # tile-keyed join once so the C* scan and the census don't each
-    # re-execute it (r06)
-    j = (A.select("tile_x", "tile_y", "pixels",
-                  F.col("filled").alias("da"))
-         .join(B.select("tile_x", "tile_y", F.col("filled").alias("db")),
-               ["tile_x", "tile_y"])).localCheckpoint()
-
+    Composition shape (r06, use_check=True): ONE dual-plane relax
+    fixpoint computes dA and dB together — `filled` carries both
+    distance planes, the stacked (2, P, P) Jacobi solve relaxes them
+    in the same numpy pass, so the halo fan, the round scheduling and
+    the checkpoints are paid once instead of twice and the A-join-B
+    equi join disappears (the state IS the join). The per-tile
+    min(dA + dB) rides the convergence check rows, so when the check
+    comes back clean C* is already on the driver — no corpus C*-scan
+    pass. One census pass with C* as a literal closes it. The legacy
+    composition (two independent cost_distance_state fixpoints +
+    tile-keyed join, use_check=False) stays callable and is pinned
+    bit-equal by test_corridor_fused_parity. Exact vs the
+    independently-written double-heapq-Dijkstra oracle
+    (synth/expected.py build_corridor)."""
     from remotior_sensus_spark import NODATA
+    T = tile_px or TILE_PX
+
+    if use_check:
+        cap = inner_cap or 4 * T
+
+        def kern(pdf):
+            return _corridor_round_kernel(pdf, T, cap, src_lo, dst_hi)
+
+        def chk(pdf, T_):
+            return _corridor_check_kernel(pdf, T_, src_lo, dst_hi)
+
+        state, chk_df = _relax_rounds(
+            band_tiles, kern, _COST_SCHEMA, "array<long>", max_rounds,
+            "corridor: relaxation exceeded {} rounds — cross-tile "
+            "path depth beyond guard (terminal density too low for "
+            "the round budget; raise max_rounds)",
+            check_kern=chk, init_fan=init_fan, tile_px=T,
+            check_schema=_CORR_CHK_SCHEMA, check_layers=2)
+        row = chk_df.agg(F.min("min_total").alias("m")).collect()[0]
+        spark = state.sparkSession
+        cstar = row["m"]
+        if cstar is None or cstar >= int(_COST_INF):
+            return spark.createDataFrame(
+                [], "slack_band int, n_pixels long, sum_slack_fp long, "
+                    "max_slack_fp long")
+        cstar = int(cstar)
+        j = state.select(
+            "pixels",
+            F.slice("filled", 1, T * T).alias("da"),
+            F.slice("filled", T * T + 1, T * T).alias("db"))
+    else:
+        A = cost_distance_state(band_tiles, tile_px, max_rounds,
+                                inner_cap, src_lo=src_lo,
+                                use_check=False)
+        B = cost_distance_state(band_tiles, tile_px, max_rounds,
+                                inner_cap, src_lo=None, src_hi=dst_hi,
+                                use_check=False)
+        j = (A.select("tile_x", "tile_y", "pixels",
+                      F.col("filled").alias("da"))
+             .join(B.select("tile_x", "tile_y",
+                            F.col("filled").alias("db")),
+                   ["tile_x", "tile_y"])).localCheckpoint()
 
     def _totals(pdf: pd.DataFrame):
         """(valid mask, total int64 with _COST_INF at unreached) per row."""
@@ -2648,26 +2855,27 @@ def corridor_tiles(band_tiles: DataFrame, tile_px: int | None = None,
                            da + db, _COST_INF)
             yield v, tot
 
-    def min_kern(it):
-        best = None
-        for pdf in it:
-            for v, tot in _totals(pdf):
-                t = tot[v & (tot < _COST_INF)]
-                if len(t):
-                    m = int(t.min())
-                    best = m if best is None else min(best, m)
-        yield pd.DataFrame({"m": [best]} if best is not None
-                           else {"m": pd.Series(dtype="int64")})
+    if not use_check:
+        def min_kern(it):
+            best = None
+            for pdf in it:
+                for v, tot in _totals(pdf):
+                    t = tot[v & (tot < _COST_INF)]
+                    if len(t):
+                        m = int(t.min())
+                        best = m if best is None else min(best, m)
+            yield pd.DataFrame({"m": [best]} if best is not None
+                               else {"m": pd.Series(dtype="int64")})
 
-    row = j.mapInPandas(min_kern, "m long").agg(
-        F.min("m").alias("m")).collect()[0]
-    cstar = row["m"]
-    spark = j.sparkSession
-    if cstar is None:
-        return spark.createDataFrame(
-            [], "slack_band int, n_pixels long, sum_slack_fp long, "
-                "max_slack_fp long")
-    cstar = int(cstar)
+        row = j.mapInPandas(min_kern, "m long").agg(
+            F.min("m").alias("m")).collect()[0]
+        cstar = row["m"]
+        spark = j.sparkSession
+        if cstar is None:
+            return spark.createDataFrame(
+                [], "slack_band int, n_pixels long, sum_slack_fp long, "
+                    "max_slack_fp long")
+        cstar = int(cstar)
 
     def census_kern(it):
         cols = ["slack_band", "n_pixels", "sum_slack_fp", "max_slack_fp"]

@@ -1158,3 +1158,32 @@ def test_phase2_distributed_parity_log_rounds(spark):
     n_border = 4 * 16 * (h // 16) * (w // 16)  # upper bound
     assert 1 <= hy._LAST_PH2_ROUNDS <= math.ceil(
         math.log2(n_border)) + 2, hy._LAST_PH2_ROUNDS
+
+
+def test_corridor_fused_parity(spark):
+    """The r06 fused dual-plane corridor (one relax loop computing dA
+    and dB together, C* riding the check rows) is bit-exact against
+    the legacy two-fixpoint composition, with and without the fused
+    fine init fan, including a forced multi-round run."""
+    from remotior_sensus_spark.operators import hydrology as hy
+    from remotior_sensus_spark.operators.focal import _with_fine_halo_groups
+
+    def census(df):
+        return {r["slack_band"]: (r["n_pixels"], r["sum_slack_fp"],
+                                  r["max_slack_fp"])
+                for r in df.collect()}
+
+    r = _cost_raster(128, 128, seed=37)
+    r[5, 5] = 4995.0
+    r[100, 120] = 4999.0  # far-apart B terminals
+    t16 = _tiles_df(spark, r, 16)
+    t64 = _tiles_df(spark, r, 64)
+    fan = _with_fine_halo_groups(t16, 4, halo_tiles=4)
+
+    ref = census(hy.corridor_tiles(t64, tile_px=64, use_check=False))
+    assert census(hy.corridor_tiles(t64, tile_px=64)) == ref
+    assert census(hy.corridor_tiles(
+        None, tile_px=64, init_fan=fan.localCheckpoint())) == ref
+    assert census(hy.corridor_tiles(
+        None, tile_px=64, init_fan=fan.localCheckpoint(),
+        inner_cap=2)) == ref
