@@ -805,7 +805,12 @@ def polygonize_geometry(band_tiles: DataFrame,
         if carry is not None and len(carry):
             yield trace_many(carry)
 
-    src = px.repartition("root").sortWithinPartitions("root")
+    # explicit partition count: AQE would coalesce this zstd-tiny
+    # exchange to 1-2 partitions and serialize the CPU-heavy Python
+    # tracing below (see retile.py — same root cause); n from the
+    # scale-adaptive shuffle.partitions conf
+    n_part = int(px.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = px.repartition(n_part, "root").sortWithinPartitions("root")
     return src.mapInPandas(
         run,
         schema=("root long, value double, pixel_count long, area_m2 double, "

@@ -227,16 +227,25 @@ def _pair_sums_frame(band_tiles: DataFrame,
         if not cv.any():
             return pd.DataFrame({c: pd.Series(dtype="int64")
                                  for c in cols})
-        rows = [(-1, int(cv.sum()), int(c0[cv].sum()),
-                 int((c0[cv] * c0[cv]).sum()), 0, 0)]
+        # int64 accumulation (r06 hardening, ADVICE r05): head/tail are
+        # integral DNs, so summing in int64 keeps the bit-equal-to-
+        # relational guarantee for ANY value range / tile size instead
+        # of relying on partial float64 sums staying below 2^53
+        ci = c0.copy()
+        ci[~cv] = 0.0
+        ci = ci.astype(np.int64)
+        c0i = ci[cv]
+        rows = [(-1, int(cv.sum()), int(c0i.sum()),
+                 int((c0i * c0i).sum()), 0, 0)]
         for h in lags:
             for ox, oy in ((h, 0), (-h, 0), (0, h), (0, -h)):
                 nbr = pad[T + oy:2 * T + oy, T + ox:2 * T + ox]
                 sel = cv & ~np.isnan(nbr)
                 if not sel.any():
                     continue
-                head = c0[sel]
-                tail = nbr[sel]
+                head = ci[sel]
+                tail = np.where(np.isnan(nbr), 0.0,
+                                nbr).astype(np.int64)[sel]
                 d = head - tail
                 rows.append((h, int(sel.sum()), int(head.sum()),
                              int(tail.sum()), int((head * tail).sum()),
@@ -599,6 +608,72 @@ def focal_majority(band_px: DataFrame, step: float = 1000.0) -> DataFrame:
         .groupBy("majority_class")
         .agg(F.count("*").alias("pixel_count"))
     )
+
+
+def focal_majority_tiles(band_tiles: DataFrame | None,
+                         step: float = 1000.0,
+                         tile_px: int | None = None,
+                         fan: DataFrame | None = None) -> DataFrame:
+    """focal_majority on the focal-halo path (r06, guide §2.2/§2.4):
+    the relational shape exploded every valid pixel x9 into a
+    pixel-keyed aggregation (58M rows at sf0.1) plus a second
+    pixel-keyed argmax and a semi join back to centers — three
+    corpus-wide shuffles. Here ONE halo exchange ships tiles and the
+    per-pixel vote argmax runs vectorized per pad with the IDENTICAL
+    encoding ord = cnt * 2^20 + (2^20 - 1 - cls) (max <=> count-major,
+    smallest-class tie-break), so the class histogram is bit-equal to
+    the relational twin (pinned by test_focal_majority_halo_parity and
+    the driver-checked query). Only the bounded (class, count) rollup
+    shuffles."""
+    import pandas as pd
+
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+    from remotior_sensus_spark.grid import TILE_PX
+
+    T = tile_px or TILE_PX
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        empty = pd.DataFrame({
+            "majority_class": pd.Series(dtype="int64"),
+            "pixel_count": pd.Series(dtype="int64")})
+        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if not len(centre):
+            return empty
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid = ~np.isnan(pad)
+        cls = np.where(valid,
+                       np.floor(np.where(valid, pad, 0.0) / step),
+                       -1).astype(np.int64)
+        P = 3 * T
+        c = slice(T, 2 * T)
+        vi = valid[c, c]
+        if not vi.any():
+            return empty
+        shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        uniq = np.unique(cls[T - 1:2 * T + 1, T - 1:2 * T + 1])
+        uniq = uniq[uniq >= 0]
+        best = np.full((T, T), -1, dtype=np.int64)
+        for cv in uniq:
+            cnt = np.zeros((T, T), dtype=np.int64)
+            for dy, dx in shifts:
+                cnt += (cls[T + dy:2 * T + dy, T + dx:2 * T + dx] == cv)
+            np.maximum(best,
+                       np.where(cnt > 0,
+                                cnt * 1048576 + (1048575 - cv),
+                                np.int64(-1)),
+                       out=best)
+        maj = (1048575 - best % 1048576)[vi & (best >= 0)]
+        ub, cnts = np.unique(maj, return_counts=True)
+        return pd.DataFrame({"majority_class": ub,
+                             "pixel_count": cnts.astype(np.int64)})
+
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per_tile = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="majority_class long, pixel_count long")
+    return per_tile.groupBy("majority_class").agg(
+        F.sum("pixel_count").alias("pixel_count"))
 
 
 def proximity_classes(band_px: DataFrame, target_class: int = 4,

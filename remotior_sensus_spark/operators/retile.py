@@ -49,6 +49,20 @@ def retile(band_tiles: DataFrame, factor: int,
             "pixels": [a.ravel().tolist()],
         })
 
-    return src.groupBy("ntx", "nty").applyInPandas(
+    # Pin the grouping exchange's partition count (r06, guide §2.2):
+    # AQE coalesces shuffles by COMPRESSED bytes, and zstd squeezes
+    # synthetic tile arrays so hard that this corpus-wide exchange
+    # lands under the 1 MB minPartitionSize — the retile kernel and
+    # every CPU-heavy Python stage downstream (label_tiles, CC,
+    # polygonize tracing) then ran on 1-2 partitions (measured:
+    # label_tiles 12.2 s -> 2.1 s at sf0.1 once spread). An explicit
+    # repartition(n, keys) is respected by AQE and satisfies the
+    # groupBy's distribution, so NO extra exchange is added; n comes
+    # from spark.sql.shuffle.partitions (the scale-adaptive conf), not
+    # a local constant.
+    n_part = int(band_tiles.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    return src.repartition(n_part, "ntx", "nty").groupBy(
+        "ntx", "nty").applyInPandas(
         assemble, schema="tile_x int, tile_y int, pixels array<double>"
     )

@@ -2533,9 +2533,13 @@ from f group by maj
 """)
 def focal_majority_q(spark, sf_dir):
     """3x3 majority-filter class histogram — BIGINT-encoded argmax
-    (count-major, smallest-class tie-break), semi join to centers."""
+    (count-major, smallest-class tie-break) on the focal-halo path
+    (r06: one halo exchange + bounded rollup replaces three
+    corpus-wide pixel shuffles; geostats.focal_majority_tiles, the
+    relational twin stays as the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.focal_majority(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.focal_majority_tiles(None, tile_px=t_px, fan=fan)
 
 
 _DISK5 = ",".join(

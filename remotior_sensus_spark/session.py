@@ -34,6 +34,14 @@ def get_spark(master: str | None = None, app: str = "remotior_sensus_spark",
         .config("spark.sql.adaptive.enabled",
                 os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # minPartitionSize stays at the 1 MB default: a global 64 KB
+        # floor was measured (r06) to win 6x on the CPU-heavy label/CC
+        # stages but cost 0.3-0.4 s of task overhead on small headline
+        # aggregates — the starved stages pin their own partitioning
+        # instead (retile.py, components.polygonize_geometry), which is
+        # scoped and scale-adaptive. Env override kept for experiments.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "1048576b"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -825,3 +825,21 @@ def test_lacunarity_dense(spark, geo001_dir):
         assert got[s][:4] == exp[s][:4], s
         assert got[s][4] == pytest.approx(exp[s][4], rel=1e-12), s
     assert got[2][4] > got[16][4] > 1.0
+
+
+def test_focal_majority_halo_parity(spark, geo001_dir):
+    """The r06 focal-halo majority kernel is bit-equal to the
+    relational BIGINT-argmax twin (same ord encoding, same vote set)."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark import queries as Q
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+
+    b04 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    rel = {r["majority_class"]: r["pixel_count"] for r in
+           geostats.focal_majority(agg.explode_pixels(b04)).collect()}
+    got = {r["majority_class"]: r["pixel_count"] for r in
+           geostats.focal_majority_tiles(b04, tile_px=16).collect()}
+    assert got == rel
