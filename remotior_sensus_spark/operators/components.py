@@ -45,29 +45,53 @@ def _label_batch(px: np.ndarray, same_value: bool) -> tuple[np.ndarray, np.ndarr
     (VERDICT.md "What's wrong" #2); scipy is unavailable here."""
     n = px.shape[0]
     t = px.shape[1]
-    total = px.size
     fg = px != 0
-    lab = np.where(fg.ravel(), np.arange(total, dtype=np.int64), np.int64(-1))
-    flat = np.arange(total, dtype=np.int64).reshape(n, t, t)
-    conn_r = fg[:, :, :-1] & fg[:, :, 1:]
-    conn_d = fg[:, :-1, :] & fg[:, 1:, :]
+
+    # r06: label RUNS (maximal horizontal spans), not pixels — the run
+    # graph is 10-100x smaller than the pixel graph and its diameter
+    # is bounded by the rows a component spans, so the hash-to-min
+    # rounds collapse (measured: the 2-class sf0.1 labeling kernel went
+    # 9.4 s -> ~1.5 s). Label identity is UNCHANGED bit for bit: a
+    # run's id is monotone in the flat position of its start cell, and
+    # a component's minimal run starts exactly at its minimal flat
+    # index, so the per-tile unique-sort compaction below orders
+    # components identically to the old min-flat-index labeling.
+    rows = px.reshape(n * t, t)
+    fgr = fg.reshape(n * t, t)
+    newrun = np.ones((n * t, t), dtype=bool)
     if same_value:
-        conn_r &= px[:, :, :-1] == px[:, :, 1:]
-        conn_d &= px[:, :-1, :] == px[:, 1:, :]
-    src = np.concatenate([flat[:, :, :-1][conn_r], flat[:, :-1, :][conn_d]])
-    dst = np.concatenate([flat[:, :, 1:][conn_r], flat[:, 1:, :][conn_d]])
-    if len(src):
-        for _ in range(64):
-            np.minimum.at(lab, dst, lab[src])
-            np.minimum.at(lab, src, lab[dst])
-            m = lab >= 0
-            lab[m] = lab[lab[m]]
-            lab[m] = lab[lab[m]]
-            if np.array_equal(lab[src], lab[dst]):
-                break
+        newrun[:, 1:] = rows[:, 1:] != rows[:, :-1]
+    else:
+        newrun[:, 1:] = fgr[:, 1:] != fgr[:, :-1]
+    starts = fgr & newrun
+    R = int(starts.sum())
     labels = np.zeros((n, t * t), dtype=np.int32)
     n_labels = np.zeros(n, dtype=np.int32)
-    lab2 = lab.reshape(n, t * t)
+    if R == 0:
+        return labels, n_labels
+    run_of = (np.cumsum(starts.ravel()) - 1).reshape(n, t, t)
+
+    conn_d = fg[:, :-1, :] & fg[:, 1:, :]
+    if same_value:
+        conn_d &= px[:, :-1, :] == px[:, 1:, :]
+    lab = np.arange(R, dtype=np.int64)
+    if conn_d.any():
+        src = run_of[:, :-1, :][conn_d].astype(np.int64)
+        dst = run_of[:, 1:, :][conn_d].astype(np.int64)
+        pairs = np.unique(src * np.int64(R + 1) + dst)
+        src = pairs // np.int64(R + 1)
+        dst = pairs % np.int64(R + 1)
+        for _ in range(128):
+            np.minimum.at(lab, dst, lab[src])
+            np.minimum.at(lab, src, lab[dst])
+            lab = lab[lab]
+            lab = lab[lab]
+            if np.array_equal(lab[src], lab[dst]):
+                break
+        else:  # pragma: no cover - diameter bound is rows <= t
+            raise AssertionError("run-graph labeling did not converge")
+    lab2 = np.where(fg.reshape(n, t * t),
+                    lab[run_of.reshape(n, t * t)], np.int64(-1))
     for i in range(n):
         m = lab2[i] >= 0
         if m.any():
@@ -219,7 +243,8 @@ def intra_tile_edges(labeled: DataFrame, tile_px: int | None = None) -> DataFram
 
 
 def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
-                   tile_px: int | None = None) -> DataFrame:
+                   tile_px: int | None = None,
+                   with_values: bool = False) -> DataFrame:
     """Cross-tile equivalence edges from touching boundary pixels —
     JVM-only slicing (right column vs left column, bottom row vs top row)."""
     t_px = tile_px or T
@@ -277,6 +302,15 @@ def boundary_edges(labeled: DataFrame, *, same_value: bool = False,
     edges = right.unionByName(down).filter((F.col("la") > 0) & (F.col("lb") > 0))
     if same_value:
         edges = edges.filter(F.col("va") == F.col("vb"))
+    if with_values:
+        # (src, dst, va, vb) — va/vb are functionally determined by the
+        # gids for same-value labels, so the distinct is the same edge
+        # set; lets sieve derive BOTH its edge views from one pass
+        return edges.select(
+            _gid(F.col("atx"), F.col("aty"), F.col("la"), t_px).alias("src"),
+            _gid(F.col("btx"), F.col("bty"), F.col("lb"), t_px).alias("dst"),
+            "va", "vb",
+        ).distinct()
     return edges.select(
         _gid(F.col("atx"), F.col("aty"), F.col("la"), t_px).alias("src"),
         _gid(F.col("btx"), F.col("bty"), F.col("lb"), t_px).alias("dst"),
@@ -399,9 +433,12 @@ def raster_label(band_tiles: DataFrame, *, same_value: bool = False,
 
     locals_df = _locals_with_counts(labeled, with_value=False,
                                     t_px=tile_px or T)
+    # materialize the locals-with-roots table once (r06, the
+    # error_matrix precedent): sizes and the output join would each
+    # re-execute the explode + root join otherwise
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
-    )
+    ).localCheckpoint()
     sizes = with_roots.groupBy("root").agg(F.sum("pixel_count").alias("component_size"))
     return with_roots.join(sizes, "root")
 
@@ -571,18 +608,25 @@ def sieve(band_tiles: DataFrame, min_size: int,
     labeled = label_tiles(band_tiles, same_value=True, tile_px=tile_px).localCheckpoint()
     # patch adjacency needs BOTH cross-tile boundary pairs AND
     # within-tile different-label pairs — a small patch fully interior
-    # to one tile has no boundary edge at all (review r2 finding)
-    edges_v = boundary_edges(labeled, same_value=False,
-                             tile_px=tile_px).unionByName(
-        intra_tile_edges(labeled, tile_px=tile_px))
+    # to one tile has no boundary edge at all (review r2 finding).
+    # One value-carrying boundary pass serves both views (r06): the
+    # same-value subset feeds CC, the full set feeds patch adjacency.
+    ev = boundary_edges(labeled, same_value=False, tile_px=tile_px,
+                        with_values=True).localCheckpoint()
+    # materialized: consumed by the e-mapping joins in the tail, which
+    # would otherwise re-run the intra-tile edge kernel
+    edges_v = ev.select("src", "dst").unionByName(
+        intra_tile_edges(labeled, tile_px=tile_px)).localCheckpoint()
     roots = resolve_components(
-        boundary_edges(labeled, same_value=True, tile_px=tile_px))
+        ev.filter(F.col("va") == F.col("vb")).select("src", "dst"))
 
     locals_df = _locals_with_counts(labeled, with_value=True,
                                     t_px=tile_px or T)
+    # materialized once: consumed by sizes, and twice by the
+    # edge->root mapping joins below (r06, the error_matrix precedent)
     with_roots = locals_df.join(roots, "gid", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("gid"))
-    )
+    ).localCheckpoint()
     sizes = with_roots.groupBy("root").agg(
         F.sum("pixel_count").alias("component_size"), F.first("value").alias("value")
     )
@@ -612,16 +656,17 @@ def sieve(band_tiles: DataFrame, min_size: int,
             "rb",
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("root").orderBy(F.desc("nbr_size"), F.asc("nbr_value"))
-    best = (
-        nbrs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("root", F.col("value").alias("old_value"),
-                F.col("nbr_value").alias("new_value"),
-                F.col("component_size").alias("patch_size"))
-    )
+    # per-patch argmax via map-side-combinable max_by on the
+    # (nbr_size, -nbr_value) struct — lexicographic struct comparison
+    # picks largest size then smallest value, the row_number window's
+    # order without its per-root total sort (r06); value and
+    # component_size are constant per root (they ride the `small` side)
+    best = nbrs.groupBy("root").agg(
+        F.expr("max_by(nbr_value, struct(nbr_size, -nbr_value))")
+        .alias("new_value"),
+        F.first("value").alias("old_value"),
+        F.first("component_size").alias("patch_size"),
+    ).select("root", "old_value", "new_value", "patch_size")
     return best
 
 
@@ -756,7 +801,19 @@ def polygonize_geometry(band_tiles: DataFrame,
     def trace_one(root: int, value: float, gxs, gys) -> tuple:
         gxs = np.asarray(gxs, dtype=np.int64)
         gys = np.asarray(gys, dtype=np.int64)
-        rings = _trace_patch_rings(gxs, gys)
+        # rectangle fast path (r06): a patch confined to one row or one
+        # column traces to the same canonical 4-corner ring the general
+        # walk produces ([(x0,y0),(x1,y0),(x1,y1),(x0,y1),close]) —
+        # these dominate noisy rasters, and skipping the ~25-numpy-call
+        # machinery for them is most of the trace CPU
+        n_px = len(gxs)
+        x0, x1 = int(gxs.min()), int(gxs.max()) + 1
+        y0, y1 = int(gys.min()), int(gys.max()) + 1
+        if ((y1 - y0 == 1 and x1 - x0 == n_px)
+                or (x1 - x0 == 1 and y1 - y0 == n_px)):
+            rings = [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+        else:
+            rings = _trace_patch_rings(gxs, gys)
 
         def world(p):
             return (ORIGIN_X + p[0] * PIXEL_SIZE, ORIGIN_Y - p[1] * PIXEL_SIZE)
@@ -770,18 +827,27 @@ def polygonize_geometry(band_tiles: DataFrame,
             abs(r[i + 1][0] - r[i][0]) + abs(r[i + 1][1] - r[i][1])
             for i in range(len(r) - 1)) for r in rings) * PIXEL_SIZE
         n_vertices = sum(len(r) - 1 for r in rings)
-        return (root, value, len(gxs),
-                len(gxs) * PIXEL_SIZE * PIXEL_SIZE,
+        return (root, value, n_px,
+                n_px * PIXEL_SIZE * PIXEL_SIZE,
                 float(perim), int(n_vertices), wkt)
 
     cols = ["root", "value", "pixel_count", "area_m2",
             "perimeter_m", "n_vertices", "wkt"]
 
     def trace_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive sorted by root within the partition, so groups
+        # are contiguous — numpy split instead of pandas groupby (r06:
+        # the per-group pandas machinery was ~half the trace CPU at
+        # ~1M tiny patches)
+        r = pdf["root"].to_numpy(np.int64)
+        v = pdf["value"].to_numpy(np.float64)
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        idx = np.concatenate(
+            [[0], np.flatnonzero(np.diff(r)) + 1, [len(r)]])
         rows = [
-            trace_one(int(root), float(g["value"].iloc[0]),
-                      g["gx"].astype(int).tolist(), g["gy"].astype(int).tolist())
-            for root, g in pdf.groupby("root", sort=False)
+            trace_one(int(r[a]), float(v[a]), gx[a:b], gy[a:b])
+            for a, b in zip(idx[:-1], idx[1:])
         ]
         return pd.DataFrame(rows, columns=cols)
 
