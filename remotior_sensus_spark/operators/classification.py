@@ -293,6 +293,110 @@ def classify_pixels_flat_scored(stacked: DataFrame, band_cols: list[str],
     return scored.select(*out)
 
 
+def ml_census_tiles(stacked: DataFrame, band_cols: list[str],
+                    stats: list[dict],
+                    threshold: float | bool | None = None,
+                    include_best: bool = False,
+                    nodata: float = NODATA) -> DataFrame:
+    """Per-class (pixel_count [, conf_fp]) census of the ML classifier
+    as ONE Arrow pass over the stacked tile arrays (r06, guide §4):
+    the flat-row path paid an arrays_zip posexplode (26M struct
+    elements at sf0.1) plus a 50-term codegen polynomial per pixel —
+    11 s; this kernel evaluates the same discriminants vectorized per
+    tile and ships only bounded (class, n, conf_fp) partials.
+
+    Exactness: the discriminant accumulation order, the chi-square
+    censoring, the greatest/first-match argmax and the
+    floor(best*1e6+0.5) fixed-point all mirror the flat-row columns
+    term for term (plain IEEE double ops in both engines, no FMA), so
+    the census is bit-equal to the SQL path and the DuckDB oracle
+    (pinned by the driver-checked queries + test_ml_census_parity)."""
+    # precompute per-class (logdet, coef list, means, chi_thr) once
+    classes = []
+    for st in stats:
+        bands = list(st["means"].keys())
+        cov = np.asarray(st["cov"], dtype=np.float64)
+        inv = np.linalg.inv(cov)
+        logdet = float(np.log(np.linalg.det(cov)))
+        terms = []
+        for i in range(len(bands)):
+            for j in range(i, len(bands)):
+                coef = float(inv[i, j]) if i == j else 2.0 * float(inv[i, j])
+                terms.append((i, j, coef))
+        p = None
+        if threshold is True:
+            p = float(st.get("threshold", 0.0) or 0.0)
+        elif threshold not in (None, False):
+            p = float(threshold)
+        chi_thr = None
+        if p and p > 0:
+            chi_thr = -2.0 * chi2_isf(p / 100.0, len(bands)) - logdet
+        classes.append((st["class_id"],
+                        [float(st["means"][b]) for b in bands],
+                        logdet, terms, chi_thr))
+
+    def kern(it):
+        import pandas as pd
+        cols = (["class", "n", "conf_fp"] if include_best
+                else ["class", "n"])
+        for pdf in it:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(
+                [np.asarray(p, dtype=np.float64) for p in pdf[b]]
+            ).ravel() for b in band_cols]
+            valid = np.ones(len(arrs[0]), dtype=bool)
+            for a in arrs:
+                valid &= a != nodata
+            if not valid.any():
+                continue
+            vals = [a[valid] for a in arrs]
+            scores = []
+            for _cid, means, logdet, terms, chi_thr in classes:
+                d = [v - m for v, m in zip(vals, means)]
+                quad = None
+                for i, j, coef in terms:
+                    t = d[i] * d[j] * coef
+                    quad = t if quad is None else quad + t
+                s = -logdet - quad
+                if chi_thr is not None:
+                    s = np.where(s < chi_thr, -np.inf, s)
+                scores.append(s)
+            sc = np.stack(scores)
+            best = sc[0].copy()
+            for k in range(1, len(scores)):
+                np.maximum(best, sc[k], out=best)
+            # first class whose score equals best (the when-chain rule)
+            cls_idx = np.argmax(sc == best, axis=0)
+            cls = np.asarray([c[0] for c in classes],
+                             dtype=np.int64)[cls_idx]
+            if threshold not in (None, False):
+                cls = np.where(np.isneginf(best), np.int64(0), cls)
+            if include_best:
+                conf = np.where(
+                    cls != 0,
+                    np.floor(best * 1e6 + 0.5), 0.0).astype(np.int64)
+                ub, inv_ = np.unique(cls, return_inverse=True)
+                n = np.zeros(len(ub), dtype=np.int64)
+                s = np.zeros(len(ub), dtype=np.int64)
+                np.add.at(n, inv_, 1)
+                np.add.at(s, inv_, conf)
+                yield pd.DataFrame(
+                    {"class": ub, "n": n, "conf_fp": s})
+            else:
+                ub, cnts = np.unique(cls, return_counts=True)
+                yield pd.DataFrame(
+                    {"class": ub, "n": cnts.astype(np.int64)})
+
+    schema = ("class long, n long, conf_fp long" if include_best
+              else "class long, n long")
+    per = stacked.select(*band_cols).mapInPandas(kern, schema)
+    aggs = [F.sum("n").alias("pixel_count")]
+    if include_best:
+        aggs.append(F.sum("conf_fp").alias("conf_fp"))
+    return per.groupBy(F.col("class").cast("int").alias("class")).agg(*aggs)
+
+
 def min_distance_scores(env: dict[str, Column],
                         signatures: list[dict]) -> list[tuple[Column, int]]:
     """Squared Euclidean distance to each signature (integer-exact)."""

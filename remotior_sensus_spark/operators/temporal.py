@@ -116,6 +116,85 @@ def temporal_fill(px: DataFrame, bandsets: list[str],
     )
 
 
+def ndvi_trend_tiles(band_tiles: DataFrame, bandsets: list[str],
+                     red: str = "B04", nir: str = "B08") -> DataFrame:
+    """ndvi_trend on the tile-array path (r06, guide §2.2/§4): the
+    relational shape shuffled 39M exploded pixel rows through TWO
+    pixel-keyed aggregations; here one tile-keyed pivot (6 array
+    columns per tile, ~10K rows) feeds a vectorized Arrow census and
+    only bounded (sign, n, sum) partials shuffle. Semantics mirror the
+    relational twin exactly: nfp = floor((n-r)/(n+r)*1e6+0.5) on
+    doubles, a pixel participates only when BOTH bands are valid on
+    ALL three dates (a missing tile/date = invalid), num = nfp2 - nfp0
+    (integers end to end). Pinned by test_ndvi_trend_tiles_parity and
+    the driver-checked query."""
+    import numpy as np
+    import pandas as pd
+
+    assert len(bandsets) == 3
+    sel = band_tiles.filter(
+        F.col("band").isin(red, nir) & F.col("bandset").isin(*bandsets))
+    cols = []
+    names = []
+    for i, bs in enumerate(bandsets):
+        for b, tag in ((red, "r"), (nir, "n")):
+            nm = f"{tag}{i}"
+            names.append(nm)
+            cols.append(F.first(
+                F.when((F.col("bandset") == bs) & (F.col("band") == b),
+                       F.col("pixels")), ignorenulls=True).alias(nm))
+    wide = sel.groupBy("tile_x", "tile_y").agg(*cols)
+
+    def kern(it):
+        for pdf in it:
+            signs, cnts, sums = [], [], []
+            for _, row in pdf.iterrows():
+                arrs = {}
+                ok = True
+                size = None
+                for nm in names:
+                    a = row[nm]
+                    if a is None:
+                        arrs[nm] = None
+                        continue
+                    a = np.asarray(a, dtype=np.float64)
+                    arrs[nm] = a
+                    size = len(a)
+                if size is None:
+                    continue
+                valid = np.ones(size, dtype=bool)
+                for nm in names:
+                    a = arrs[nm]
+                    if a is None:
+                        valid[:] = False
+                        break
+                    valid &= a != NODATA
+                if not valid.any():
+                    continue
+                nfp = {}
+                for i in range(3):
+                    r = arrs[f"r{i}"][valid]
+                    n = arrs[f"n{i}"][valid]
+                    nfp[i] = np.floor(
+                        (n - r) / (n + r) * 1e6 + 0.5).astype(np.int64)
+                num = nfp[2] - nfp[0]
+                sg = np.sign(num)
+                for s in np.unique(sg):
+                    m = sg == s
+                    signs.append(int(s))
+                    cnts.append(int(m.sum()))
+                    sums.append(int(num[m].sum()))
+            yield pd.DataFrame({
+                "trend_sign": pd.Series(signs, dtype="int64"),
+                "n": pd.Series(cnts, dtype="int64"),
+                "s": pd.Series(sums, dtype="int64")})
+
+    per = wide.mapInPandas(kern, "trend_sign long, n long, s long")
+    return per.groupBy("trend_sign").agg(
+        F.sum("n").alias("pixel_count"),
+        F.sum("s").alias("trend_num_sum"))
+
+
 def ndvi_trend(px: DataFrame, bandsets: list[str],
                red: str = "B04", nir: str = "B08") -> DataFrame:
     """Per-pixel NDVI trend over the three dated bandsets (greening /

@@ -3067,8 +3067,7 @@ def ndvi_trend_q(spark, sf_dir):
     x=0,1,2 slope numerator reduces to the exact integer nfp2 - nfp0;
     only pixels valid on all three dates participate."""
     from remotior_sensus_spark.operators import temporal
-    return temporal.ndvi_trend(
-        agg.explode_pixels(_tiles(spark, sf_dir)), _BS3)
+    return temporal.ndvi_trend_tiles(_tiles(spark, sf_dir), _BS3)
 
 
 @q("histogram_match", f"""
@@ -4314,11 +4313,20 @@ def _ml_inputs(spark, sf_dir):
     tiles = _tiles(spark, sf_dir)
     geoms = cat.load_geo(spark, sf_dir, "geometries")
     rects = cat.load_geo(spark, sf_dir, "geometry_rects")
-    # train on ROI-extracted per-class pixels over all 4 bands
+    # train on ROI-extracted per-class pixels over all 4 bands.
+    # r06 (guide §3): the ROI membership is training data — bounded and
+    # small by nature (the reference holds it in memory) — so (a) the
+    # corpus-wide 4-band explode is pruned to ROI tiles with a
+    # broadcast semi join BEFORE it runs, and (b) the pixel-keyed
+    # membership join broadcasts too: no corpus shuffle in training.
     wide = pivot_bands(tiles, {b: ("S2_2020-01-01", b) for b in bands})
     cov = sj.cover_pixels(tiles, geoms, rects)  # B04 membership only
-    member = cov.select("tile_x", "tile_y", "pos", "class").distinct()
-    px = wide.select(
+    member = cov.select(
+        "tile_x", "tile_y", "pos", "class").distinct().localCheckpoint()
+    roi_tiles = member.select("tile_x", "tile_y").distinct()
+    px = wide.join(
+        F.broadcast(roi_tiles), ["tile_x", "tile_y"], "left_semi"
+    ).select(
         "tile_x", "tile_y",
         F.posexplode(F.arrays_zip(*bands)).alias("pos", "z"),
     ).select(
@@ -4328,7 +4336,8 @@ def _ml_inputs(spark, sf_dir):
     import functools
     import operator as op
     valid = functools.reduce(op.and_, [F.col(b) != NODATA for b in bands])
-    train = px.join(member, ["tile_x", "tile_y", "pos"]).filter(valid)
+    train = px.join(F.broadcast(member),
+                    ["tile_x", "tile_y", "pos"]).filter(valid)
     stats = cls_ops.train_class_stats(train, "class", bands)
     stacked = band_stack(tiles, "S2_2020-01-01", bands)
     return bands, stats, stacked
@@ -4337,11 +4346,10 @@ def _ml_inputs(spark, sf_dir):
 @q("ml_classification", _ml_oracle_sql(None, False))
 def ml_classification(spark, sf_dir):
     bands, stats, stacked = _ml_inputs(spark, sf_dir)
-    scored = cls_ops.classify_pixels_flat_scored(
-        stacked, bands, lambda env: cls_ops.ml_scores(env, stats),
-        select_max=True,
-    )
-    return scored.groupBy("class").agg(F.count("*").alias("pixel_count"))
+    # r06: one Arrow census pass replaces the arrays_zip posexplode +
+    # codegen polynomial (bit-equal, see ml_census_tiles); the flat-row
+    # path stays as the parity-pinned reference shape
+    return cls_ops.ml_census_tiles(stacked, bands, stats)
 
 
 @q("ml_threshold_confidence", _ml_oracle_sql(5.0, True))
@@ -4350,15 +4358,9 @@ def ml_threshold_confidence(spark, sf_dir):
     confidence raster aggregated per class
     (processor_functions.py:328-340, core/processor.py:242-311)."""
     bands, stats, stacked = _ml_inputs(spark, sf_dir)
-    scored = cls_ops.classify_pixels_flat_scored(
-        stacked, bands, lambda env: cls_ops.ml_scores(env, stats, threshold=5.0),
-        select_max=True, unclassified_at=float("-inf"), include_best=True,
-    )
-    return scored.groupBy("class").agg(
-        F.count("*").alias("pixel_count"),
-        F.sum(F.when(F.col("class") != 0, fixed1e6(F.col("best")))
-              .otherwise(0)).alias("conf_fp"),
-    )
+    # r06: Arrow census pass (see ml_classification / ml_census_tiles)
+    return cls_ops.ml_census_tiles(stacked, bands, stats,
+                                   threshold=5.0, include_best=True)
 
 
 @q("simhash", f"""

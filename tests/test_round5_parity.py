@@ -214,3 +214,41 @@ def test_morans_correlogram_halo_matches_relational(spark, geo001_dir):
     b = {r["lag"]: (r["n_pixels"], r["w_sum"], r["morans_i"])
          for r in geostats.morans_correlogram_tiles(tiles).collect()}
     assert a == b and len(a) == 4
+
+
+def test_ml_census_parity(spark, geo001_dir):
+    """The r06 Arrow ML census is bit-equal to the flat-row codegen
+    path for both the plain and the thresholded+confidence variants."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark import queries as qmod
+    from remotior_sensus_spark.operators import classification as cls_ops
+    from remotior_sensus_spark.functions.cols import fixed1e6
+
+    bands, stats, stacked = qmod._ml_inputs(spark, geo001_dir)
+
+    ref = {r["class"]: r["pixel_count"] for r in
+           cls_ops.classify_pixels_flat_scored(
+               stacked, bands,
+               lambda env: cls_ops.ml_scores(env, stats),
+               select_max=True)
+           .groupBy("class").agg(F.count("*").alias("pixel_count"))
+           .collect()}
+    got = {r["class"]: r["pixel_count"] for r in
+           cls_ops.ml_census_tiles(stacked, bands, stats).collect()}
+    assert got == ref
+
+    sc = cls_ops.classify_pixels_flat_scored(
+        stacked, bands,
+        lambda env: cls_ops.ml_scores(env, stats, threshold=5.0),
+        select_max=True, unclassified_at=float("-inf"),
+        include_best=True)
+    ref2 = {r["class"]: (r["pixel_count"], r["conf_fp"]) for r in
+            sc.groupBy("class").agg(
+                F.count("*").alias("pixel_count"),
+                F.sum(F.when(F.col("class") != 0, fixed1e6(F.col("best")))
+                      .otherwise(0)).alias("conf_fp")).collect()}
+    got2 = {r["class"]: (r["pixel_count"], r["conf_fp"]) for r in
+            cls_ops.ml_census_tiles(stacked, bands, stats, threshold=5.0,
+                                    include_best=True).collect()}
+    assert got2 == ref2

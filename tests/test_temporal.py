@@ -94,3 +94,21 @@ def test_temporal_fill_dense(spark, geo001_dir):
         for r in Q.queries()["temporal_fill"](spark, geo001_dir).collect()
     }
     assert got == exp
+
+
+def test_ndvi_trend_tiles_parity(spark, geo001_dir):
+    """The r06 tile-array ndvi_trend census is bit-equal to the
+    relational exploded-pixel twin."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import temporal
+
+    BS3 = ["S2_2020-01-01", "S2_2020-01-02", "S2_2020-01-03"]
+    tiles = spark.read.parquet(f"{geo001_dir}/tiles.parquet")
+    ref = {r["trend_sign"]: (r["pixel_count"], r["trend_num_sum"])
+           for r in temporal.ndvi_trend(
+               agg.explode_pixels(tiles), BS3).collect()}
+    got = {r["trend_sign"]: (r["pixel_count"], r["trend_num_sum"])
+           for r in temporal.ndvi_trend_tiles(tiles, BS3).collect()}
+    assert got == ref
