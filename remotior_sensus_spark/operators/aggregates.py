@@ -139,13 +139,24 @@ def grouped_percentile(
     audit ⚠ zonal percentile straggler). Identical results: exact for
     any value distribution."""
     hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("__c"))
+    return grouped_percentile_hist(hist, group_cols, value_col, "__c",
+                                   p, out_name)
+
+
+def grouped_percentile_hist(hist: DataFrame, group_cols: list[str],
+                            value_col: str, count_col: str, p: float,
+                            out_name: str) -> DataFrame:
+    """grouped_percentile starting from a PREBUILT (group, value, count)
+    histogram (r06): callers that need several percentiles or reuse the
+    histogram for the output mapping (linear_stretch_histogram) build
+    it once instead of re-aggregating the pixel stream per cut."""
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     cnt_w = Window.partitionBy(*group_cols)
     cum = hist.select(
         *group_cols,
         F.col(value_col),
-        F.sum("__c").over(w).alias("__cum"),
-        F.sum("__c").over(cnt_w).alias("__cnt"),
+        F.sum(count_col).over(w).alias("__cum"),
+        F.sum(count_col).over(cnt_w).alias("__cnt"),
     )
     idx = _closest_obs_index(F.col("__cnt"), p)
     # smallest value whose cumulative count exceeds the 0-based index
@@ -219,11 +230,19 @@ def linear_stretch_histogram(
     clamp(floor((v - lo) * 255 / (hi - lo) + 0.5), 0, 255).
     Degenerate bands (hi == lo) map to byte 0. Output:
     (band, byte_value, pixel_count)."""
+    # r06 (guide §2.2): ONE corpus aggregation builds the per-band
+    # value histogram; both percentile cuts AND the byte mapping are
+    # then derived from the (band, value, count) rows — the previous
+    # shape re-aggregated the pixel stream once per cut and scanned it
+    # a third time for the byte mapping. Identical expressions, so the
+    # output histogram is bit-equal.
     valid = band_px.filter(F.col(value_col) != NODATA).select("band", value_col)
-    lo = grouped_percentile(valid, ["band"], value_col, p_lo, "lo")
-    hi = grouped_percentile(valid, ["band"], value_col, p_hi, "hi")
+    hist = valid.groupBy("band", value_col).agg(
+        F.count("*").alias("__c")).localCheckpoint()
+    lo = grouped_percentile_hist(hist, ["band"], value_col, "__c", p_lo, "lo")
+    hi = grouped_percentile_hist(hist, ["band"], value_col, "__c", p_hi, "hi")
     cuts = lo.join(hi, "band")
-    j = valid.join(F.broadcast(cuts), "band")
+    j = hist.join(F.broadcast(cuts), "band")
     scaled = F.floor(
         (F.col(value_col) - F.col("lo")) * F.lit(255.0)
         / (F.col("hi") - F.col("lo")) + F.lit(0.5)
@@ -233,9 +252,9 @@ def linear_stretch_histogram(
                 F.greatest(F.lit(0).cast("long"), scaled))
     ).cast("int")
     return (
-        j.select("band", byte.alias("byte_value"))
+        j.select("band", byte.alias("byte_value"), "__c")
         .groupBy("band", "byte_value")
-        .agg(F.count("*").alias("pixel_count"))
+        .agg(F.sum("__c").alias("pixel_count"))
     )
 
 

@@ -481,6 +481,234 @@ def tri_classes(band_px: DataFrame, class_width: float = 500.0) -> DataFrame:
     )
 
 
+def tri_classes_tiles(band_tiles: DataFrame | None,
+                      class_width: float = 500.0,
+                      tile_px: int | None = None,
+                      fan: DataFrame | None = None) -> DataFrame:
+    """tri_classes on the focal-halo path (r06): one halo exchange and
+    a vectorized per-pad kernel replace the 52M-row shifted-copy
+    shuffle + pixel equi-join. Integer-exact mirror of the relational
+    twin: s/s2/c summed in int64 over existing valid neighbours, the
+    single sqrt on the expanded c*v^2 - 2*v*s + s2 double, pixels with
+    no valid neighbour excluded (the inner join's rule). Pinned by
+    test_tri_halo_parity and the driver-checked query."""
+    import pandas as pd
+
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+    from remotior_sensus_spark.grid import TILE_PX
+
+    T = tile_px or TILE_PX
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        cols = ["tri_class", "pixel_count", "tri_fp_sum"]
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if not len(centre):
+            return empty
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid = ~np.isnan(pad)
+        vi64 = np.where(valid, pad, 0.0).astype(np.int64)
+        P = 3 * T
+        s = np.zeros((T, T), dtype=np.int64)
+        s2 = np.zeros((T, T), dtype=np.int64)
+        c = np.zeros((T, T), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nv = vi64[T + dy:2 * T + dy, T + dx:2 * T + dx]
+                nm = valid[T + dy:2 * T + dy, T + dx:2 * T + dx]
+                s += np.where(nm, nv, 0)
+                s2 += np.where(nm, nv * nv, 0)
+                c += nm
+        ctr = valid[T:2 * T, T:2 * T] & (c > 0)
+        if not ctr.any():
+            return empty
+        v = vi64[T:2 * T, T:2 * T][ctr]
+        ss = c[ctr] * v * v - 2 * v * s[ctr] + s2[ctr]
+        tri = np.sqrt(ss.astype(np.float64))
+        cls = np.floor(tri / class_width).astype(np.int64)
+        fp = np.floor(tri * 1e6 + 0.5).astype(np.int64)
+        ub, inv = np.unique(cls, return_inverse=True)
+        n = np.zeros(len(ub), dtype=np.int64)
+        fsum = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(fsum, inv, fp)
+        return pd.DataFrame({"tri_class": ub, "pixel_count": n,
+                             "tri_fp_sum": fsum})
+
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="tri_class long, pixel_count long, tri_fp_sum long")
+    return (per.groupBy(F.col("tri_class").cast("int").alias("tri_class"))
+            .agg(F.sum("pixel_count").alias("pixel_count"),
+                 F.sum("tri_fp_sum").alias("tri_fp_sum")))
+
+
+def lisa_quadrants_tiles(band_tiles: DataFrame | None,
+                         tile_px: int | None = None,
+                         fan: DataFrame | None = None) -> DataFrame:
+    """lisa_quadrants on the focal-halo path (r06): the global scalars
+    (n, sum_v, sum_v2) come from one cheap JVM aggregate over the tile
+    arrays, then ONE halo exchange computes the rook neighbour sums
+    and the quadrant census vectorized per pad — replacing the 26M-row
+    shifted-copy shuffle + pixel join. Quadrant membership stays the
+    exact integer sign tests; the local I double sequence mirrors the
+    relational expression term for term with md/m2d computed from the
+    exact integer totals. Pinned by test_lisa_halo_parity and the
+    driver-checked query."""
+    import pandas as pd
+
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+    from remotior_sensus_spark.grid import TILE_PX
+    from remotior_sensus_spark import NODATA
+
+    T = tile_px or TILE_PX
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    halo = halo.localCheckpoint()
+
+    # global totals from the centre tiles of the checkpointed fan (the
+    # dx=dy=0 rows are exactly the corpus, each tile once)
+    nd_lit = float(NODATA)
+    tot = (halo.filter((F.col("dx") == 0) & (F.col("dy") == 0))
+           .select(F.explode("pixels").alias("v"))
+           .filter(F.col("v") != nd_lit)
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("v").cast("long")).alias("sum_v"),
+                F.sum((F.col("v").cast("long")
+                       * F.col("v").cast("long"))).alias("sum_v2"))
+           ).collect()[0]
+    n_g, sum_v, sum_v2 = int(tot["n"]), int(tot["sum_v"]), int(tot["sum_v2"])
+    nd = float(n_g)
+    md = float(sum_v) / nd
+    m2d = (float(sum_v2) - 2.0 * md * float(sum_v) + md * md * nd) / nd
+
+    quads = ["HH", "LL", "LH", "HL", "NS"]
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        cols = ["quadrant", "pixel_count", "lisa_fp_sum"]
+        empty = pd.DataFrame({
+            "quadrant": pd.Series(dtype="object"),
+            "pixel_count": pd.Series(dtype="int64"),
+            "lisa_fp_sum": pd.Series(dtype="int64")})
+        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if not len(centre):
+            return empty
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid = ~np.isnan(pad)
+        vi64 = np.where(valid, pad, 0.0).astype(np.int64)
+        P = 3 * T
+        s = np.zeros((T, T), dtype=np.int64)
+        c = np.zeros((T, T), dtype=np.int64)
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nv = vi64[T + dy:2 * T + dy, T + dx:2 * T + dx]
+            nm = valid[T + dy:2 * T + dy, T + dx:2 * T + dx]
+            s += np.where(nm, nv, 0)
+            c += nm
+        ctr = valid[T:2 * T, T:2 * T]
+        if not ctr.any():
+            return empty
+        v = vi64[T:2 * T, T:2 * T][ctr]
+        sv = s[ctr]
+        cv = c[ctr]
+        a = n_g * v - sum_v
+        b = n_g * sv - cv * sum_v
+        qi = np.full(len(v), 4, dtype=np.int64)  # NS
+        qi[(a > 0) & (b > 0)] = 0
+        qi[(a < 0) & (b < 0)] = 1
+        qi[(a < 0) & (b > 0)] = 2
+        qi[(a > 0) & (b < 0)] = 3
+        ii = (v.astype(np.float64) - md) \
+            * (sv.astype(np.float64) - cv.astype(np.float64) * md) / m2d
+        fp = np.floor(ii * 1e6 + 0.5).astype(np.int64)
+        ub, inv = np.unique(qi, return_inverse=True)
+        nq = np.zeros(len(ub), dtype=np.int64)
+        fs = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(nq, inv, 1)
+        np.add.at(fs, inv, fp)
+        return pd.DataFrame({
+            "quadrant": [quads[int(u)] for u in ub],
+            "pixel_count": nq, "lisa_fp_sum": fs})
+
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel,
+        schema="quadrant string, pixel_count long, lisa_fp_sum long")
+    return (per.groupBy("quadrant")
+            .agg(F.sum("pixel_count").alias("pixel_count"),
+                 F.sum("lisa_fp_sum").alias("lisa_fp_sum")))
+
+
+def zonal_entropy_tiles(zone_tiles: DataFrame, value_tiles: DataFrame,
+                        step: float = 1000.0,
+                        tile_px: int | None = None) -> DataFrame:
+    """zonal_entropy with the (zone, class) counting done as ONE
+    Arrow bincount pass over the paired tile arrays (r06): the
+    relational shape exploded both bands into a 13M-row pixel-keyed
+    aggregation just to pair them; here the pair lives at the same
+    array index, so a tile-keyed equi join + per-tile bincount ships
+    only bounded (zone, class, c) partials. The entropy tail is the
+    unchanged zonal_entropy arithmetic (bit-equal; pinned by the
+    driver-checked query + test_zonal_entropy_dense)."""
+    import pandas as pd
+
+    from remotior_sensus_spark import NODATA
+
+    j = zone_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("pz")
+    ).join(value_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("pv")),
+        ["tile_x", "tile_y"])
+
+    def kern(it):
+        for pdf in it:
+            zs, cs, ns = [], [], []
+            for _, row in pdf.iterrows():
+                az = np.asarray(row["pz"], dtype=np.float64)
+                av = np.asarray(row["pv"], dtype=np.float64)
+                valid = (az != NODATA) & (av != NODATA)
+                if not valid.any():
+                    continue
+                zone = np.floor(az[valid] / step).astype(np.int64)
+                vcls = np.floor(av[valid] / step).astype(np.int64)
+                pk = (zone + 8) * 1024 + (vcls + 8)
+                ub, cnt = np.unique(pk, return_counts=True)
+                zs.append(ub // 1024 - 8)
+                cs.append(ub % 1024 - 8)
+                ns.append(cnt.astype(np.int64))
+            if not zs:
+                continue
+            yield pd.DataFrame({
+                "zone": np.concatenate(zs),
+                "vclass": np.concatenate(cs),
+                "c": np.concatenate(ns)})
+
+    per = j.mapInPandas(kern, "zone long, vclass long, c long")
+    counts = per.groupBy(
+        F.col("zone").cast("int").alias("zone"),
+        F.col("vclass").cast("int").alias("vclass"),
+    ).agg(F.sum("c").alias("ck"))
+    return _zonal_entropy_tail(counts, "zone")
+
+
+def _zonal_entropy_tail(counts: DataFrame, zone_col: str) -> DataFrame:
+    """Shared entropy arithmetic over a (zone, class, ck) count table."""
+    from remotior_sensus_spark.functions.cols import fixed1e6
+    totals = counts.groupBy(zone_col).agg(F.sum("ck").alias("n"))
+    p = F.col("ck").cast("double") / F.col("n").cast("double")
+    term = fixed1e6(p * F.log(p))
+    return (
+        counts.join(totals, zone_col)
+        .groupBy(zone_col)
+        .agg(F.max("n").alias("n_pixels"),
+             F.count("*").alias("n_classes"),
+             (-F.sum(term)).alias("entropy_fp"))
+    )
+
+
 def zonal_entropy(zone_px: DataFrame, zone_col: str = "zone",
                   class_col: str = "vclass") -> DataFrame:
     """Shannon entropy of the class distribution inside each zone:
@@ -674,6 +902,71 @@ def focal_majority_tiles(band_tiles: DataFrame | None,
         kernel, schema="majority_class long, pixel_count long")
     return per_tile.groupBy("majority_class").agg(
         F.sum("pixel_count").alias("pixel_count"))
+
+
+def proximity_classes_tiles(band_tiles: DataFrame | None,
+                            target_class: int = 4, step: float = 1000.0,
+                            max_dist: int = 5,
+                            tile_px: int | None = None,
+                            fan: DataFrame | None = None) -> DataFrame:
+    """proximity_classes on the focal-halo path (r06, guide §2.2/§4):
+    the relational shape exploded every target pixel to its pi*r^2
+    disk (105M rows at sf0.1) into a pixel-keyed min plus a pixel
+    equi-join back to the corpus; here ONE halo exchange ships tiles
+    and the bounded-radius distance transform runs vectorized per pad
+    (requires max_dist <= the shipped ring, asserted). Identical
+    semantics: integer min d^2 over the disk, band =
+    floor(sqrt(double)), -1 when no target within the radius; pinned
+    by test_proximity_halo_parity and the driver-checked query."""
+    import pandas as pd
+
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+    from remotior_sensus_spark.grid import TILE_PX
+
+    T = tile_px or TILE_PX
+    if max_dist > T:
+        raise ValueError("halo path requires max_dist <= tile_px")
+    r2 = max_dist * max_dist
+    disk = [(dx, dy, dx * dx + dy * dy)
+            for dx in range(-max_dist, max_dist + 1)
+            for dy in range(-max_dist, max_dist + 1)
+            if dx * dx + dy * dy <= r2]
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        empty = pd.DataFrame({
+            "dist_class": pd.Series(dtype="int64"),
+            "pixel_count": pd.Series(dtype="int64")})
+        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if not len(centre):
+            return empty
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid = ~np.isnan(pad)
+        tgt = valid & (np.floor(
+            np.where(valid, pad, 0.0) / step) == float(target_class))
+        P = 3 * T
+        vi = valid[T:2 * T, T:2 * T]
+        if not vi.any():
+            return empty
+        big = np.int64(1 << 30)
+        mind2 = np.full((T, T), big, dtype=np.int64)
+        for dx, dy, d2 in disk:
+            sh = tgt[T + dy:2 * T + dy, T + dx:2 * T + dx]
+            np.minimum(mind2, np.where(sh, np.int64(d2), big), out=mind2)
+        band = np.where(
+            mind2 < big,
+            np.floor(np.sqrt(mind2.astype(np.float64))).astype(np.int64),
+            np.int64(-1))[vi]
+        ub, cnts = np.unique(band, return_counts=True)
+        return pd.DataFrame({"dist_class": ub,
+                             "pixel_count": cnts.astype(np.int64)})
+
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="dist_class long, pixel_count long")
+    return (per.groupBy(F.col("dist_class").cast("int").alias("dist_class"))
+            .agg(F.sum("pixel_count").alias("pixel_count")))
 
 
 def proximity_classes(band_px: DataFrame, target_class: int = 4,

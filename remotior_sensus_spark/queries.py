@@ -2434,7 +2434,8 @@ def tri_ruggedness(spark, sf_dir):
     """Riley TRI class histogram — queen neighbours, integer-exact
     sum-of-squared-diffs expansion, one shifted-copy shuffle."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.tri_classes(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.tri_classes_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("zonal_entropy", f"""
@@ -2461,19 +2462,11 @@ def zonal_entropy_q(spark, sf_dir):
     """Shannon entropy of the B04 class mix inside each B02 zone —
     per-term fixed-point before the order-independent per-zone sum."""
     from remotior_sensus_spark.operators import geostats
-    t = _tiles(spark, sf_dir).filter(
-        (F.col("bandset") == "S2_2020-01-01")
-        & (F.col("band").isin("B02", "B04")))
-    px = agg.explode_pixels(t)
-    wide = px.groupBy("tile_x", "tile_y", "pos").agg(
-        F.max(F.when(F.col("band") == "B02", F.col("value"))).alias("b02"),
-        F.max(F.when(F.col("band") == "B04", F.col("value"))).alias("b04"),
-    )
-    zp = wide.filter((F.col("b02") != NODATA) & (F.col("b04") != NODATA)).select(
-        F.floor(F.col("b02") / 1000).cast("int").alias("zone"),
-        F.floor(F.col("b04") / 1000).cast("int").alias("vclass"),
-    )
-    return geostats.zonal_entropy(zp)
+    # r06: the band pairing lives at the same array index, so a
+    # tile-keyed join + per-tile bincount replaces the 13M-row
+    # pixel-keyed pivot (geostats.zonal_entropy_tiles)
+    return geostats.zonal_entropy_tiles(
+        _b01(spark, sf_dir, "B02"), _b01(spark, sf_dir, "B04"))
 
 
 @q("lisa_quadrants", f"""
@@ -2510,7 +2503,8 @@ def lisa_quadrants_q(spark, sf_dir):
     """Local Moran quadrant histogram — integer-exact HH/LL/LH/HL
     membership, per-pixel fixed-point local I before the sum."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.lisa_quadrants(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.lisa_quadrants_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("focal_majority", f"""
@@ -2565,9 +2559,13 @@ select dist_class, count(*) as pixel_count from j group by dist_class
 """)
 def proximity_bands_q(spark, sf_dir):
     """Banded proximity to the class-4 patches — exact integer min-d^2
-    disk explode, one shuffle plus the co-partitioned join back."""
+    bounded-radius distance transform on the focal-halo path (r06: one
+    halo exchange + bounded rollup replaces the 105M-row disk explode
+    and the pixel join back; geostats.proximity_classes_tiles, the
+    relational twin stays as the cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.proximity_classes(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.proximity_classes_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("tpch_q10", """

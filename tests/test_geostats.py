@@ -843,3 +843,50 @@ def test_focal_majority_halo_parity(spark, geo001_dir):
     got = {r["majority_class"]: r["pixel_count"] for r in
            geostats.focal_majority_tiles(b04, tile_px=16).collect()}
     assert got == rel
+
+
+def test_proximity_halo_parity(spark, geo001_dir):
+    """The r06 focal-halo bounded distance transform is bit-equal to
+    the relational disk-explode twin."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+
+    b04 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    rel = {r["dist_class"]: r["pixel_count"] for r in
+           geostats.proximity_classes(agg.explode_pixels(b04)).collect()}
+    got = {r["dist_class"]: r["pixel_count"] for r in
+           geostats.proximity_classes_tiles(b04, tile_px=16).collect()}
+    assert got == rel
+
+
+def test_tri_halo_parity(spark, geo001_dir):
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+
+    b04 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    rel = {r["tri_class"]: (r["pixel_count"], r["tri_fp_sum"]) for r in
+           geostats.tri_classes(agg.explode_pixels(b04)).collect()}
+    got = {r["tri_class"]: (r["pixel_count"], r["tri_fp_sum"]) for r in
+           geostats.tri_classes_tiles(b04, tile_px=16).collect()}
+    assert got == rel
+
+
+def test_lisa_halo_parity(spark, geo001_dir):
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+
+    b04 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    rel = {r["quadrant"]: (r["pixel_count"], r["lisa_fp_sum"]) for r in
+           geostats.lisa_quadrants(agg.explode_pixels(b04)).collect()}
+    got = {r["quadrant"]: (r["pixel_count"], r["lisa_fp_sum"]) for r in
+           geostats.lisa_quadrants_tiles(b04, tile_px=16).collect()}
+    assert got == rel
