@@ -80,6 +80,14 @@ def cumulative_min_dn(band_px: DataFrame, percent_threshold: float = 0.0001) -> 
     tests/test_plan_properties.py::test_histmatch_domain_bounded."""
     valid = band_px.filter(F.col("value") != NODATA)
     hist = valid.groupBy("band", "value").agg(F.count("*").alias("cnt"))
+    return cumulative_min_dn_hist(hist, percent_threshold)
+
+
+def cumulative_min_dn_hist(hist: DataFrame,
+                           percent_threshold: float = 0.0001) -> DataFrame:
+    """cumulative_min_dn starting from a prebuilt (band, value, cnt)
+    histogram (r06): callers that also derive their output from the
+    histogram (dos1_correction's census) build it once."""
     w = Window.partitionBy("band").orderBy("value")
     tot = Window.partitionBy("band")
     cum = hist.select(

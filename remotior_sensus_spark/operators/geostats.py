@@ -398,6 +398,63 @@ def semivariogram(band_px: DataFrame,
     )
 
 
+def semivariogram_tiles(band_tiles: DataFrame | None,
+                        lags: tuple[int, ...] = (1, 2, 4, 8),
+                        tile_px: int | None = None,
+                        fan: DataFrame | None = None) -> DataFrame:
+    """semivariogram on the focal-halo path (r06): one halo exchange
+    plus vectorized +x pair sums per pad replace the 26M-row
+    shifted-copy hash join. A pair is (v(x,y), v(x-h,y)) with both
+    valid — the same ordered-pair set as the relational join; sums in
+    int64 (integral DNs). Requires max(lags) <= the shipped ring.
+    Pinned by test_semivariogram_halo_parity and the driver check."""
+    import pandas as pd
+
+    from remotior_sensus_spark.operators.focal import (
+        _assemble_padded, _with_halo_groups)
+    from remotior_sensus_spark.grid import TILE_PX
+
+    T = tile_px or TILE_PX
+    if max(lags) > T:
+        raise ValueError("halo path requires max(lags) <= tile_px")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        cols = ["lag", "n_pairs", "sum_sq_diff"]
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if not len(centre):
+            return empty
+        pad = _assemble_padded(pdf, tile_px=T)
+        valid = ~np.isnan(pad)
+        vi64 = np.where(valid, pad, 0.0).astype(np.int64)
+        cv = valid[T:2 * T, T:2 * T]
+        c64 = vi64[T:2 * T, T:2 * T]
+        rows = []
+        for h in lags:
+            nbv = valid[T:2 * T, T - h:2 * T - h]
+            sel = cv & nbv
+            if not sel.any():
+                continue
+            d = c64[sel] - vi64[T:2 * T, T - h:2 * T - h][sel]
+            rows.append((int(h), int(sel.sum()), int((d * d).sum())))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=cols)
+
+    halo = fan if fan is not None else _with_halo_groups(band_tiles)
+    per = halo.groupBy("target_tx", "target_ty").applyInPandas(
+        kernel, schema="lag long, n_pairs long, sum_sq_diff long")
+    g = per.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("sum_sq_diff").alias("sum_sq_diff"))
+    return g.select(
+        "lag", "n_pairs", "sum_sq_diff",
+        (F.col("sum_sq_diff").cast("double")
+         / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"),
+    )
+
+
 def getis_g(band_px: DataFrame) -> DataFrame:
     """Global Getis-Ord General G with rook weights (positive DNs):
     G = sum_ij w_ij v_i v_j / sum_{i<>j} v_i v_j.  The numerator is the

@@ -2382,9 +2382,13 @@ select lag, n_pairs, sum_sq_diff,
 from g
 """)
 def semivariogram_q(spark, sf_dir):
-    """+x semivariogram at lags 1/2/4/8 — all lags in one hash join."""
+    """+x semivariogram at lags 1/2/4/8 — focal-halo pair sums (r06:
+    one halo exchange replaces the 26M-row shifted-copy hash join;
+    geostats.semivariogram_tiles, relational twin kept as the
+    cross-checked reference shape)."""
     from remotior_sensus_spark.operators import geostats
-    return geostats.semivariogram(agg.explode_pixels(_b01(spark, sf_dir, "B04")))
+    fan, t_px = _fan64(spark, sf_dir, "B04")
+    return geostats.semivariogram_tiles(None, tile_px=t_px, fan=fan)
 
 
 @q("getis_g", f"""
@@ -3814,13 +3818,26 @@ select band,
 from px group by band
 """)
 def dos1_q(spark, sf_dir):
-    from remotior_sensus_spark.operators.raster_edit import dos1_correction
+    # r06 (guide §2.2): the census is derivable from the per-band DN
+    # histogram the min-DN cut already needs — ONE corpus aggregation
+    # builds it, min_dn and the checksum both come from the (band,
+    # value, cnt) rows (corrected = greatest(value - min_dn, 0.0) is
+    # constant per histogram row, so cnt * cast(corrected as bigint)
+    # sums to the identical per-pixel checksum). dos1_correction (the
+    # per-pixel operator) is unchanged for composition callers.
+    from remotior_sensus_spark.operators.aggregates import (
+        cumulative_min_dn_hist)
     t = _tiles(spark, sf_dir).filter(F.col("bandset") == "S2_2020-01-01")
-    out = dos1_correction(agg.explode_pixels(t))
-    return out.groupBy("band").agg(
-        F.sum(F.when(F.col("corrected") != NODATA,
-                     F.col("corrected").cast("long")).otherwise(0)).alias("checksum"),
-        F.sum(F.when(F.col("corrected") != NODATA, 1).otherwise(0)).alias("valid_count"),
+    px = agg.explode_pixels(t)
+    hist = (px.filter(F.col("value") != NODATA)
+            .groupBy("band", "value").agg(F.count("*").alias("cnt"))
+            ).localCheckpoint()
+    min_dn = cumulative_min_dn_hist(hist)
+    j = hist.join(F.broadcast(min_dn), "band")
+    corrected = F.greatest(F.col("value") - F.col("min_dn"), F.lit(0.0))
+    return j.groupBy("band").agg(
+        F.sum(corrected.cast("long") * F.col("cnt")).alias("checksum"),
+        F.sum("cnt").alias("valid_count"),
     )
 
 

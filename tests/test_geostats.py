@@ -890,3 +890,18 @@ def test_lisa_halo_parity(spark, geo001_dir):
     got = {r["quadrant"]: (r["pixel_count"], r["lisa_fp_sum"]) for r in
            geostats.lisa_quadrants_tiles(b04, tile_px=16).collect()}
     assert got == rel
+
+
+def test_semivariogram_halo_parity(spark, geo001_dir):
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators import geostats
+
+    b04 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B04"))
+    rel = {r["lag"]: (r["n_pairs"], r["sum_sq_diff"], r["gamma"]) for r in
+           geostats.semivariogram(agg.explode_pixels(b04)).collect()}
+    got = {r["lag"]: (r["n_pairs"], r["sum_sq_diff"], r["gamma"]) for r in
+           geostats.semivariogram_tiles(b04, tile_px=16).collect()}
+    assert got == rel
