@@ -120,6 +120,53 @@ def histogram_2d(px_x: DataFrame, px_y: DataFrame, step: float = 500.0) -> DataF
     )
 
 
+def histogram_2d_tiles(tiles_x: DataFrame, tiles_y: DataFrame,
+                       step: float = 500.0) -> DataFrame:
+    """histogram_2d with the pairing done at the tile-array level
+    (r06, guide §2.2): the pair lives at the same array index, so a
+    tile-keyed equi join + per-tile bincount replaces the 13M-row
+    pixel-keyed join; only bounded (bin_x, bin_y, c) partials shuffle.
+    Bit-equal to histogram_2d (same floor(v/step) bins; pinned by the
+    driver-checked query + test_histogram_2d_tiles_parity)."""
+    import numpy as np
+    import pandas as pd
+
+    j = tiles_x.select(
+        "tile_x", "tile_y", F.col("pixels").alias("ax")
+    ).join(tiles_y.select(
+        "tile_x", "tile_y", F.col("pixels").alias("ay")),
+        ["tile_x", "tile_y"])
+
+    def kern(it):
+        for pdf in it:
+            xs, ys, cs = [], [], []
+            for _, row in pdf.iterrows():
+                ax = np.asarray(row["ax"], dtype=np.float64)
+                ay = np.asarray(row["ay"], dtype=np.float64)
+                valid = (ax != NODATA) & (ay != NODATA)
+                if not valid.any():
+                    continue
+                bx = np.floor(ax[valid] / step).astype(np.int64)
+                by = np.floor(ay[valid] / step).astype(np.int64)
+                pk = (bx + 64) * 4096 + (by + 64)
+                ub, cnt = np.unique(pk, return_counts=True)
+                xs.append(ub // 4096 - 64)
+                ys.append(ub % 4096 - 64)
+                cs.append(cnt.astype(np.int64))
+            if not xs:
+                continue
+            yield pd.DataFrame({
+                "bin_x": np.concatenate(xs),
+                "bin_y": np.concatenate(ys),
+                "c": np.concatenate(cs)})
+
+    per = j.mapInPandas(kern, "bin_x long, bin_y long, c long")
+    return (per.groupBy(
+        F.col("bin_x").cast("int").alias("bin_x"),
+        F.col("bin_y").cast("int").alias("bin_y"))
+        .agg(F.sum("c").alias("cnt")))
+
+
 def _closest_obs_index(cnt: Column, p: float) -> Column:
     """round-half-even of (cnt-1)*p/100, 0-based (numpy round semantics,
     processor_functions.py:94-96). Written as explicit floor math so the

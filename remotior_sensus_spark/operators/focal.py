@@ -332,6 +332,75 @@ def resample_mode(band_px: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def resample_mode_tiles(band_tiles: DataFrame, factor: int = 2,
+                        step: float = 1000.0) -> DataFrame:
+    """resample_mode (over quantized classes, the registered query's
+    shape) with the per-coarse-cell mode computed INSIDE the tile
+    (r06, guide §2.2): for factor dividing TILE_PX every coarse cell
+    lies in one tile, so no pixel ever shuffles — one Arrow pass emits
+    the (cgx, cgy, mode_value, mode_count) rows directly. Identical
+    tie rule (count desc, value asc — the scipy_mode rule) via the
+    focal_majority BIGINT argmax encoding (classes in [0, 2^20));
+    nodata pixels drop out before voting and empty cells emit nothing,
+    mirroring the relational groupBy. Pinned by
+    test_resample_mode_tiles_parity and the driver-checked query."""
+    import numpy as np
+
+    if TILE_PX % factor != 0:
+        raise ValueError("factor must divide TILE_PX")
+    T = TILE_PX
+    nb = T // factor
+    k2 = factor * factor
+
+    def kern(it):
+        for pdf in it:
+            gxs, gys, mvs, mcs = [], [], [], []
+            for _, row in pdf.iterrows():
+                a = np.asarray(row["pixels"],
+                               dtype=np.float64).reshape(T, T)
+                blocks = (a.reshape(nb, factor, nb, factor)
+                          .transpose(0, 2, 1, 3).reshape(nb * nb, k2))
+                valid = blocks != NODATA
+                any_valid = valid.any(axis=1)
+                if not any_valid.any():
+                    continue
+                vi = np.floor(
+                    np.where(valid, blocks, 0.0) / step).astype(np.int64)
+                best_enc = np.full(nb * nb, -1, dtype=np.int64)
+                best_val = np.zeros(nb * nb, dtype=np.int64)
+                best_cnt = np.zeros(nb * nb, dtype=np.int64)
+                for j in range(k2):
+                    vj = vi[:, j]
+                    cnt = np.zeros(nb * nb, dtype=np.int64)
+                    for k in range(k2):
+                        cnt += valid[:, k] & (vi[:, k] == vj)
+                    enc = np.where(valid[:, j],
+                                   cnt * 1048576 + (1048575 - vj),
+                                   np.int64(-1))
+                    better = enc > best_enc
+                    best_enc = np.where(better, enc, best_enc)
+                    best_val = np.where(better, vj, best_val)
+                    best_cnt = np.where(better, cnt, best_cnt)
+                tx = int(row["tile_x"])
+                ty = int(row["tile_y"])
+                ii = np.flatnonzero(any_valid)
+                by, bx = ii // nb, ii % nb
+                gxs.append(tx * nb + bx)
+                gys.append(ty * nb + by)
+                mvs.append(best_val[ii])
+                mcs.append(best_cnt[ii])
+            if not gxs:
+                continue
+            yield pd.DataFrame({
+                "cgx": np.concatenate(gxs).astype(np.int64),
+                "cgy": np.concatenate(gys).astype(np.int64),
+                "mode_value": np.concatenate(mvs).astype(np.int64),
+                "mode_count": np.concatenate(mcs).astype(np.int64)})
+
+    return band_tiles.select("tile_x", "tile_y", "pixels").mapInPandas(
+        kern, "cgx long, cgy long, mode_value long, mode_count long")
+
+
 def erosion_iterative(band_tiles: DataFrame, values: list[float],
                       iterations: int, circular: bool = True,
                       tile_px: int | None = None) -> DataFrame:

@@ -384,9 +384,10 @@ from px where vx <> -32768 and vy <> -32768
 group by 1, 2
 """)
 def histogram_2d(spark, sf_dir):
-    a = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
-    b = agg.explode_pixels(_b01(spark, sf_dir, "B08"))
-    return agg.histogram_2d(a, b)
+    # r06: tile-keyed pairing + per-tile bincount (the pair lives at
+    # the same array index; agg.histogram_2d_tiles)
+    return agg.histogram_2d_tiles(_b01(spark, sf_dir, "B04"),
+                                  _b01(spark, sf_dir, "B08"))
 
 
 _PCT_IDX = """cast(floor(q) + case when q-floor(q) > 0.5 then 1
@@ -1952,12 +1953,11 @@ select cgx, cgy, value as mode_value, cnt as mode_count from (
   from c) where rn = 1
 """)
 def resample_mode_q(spark, sf_dir):
-    from remotior_sensus_spark.operators.focal import resample_mode
-    px = agg.explode_pixels(_b01(spark, sf_dir, "B04"))
-    px = px.filter(F.col("value") != NODATA).withColumn(
-        "value", agg.quantize(F.col("value"))
-    )
-    return resample_mode(px, factor=2)
+    # r06: per-coarse-cell mode computed inside the tile (no pixel
+    # shuffle at all; focal.resample_mode_tiles, the relational mode
+    # stays as the cross-checked reference shape)
+    from remotior_sensus_spark.operators.focal import resample_mode_tiles
+    return resample_mode_tiles(_b01(spark, sf_dir, "B04"), factor=2)
 
 
 # shared oracle CTE: Horn gradients per interior pixel via shifted-copy

@@ -636,3 +636,38 @@ def test_fine_halo_parity_focal_terrain(spark, b04):
            horn_terrain(None, cellsize=10.0, tile_px=64,
                         fan=fan()).collect()}
     assert got == ref
+
+
+def test_resample_mode_tiles_parity(spark, b04):
+    """The r06 in-tile coarse-cell mode is row-identical to the
+    relational groupBy+window mode over quantized classes."""
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+    from remotior_sensus_spark.operators.focal import (
+        resample_mode, resample_mode_tiles)
+    from remotior_sensus_spark import NODATA
+
+    px = agg.explode_pixels(b04).filter(
+        F.col("value") != NODATA).withColumn(
+        "value", agg.quantize(F.col("value")))
+    rel = {(r["cgx"], r["cgy"]): (r["mode_value"], r["mode_count"])
+           for r in resample_mode(px, factor=2).collect()}
+    got = {(r["cgx"], r["cgy"]): (r["mode_value"], r["mode_count"])
+           for r in resample_mode_tiles(b04, factor=2).collect()}
+    assert got == rel
+
+
+def test_histogram_2d_tiles_parity(spark, b04, geo001_dir):
+    from pyspark.sql import functions as F
+
+    from remotior_sensus_spark.operators import aggregates as agg
+
+    b08 = spark.read.parquet(f"{geo001_dir}/tiles.parquet").filter(
+        (F.col("bandset") == "S2_2020-01-01") & (F.col("band") == "B08"))
+    rel = {(r["bin_x"], r["bin_y"]): r["cnt"] for r in
+           agg.histogram_2d(agg.explode_pixels(b04),
+                            agg.explode_pixels(b08)).collect()}
+    got = {(r["bin_x"], r["bin_y"]): r["cnt"] for r in
+           agg.histogram_2d_tiles(b04, b08).collect()}
+    assert got == rel
